@@ -1,0 +1,59 @@
+"""Query catalog: every engine capability exposed as a named query with
+a DuckDB oracle (SURVEY §2's inventory → driver contract).
+
+Each entry pairs a DataFrame-API implementation (the engine surface)
+with the equivalent ANSI SQL the driver runs in DuckDB. `oracle=None`
+marks genuinely non-SQL-expressible ops (streaming state, LSH
+internals) → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+CATALOG: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+    return wrap
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return {q.name: q.fn for q in CATALOG.values()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load()
+    return {q.name: q.oracle for q in CATALOG.values() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import all query modules (registration side effect)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import relational  # noqa: F401
+    from . import reference_core  # noqa: F401
+    from . import text_dedup  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import events  # noqa: F401
+    _LOADED = True

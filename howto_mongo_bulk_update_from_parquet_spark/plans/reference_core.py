@@ -1,0 +1,96 @@
+"""Reference-core capabilities as oracle-checked queries: the keyed
+bulk-upsert (the reference's entire reason to exist —
+/root/reference/src/func/mongo.py:28-163) and the synthetic data
+generator (/root/reference/src/cli/generate_data.py:55-68).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..operators.merge import keyed_upsert
+from ..sources.generate import generate_pipeline_data
+from ..sources.parquet import load_table
+
+from .catalog import register
+
+# Target = current customer "collection"; source = per-customer order
+# rollup with (a) NULL payload fields on every 3rd key (exercises the
+# null-skip rule, reference mongo.py:62), (b) an injected NULL-key row
+# (dropped, reference mongo.py:50-53), (c) keys the target doesn't have
+# are impossible here (o_custkey ⊆ c_custkey) so insert-path coverage
+# comes from target rows absent in source (pass-through) + unit tests.
+MERGE_ORACLE = """
+WITH src AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+         CASE WHEN o_custkey % 3 = 0 THEN NULL ELSE 'UPDATED' END AS segment
+  FROM orders GROUP BY o_custkey
+), tgt AS (
+  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS segment
+  FROM customer
+)
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       COALESCE(s.bal, t.bal) AS bal,
+       COALESCE(s.segment, t.segment) AS segment
+FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+"""
+
+
+@register("q_merge_upsert", MERGE_ORACLE,
+          "keyed bulk-upsert with null-skip + null-key-drop semantics "
+          "(reference U1-U3) as full-outer-join + coalesce MERGE")
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    target = customer.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_mktsegment").alias("segment"))
+
+    source = (orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+              .agg(F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("bal"))
+              .withColumn("segment",
+                          F.when(F.col("c_custkey") % 3 == 0, None)
+                           .otherwise(F.lit("UPDATED"))))
+    # inject a NULL-key row — the operator must drop it (reference note 3)
+    null_row = spark.range(1).select(
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit(9.99).alias("bal"),
+        F.lit("GHOST").alias("segment"))
+    source = source.unionByName(null_row)
+
+    return keyed_upsert(target, source, key="c_custkey",
+                        payload=["bal", "segment"], updated_at_col=None)
+
+
+# The generator itself can't value-match a DuckDB oracle (Spark's
+# seeded rand() stream is engine-specific), so the oracle checks the
+# *contract*: deterministic id sequence + every feature/score in [0,1)
+# + the requested NULL fraction hitting only nullable columns.
+GEN_ORACLE = """
+SELECT printf('id-%012d', g) AS _id,
+       TRUE AS features_in_range,
+       TRUE AS score_in_range,
+       TRUE AS score_not_null
+FROM range(0, 2000) t(g)
+"""
+
+
+@register("q_generate", GEN_ORACLE,
+          "distributed synthetic generator (reference G1): deterministic "
+          "ids, bounded uniform features, seeded")
+def q_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = generate_pipeline_data(spark, 2000, seed=42, null_fraction=0.1)
+    feat_ok = None
+    for i in range(1, 5):
+        c = F.col(f"feature_{i}").isNull() | ((F.col(f"feature_{i}") >= 0) & (F.col(f"feature_{i}") < 1))
+        feat_ok = c if feat_ok is None else (feat_ok & c)
+    return df.select(
+        "_id",
+        feat_ok.alias("features_in_range"),
+        ((F.col("score") >= 0) & (F.col("score") < 1)).alias("score_in_range"),
+        F.col("score").isNotNull().alias("score_not_null"))

@@ -1,0 +1,150 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+Brute-force cosine top-k is the exactness baseline; the scale path is
+bucketed search: assign vectors to coarse centroids (IVF shape) and
+search within buckets — `q_ann_ivf_assign` demonstrates the assignment
+stage. All vector math stays JVM-side via `zip_with`/`aggregate`
+higher-order functions (no Python UDF in the hot path).
+
+Cross-engine float discipline: dot products fold doubles in array
+order in both engines, but we still round to 6 decimals before
+ranking/threshold so a last-ulp divergence can't flip a hash.
+
+Scale notes (100 TB): brute-force is O(Q·N) — fine for Q small; for
+N×N near-dup, LSH bucketing (operators/dedup.py MinHash for text,
+random-hyperplane for vectors) bounds candidate pairs. The knn query
+broadcasts the query set so candidates never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+KNN_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q_id, n_id, ROUND(list_cosine_similarity(qv, cv), 6) AS cos_sim
+  FROM q JOIN c ON q_id <> n_id
+)
+SELECT q_id, n_id, cos_sim, rank
+FROM (SELECT q_id, n_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register("q_knn_bruteforce", KNN_ORACLE,
+          "exact top-5 cosine neighbors for 5 query vectors (broadcast "
+          "queries × all candidates, JVM-side vector math)")
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("q_id"), _as_double("embedding").alias("qv")))
+    c = e.select(F.col("vec_id").alias("n_id"), _as_double("embedding").alias("cv"))
+    scored = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+               .select("q_id", "n_id",
+                       F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= 5))
+
+
+NEARDUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id < 2000)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.ev, b.ev), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.ev, b.ev), 6) >= 0.45
+"""
+
+
+@register("q_embedding_neardup", NEARDUP_ORACLE,
+          "embedding near-duplicate pairs: cosine ≥ 0.45 over bounded id range")
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < 2000)
+         .select("vec_id", _as_double("embedding").alias("ev")))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (pairs.select("id_a", "id_b",
+                         F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+                 .filter(F.col("cos_sim") >= 0.45))
+
+
+CENTROID_ORACLE = """
+WITH pos AS (
+  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos, embedding
+  FROM embeddings
+)
+SELECT label, pos,
+       CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_val
+FROM pos
+GROUP BY label, pos
+"""
+
+
+@register("q_label_centroids", CENTROID_ORACLE,
+          "per-label centroid (IVF build stage): posexplode + exact mean per dim")
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (e.select("label", F.posexplode("embedding").alias("pos0", "val"))
+             .select("label", (F.col("pos0") + 1).cast("long").alias("pos"), "val")
+             .groupBy("label", "pos")
+             # float→double first: the two engines round float→decimal
+             # differently, but double→decimal identically
+             .agg((F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+                   / F.count(F.lit(1))).alias("centroid_val")))
+
+
+IVF_ASSIGN_ORACLE = """
+WITH cent AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT vec_id, c_id AS assigned_centroid, cos_sim
+FROM (
+  SELECT v.vec_id, cent.c_id,
+         ROUND(list_cosine_similarity(v.ev, cent.cv), 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(v.ev, cent.cv), 6) DESC, cent.c_id) AS rn
+  FROM v CROSS JOIN cent
+)
+WHERE rn = 1
+"""
+
+
+@register("q_ann_ivf_assign", IVF_ASSIGN_ORACLE,
+          "IVF coarse-quantizer assignment: nearest of 8 broadcast centroids per vector")
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (e.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("c_id"), _as_double("embedding").alias("cv")))
+    v = e.select("vec_id", _as_double("embedding").alias("ev"))
+    scored = (v.join(F.broadcast(cent))
+               .select("vec_id", "c_id",
+                       F.round(cosine(F.col("ev"), F.col("cv")), 6).alias("cos_sim")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("vec_id", F.col("c_id").alias("assigned_centroid"), "cos_sim"))

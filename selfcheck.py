@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate: run every catalog
+query on Spark and its oracle on DuckDB at a given SF, compare
+row-count, sorted-column schema, and order-insensitive values.
+
+Usage: python selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns spark={s_cols} duck={d_cols}")
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    if len(s) == len(d):
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            try:
+                if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+                    import numpy as np
+                    both_nan = sv.isna() & dv.isna()
+                    eq = (sv == dv) | both_nan
+                    if not eq.all():
+                        bad = (~eq).idxmax()
+                        mx = float((sv.fillna(0) - dv.fillna(0)).abs().max())
+                        problems.append(
+                            f"col {c}: {int((~eq).sum())} mismatches, max|Δ|={mx:.3e},"
+                            f" first at row {bad}: spark={sv[bad]!r} duck={dv[bad]!r}")
+                else:
+                    eq = (sv.astype(str) == dv.astype(str))
+                    if not eq.all():
+                        bad = (~eq).idxmax()
+                        problems.append(
+                            f"col {c}: {int((~eq).sum())} mismatches,"
+                            f" first at row {bad}: spark={sv[bad]!r} duck={dv[bad]!r}")
+            except Exception as exc:  # noqa: BLE001
+                problems.append(f"col {c}: compare error {exc}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from howto_mongo_bulk_update_from_parquet_spark.plans import all_queries
+    from howto_mongo_bulk_update_from_parquet_spark.session import get_spark
+
+    all_queries()  # trigger catalog registration
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = n_rows_only = 0
+    from howto_mongo_bulk_update_from_parquet_spark.plans.catalog import CATALOG as cat
+    for name, q in cat.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            n_rows_only += 1
+            print(f"ROWS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s, no oracle)")
+            continue
+        try:
+            ddf = con.execute(q.oracle).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
