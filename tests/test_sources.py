@@ -1,0 +1,66 @@
+"""Tests for sources: schema-explicit scan, nanos-timestamp handling,
+seeded generator, parquet round-trip."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from howto_mongo_bulk_update_from_parquet_spark.schemas import PIPELINE_SCHEMA, TESTDATA_SCHEMAS
+from howto_mongo_bulk_update_from_parquet_spark.sources.generate import generate_pipeline_data
+from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table, write_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_load_table_schema_is_declared_not_inferred(spark):
+    df = load_table(spark, SF, "lineitem")
+    assert df.schema == TESTDATA_SCHEMAS["lineitem"]
+
+
+def test_events_nanos_ts_matches_duckdb(spark):
+    import duckdb
+    df = load_table(spark, SF, "events").orderBy("event_id").limit(5)
+    got = [(r.event_id, r.ts) for r in df.collect()]
+    want = duckdb.sql(
+        f"SELECT event_id, ts FROM read_parquet('{SF}/events.parquet') "
+        "ORDER BY event_id LIMIT 5").fetchall()
+    assert got == want
+
+
+def test_generator_deterministic_and_bounded(spark):
+    a = generate_pipeline_data(spark, 500, seed=7, null_fraction=0.2)
+    b = generate_pipeline_data(spark, 500, seed=7, null_fraction=0.2)
+    assert a.schema == PIPELINE_SCHEMA or [f.name for f in a.schema.fields] == [f.name for f in PIPELINE_SCHEMA.fields]
+    pa, pb = a.toPandas(), b.toPandas()
+    assert pa.equals(pb)
+    assert pa["_id"].iloc[0] == "id-000000000000"
+    assert pa["_id"].is_unique
+    assert pa["score"].between(0, 1).all()
+    assert pa["feature_1"].isna().any()          # nulls injected
+    assert pa["feature_1"].dropna().between(0, 1).all()
+
+
+def test_generator_different_seed_differs(spark):
+    a = generate_pipeline_data(spark, 100, seed=1).toPandas()
+    b = generate_pipeline_data(spark, 100, seed=2).toPandas()
+    assert not a["score"].equals(b["score"])
+
+
+def test_parquet_round_trip(spark, tmp_path):
+    out = os.path.join(str(tmp_path), "pipe")
+    df = generate_pipeline_data(spark, 1000, seed=42, null_fraction=0.1)
+    write_parquet(df, out, n_files=4)
+    back = spark.read.schema(PIPELINE_SCHEMA).parquet(out)
+    assert back.count() == 1000
+    assert len(back.inputFiles()) == 4
+    # content identical (order-insensitive)
+    assert (df.exceptAll(back).count() == 0 and back.exceptAll(df).count() == 0)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (load_table(spark, SF, "lineitem")
+          .filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
