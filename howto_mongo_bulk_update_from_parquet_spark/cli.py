@@ -1,0 +1,106 @@
+"""CLI mirroring the reference's two entry points
+(/root/reference/src/cli/mongo_update.py, generate_data.py) plus a
+catalog-query runner.
+
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli generate --path /tmp/data --n-rows 10000
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli upsert --path /tmp/data --table /tmp/keyed --key _id
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli upsert --path /tmp/data --mongo-uri mongodb://... \
+        --database db --collection coll --key _id
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli query --name q1_pricing_summary --sf-dir /root/testdata/sf0.001
+
+The reference's --batch-size / --concurrent-tasks knobs become
+--n-partitions (write parallelism = partitions × executor slots).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .schemas import PIPELINE_KEY, PIPELINE_PAYLOAD, PIPELINE_SCHEMA
+from .session import get_spark
+
+
+def cmd_generate(args: argparse.Namespace) -> int:
+    from .sources.generate import generate_pipeline_data
+    from .sources.parquet import write_parquet
+    spark = get_spark("generate")
+    df = generate_pipeline_data(spark, args.n_rows, seed=args.seed,
+                                null_fraction=args.null_fraction)
+    write_parquet(df, args.path, n_files=args.n_files)
+    print(f"wrote {args.n_rows} rows to {args.path} in {args.n_files} files")
+    return 0
+
+
+def cmd_upsert(args: argparse.Namespace) -> int:
+    spark = get_spark("upsert")
+    src = spark.read.schema(PIPELINE_SCHEMA).parquet(args.path)
+    if args.n_partitions:
+        src = src.repartition(args.n_partitions)
+    if args.mongo_uri:
+        from .sinks.mongo import write_mongo_upserts
+        write_mongo_upserts(src, uri=args.mongo_uri, database=args.database,
+                            collection=args.collection, key=args.key,
+                            n_partitions=args.n_partitions)
+        print(f"upserted into mongodb {args.database}.{args.collection}")
+    else:
+        from .sinks.keyed_table import upsert_into_keyed_table
+        out = upsert_into_keyed_table(spark, src, path=args.table,
+                                      key=args.key, n_files=args.n_partitions)
+        print(f"keyed table {args.table}: {out.count()} rows")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from .plans import all_queries
+    spark = get_spark("query")
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; available: {', '.join(sorted(qs))}",
+              file=sys.stderr)
+        return 2
+    df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="howto_mongo_bulk_update_from_parquet_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write synthetic pipeline parquet")
+    g.add_argument("--path", required=True)
+    g.add_argument("--n-rows", type=int, default=10_000)
+    g.add_argument("--n-files", type=int, default=10)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--null-fraction", type=float, default=0.0)
+    g.set_defaults(fn=cmd_generate)
+
+    u = sub.add_parser("upsert", help="bulk-upsert parquet into a keyed sink")
+    u.add_argument("--path", required=True, help="source parquet dir")
+    u.add_argument("--table", help="keyed parquet table path (internal sink)")
+    u.add_argument("--mongo-uri", help="MongoDB URI (external sink)")
+    u.add_argument("--database", default="db")
+    u.add_argument("--collection", default="coll")
+    u.add_argument("--key", default=PIPELINE_KEY)
+    u.add_argument("--n-partitions", type=int,
+                   help="write parallelism (replaces --concurrent-tasks)")
+    u.set_defaults(fn=cmd_upsert)
+
+    q = sub.add_parser("query", help="run a catalog query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "upsert" and not (args.table or args.mongo_uri):
+        ap.error("upsert requires --table or --mongo-uri")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,86 @@
+"""Tests for the Mongo sink (fake client), keyed parquet table, CLI."""
+
+import os
+
+from pyspark.sql import Row
+
+from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import upsert_into_keyed_table
+from howto_mongo_bulk_update_from_parquet_spark.sinks.mongo import build_upsert_ops, write_mongo_upserts
+
+
+def test_build_upsert_ops_reference_semantics():
+    rows = [
+        {"_id": "a", "f1": 1.0, "f2": None},
+        {"_id": None, "f1": 9.0, "f2": 9.0},      # dropped: null key
+        {"_id": "b", "f1": None, "f2": None},     # empty $set still upserts
+    ]
+    ops = list(build_upsert_ops(iter(rows), "_id", ["f1", "f2"]))
+    assert len(ops) == 2
+    assert ops[0] == {"filter": {"_id": "a"},
+                      "update": {"$set": {"f1": 1.0},
+                                 "$currentDate": {"updatedAt": True}},
+                      "upsert": True}
+    assert ops[1]["update"]["$set"] == {}
+
+
+def test_write_mongo_upserts_with_fake_client(spark, tmp_path):
+    # python workers are separate processes: the fake client is defined
+    # locally (cloudpickle ships it by value) and records each
+    # bulk_write as a line in a shared log file
+    log = os.path.join(str(tmp_path), "bulk_log")
+
+    class FakeClient:
+        def __init__(self, uri):
+            self.uri = uri
+
+        def __getitem__(self, name):
+            return self
+
+        def bulk_write(self, requests, ordered):
+            with open(log, "a") as fh:
+                fh.write(f"{len(requests)} {ordered}\n")
+
+        def close(self):
+            pass
+
+    df = spark.createDataFrame(
+        [Row(_id="a", f1=1.0), Row(_id="b", f1=2.0), Row(_id=None, f1=3.0)])
+    write_mongo_upserts(df, uri="mongodb://fake", database="db",
+                        collection="coll", key="_id", n_partitions=2,
+                        client_factory=FakeClient)
+    lines = [ln.split() for ln in open(log).read().splitlines()]
+    assert sum(int(n) for n, _ in lines) == 2       # null key dropped
+    assert all(o == "False" for _, o in lines)      # unordered writes
+
+
+def test_keyed_table_upsert_rounds(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "keyed")
+    r1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "_id string, v double")
+    out1 = upsert_into_keyed_table(spark, r1, path=path, key="_id")
+    assert out1.count() == 2
+    # round 2: update a, insert c, null payload keeps old value
+    r2 = spark.createDataFrame([("a", None), ("c", 3.0)], "_id string, v double")
+    out2 = upsert_into_keyed_table(spark, r2, path=path, key="_id")
+    rows = {r["_id"]: r for r in out2.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["v"] == 1.0                    # null-skip preserved
+    assert rows["c"]["v"] == 3.0
+    assert rows["a"]["updatedAt"] is not None
+
+
+def test_cli_generate_and_upsert(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    data = os.path.join(str(tmp_path), "data")
+    table = os.path.join(str(tmp_path), "table")
+    assert main(["generate", "--path", data, "--n-rows", "500",
+                 "--n-files", "2"]) == 0
+    assert main(["upsert", "--path", data, "--table", table]) == 0
+    out = capsys.readouterr().out
+    assert "500 rows" in out
+    assert spark.read.parquet(table).count() == 500
+
+
+def test_cli_unknown_query(capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    assert main(["query", "--name", "nope"]) == 2
+    assert "unknown query" in capsys.readouterr().err
