@@ -22,6 +22,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _widen(df: DataFrame, key: str) -> DataFrame:
+    """Spread a narrow input (e.g. one small parquet file = one
+    partition) across the cluster before a CPU-heavy map stage. The
+    shuffle moves only the raw rows — cheap next to hashing every
+    shingle on a single core. No-op when the input is already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def portable_hash64(col: Column, seed: Column | None = None) -> Column:
     """Deterministic 60-bit hash identical across Spark and DuckDB:
     first 15 hex chars of md5 → bigint. Used instead of xxhash64 so
@@ -31,23 +42,41 @@ def portable_hash64(col: Column, seed: Column | None = None) -> Column:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per document: (id, shingle)."""
-    expr = (f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+    """Distinct n-token shingles per document: (id, shingle).
+
+    Tokenizes once into a named column first — inlining `split()` in
+    the lambda makes codegen re-split the text for every element
+    access (~3× shingle count), a 5× slowdown at corpus scale."""
+    df = _widen(df, id_col)
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("__tk"))
+    expr = (f"transform(sequence(0, size(__tk) - {n}), "
             f"i -> concat_ws(' ', " +
-            ", ".join(f"split({text_col}, ' ')[i+{j}]" for j in range(n)) + "))")
-    return (df.select(id_col, F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))
-              .distinct())
+            ", ".join(f"__tk[i+{j}]" for j in range(n)) + "))")
+    # per-doc uniqueness comes from array_distinct; a post-explode
+    # .distinct() would just re-shuffle rows that are already unique
+    return toks.select(id_col, F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))
+
+
+MINHASH_PRIME = 2_147_483_647  # 2^31-1; keeps a*h+b inside 63 bits
 
 
 def minhash_signatures(shingle_df: DataFrame, id_col: str,
                        n_hashes: int = 16) -> DataFrame:
-    """(id, seed, minhash): min over the doc's shingles of the seeded
-    portable hash — `n_hashes` independent permutationapproximations."""
-    spark = shingle_df.sparkSession
-    seeds = F.broadcast(spark.range(n_hashes).select(F.col("id").cast("int").alias("seed")))
-    return (shingle_df.crossJoin(seeds)
-            .groupBy(id_col, "seed")
-            .agg(F.min(portable_hash64(F.col("shingle"), F.col("seed"))).alias("minhash")))
+    """(id, seed, minhash): classic MinHash — ONE base hash per shingle
+    (md5-prefix → bigint, mod p) and `n_hashes` linear permutations
+    h_i = ((2i+1)·h + i²+7) mod p. One md5 per shingle instead of one
+    per (shingle, seed): 16× less hashing, same oracle-exact integer
+    math in both engines."""
+    base = (portable_hash64(F.col("shingle")) % MINHASH_PRIME).alias("h")
+    hashed = shingle_df.select(id_col, base)
+    # all permutations in ONE aggregation pass (no 16× row blowup /
+    # shuffle), then unpivot the wide mins to (seed, minhash)
+    mins = hashed.groupBy(id_col).agg(*[
+        F.min(((2 * i + 1) * F.col("h") + i * i + 7) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i in range(n_hashes)])
+    stack_expr = (f"stack({n_hashes}, " + ", ".join(
+        f"CAST({i} AS INT), mh_{i}" for i in range(n_hashes)) + ") AS (seed, minhash)")
+    return mins.selectExpr(id_col, stack_expr)
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:
@@ -84,21 +113,37 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
             n_bits: int = 60) -> DataFrame:
     """60-bit SimHash per document: each distinct token votes ±1 on
     every bit of its hash; the sign of each bit-sum forms the
-    fingerprint. (id, simhash bigint)."""
-    spark = df.sparkSession
-    toks = (df.select(id_col, F.explode(F.array_distinct(
-                F.split(F.col(text_col), " "))).alias("tok"))
-              .distinct()
-              .select(id_col, portable_hash64(F.col("tok")).alias("th")))
-    bits = F.broadcast(spark.range(n_bits).select(F.col("id").cast("int").alias("b")))
-    votes = (toks.crossJoin(bits)
-             .groupBy(id_col, "b")
-             .agg(F.sum(F.when(F.expr("(th >> b) & 1") == 1, 1)
-                         .otherwise(-1)).alias("w")))
-    return (votes.groupBy(id_col)
-            .agg(F.sum(F.when(F.col("w") > 0,
-                              F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-                        .otherwise(F.lit(0))).cast("long").alias("simhash")))
+    fingerprint. (id, simhash bigint).
+
+    Computed per-partition with Arrow batches + numpy (zero shuffle —
+    the relational formulation explodes rows 60× and shuffles them;
+    this one touches each document once). All-integer math, so it is
+    bit-identical to the SQL oracle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def per_batch(batches):
+        shifts = np.arange(n_bits, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for text in pdf[text_col]:
+                toks = set(text.split(" "))
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                     for t in toks), dtype=np.int64, count=len(toks))
+                bits = (hs[:, None] >> shifts) & 1          # (n_toks, n_bits)
+                votes = (2 * bits - 1).sum(axis=0)
+                out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": out})
+
+    # no repartition here: the per-doc numpy work is light enough that
+    # shuffling rows to widen parallelism costs more than it buys
+    return df.select(id_col, text_col).mapInPandas(
+        per_batch, schema=f"{id_col} long, simhash long")
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -22,10 +22,15 @@ _SHINGLES_SQL = """
 
 MINHASH_ORACLE = f"""
 WITH shingles AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM shingles
+),
 seeds AS (SELECT unnest(range(0, 16)) AS seed)
 SELECT doc_id, CAST(seed AS INT) AS seed,
-       MIN(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
-FROM shingles CROSS JOIN seeds
+       MIN(((2 * seed + 1) * h + seed * seed + 7) % 2147483647) AS minhash
+FROM hashed CROSS JOIN seeds
 GROUP BY doc_id, seed
 """
 
@@ -40,10 +45,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_PAIRS_ORACLE = f"""
 WITH shingles AS ({_SHINGLES_SQL}),
 seeds AS (SELECT unnest(range(0, 16)) AS seed),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM shingles
+),
 sig AS (
   SELECT doc_id, CAST(seed AS INT) AS seed,
-         MIN(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
-  FROM shingles CROSS JOIN seeds
+         MIN(((2 * seed + 1) * h + seed * seed + 7) % 2147483647) AS minhash
+  FROM hashed CROSS JOIN seeds
   GROUP BY doc_id, seed
 ),
 bands AS (

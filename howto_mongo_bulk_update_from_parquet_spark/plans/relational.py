@@ -522,8 +522,10 @@ GROUP BY event_type
           "JSON extraction from the events.props payload column")
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (e.groupBy("event_type")
+    # parse once per row (get_json_object would re-parse per reference)
+    k = F.element_at(F.from_json("props", "map<string,bigint>"), "k")
+    return (e.select("event_type", k.alias("k"))
+             .groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("n_events"),
-                  F.sum(k).alias("sum_k"),
-                  F.countDistinct(k).alias("n_distinct_k")))
+                  F.sum("k").alias("sum_k"),
+                  F.countDistinct("k").alias("n_distinct_k")))

@@ -100,7 +100,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_arr = F.array_distinct(F.expr(
         "transform(sequence(0, size(split(text, ' ')) - 3), "
         "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"))
-    shingles = (d.select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct())
+    shingles = d.select("doc_id", F.explode(shingle_arr).alias("shingle"))
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
