@@ -61,4 +61,5 @@ def _load() -> None:
     from . import lsh  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import streaming_q  # noqa: F401
+    from . import scale_demo  # noqa: F401
     _LOADED = True

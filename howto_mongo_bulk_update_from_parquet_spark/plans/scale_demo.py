@@ -1,0 +1,84 @@
+"""Scale-technique queries: salted aggregation (hot-key mitigation),
+range-frame windows, and the custom stateful streaming operator. Each
+demonstrates a 100 TB technique while staying oracle-checkable — the
+salted plan must produce byte-identical results to the plain GROUP BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import dec
+from ..operators.skew import salted_sum_count
+from ..sources.parquet import load_table
+from .catalog import register
+
+# l_returnflag has ~3 distinct values over 600k rows — a genuinely hot
+# grouping key. The salted two-stage plan spreads each flag over 16
+# reducers; the oracle is the plain GROUP BY (results must be identical).
+SALTED_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_skew_salted_agg", SALTED_ORACLE,
+          "salted two-stage aggregation over a hot key — identical result, "
+          "skew-free shuffle")
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_sum_count(li, "l_returnflag", dec("l_quantity", 18, 6), 16)
+    return out.select("l_returnflag",
+                      F.col("sum_value").cast("double").alias("sum_value"),
+                      "n_rows")
+
+
+RANGE_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_orders_90d
+FROM orders
+"""
+
+
+@register("q_window_range_frame", RANGE_FRAME_ORACLE,
+          "RANGE frame window: trailing-90-day spend per customer")
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    secs = F.floor(F.unix_micros("o_orderdate") / F.lit(1_000_000)).cast("long")
+    w = (Window.partitionBy("o_custkey").orderBy(secs.alias("epoch_s"))
+         .rangeBetween(-90 * 86400, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(dec("o_totalprice", 18, 2)).over(w).cast("double").alias("spend_90d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"))
+
+
+# first occurrence per (user, event_type): the stream's keyed-state
+# dedup must equal the batch arg-min.
+FIRST_SEEN_ORACLE = """
+SELECT user_id, event_type,
+       event_id AS first_event_id, ts AS first_ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("q_stream_first_seen", FIRST_SEEN_ORACLE,
+          "custom stateful streaming dedup (applyInPandasWithState): "
+          "first-seen per (user, event_type)")
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import stream_first_seen
+    return stream_first_seen(spark, sf_dir)
