@@ -82,6 +82,25 @@ def configure_s3(spark: SparkSession, access_key: str | None = None,
         hconf.set("fs.s3a.endpoint", endpoint)
 
 
+def load_any(spark: SparkSession, path: str, fmt: str,
+             schema: T.StructType, **options) -> DataFrame:
+    """Format-generic scan with a mandatory explicit schema. CSV/JSON
+    inference is never used on the pipeline path — at 100 TB an
+    inference pass is a full extra read."""
+    reader = spark.read.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.format(fmt).options(**options).load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
+              **options) -> None:
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer.options(**options).save(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   n_files: int | None = None,
                   partition_by: list[str] | None = None) -> None:
