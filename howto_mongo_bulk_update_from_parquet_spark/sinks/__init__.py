@@ -1,2 +1,3 @@
 from .mongo import write_mongo_upserts, build_upsert_ops  # noqa: F401
-from .keyed_table import upsert_into_keyed_table  # noqa: F401
+from .keyed_table import (  # noqa: F401
+    upsert_into_keyed_table, append_delta, read_merged, compact)
