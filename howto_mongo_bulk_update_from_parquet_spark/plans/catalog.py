@@ -59,6 +59,7 @@ def _load() -> None:
     from . import relational2  # noqa: F401
     from . import relational3  # noqa: F401
     from . import relational4  # noqa: F401
+    from . import relational5  # noqa: F401
     from . import lsh  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import streaming_q  # noqa: F401
