@@ -87,3 +87,32 @@ def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lower(F.expr("substring(p_type, 2)"))).alias("type_sentence"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
         F.repeat(F.col("p_brand"), 2).alias("brand_twice"))
+
+
+NTILE_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       ntile(4) OVER w AS price_quartile,
+       ROUND(percent_rank() OVER w, 8) AS pct_rank,
+       ROUND(cume_dist() OVER w, 8) AS cume,
+       first_value(o_orderkey) OVER w AS cheapest_key,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("q_window_rank_dist", NTILE_ORACLE,
+          "ranking-distribution windows: ntile/percent_rank/cume_dist/nth_value")
+def q_window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"))
