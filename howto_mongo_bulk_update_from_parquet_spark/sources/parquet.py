@@ -40,6 +40,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     # so their epoch interpretation (and pandas conversion) is stable no
     # matter what timezone the caller's session started with.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Small single-file tables would otherwise scan as ONE partition,
+    # serializing every downstream pipeline stage; splitting to the
+    # core count parallelizes compute on narrow inputs (no effect on
+    # large multi-file tables, which already exceed this minimum).
+    spark.conf.set("spark.sql.files.minPartitionNum",
+                   str(spark.sparkContext.defaultParallelism))
     schema = schema or TESTDATA_SCHEMAS.get(name)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
