@@ -45,9 +45,13 @@ def cmd_upsert(args: argparse.Namespace) -> int:
         print(f"upserted into mongodb {args.database}.{args.collection}")
     else:
         from .sinks.keyed_table import upsert_into_keyed_table
-        out = upsert_into_keyed_table(spark, src, path=args.table,
-                                      key=args.key, n_files=args.n_partitions)
-        print(f"keyed table {args.table}: {out.count()} rows")
+        out, counts = upsert_into_keyed_table(spark, src, path=args.table,
+                                              key=args.key,
+                                              n_files=args.n_partitions,
+                                              return_counts=True)
+        print(f"keyed table {args.table}: {out.count()} rows "
+              f"(matched={counts['n_matched']} upserted={counts['n_upserted']} "
+              f"untouched={counts['n_untouched']})")
     return 0
 
 

@@ -57,7 +57,8 @@ def prepare_source(source: DataFrame, key: str,
 def keyed_upsert(target: DataFrame, source: DataFrame, key: str,
                  payload: list[str] | None = None, *,
                  dedup_order_by: list[str] | None = None,
-                 updated_at_col: str | None = "updatedAt") -> DataFrame:
+                 updated_at_col: str | None = "updatedAt",
+                 observation=None) -> DataFrame:
     """MERGE `source` into `target` on `key` with the reference's
     null-skip upsert semantics. Returns the post-merge target.
 
@@ -75,6 +76,19 @@ def keyed_upsert(target: DataFrame, source: DataFrame, key: str,
     t = target.alias("t")
     s = src.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+
+    if observation is not None:
+        # write-result counts, the reference's BulkWriteResult surface
+        # (/root/reference/src/func/mongo.py:140-145) — collected via
+        # the Observation API at zero extra passes: metrics ride the
+        # merge action itself.
+        joined = joined.observe(
+            observation,
+            F.count(F.when(F.col(f"s.{key}").isNotNull()
+                           & F.col(f"t.{key}").isNotNull(), 1)).alias("n_matched"),
+            F.count(F.when(F.col(f"s.{key}").isNotNull()
+                           & F.col(f"t.{key}").isNull(), 1)).alias("n_upserted"),
+            F.count(F.when(F.col(f"s.{key}").isNull(), 1)).alias("n_untouched"))
 
     out_cols = [F.coalesce(F.col(f"s.{key}"), F.col(f"t.{key}")).alias(key)]
     for c in payload:

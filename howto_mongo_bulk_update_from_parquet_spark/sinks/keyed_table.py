@@ -32,9 +32,13 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             payload: list[str] | None = None,
                             dedup_order_by: list[str] | None = None,
                             updated_at_col: str | None = "updatedAt",
-                            n_files: int | None = None) -> DataFrame:
+                            n_files: int | None = None,
+                            return_counts: bool = False):
     """MERGE `source` into the keyed parquet table at `path` (created on
-    first write). Returns the post-merge table DataFrame."""
+    first write). Returns the post-merge table DataFrame, or
+    ``(df, counts)`` with the reference-style write-result counts
+    (n_matched / n_upserted / n_untouched) when ``return_counts``."""
+    from pyspark.sql import Observation
     schema_cols = source.columns if payload is None else [key, *payload]
     if os.path.exists(path):
         target = spark.read.parquet(path)
@@ -43,9 +47,11 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
         if updated_at_col:
             fields.append(T.StructField(updated_at_col, T.TimestampType()))
         target = spark.createDataFrame([], T.StructType(fields))
+    obs = Observation("merge_counts") if return_counts else None
     merged = keyed_upsert(target, source, key, payload,
                           dedup_order_by=dedup_order_by,
-                          updated_at_col=updated_at_col)
+                          updated_at_col=updated_at_col,
+                          observation=obs)
     out = merged.repartition(n_files) if n_files else merged
     # write to a temp dir then swap: the merge reads the live table, so
     # an in-place overwrite would race its own scan
@@ -55,7 +61,10 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     final.write.mode("overwrite").parquet(path)
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    result = spark.read.parquet(path)
+    if return_counts:
+        return result, obs.get
+    return result
 
 
 # --- log-structured base + delta ---------------------------------------

@@ -84,3 +84,15 @@ def test_cli_unknown_query(capsys):
     from howto_mongo_bulk_update_from_parquet_spark.cli import main
     assert main(["query", "--name", "nope"]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_keyed_table_counts(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "counted")
+    r1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "_id string, v double")
+    _, c1 = upsert_into_keyed_table(spark, r1, path=path, key="_id",
+                                    return_counts=True)
+    assert c1 == {"n_matched": 0, "n_upserted": 2, "n_untouched": 0}
+    r2 = spark.createDataFrame([("a", 9.0), ("c", 3.0)], "_id string, v double")
+    _, c2 = upsert_into_keyed_table(spark, r2, path=path, key="_id",
+                                    return_counts=True)
+    assert c2 == {"n_matched": 1, "n_upserted": 1, "n_untouched": 1}
