@@ -64,3 +64,28 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_permissive_json_keeps_corrupt_records(spark, tmp_path):
+    # reference note 6: bad input degrades to log-and-continue, never
+    # aborts the job (/root/reference/src/func/parquet.py:40-42). Spark
+    # equivalent: PERMISSIVE mode + _corrupt_record column.
+    import os
+    from pyspark.sql import types as T
+    p = os.path.join(str(tmp_path), "mixed.json")
+    with open(p, "w") as fh:
+        fh.write('{"_id": "a", "score": 0.5}\n')
+        fh.write('this is not json at all\n')
+        fh.write('{"_id": "b", "score": 0.7}\n')
+    schema = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = (spark.read.schema(schema).option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record").json(p))
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["_id"] for r in good} == {"a", "b"}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
