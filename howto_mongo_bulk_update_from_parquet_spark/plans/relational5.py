@@ -116,3 +116,79 @@ def q_window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 8).alias("cume"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"))
+
+
+# TPC-H Q7 shape: bilateral shipping volume between two nation groups
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l.l_shipdate) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+  AND n1.n_nationkey <> n2.n_nationkey
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+"""
+
+
+@register("q_tpch_q7_volume", Q7_ORACLE,
+          "TPC-H Q7 shape: bilateral volume between nation pairs per year")
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3) \
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3) \
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    vol = dec("l_extendedprice", 12, 2) * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+              .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+              .filter(F.col("n1_key") != F.col("n2_key"))
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("long").alias("l_year"))
+              .agg(F.sum(vol).cast("double").alias("volume")))
+
+
+# TPC-H Q10 shape: top customers by revenue from returned items
+Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("q_tpch_q10_returns", Q10_ORACLE,
+          "TPC-H Q10 shape: top-20 customers by returned-item revenue")
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice", 12, 2) * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+             .join(li, o.o_orderkey == li.l_orderkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("c_custkey", "c_name", "n_name")
+             .agg(F.sum(rev).cast("double").alias("revenue"))
+             .orderBy(F.col("revenue").desc(), "c_custkey")
+             .limit(20))
