@@ -257,3 +257,36 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
              .orderBy(F.col("n").desc(), F.col("tok"))
              .limit(20))
+
+
+# Deterministic dataset splitting: hash the stable id (not random!) so
+# the split is reproducible across runs, engines, and re-partitioning —
+# the property a training pipeline needs for leakage-free train/val/test.
+SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+@register("q_dataset_split", SPLIT_ORACLE,
+          "deterministic 80/10/10 train/val/test split by id-hash bucket")
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash64
+    d = _docs(spark, sf_dir)
+    bucket = portable_hash64(F.col("doc_id").cast("string")) % 100
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val")
+              .otherwise("test"))
+    return (d.select(split.alias("split"), "lang")
+             .groupBy("split", "lang")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
