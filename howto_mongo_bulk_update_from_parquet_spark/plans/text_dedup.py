@@ -290,3 +290,45 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select(split.alias("split"), "lang")
              .groupBy("split", "lang")
              .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# Document chunking: overlapping token windows (size 40, stride 30) —
+# the standard context-window preprocessing step. Chunk starts are
+# 0, 30, 60, … while start < n_tokens; each chunk takes up to 40 tokens.
+CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 300
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(tk) / 30.0) AS BIGINT))) AS chunk_idx,
+         tk
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(tk, CAST(chunk_idx * 30 + 1 AS BIGINT),
+                                  CAST(chunk_idx * 30 + 40 AS BIGINT)), ' ') AS chunk_text,
+       CAST(least(len(tk) - chunk_idx * 30, 40) AS BIGINT) AS chunk_tokens
+FROM chunks
+WHERE chunk_idx * 30 < len(tk)
+"""
+
+
+@register("q_doc_chunking", CHUNK_ORACLE,
+          "overlapping token-window chunking (size 40, stride 30) for "
+          "context-window preprocessing")
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    n = F.size("tk")
+    chunked = (toks.select(
+        "doc_id", "tk",
+        F.explode(F.sequence(F.lit(0),
+                             F.ceil(n / F.lit(30.0)).cast("long") - 1)).alias("chunk_idx"))
+        .filter(F.col("chunk_idx") * 30 < F.size("tk")))
+    return chunked.select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("tk", F.col("chunk_idx").cast("int") * 30 + 1, 40))
+         .alias("chunk_text"),
+        F.least(F.size("tk") - F.col("chunk_idx") * 30, F.lit(40))
+         .cast("long").alias("chunk_tokens"))
