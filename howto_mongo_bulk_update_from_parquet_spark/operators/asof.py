@@ -29,7 +29,14 @@ def asof_join(left: DataFrame, right: DataFrame, *, left_key: str,
     `right_tiebreak`: when multiple right rows share (key, ts), the one
     with the greatest tiebreak value wins (deterministic).
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    # The payload travels as ONE struct so the matched right row
+    # supplies every payload value together — per-column
+    # last(ignorenulls) would let a legitimately-NULL payload field
+    # fall back to a stale older right row (DuckDB ASOF divergence).
+    p_type = T.StructType([right.schema[p] for p in payload])
     # marker orders right rows (0) before left rows (1) at equal ts so
     # an exactly-simultaneous right row is visible to the left row (≤).
     l_tagged = left.select(
@@ -37,19 +44,20 @@ def asof_join(left: DataFrame, right: DataFrame, *, left_key: str,
         F.lit(1).alias("__m"),
         F.lit(None).cast("long").alias("__tb"),
         *lcols,
-        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload])
+        F.lit(None).cast(p_type).alias("__p"))
     r_tagged = right.select(
         F.col(right_key).alias("__k"), F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__m"),
         (F.col(right_tiebreak).cast("long") if right_tiebreak
          else F.lit(0).cast("long")).alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *payload)
+        F.struct(*payload).alias("__p"))
     u = l_tagged.unionByName(r_tagged)
     w = (Window.partitionBy("__k")
          .orderBy("__ts", "__m", "__tb")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = u.select(
         *lcols, "__m",
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload])
-    return filled.filter(F.col("__m") == 1).drop("__m")
+        F.last("__p", ignorenulls=True).over(w).alias("__p"))
+    return (filled.filter(F.col("__m") == 1)
+            .select(*lcols, *[F.col("__p")[p].alias(p) for p in payload]))

@@ -49,9 +49,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     access (~3× shingle count), a 5× slowdown at corpus scale."""
     df = _widen(df, id_col)
     toks = df.select(id_col, F.split(F.col(text_col), " ").alias("__tk"))
-    expr = (f"transform(sequence(0, size(__tk) - {n}), "
+    # size guard: sequence(0, size-n) on a doc with < n tokens would
+    # generate a DESCENDING sequence (e.g. [0,-1]) → invalid indexes
+    # under ANSI mode; short docs must yield zero shingles instead.
+    expr = (f"CASE WHEN size(__tk) >= {n} THEN "
+            f"transform(sequence(0, size(__tk) - {n}), "
             f"i -> concat_ws(' ', " +
-            ", ".join(f"__tk[i+{j}]" for j in range(n)) + "))")
+            ", ".join(f"__tk[i+{j}]" for j in range(n)) +
+            ")) ELSE array() END")
     # per-doc uniqueness comes from array_distinct; a post-explode
     # .distinct() would just re-shuffle rows that are already unique
     return toks.select(id_col, F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))

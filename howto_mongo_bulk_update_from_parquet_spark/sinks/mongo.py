@@ -40,9 +40,14 @@ def build_upsert_ops(rows: Iterator[dict[str, Any]], key: str,
         if key_val is None:
             continue
         fields = {f: row[f] for f in payload if row.get(f) is not None}
+        # MongoDB rejects an empty $set — an all-null payload row would
+        # fail the whole bulk_write; keep only $currentDate for it.
+        update: dict[str, Any] = {"$currentDate": {"updatedAt": True}}
+        if fields:
+            update["$set"] = fields
         yield {
             "filter": {key: key_val},
-            "update": {"$set": fields, "$currentDate": {"updatedAt": True}},
+            "update": update,
             "upsert": True,
         }
 

@@ -6,9 +6,13 @@ drives the streaming engine (incremental planner, state store,
 watermark tracking) to completion over the staged files — the same
 query runs unchanged against Kafka by swapping the source.
 
-Scale notes: watermark bounds state (late rows beyond 10 min are
-dropped); each micro-batch's window aggregation is a keyed state-store
-update partitioned by (window, key) — adding executors scales state
+Scale notes: both catalog jobs below run in `complete` output mode so
+the batch-equality oracle sees every window — in complete mode the
+watermark neither drops late rows nor evicts state. Switch to
+append/update mode for bounded state in production (the append-mode
+late-row drop is exercised in tests/test_streaming.py). Each
+micro-batch's window aggregation is a keyed state-store update
+partitioned by (window, key) — adding executors scales state
 linearly. The parquet staging dance below exists only because the
 test tables put every table in one directory; a real deployment points
 readStream at its own path/topic.

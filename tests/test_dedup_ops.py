@@ -24,6 +24,16 @@ def test_shingles_distinct_and_sized(spark):
     assert all(len(r.shingle.split(" ")) == 3 for r in rows)
 
 
+def test_shingles_short_doc_yields_none(spark):
+    # < n tokens: zero shingles (not a descending-sequence index error
+    # under ANSI mode) — matches the DuckDB oracle's behavior
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, "solo"), (2, "a b c")], "doc_id long, text string")
+    rows = shingles(df, "doc_id", "text", 3).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert len(rows) == 1
+
+
 def test_minhash_identical_docs_share_signature(spark):
     sig = minhash_signatures(shingles(_corpus(spark), "doc_id", "text"), "doc_id", 16)
     pdf = sig.toPandas().pivot(index="seed", columns="doc_id", values="minhash")

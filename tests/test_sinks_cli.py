@@ -12,7 +12,7 @@ def test_build_upsert_ops_reference_semantics():
     rows = [
         {"_id": "a", "f1": 1.0, "f2": None},
         {"_id": None, "f1": 9.0, "f2": 9.0},      # dropped: null key
-        {"_id": "b", "f1": None, "f2": None},     # empty $set still upserts
+        {"_id": "b", "f1": None, "f2": None},     # all-null payload: no $set key
     ]
     ops = list(build_upsert_ops(iter(rows), "_id", ["f1", "f2"]))
     assert len(ops) == 2
@@ -20,7 +20,9 @@ def test_build_upsert_ops_reference_semantics():
                       "update": {"$set": {"f1": 1.0},
                                  "$currentDate": {"updatedAt": True}},
                       "upsert": True}
-    assert ops[1]["update"]["$set"] == {}
+    # MongoDB rejects {'$set': {}} — the all-null row must omit $set
+    # entirely and still touch updatedAt
+    assert ops[1]["update"] == {"$currentDate": {"updatedAt": True}}
 
 
 def test_write_mongo_upserts_with_fake_client(spark, tmp_path):
