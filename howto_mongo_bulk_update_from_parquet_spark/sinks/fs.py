@@ -1,0 +1,90 @@
+"""Filesystem-agnostic path operations through the Hadoop FileSystem
+API — the same abstraction Spark's own committers use, so every call
+works identically on `file:`, `hdfs://` and `s3a://` paths.
+
+Why not os.path/shutil: driver-local Python file ops silently see
+nothing (or fail) on any non-local scheme, which made the round-1
+keyed table local-FS-only. Every existence check, listing, delete,
+rename and manifest read/write below goes through the JVM-side
+FileSystem resolved from the path's own scheme + the session's Hadoop
+configuration (credentials, endpoints, committers all apply).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+def _fs_path(spark: SparkSession, path: str) -> tuple[Any, Any]:
+    """(FileSystem, Path) for `path`, resolved via the path's scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def join(path: str, *names: str) -> str:
+    """URI-safe child-path join (os.path.join would break `s3a://`)."""
+    out = path.rstrip("/")
+    for n in names:
+        out += "/" + n.strip("/")
+    return out
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def listdir(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names (files and dirs); [] for a missing path."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, p_src = _fs_path(spark, src)
+    _, p_dst = _fs_path(spark, dst)
+    return bool(fs.rename(p_src, p_dst))
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file (manifest-sized). A single-object PUT is
+    atomic on S3; on HDFS the create+overwrite is a metadata op."""
+    fs, p = _fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Contents of a small text file, or None if absent."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return None
+    jvm = spark._jvm
+    stream = fs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()

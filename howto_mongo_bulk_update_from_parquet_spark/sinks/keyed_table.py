@@ -1,22 +1,34 @@
 """Engine-internal keyed table: a parquet-backed mutable collection
 with MERGE/upsert writes — the no-external-dependency stand-in for the
-reference's MongoDB collection.
+reference's MongoDB collection
+(/root/reference/src/func/mongo.py:272-301 is the collection handle it
+replaces).
 
 Two write paths:
-- `upsert_into_keyed_table`: merge + full rewrite (simple, one shuffle;
-  right when updates touch a large fraction of keys).
+- `upsert_into_keyed_table`: merge + versioned rewrite. Each round
+  writes the merged table ONCE to a fresh `base_v{N}` directory and
+  atomically repoints the `_CURRENT` manifest — no temp-dir double
+  write, and the merge's scan of the previous version is never
+  overwritten while it runs (no read-own-scan race). Right when
+  updates touch a large fraction of keys.
 - `append_delta` + `read_merged` + `compact`: log-structured base+delta
   scheme for *frequent small* updates at 100 TB — each round appends a
   tiny delta file set; reads merge on the fly (newest version wins per
-  key, null-skip per column); `compact` folds deltas back into the
-  base. This is the LSM pattern table formats (Delta/Iceberg) provide;
-  the jars aren't present here so the engine carries its own minimal
-  form with identical merge semantics.
+  key, null-skip per column); `compact` folds deltas into a NEW
+  versioned base (single write + manifest flip). This is the LSM
+  pattern table formats (Delta/Iceberg) provide; the jars aren't
+  present here so the engine carries its own minimal form with
+  identical merge semantics.
+
+All path operations go through the Hadoop FileSystem API (`sinks.fs`),
+so every function works unchanged on `file:`, `hdfs://` and `s3a://`
+paths. The manifest write is a single small object: atomic PUT on S3,
+metadata op on HDFS. Readers that race a manifest flip see the
+previous complete version — never a partial write.
 """
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +37,64 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..operators.merge import keyed_upsert, prepare_source
+from . import fs as hfs
+
+_MANIFEST = "_CURRENT"
+_BASE_RE = re.compile(r"^base_v(\d{5})$")
+_DELTA_RE = re.compile(r"^delta_(\d{5})$")
+_LEGACY_BASE = "base"
+
+
+def _base_dir(path: str, version: int) -> str:
+    return hfs.join(path, f"base_v{version:05d}")
+
+
+def current_base_version(spark: SparkSession, path: str) -> int:
+    """Committed base version: the manifest pointer, falling back to
+    the newest *complete* (has _SUCCESS) base_v directory. 0 = none."""
+    txt = hfs.read_text(spark, hfs.join(path, _MANIFEST))
+    if txt:
+        try:
+            return int(txt.strip())
+        except ValueError:
+            pass
+    complete = [int(m.group(1)) for d in hfs.listdir(spark, path)
+                if (m := _BASE_RE.match(d))
+                and hfs.exists(spark, hfs.join(path, d, "_SUCCESS"))]
+    return max(complete, default=0)
+
+
+def _legacy_root_has_data(spark: SparkSession, path: str) -> bool:
+    """Round-1 layout: plain parquet files directly at `path`."""
+    return any(f.endswith(".parquet")
+               for f in hfs.listdir(spark, path))
+
+
+def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
+    """Current committed snapshot of the keyed table."""
+    v = current_base_version(spark, path)
+    if v:
+        return spark.read.parquet(_base_dir(path, v))
+    if _legacy_root_has_data(spark, path):
+        return spark.read.parquet(path)
+    raise FileNotFoundError(f"no keyed table at {path}")
+
+
+def _commit_version(spark: SparkSession, path: str, version: int,
+                    retain_versions: int = 1) -> None:
+    """Flip the manifest to `version`, then drop superseded bases
+    beyond `retain_versions` (kept for readers in flight / time
+    travel; 1 = current only)."""
+    hfs.write_text(spark, hfs.join(path, _MANIFEST), str(version))
+    keep = {version - i for i in range(retain_versions)}
+    for d in hfs.listdir(spark, path):
+        m = _BASE_RE.match(d)
+        if m and int(m.group(1)) not in keep:
+            hfs.delete(spark, hfs.join(path, d))
+    # migrate-away: files of a pre-versioned (round-1) table at root
+    for f in hfs.listdir(spark, path):
+        if f.endswith(".parquet") or f == "_SUCCESS":
+            hfs.delete(spark, hfs.join(path, f))
 
 
 def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
@@ -33,14 +103,22 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             dedup_order_by: list[str] | None = None,
                             updated_at_col: str | None = "updatedAt",
                             n_files: int | None = None,
+                            retain_versions: int = 1,
                             return_counts: bool = False):
     """MERGE `source` into the keyed parquet table at `path` (created on
     first write). Returns the post-merge table DataFrame, or
     ``(df, counts)`` with the reference-style write-result counts
-    (n_matched / n_upserted / n_untouched) when ``return_counts``."""
+    (n_matched / n_upserted / n_untouched) when ``return_counts``.
+
+    One write per round: the merged table lands in `base_v{N+1}` while
+    the merge streams out of `base_v{N}` (different directories — no
+    overwrite race), then the `_CURRENT` manifest flips."""
     from pyspark.sql import Observation
     schema_cols = source.columns if payload is None else [key, *payload]
-    if os.path.exists(path):
+    version = current_base_version(spark, path)
+    if version:
+        target = spark.read.parquet(_base_dir(path, version))
+    elif _legacy_root_has_data(spark, path):
         target = spark.read.parquet(path)
     else:
         fields = [source.schema[c] for c in schema_cols]
@@ -53,15 +131,10 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                           updated_at_col=updated_at_col,
                           observation=obs)
     out = merged.repartition(n_files) if n_files else merged
-    # write to a temp dir then swap: the merge reads the live table, so
-    # an in-place overwrite would race its own scan
-    tmp = f"{path}__tmp_write"
-    out.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    import shutil
-    shutil.rmtree(tmp, ignore_errors=True)
-    result = spark.read.parquet(path)
+    new_version = version + 1
+    out.write.mode("overwrite").parquet(_base_dir(path, new_version))
+    _commit_version(spark, path, new_version, retain_versions)
+    result = spark.read.parquet(_base_dir(path, new_version))
     if return_counts:
         return result, obs.get
     return result
@@ -69,14 +142,9 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
 
 # --- log-structured base + delta ---------------------------------------
 
-_BASE = "base"
-_DELTA_RE = re.compile(r"^delta_(\d{5})$")
 
-
-def _delta_versions(path: str) -> list[int]:
-    if not os.path.exists(path):
-        return []
-    return sorted(int(m.group(1)) for d in os.listdir(path)
+def _delta_versions(spark: SparkSession, path: str) -> list[int]:
+    return sorted(int(m.group(1)) for d in hfs.listdir(spark, path)
                   if (m := _DELTA_RE.match(d)))
 
 
@@ -86,9 +154,19 @@ def append_delta(spark: SparkSession, source: DataFrame, *, path: str,
     Returns the delta version number. The source is normalized first
     (null-key drop + latest-per-key, reference notes 3/5)."""
     src = prepare_source(source, key, dedup_order_by)
-    version = (_delta_versions(path) or [0])[-1] + 1
-    src.write.mode("overwrite").parquet(os.path.join(path, f"delta_{version:05d}"))
+    version = (_delta_versions(spark, path) or [0])[-1] + 1
+    src.write.mode("overwrite").parquet(hfs.join(path, f"delta_{version:05d}"))
     return version
+
+
+def _lsm_base(spark: SparkSession, path: str) -> DataFrame | None:
+    v = current_base_version(spark, path)
+    if v:
+        return spark.read.parquet(_base_dir(path, v))
+    legacy = hfs.join(path, _LEGACY_BASE)
+    if hfs.exists(spark, legacy):
+        return spark.read.parquet(legacy)
+    return None
 
 
 def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
@@ -96,12 +174,12 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
     version wins per key with per-column null-skip — `first(col,
     ignorenulls)` in descending version order reproduces the upsert
     chain exactly."""
-    base_path = os.path.join(path, _BASE)
     parts = []
-    if os.path.exists(base_path):
-        parts.append(spark.read.parquet(base_path).withColumn("__v", F.lit(0)))
-    for v in _delta_versions(path):
-        parts.append(spark.read.parquet(os.path.join(path, f"delta_{v:05d}"))
+    base = _lsm_base(spark, path)
+    if base is not None:
+        parts.append(base.withColumn("__v", F.lit(0)))
+    for v in _delta_versions(spark, path):
+        parts.append(spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
                      .withColumn("__v", F.lit(v)))
     if not parts:
         raise FileNotFoundError(f"no base or deltas under {path}")
@@ -123,19 +201,21 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
 
 def compact(spark: SparkSession, path: str, key: str,
             n_files: int | None = None) -> DataFrame:
-    """Fold all deltas into a new base and remove them. Readers between
-    the base swap and delta removal see duplicates of already-applied
-    rows — harmless here because re-applying a delta over its own
-    result is idempotent (same winner per key)."""
-    import shutil
+    """Fold base + all deltas into a new versioned base (ONE write +
+    manifest flip), then remove the deltas and the superseded base.
+    Readers between the flip and delta removal see a delta re-applied
+    over its own compacted result — harmless because the merge is
+    idempotent (same winner per key)."""
     merged = read_merged(spark, path, key)
     if n_files:
         merged = merged.repartition(n_files)
-    tmp = os.path.join(path, "__compact_tmp")
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(os.path.join(path, _BASE))
-    shutil.rmtree(tmp, ignore_errors=True)
-    for v in _delta_versions(path):
-        shutil.rmtree(os.path.join(path, f"delta_{v:05d}"), ignore_errors=True)
-    return spark.read.parquet(os.path.join(path, _BASE))
+    old_version = current_base_version(spark, path)
+    new_version = old_version + 1
+    merged.write.mode("overwrite").parquet(_base_dir(path, new_version))
+    hfs.write_text(spark, hfs.join(path, _MANIFEST), str(new_version))
+    for v in _delta_versions(spark, path):
+        hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
+    if old_version:
+        hfs.delete(spark, _base_dir(path, old_version))
+    hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
+    return spark.read.parquet(_base_dir(path, new_version))

@@ -1,0 +1,94 @@
+"""Versioned keyed-table layout: one write per round, manifest flip,
+Hadoop-FileSystem path routing, legacy (round-1 flat parquet) upgrade."""
+
+import os
+
+from howto_mongo_bulk_update_from_parquet_spark.sinks import fs as hfs
+from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+    append_delta, compact, current_base_version, read_keyed_table,
+    read_merged, upsert_into_keyed_table)
+
+
+def test_hadoop_fs_helpers_roundtrip(spark, tmp_path):
+    # exercised through the Hadoop FileSystem API (file: scheme here;
+    # identical call path for hdfs:// and s3a://)
+    root = f"file://{tmp_path}/fsapi"
+    assert not hfs.exists(spark, root)
+    hfs.write_text(spark, hfs.join(root, "_CURRENT"), "7")
+    assert hfs.exists(spark, root)
+    assert hfs.read_text(spark, hfs.join(root, "_CURRENT")) == "7"
+    assert hfs.read_text(spark, hfs.join(root, "nope")) is None
+    assert hfs.listdir(spark, root) == ["_CURRENT"]
+    assert hfs.rename(spark, hfs.join(root, "_CURRENT"),
+                      hfs.join(root, "renamed"))
+    assert hfs.listdir(spark, root) == ["renamed"]
+    assert hfs.delete(spark, hfs.join(root, "renamed"))
+    assert hfs.listdir(spark, root) == []
+    assert hfs.join("s3a://bucket/t/", "a", "b") == "s3a://bucket/t/a/b"
+
+
+def test_versioned_layout_single_write_per_round(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "versioned")
+    r1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "_id string, v double")
+    upsert_into_keyed_table(spark, r1, path=path, key="_id")
+    assert current_base_version(spark, path) == 1
+    r2 = spark.createDataFrame([("a", 9.0), ("c", 3.0)], "_id string, v double")
+    upsert_into_keyed_table(spark, r2, path=path, key="_id")
+    assert current_base_version(spark, path) == 2
+    # exactly ONE base directory holds the table (the superseded v1 is
+    # gone — each round wrote the merged table exactly once, no
+    # __tmp_write double-write dance)
+    base_dirs = [d for d in os.listdir(path) if d.startswith("base_v")]
+    assert base_dirs == ["base_v00002"]
+    assert not [d for d in os.listdir(path) if "tmp" in d.lower()]
+    rows = {r["_id"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert rows == {"a": 9.0, "b": 2.0, "c": 3.0}
+
+
+def test_retain_versions_keeps_previous_snapshot(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "retained")
+    r1 = spark.createDataFrame([("a", 1.0)], "_id string, v double")
+    upsert_into_keyed_table(spark, r1, path=path, key="_id")
+    r2 = spark.createDataFrame([("b", 2.0)], "_id string, v double")
+    upsert_into_keyed_table(spark, r2, path=path, key="_id",
+                            retain_versions=2)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("base_v"))
+    assert dirs == ["base_v00001", "base_v00002"]
+    # reader follows the manifest to the newest version
+    assert read_keyed_table(spark, path).count() == 2
+
+
+def test_legacy_flat_table_upgrades_in_place(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "legacy")
+    spark.createDataFrame([("a", 1.0), ("b", 2.0)],
+                          "_id string, v double").write.parquet(path)
+    assert read_keyed_table(spark, path).count() == 2   # reads flat layout
+    src = spark.createDataFrame([("a", None), ("c", 3.0)], "_id string, v double")
+    out = upsert_into_keyed_table(spark, src, path=path, key="_id")
+    rows = {r["_id"]: r["v"] for r in out.collect()}
+    assert rows == {"a": 1.0, "b": 2.0, "c": 3.0}       # null-skip kept a=1.0
+    # table is now versioned and the flat files are gone
+    assert current_base_version(spark, path) == 1
+    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def test_compact_single_write_versioned_base(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "lsm_v")
+    spark.createDataFrame([("a", 1.0)], "_id string, v double") \
+        .write.parquet(os.path.join(path, "base"))
+    append_delta(spark, spark.createDataFrame([("b", 2.0)], "_id string, v double"),
+                 path=path, key="_id")
+    compact(spark, path, "_id")
+    entries = set(os.listdir(path))
+    assert "base_v00001" in entries
+    assert "base" not in entries                        # legacy base removed
+    assert not [d for d in entries if d.startswith("delta_")]
+    assert not [d for d in entries if "tmp" in d.lower()]
+    # second compact rolls the version forward and drops v1
+    append_delta(spark, spark.createDataFrame([("c", 3.0)], "_id string, v double"),
+                 path=path, key="_id")
+    compact(spark, path, "_id")
+    dirs = [d for d in os.listdir(path) if d.startswith("base_v")]
+    assert dirs == ["base_v00002"]
+    assert {r["_id"] for r in read_merged(spark, path, "_id").collect()} == \
+        {"a", "b", "c"}

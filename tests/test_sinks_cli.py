@@ -79,7 +79,8 @@ def test_cli_generate_and_upsert(spark, tmp_path, capsys):
     assert main(["upsert", "--path", data, "--table", table]) == 0
     out = capsys.readouterr().out
     assert "500 rows" in out
-    assert spark.read.parquet(table).count() == 500
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import read_keyed_table
+    assert read_keyed_table(spark, table).count() == 500
 
 
 def test_cli_unknown_query(capsys):

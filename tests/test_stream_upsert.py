@@ -6,6 +6,7 @@ import os
 
 from howto_mongo_bulk_update_from_parquet_spark.schemas import PIPELINE_SCHEMA
 from howto_mongo_bulk_update_from_parquet_spark.sources.generate import generate_pipeline_data
+from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import read_keyed_table
 from howto_mongo_bulk_update_from_parquet_spark.streaming.upsert import stream_upsert_parquet
 
 
@@ -20,7 +21,7 @@ def test_stream_upsert_drains_and_is_exactly_once(spark, tmp_path):
     stream_upsert_parquet(spark, os.path.join(landing, "*"),
                           schema=PIPELINE_SCHEMA, table_path=table,
                           key="_id", checkpoint=ckpt)
-    t1 = spark.read.parquet(table)
+    t1 = read_keyed_table(spark, table)
     assert t1.count() == 300
     v1 = {r["_id"]: r["score"] for r in t1.collect()}
 
@@ -30,7 +31,7 @@ def test_stream_upsert_drains_and_is_exactly_once(spark, tmp_path):
     stream_upsert_parquet(spark, os.path.join(landing, "*"),
                           schema=PIPELINE_SCHEMA, table_path=table,
                           key="_id", checkpoint=ckpt)
-    t2 = spark.read.parquet(table)
+    t2 = read_keyed_table(spark, table)
     assert t2.count() == 300                       # ids overlap, no growth
     v2 = {r["_id"]: r["score"] for r in t2.collect()}
     changed = [k for k in v1 if v1[k] != v2[k]]
@@ -40,7 +41,7 @@ def test_stream_upsert_drains_and_is_exactly_once(spark, tmp_path):
     stream_upsert_parquet(spark, os.path.join(landing, "*"),
                           schema=PIPELINE_SCHEMA, table_path=table,
                           key="_id", checkpoint=ckpt)
-    v3 = {r["_id"]: r["score"] for r in spark.read.parquet(table).collect()}
+    v3 = {r["_id"]: r["score"] for r in read_keyed_table(spark, table).collect()}
     assert v3 == v2
 
 
