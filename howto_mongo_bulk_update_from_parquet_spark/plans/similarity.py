@@ -81,47 +81,28 @@ WHERE ROUND(list_cosine_similarity(a.ev, b.ev), 5) >= 0.45
 
 
 @register("q_embedding_neardup", NEARDUP_ORACLE,
-          "embedding near-duplicate pairs: cosine ≥ 0.45 via broadcast "
-          "block matrix-multiply (the all-pairs scale pattern)")
+          "embedding near-duplicate pairs: cosine ≥ 0.45 via the blocked "
+          "all-pairs operator (3 broadcastable blocks here — the N×N "
+          "scale pattern, driver memory O(block) not O(N))")
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine over a bounded block: one side is collected,
-    L2-normalized, and broadcast as a numpy matrix (≤2000×64 doubles —
-    a broadcast-dim, same budget as a broadcast join); the other side
-    streams through `mapInPandas`, each Arrow batch doing a single BLAS
-    matrix multiply against the broadcast block. ~50× faster than the
-    per-pair fold, and exactly the block structure an N×N near-dup
-    sweep uses at scale (outer loop over broadcastable blocks).
+    """N×N near-dup through `cosine_all_pairs_blocked`: the outer loop
+    broadcasts one ≤800×64 block at a time and streams the rest through
+    a BLAS matmul per Arrow batch — never collects more than one block
+    to the driver, so the same plan survives N ≫ broadcast budget.
+    block_size=800 exercises a real multi-block run (3 blocks at
+    sf0.01) rather than degenerating to one block.
 
     Rounded to 5 decimals so BLAS re-ordered summation can't diverge
     from the oracle's sequential fold.
     """
-    import numpy as np
-    import pandas as pd
+    from ..operators.vector_blocks import cosine_all_pairs_blocked
 
     e = (load_table(spark, sf_dir, "embeddings")
          .filter(F.col("vec_id") < 2000)
          .select("vec_id", "embedding"))
-
-    block_pdf = e.toPandas()
-    ids = block_pdf["vec_id"].to_numpy()
-    mat = np.stack(block_pdf["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    def block_sim(batches):
-        blk_ids, blk = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q_ids = pdf["vec_id"].to_numpy()
-            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ blk.T, 5)
-            rows, cols = np.nonzero((sims >= 0.45) & (q_ids[:, None] < blk_ids[None, :]))
-            yield pd.DataFrame({"id_a": q_ids[rows], "id_b": blk_ids[cols],
-                                "cos_sim": sims[rows, cols]})
-
-    return e.mapInPandas(block_sim, schema="id_a long, id_b long, cos_sim double")
+    return cosine_all_pairs_blocked(e, "vec_id", "embedding",
+                                    threshold=0.45, block_size=800,
+                                    round_digits=5)
 
 
 CENTROID_ORACLE = """
