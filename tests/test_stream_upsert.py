@@ -48,8 +48,27 @@ def test_stream_upsert_drains_and_is_exactly_once(spark, tmp_path):
 def test_table_format_stubs_raise_cleanly(spark):
     import pytest
     from howto_mongo_bulk_update_from_parquet_spark.sinks.table_formats import (
-        delta_available, merge_into_delta)
+        delta_available, iceberg_available, merge_into_delta,
+        merge_into_iceberg)
     assert delta_available(spark) is False         # jars absent here
+    assert iceberg_available(spark) is False
     src = spark.createDataFrame([("a", 1.0)], "_id string, v double")
     with pytest.raises(NotImplementedError, match="Delta Lake jars"):
         merge_into_delta(spark, src, table_path="/tmp/nope", key="_id")
+    with pytest.raises(NotImplementedError, match="Iceberg jars"):
+        merge_into_iceberg(spark, src, table="cat.db.nope", key="_id")
+
+
+def test_merge_sql_null_skip_shape():
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.table_formats import build_merge_sql
+    sql = build_merge_sql("cat.db.t", "_id", ["f1", "f2"])
+    # every payload column goes through coalesce(source, target) — the
+    # reference's never-clobber-with-null rule — and updatedAt is
+    # stamped on both branches
+    assert "t.f1 = coalesce(s.f1, t.f1)" in sql
+    assert "t.f2 = coalesce(s.f2, t.f2)" in sql
+    assert "ON t._id = s._id" in sql
+    assert "t.updatedAt = current_timestamp()" in sql
+    assert "INSERT (_id, f1, f2, updatedAt)" in sql
+    assert "VALUES (s._id, s.f1, s.f2, current_timestamp())" in sql
+    assert "MERGE INTO cat.db.t t" in sql
