@@ -44,18 +44,25 @@ def cmd_upsert(args: argparse.Namespace) -> int:
                             n_partitions=args.n_partitions)
         print(f"upserted into mongodb {args.database}.{args.collection}")
     else:
+        from .observability import StructuredLog
         from .sinks.keyed_table import upsert_into_keyed_table
-        out, counts = upsert_into_keyed_table(spark, src, path=args.table,
-                                              key=args.key,
-                                              n_files=args.n_partitions,
-                                              return_counts=True)
-        print(f"keyed table {args.table}: {out.count()} rows "
+        log = StructuredLog()
+        with log.timed("upsert_complete", table=args.table,
+                       source=args.path) as rec:
+            out, counts = upsert_into_keyed_table(spark, src, path=args.table,
+                                                  key=args.key,
+                                                  n_files=args.n_partitions,
+                                                  return_counts=True)
+            rec["rows"] = out.count()
+            rec.update(counts)
+        print(f"keyed table {args.table}: {rec['rows']} rows "
               f"(matched={counts['n_matched']} upserted={counts['n_upserted']} "
               f"untouched={counts['n_untouched']})")
     return 0
 
 
 def cmd_query(args: argparse.Namespace) -> int:
+    from .observability import StructuredLog, run_query_logged
     from .plans import all_queries
     spark = get_spark("query")
     qs = all_queries()
@@ -63,7 +70,10 @@ def cmd_query(args: argparse.Namespace) -> int:
         print(f"unknown query {args.name!r}; available: {', '.join(sorted(qs))}",
               file=sys.stderr)
         return 2
-    df = qs[args.name](spark, args.sf_dir)
+    # structured query_complete record (name/rows/duration) on stdout —
+    # the reference's per-slice timing events, per-query here
+    df = run_query_logged(spark, args.name, qs[args.name], args.sf_dir,
+                          log=StructuredLog())
     if args.explain:
         df.explain("formatted")
     df.show(args.limit, truncate=False)

@@ -1,0 +1,76 @@
+"""Structured job/query observability — parity with the reference's
+structured logging (X3, /root/reference/src/func/log.py:15-41 and the
+per-slice wall-clock + write-count events at
+/root/reference/src/func/mongo.py:140-145,243-263).
+
+One JSON object per line on a stream (stdout by default, like the
+reference's console handler; point it at a file or a log shipper in
+production). Each record carries the event name, a monotonic
+duration where applicable, and arbitrary structured fields — the
+Mongo/keyed-table write counts and per-query timings flow through
+here so an operator can grep/aggregate them without parsing prose.
+
+Spark-side note: executor-level metrics (shuffle bytes, spill, task
+time) already stream to the Spark event log / UI; this module covers
+the driver-side semantic events the event log can't know about
+(which query, which table, how many rows matched)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from contextlib import contextmanager
+from typing import Any, Iterator, TextIO
+
+
+class StructuredLog:
+    """Minimal JSON-lines event logger (stdlib-only, picklable-free —
+    driver-side use)."""
+
+    def __init__(self, stream: TextIO | None = None,
+                 component: str = "howto_mongo_bulk_update_from_parquet_spark") -> None:
+        self.stream = stream if stream is not None else sys.stdout
+        self.component = component
+
+    def event(self, event: str, **fields: Any) -> dict[str, Any]:
+        """Emit one structured record; returns it (tests assert shape)."""
+        record: dict[str, Any] = {
+            "event": event,
+            "component": self.component,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+            **fields,
+        }
+        json.dump(record, self.stream, default=str)
+        self.stream.write("\n")
+        self.stream.flush()
+        return record
+
+    @contextmanager
+    def timed(self, event: str, **fields: Any) -> Iterator[dict[str, Any]]:
+        """Context manager: emits `<event>` with `duration_s` (and any
+        fields the body adds to the yielded dict) when the block
+        exits; failures emit `<event>_error` and re-raise."""
+        extra: dict[str, Any] = {}
+        t0 = time.perf_counter()
+        try:
+            yield extra
+        except Exception as exc:  # noqa: BLE001 - log then re-raise
+            self.event(f"{event}_error",
+                       duration_s=round(time.perf_counter() - t0, 3),
+                       error=repr(exc), **fields, **extra)
+            raise
+        self.event(event, duration_s=round(time.perf_counter() - t0, 3),
+                   **fields, **extra)
+
+
+def run_query_logged(spark: Any, name: str, fn: Any, sf_dir: str,
+                     log: StructuredLog | None = None) -> Any:
+    """Run a catalog query with a structured `query_complete` record:
+    name, row count, wall-clock. Returns the materialization-triggering
+    count's DataFrame for further use."""
+    log = log or StructuredLog()
+    with log.timed("query_complete", query=name, sf_dir=sf_dir) as rec:
+        df = fn(spark, sf_dir)
+        rec["rows"] = df.count()
+    return df
