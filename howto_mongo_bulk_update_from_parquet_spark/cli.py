@@ -33,16 +33,25 @@ def cmd_generate(args: argparse.Namespace) -> int:
 
 
 def cmd_upsert(args: argparse.Namespace) -> int:
+    from .config import load_config
+    cfg = load_config(config_file=args.config,
+                      mongo_uri=args.mongo_uri, database=args.database,
+                      collection=args.collection, key=args.key,
+                      n_partitions=args.n_partitions)
+    if not (args.table or cfg.mongo_uri):
+        print("upsert requires --table or a Mongo URI (flag, env, or "
+              "config file)", file=sys.stderr)
+        return 2
     spark = get_spark("upsert")
     src = spark.read.schema(PIPELINE_SCHEMA).parquet(args.path)
-    if args.n_partitions:
-        src = src.repartition(args.n_partitions)
-    if args.mongo_uri:
+    if cfg.n_partitions:
+        src = src.repartition(cfg.n_partitions)
+    if cfg.mongo_uri:
         from .sinks.mongo import write_mongo_upserts
-        write_mongo_upserts(src, uri=args.mongo_uri, database=args.database,
-                            collection=args.collection, key=args.key,
-                            n_partitions=args.n_partitions)
-        print(f"upserted into mongodb {args.database}.{args.collection}")
+        write_mongo_upserts(src, uri=cfg.mongo_uri, database=cfg.database,
+                            collection=cfg.collection, key=cfg.key,
+                            n_partitions=cfg.n_partitions)
+        print(f"upserted into mongodb {cfg.database}.{cfg.collection}")
     else:
         from .observability import StructuredLog
         from .sinks.keyed_table import upsert_into_keyed_table
@@ -50,8 +59,8 @@ def cmd_upsert(args: argparse.Namespace) -> int:
         with log.timed("upsert_complete", table=args.table,
                        source=args.path) as rec:
             out, counts = upsert_into_keyed_table(spark, src, path=args.table,
-                                                  key=args.key,
-                                                  n_files=args.n_partitions,
+                                                  key=cfg.key,
+                                                  n_files=cfg.n_partitions,
                                                   return_counts=True)
             rec["rows"] = out.count()
             rec.update(counts)
@@ -95,10 +104,15 @@ def main(argv: list[str] | None = None) -> int:
     u = sub.add_parser("upsert", help="bulk-upsert parquet into a keyed sink")
     u.add_argument("--path", required=True, help="source parquet dir")
     u.add_argument("--table", help="keyed parquet table path (internal sink)")
-    u.add_argument("--mongo-uri", help="MongoDB URI (external sink)")
-    u.add_argument("--database", default="db")
-    u.add_argument("--collection", default="coll")
-    u.add_argument("--key", default=PIPELINE_KEY)
+    u.add_argument("--config", help="config file (flag > env > file > default; "
+                                    "also $BULK_UPDATE_CONFIG)")
+    # sink flags default to None so config-file/env values apply when
+    # the flag is absent (EngineConfig carries the real defaults)
+    u.add_argument("--mongo-uri", help="MongoDB URI (external sink; "
+                                       "or $MONGO_CONNECTION_STRING)")
+    u.add_argument("--database")
+    u.add_argument("--collection")
+    u.add_argument("--key", help=f"merge key (default {PIPELINE_KEY})")
     u.add_argument("--n-partitions", type=int,
                    help="write parallelism (replaces --concurrent-tasks)")
     u.set_defaults(fn=cmd_upsert)
@@ -111,8 +125,6 @@ def main(argv: list[str] | None = None) -> int:
     q.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
-    if args.cmd == "upsert" and not (args.table or args.mongo_uri):
-        ap.error("upsert requires --table or --mongo-uri")
     return args.fn(args)
 
 
