@@ -48,10 +48,13 @@ def cmd_upsert(args: argparse.Namespace) -> int:
         src = src.repartition(cfg.n_partitions)
     if cfg.mongo_uri:
         from .sinks.mongo import write_mongo_upserts
-        write_mongo_upserts(src, uri=cfg.mongo_uri, database=cfg.database,
-                            collection=cfg.collection, key=cfg.key,
-                            n_partitions=cfg.n_partitions)
-        print(f"upserted into mongodb {cfg.database}.{cfg.collection}")
+        result = write_mongo_upserts(src, uri=cfg.mongo_uri,
+                                     database=cfg.database,
+                                     collection=cfg.collection, key=cfg.key,
+                                     n_partitions=cfg.n_partitions,
+                                     permissive=args.permissive)
+        print(f"upserted into mongodb {cfg.database}.{cfg.collection} "
+              f"(failed_partitions={result['n_failed_partitions']})")
     else:
         from .observability import StructuredLog
         from .sinks.keyed_table import upsert_into_keyed_table
@@ -115,6 +118,9 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--key", help=f"merge key (default {PIPELINE_KEY})")
     u.add_argument("--n-partitions", type=int,
                    help="write parallelism (replaces --concurrent-tasks)")
+    u.add_argument("--permissive", action="store_true",
+                   help="log-and-continue on bulk-write errors "
+                        "(reference error ladder) instead of fail-fast")
     u.set_defaults(fn=cmd_upsert)
 
     q = sub.add_parser("query", help="run a catalog query")

@@ -57,14 +57,24 @@ def write_mongo_upserts(df: DataFrame, *, uri: str, database: str,
                         payload: list[str] | None = None,
                         ordered: bool = False,
                         n_partitions: int | None = None,
-                        client_factory: Callable[[str], Any] | None = None) -> None:
+                        permissive: bool = False,
+                        client_factory: Callable[[str], Any] | None = None
+                        ) -> dict[str, int]:
     """Distributed bulk upsert: each partition opens one client and
     issues one unordered bulk_write (reference U3/U4, minus the
-    asyncio slicing — Spark's scheduler overlaps partitions)."""
+    asyncio slicing — Spark's scheduler overlaps partitions).
+
+    `permissive=True` reproduces the reference's degrade-and-continue
+    error ladder (/root/reference/src/func/mongo.py:148-159: a failed
+    bulk_write is logged and the job continues): a partition whose
+    bulk_write raises is counted in an accumulator instead of failing
+    the task. Returns {"n_failed_partitions": N} (always 0 in the
+    default fail-fast mode — Spark's task retry owns errors there)."""
     payload = payload or [c for c in df.columns if c != key]
     cols = [key, *payload]
     if n_partitions:
         df = df.repartition(n_partitions)
+    failed_acc = df.sparkSession.sparkContext.accumulator(0) if permissive else None
 
     if client_factory is None:
         def client_factory(u: str) -> Any:  # pragma: no cover - env-dependent
@@ -90,13 +100,28 @@ def write_mongo_upserts(df: DataFrame, *, uri: str, database: str,
                             for o in ops]
             except ImportError:
                 requests = ops  # fake clients consume the dict form
-            coll.bulk_write(requests, ordered=ordered)
+            if failed_acc is None:
+                coll.bulk_write(requests, ordered=ordered)
+            else:
+                # reference error ladder: BulkWriteError / OperationFailure /
+                # Exception all degrade to log-and-continue; here every
+                # failure kind lands in the accumulator (pymongo's
+                # specific exception types may not even be importable)
+                try:
+                    coll.bulk_write(requests, ordered=ordered)
+                except Exception as exc:  # noqa: BLE001 - permissive by contract
+                    import sys
+                    print(f"mongo bulk_write failed, continuing "
+                          f"({len(requests)} ops dropped): {exc!r}",
+                          file=sys.stderr)
+                    failed_acc.add(1)
         finally:
             close = getattr(client, "close", None)
             if close:
                 close()
 
     df.select(*cols).foreachPartition(write_partition)
+    return {"n_failed_partitions": failed_acc.value if failed_acc else 0}
 
 
 def write_with_connector(df: DataFrame, *, uri: str, database: str,

@@ -55,6 +55,46 @@ def test_write_mongo_upserts_with_fake_client(spark, tmp_path):
     assert all(o == "False" for _, o in lines)      # unordered writes
 
 
+def test_write_mongo_upserts_permissive_continues_on_error(spark, tmp_path):
+    log = os.path.join(str(tmp_path), "ok_log")
+
+    class FlakyClient:
+        # partitions containing id "a" blow up; others succeed
+        def __init__(self, uri):
+            pass
+
+        def __getitem__(self, name):
+            return self
+
+        def bulk_write(self, requests, ordered):
+            if any(r["filter"]["_id"] == "a" for r in requests):
+                raise RuntimeError("injected bulk-write failure")
+            with open(log, "a") as fh:
+                fh.write(f"{len(requests)}\n")
+
+        def close(self):
+            pass
+
+    # parallelize with 3 slices puts exactly one row per partition, so
+    # exactly one partition fails
+    df = spark.createDataFrame(spark.sparkContext.parallelize(
+        [Row(_id="a", f1=1.0), Row(_id="b", f1=2.0), Row(_id="c", f1=3.0)], 3))
+    result = write_mongo_upserts(df, uri="mongodb://fake", database="db",
+                                 collection="coll", key="_id",
+                                 permissive=True, client_factory=FlakyClient)
+    # job completed, the failure was counted, the good partitions wrote
+    assert result == {"n_failed_partitions": 1}
+    assert sum(int(n) for n in open(log).read().split()) == 2
+
+    # fail-fast default: the same injected error kills the job
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Py4JJavaError):
+        write_mongo_upserts(df, uri="mongodb://fake", database="db",
+                            collection="coll", key="_id",
+                            client_factory=FlakyClient)
+
+
 def test_keyed_table_upsert_rounds(spark, tmp_path):
     path = os.path.join(str(tmp_path), "keyed")
     r1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "_id string, v double")
