@@ -82,3 +82,12 @@ FROM (
 def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import stream_first_seen
     return stream_first_seen(spark, sf_dir)
+
+
+@register("q_stream_first_seen_ttl", FIRST_SEEN_ORACLE,
+          "watermarked-TTL streaming dedup (EventTimeTimeout): state is "
+          "bounded in event time, not only key cardinality; single-batch "
+          "run evicts nothing so the batch arg-min oracle still holds")
+def q_stream_first_seen_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import stream_first_seen_ttl
+    return stream_first_seen_ttl(spark, sf_dir)

@@ -55,3 +55,73 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
            .applyInPandasWithState(_first_seen, OUTPUT_SCHEMA, STATE_SCHEMA,
                                    "append", GroupStateTimeout.NoTimeout))
     return _run_to_memory(out, "append", stage)
+
+
+def _make_first_seen_ttl(ttl_minutes: int):
+    """First-seen dedup whose per-key state EXPIRES `ttl_minutes` of
+    event time after the key's last activity — state is bounded in
+    TIME, not only by key cardinality. After eviction a re-arriving
+    key is emitted again (a new "first seen" for its era)."""
+    ttl_ms = ttl_minutes * 60_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        if state.hasTimedOut:
+            # watermark passed last_activity + TTL: evict
+            state.remove()
+            return
+        seen = bool(state.exists and state.get[0])
+        best = None
+        max_ts = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            head = pdf.sort_values(["ts", "event_id"]).iloc[0]
+            cand = (head["ts"], int(head["event_id"]))
+            if best is None or cand < best:
+                best = cand
+            batch_max = pdf["ts"].max()
+            if max_ts is None or batch_max > max_ts:
+                max_ts = batch_max
+        if max_ts is None:
+            return
+        state.update((True,))
+        # extend the lease: expire TTL after the newest activity (a
+        # timeout in the past is illegal — clamp past the watermark for
+        # very late keys, which then expire at the next batch boundary)
+        timeout_ms = max(int(max_ts.value // 1_000_000) + ttl_ms,
+                         state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(timeout_ms)
+        if not seen:
+            yield pd.DataFrame({"user_id": [key[0]], "event_type": [key[1]],
+                                "first_event_id": [best[1]],
+                                "first_ts": [best[0]]})
+
+    return fn
+
+
+def first_seen_ttl_query(events: DataFrame, *, ttl_minutes: int = 60,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """The watermarked-TTL first-seen stream transformation (caller
+    owns source/sink). EventTimeTimeout requires the watermark: state
+    for a key is dropped once the watermark passes its last activity +
+    TTL, so total state ≈ keys active within one TTL window — bounded
+    even over an unbounded key universe."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id", "event_type")
+            .applyInPandasWithState(_make_first_seen_ttl(ttl_minutes),
+                                    OUTPUT_SCHEMA, STATE_SCHEMA, "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
+def stream_first_seen_ttl(spark: SparkSession, sf_dir: str,
+                          ttl_minutes: int = 24 * 60) -> DataFrame:
+    """First-seen dedup with time-bounded state over the staged events.
+    With the generous default TTL nothing expires inside the staged
+    window, so the result still equals the batch arg-min oracle — the
+    eviction behavior itself is exercised by
+    tests/test_streaming.py with a multi-batch run."""
+    from .jobs import _run_to_memory, _stage_events_stream
+    events, stage = _stage_events_stream(spark, sf_dir)
+    return _run_to_memory(first_seen_ttl_query(events, ttl_minutes=ttl_minutes),
+                          "append", stage)

@@ -79,3 +79,53 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     hours = [ws.hour for ws, _ in result]
     assert 0 not in hours                     # late row dropped
     assert result == [(result[0][0], 3)] and result[0][0].hour == 12
+
+
+def test_first_seen_ttl_state_eviction(spark, tmp_path):
+    """State eviction with EventTimeTimeout, across checkpointed runs:
+    key A's state (TTL 60 min) must be evicted once the watermark
+    passes its lease, so a much-later re-arrival of A is emitted AGAIN
+    — two "first seen" rows for A, proving the state is bounded in
+    time. (A key with data in a batch is never the timeout invocation,
+    so eviction needs a batch where A is absent — run 3.)"""
+    import os
+    from pyspark.sql import functions as F, types as T
+    from howto_mongo_bulk_update_from_parquet_spark.streaming.stateful import first_seen_ttl_query
+
+    schema = T.StructType([T.StructField("event_id", T.LongType()),
+                           T.StructField("ts", T.TimestampType()),
+                           T.StructField("user_id", T.LongType()),
+                           T.StructField("event_type", T.StringType())])
+    stage = os.path.join(str(tmp_path), "ttl_in")
+    ckpt = os.path.join(str(tmp_path), "ttl_ckpt")
+    out = os.path.join(str(tmp_path), "ttl_out")
+    os.makedirs(stage)
+
+    def write(rows, name):
+        (spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string")
+         .select("event_id", F.col("ts").cast("timestamp"), "user_id", "event_type")
+         .coalesce(1).write.parquet(os.path.join(stage, name)))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(os.path.join(stage, "*"))
+        q = (first_seen_ttl_query(stream, ttl_minutes=60)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    A, B, C = 1, 2, 3
+    write([(10, "2024-01-01 12:00:00", A, "click")], "f1")
+    run()                                       # A first seen; lease 13:00
+    write([(20, "2024-01-01 18:00:00", B, "click")], "f2")
+    run()                                       # watermark -> 17:50 (> lease)
+    write([(30, "2024-01-01 18:10:00", C, "click")], "f3")
+    run()                                       # A absent + watermark past lease: evicted
+    write([(40, "2024-01-01 19:00:00", A, "click")], "f4")
+    run()                                       # A re-arrives with no state: re-emitted
+    rows = spark.read.parquet(out).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.first_event_id)
+    assert sorted(per_user[A]) == [10, 40]      # emitted twice: state was evicted
+    assert per_user[B] == [20] and per_user[C] == [30]
