@@ -2,8 +2,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
 JSON line with per-query and total wall-clock seconds.
 
-Each query executes fully via the `noop` sink (computes every column,
-no write cost, no driver-side materialization).
+Each Spark query executes fully via the `noop` sink (computes every
+column, no write cost, no driver-side materialization). Because the
+reference publishes no benchmark numbers (BASELINE.md), each query's
+DuckDB oracle is ALSO timed on the same parquet at the same SF — that
+single-node columnar engine is the concrete yardstick for the "within
+2×" budget: `duck` holds oracle seconds, `ratio` spark/duck per query,
+and `over_2x` lists the queries above budget (streaming queries carry
+the engine's micro-batch/state-store fixed cost and are expected
+there; `no_oracle`/unmeasurable entries are excluded).
 """
 
 from __future__ import annotations
@@ -21,6 +28,7 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     from howto_mongo_bulk_update_from_parquet_spark.plans import all_queries
+    from howto_mongo_bulk_update_from_parquet_spark.plans.catalog import CATALOG
     from howto_mongo_bulk_update_from_parquet_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -46,11 +54,37 @@ def main() -> None:
             print(f"bench error in {name}: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_total0, 3)
 
+    # --- DuckDB oracle timings: the single-node yardstick ---------------
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    duck: dict[str, float] = {}
+    for name, q in CATALOG.items():
+        if q.oracle is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            con.execute(q.oracle).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench duck error in {name}: {exc}", file=sys.stderr)
+
+    ratio = {n: round(timings[n] / duck[n], 2)
+             for n in duck if timings.get(n, -1) > 0 and duck[n] > 0}
+    over_2x = sorted(n for n, r in ratio.items() if r > 2.0)
+
     print(json.dumps({
         "metric": "catalog_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "duck": duck,
+        "ratio": ratio,
+        "over_2x": over_2x,
+        "duck_total": round(sum(duck.values()), 3),
         "sf": sf,
     }))
 

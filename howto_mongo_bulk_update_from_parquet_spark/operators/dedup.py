@@ -23,14 +23,13 @@ from pyspark.sql import functions as F
 
 
 def _widen(df: DataFrame, key: str) -> DataFrame:
-    """Spread a narrow input (e.g. one small parquet file = one
-    partition) across the cluster before a CPU-heavy map stage. The
-    shuffle moves only the raw rows — cheap next to hashing every
-    shingle on a single core. No-op when the input is already wide."""
+    """Spread the input across the cluster before a CPU-heavy map
+    stage, keyed so downstream per-id aggregations reuse the layout.
+    Unconditional: the shuffle moves only the raw rows — cheap next to
+    hashing every shingle — and probing the current partition count
+    would force a plan→RDD conversion just to sometimes skip it."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
-    return df
+    return df.repartition(target, key)
 
 
 def portable_hash64(col: Column, seed: Column | None = None) -> Column:
