@@ -60,7 +60,9 @@ def _load() -> None:
     from . import relational3  # noqa: F401
     from . import relational4  # noqa: F401
     from . import relational5  # noqa: F401
+    from . import relational6  # noqa: F401
     from . import lsh  # noqa: F401
+    from . import vector_lsh  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import streaming_q  # noqa: F401
     from . import scale_demo  # noqa: F401
