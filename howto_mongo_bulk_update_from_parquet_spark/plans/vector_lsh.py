@@ -80,3 +80,43 @@ FROM bits GROUP BY vec_id
 def q_rhp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.select("vec_id", rhp_bucket(F.col("embedding")).alias("bucket"))
+
+
+RHP_PAIRS_ORACLE = f"""
+WITH vals AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS j,
+         embedding
+  FROM embeddings
+),
+prods AS (
+  SELECT vec_id, i.i,
+         CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(18,9))
+           * (CASE WHEN CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 1, 1)) AS INT) % 2 = 1
+                   THEN 1 ELSE -1 END) AS p
+  FROM vals CROSS JOIN (SELECT unnest(range(0, {N_BITS})) AS i) i
+),
+bits AS (
+  SELECT vec_id, i, SUM(p) > 0 AS bit FROM prods GROUP BY vec_id, i
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN bit THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+@register("q_rhp_lsh_pairs", RHP_PAIRS_ORACLE,
+          "vector near-dup candidate pairs: self-join on the RHP bucket "
+          "— O(bucket collisions), never all-pairs")
+def q_rhp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", rhp_bucket(F.col("embedding")).alias("bucket"))
+    a = b.select(F.col("vec_id").alias("id_a"), "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), "bucket")
+    return (a.join(c, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "bucket"))

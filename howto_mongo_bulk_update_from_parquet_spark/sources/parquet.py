@@ -26,6 +26,15 @@ from pyspark.sql import types as T
 from ..schemas import TESTDATA_SCHEMAS
 
 
+def _set_if_differs(spark: SparkSession, key: str, value: str) -> None:
+    try:
+        current = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - unset conf
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                schema: T.StructType | None = None) -> DataFrame:
     """Scan one parquet table with its explicit schema (no inference).
@@ -38,18 +47,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     """
     # Parquet timestamps here are timezone-naive; pin the session to UTC
     # so their epoch interpretation (and pandas conversion) is stable no
-    # matter what timezone the caller's session started with.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # matter what timezone the caller's session started with. These are
+    # defensive sets for externally-owned sessions (the driver imports
+    # the contract with a vanilla session); `_set_if_differs` keeps the
+    # per-load mutation from churning sessions that are already right.
+    _set_if_differs(spark, "spark.sql.session.timeZone", "UTC")
     # Small single-file tables would otherwise scan as ONE partition,
     # serializing every downstream pipeline stage; splitting to the
     # core count parallelizes compute on narrow inputs (no effect on
     # large multi-file tables, which already exceed this minimum).
-    spark.conf.set("spark.sql.files.minPartitionNum",
-                   str(spark.sparkContext.defaultParallelism))
+    _set_if_differs(spark, "spark.sql.files.minPartitionNum",
+                    str(spark.sparkContext.defaultParallelism))
     schema = schema or TESTDATA_SCHEMAS.get(name)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _set_if_differs(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = T.StructType([
             T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
             for f in (schema or TESTDATA_SCHEMAS["events"]).fields])
