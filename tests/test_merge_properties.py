@@ -70,3 +70,29 @@ def test_merge_key_conservation(spark, tgt, src):
     out = _rows(keyed_upsert(t, s, "_id", updated_at_col=None))
     want = {k for k, _, _ in tgt} | {k for k, _, _ in src}
     assert set(out) == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(base=TABLE, deltas=st.lists(TABLE, min_size=1, max_size=3))
+def test_lsm_read_merged_equals_sequential_merge(spark, tmp_path_factory,
+                                                base, deltas):
+    """The log-structured merge-on-read view must equal folding the
+    same rounds through the full-merge operator, for ANY chain of
+    upserts — the two write paths are semantically one operator."""
+    import os
+    import uuid
+    from hypothesis import assume
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import append_delta, read_merged
+
+    assume(base or any(deltas))
+    path = os.path.join(str(tmp_path_factory.mktemp("lsm_prop")),
+                        uuid.uuid4().hex[:8])
+    folded = _df(spark, base, dedup_keys=True)
+    if base:
+        folded.write.parquet(os.path.join(path, "base"))
+    for d in deltas:
+        ddf = _df(spark, d, dedup_keys=True)
+        append_delta(spark, ddf, path=path, key="_id")
+        folded = keyed_upsert(folded, ddf, "_id", updated_at_col=None)
+    assert _rows(read_merged(spark, path, "_id")) == _rows(folded)
