@@ -1,0 +1,48 @@
+"""Plan-shape regressions: the optimizations PLANS.md documents must
+actually appear in the executed plan text — pushdown reaching the scan,
+pruned read schemas, broadcast dims — so a refactor can't silently
+trade them away."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    from howto_mongo_bulk_update_from_parquet_spark.plans import all_queries
+    df = all_queries()[name](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan          # predicate at the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q19_disjunctive_predicates_push_to_both_scans(spark):
+    plan = _plan(spark, "q_tpch_q19_disjunctive")
+    # Catalyst factors the OR-of-ANDs into per-side implied predicates
+    assert "GreaterThanOrEqual(l_quantity,40.0)" in plan  # lineitem side
+    assert "EqualTo(p_brand,Brand#1)" in plan             # part side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q14_broadcasts_dim_and_prunes_part(spark):
+    plan = _plan(spark, "q_tpch_q14_promo")
+    assert "BroadcastHashJoin" in plan
+    # part contributes only the join key and p_type
+    part_schema = [ln for ln in plan.splitlines()
+                   if "ReadSchema" in ln and "p_partkey" in ln]
+    assert part_schema and "p_retailprice" not in part_schema[0]
+
+
+def test_multiway_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "q_join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan                    # fact never shuffled
+
+
+def test_rhp_buckets_is_single_projection_no_shuffle(spark):
+    plan = _plan(spark, "q_rhp_lsh_buckets")
+    assert "Exchange" not in plan                         # zero-shuffle pass
+    assert "BatchEvalPython" not in plan                  # no Python UDF
