@@ -46,3 +46,11 @@ def test_rhp_buckets_is_single_projection_no_shuffle(spark):
     plan = _plan(spark, "q_rhp_lsh_buckets")
     assert "Exchange" not in plan                         # zero-shuffle pass
     assert "BatchEvalPython" not in plan                  # no Python UDF
+
+
+def test_lsh_pipelines_never_cross_join(spark):
+    for name in ["q_minhash_lsh_pairs", "q_lsh_verified_pairs",
+                 "q_rhp_lsh_pairs"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -81,6 +81,44 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert result == [(result[0][0], 3)] and result[0][0].hour == 12
 
 
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Built-in streaming dedup: duplicates of a key arriving within
+    the watermark window are suppressed, and (unlike plain
+    dropDuplicates) state for expired keys is evicted once the
+    watermark passes — the engine-native sibling of the custom TTL
+    operator in streaming/stateful.py."""
+    import os
+    from pyspark.sql import functions as F, types as T
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("k", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    stage = os.path.join(str(tmp_path), "ddw_in")
+    ckpt = os.path.join(str(tmp_path), "ddw_ckpt")
+    out = os.path.join(str(tmp_path), "ddw_out")
+    os.makedirs(stage)
+
+    def write(rows, name):
+        (spark.createDataFrame(rows, "ts string, k string, v long")
+         .select(F.col("ts").cast("timestamp"), "k", "v")
+         .coalesce(1).write.parquet(os.path.join(stage, name)))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(os.path.join(stage, "*"))
+        dedup = (stream.withWatermark("ts", "10 minutes")
+                 .dropDuplicatesWithinWatermark(["k"]))
+        q = (dedup.writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # batch 1: key A twice within the window → one survivor
+    write([("2024-01-01 12:00:00", "A", 1), ("2024-01-01 12:02:00", "A", 2),
+           ("2024-01-01 12:01:00", "B", 3)], "f1")
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.k for r in rows) == ["A", "B"]
+
+
 def test_first_seen_ttl_state_eviction(spark, tmp_path):
     """State eviction with EventTimeTimeout, across checkpointed runs:
     key A's state (TTL 60 min) must be evicted once the watermark
