@@ -71,6 +71,38 @@ def extract_media_meta(assets: DataFrame, fake: bool = True) -> DataFrame:
     return assets.mapInPandas(meta, schema=ASSET_META_SCHEMA)
 
 
+def resize_plan(meta: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize geometry for image/video assets: scale the long side down
+    to `max_side` (never upscale), preserving aspect ratio. Vectorized
+    numpy over Arrow batches — the real pixel resample would run in
+    this same mapInPandas stage with the same batch shape; the
+    geometry arithmetic here is the deterministic, oracle-checkable
+    part."""
+    import numpy as np
+    import pandas as pd
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            w = pdf["width"].to_numpy(dtype=np.float64)
+            h = pdf["height"].to_numpy(dtype=np.float64)
+            long_side = np.maximum(w, h)
+            scale = np.where(long_side > max_side, max_side / long_side, 1.0)
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "width": pdf["width"].to_numpy(),
+                "height": pdf["height"].to_numpy(),
+                "new_width": np.floor(w * scale).astype(np.int64),
+                "new_height": np.floor(h * scale).astype(np.int64)})
+
+    return (meta.filter(F.col("kind").isin("image", "video"))
+            .mapInPandas(resize, schema="asset_id long, kind string, "
+                                        "width long, height long, "
+                                        "new_width long, new_height long"))
+
+
 def sample_frames(meta: DataFrame, every_nth: int = 6) -> DataFrame:
     """Frame-sampling plan for video assets: one row per kept frame.
     Pure relational (sequence + explode) — the per-frame decode would

@@ -29,3 +29,35 @@ FROM documents
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return extract_media_meta(attach_blob(d, "doc_id", "text"), fake=True)
+
+
+# resize geometry on the stubbed metadata: long side capped at 256,
+# aspect preserved, never upscaled. The oracle repeats the width/height
+# derivation then the same IEEE double scale+floor arithmetic.
+RESIZE_ORACLE = """
+WITH meta AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         CAST(16 + octet_length(encode(text)) % 1024 AS BIGINT) AS width,
+         CAST(16 + (octet_length(encode(text)) * 7) % 1024 AS BIGINT) AS height
+  FROM documents
+)
+SELECT asset_id, kind, width, height,
+       CAST(FLOOR(width * (CASE WHEN GREATEST(width, height) > 256
+                                THEN 256.0 / GREATEST(width, height)
+                                ELSE 1.0 END)) AS BIGINT) AS new_width,
+       CAST(FLOOR(height * (CASE WHEN GREATEST(width, height) > 256
+                                 THEN 256.0 / GREATEST(width, height)
+                                 ELSE 1.0 END)) AS BIGINT) AS new_height
+FROM meta WHERE kind IN ('image', 'video')
+"""
+
+
+@register("q_resize_plan", RESIZE_ORACLE,
+          "multimodal resize stage: aspect-preserving geometry (long "
+          "side ≤ 256) over Arrow batches — the pixel resample's slot")
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_plan
+    d = load_table(spark, sf_dir, "documents")
+    meta = extract_media_meta(attach_blob(d, "doc_id", "text"), fake=True)
+    return resize_plan(meta, max_side=256)
