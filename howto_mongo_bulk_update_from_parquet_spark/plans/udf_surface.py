@@ -1,0 +1,93 @@
+"""User-function surface: the three Python extension points Spark
+offers, each used where it's the right tool and oracle-checked.
+
+- grouped-aggregate `pandas_udf` (UDAF): Arrow-batched, one call per
+  group — here an exact integer aggregation so the result is
+  engine-identical (a float UDAF would re-order summation).
+- Python UDTF (`@udtf`): row-at-a-time table function — the slow path
+  by design, bounded to a small id range; the relational twin
+  (posexplode over a transform) is what the engine uses at scale
+  (q_doc_chunking), this entry proves the API surface.
+- The Arrow batch paths (`mapInPandas`, `applyInPandasWithState`) are
+  exercised by q_simhash / q_multimodal_meta / q_stream_first_seen.
+"""
+
+# NOTE: no `from __future__ import annotations` here — pandas_udf
+# infers the UDAF eval type from REAL type hints; postponed (string)
+# annotations break that inference.
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+UDAF_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_sq_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q_udaf_grouped_agg", UDAF_ORACLE,
+          "grouped-aggregate pandas_udf (UDAF): exact integer moments "
+          "per language, Arrow-batched one call per group")
+def q_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def count_long(v: pd.Series) -> int:
+        # pandas UDAFs can't mix with built-in aggregates in one agg,
+        # so the count is a UDAF too
+        return int(len(v))
+
+    @pandas_udf("long")
+    def sum_long(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @pandas_udf("long")
+    def sum_sq_long(v: pd.Series) -> int:
+        return int((v.astype("int64") ** 2).sum())
+
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(count_long("n_chars").alias("n_docs"),
+                 sum_long("n_chars").alias("total_chars"),
+                 sum_sq_long("n_chars").alias("sum_sq_chars")))
+
+
+UDTF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(unnest(range(0, len(tk) - 1)) AS BIGINT) AS pos,
+       tk[unnest(range(0, len(tk) - 1)) + 1] || ' ' || tk[unnest(range(0, len(tk) - 1)) + 2] AS bigram
+FROM toks
+WHERE len(tk) >= 2
+"""
+
+
+@register("q_udtf_bigrams", UDTF_ORACLE,
+          "Python UDTF: one row per token bigram — the row-at-a-time "
+          "API surface, deliberately bounded (scale path = posexplode)")
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, pos: long, bigram: string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield doc_id, i, f"{toks[i]} {toks[i + 1]}"
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    return spark.sql(
+        "SELECT b.* FROM __udtf_docs d, "
+        "LATERAL bigrams_udtf(d.doc_id, d.text) b")
