@@ -72,6 +72,32 @@ def test_legacy_flat_table_upgrades_in_place(spark, tmp_path):
     assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
 
 
+def test_reader_ignores_incomplete_version_dirs(spark, tmp_path):
+    """Crash-safety: a base_v dir without _SUCCESS (writer died before
+    commit) and a stale manifest must never surface partial data —
+    readers stay on the last COMMITTED version."""
+    path = os.path.join(str(tmp_path), "crashy")
+    r1 = spark.createDataFrame([("a", 1.0)], "_id string, v double")
+    upsert_into_keyed_table(spark, r1, path=path, key="_id")
+    # simulate a writer that died mid-write: version dir, no _SUCCESS
+    os.makedirs(os.path.join(path, "base_v00009"))
+    with open(os.path.join(path, "base_v00009", "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    # manifest still points at v1 → reader sees committed data only
+    assert current_base_version(spark, path) == 1
+    assert {r["_id"] for r in read_keyed_table(spark, path).collect()} == {"a"}
+    # even with the manifest gone, the fallback counts only COMPLETE
+    # versions (those with _SUCCESS)
+    hfs.delete(spark, hfs.join(path, "_CURRENT"))
+    assert current_base_version(spark, path) == 1
+
+
+def test_read_missing_table_raises(spark, tmp_path):
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        read_keyed_table(spark, os.path.join(str(tmp_path), "nope"))
+
+
 def test_compact_single_write_versioned_base(spark, tmp_path):
     path = os.path.join(str(tmp_path), "lsm_v")
     spark.createDataFrame([("a", 1.0)], "_id string, v double") \

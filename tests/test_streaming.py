@@ -81,6 +81,37 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert result == [(result[0][0], 3)] and result[0][0].hour == 12
 
 
+def test_rate_source_windowed_counts(spark):
+    """Source swap: the same windowed aggregation shape runs on the
+    built-in rate source (stand-in for Kafka in this environment) —
+    nothing in the transformation is file-specific."""
+    import uuid
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", "500").load()
+              .withColumn("bucket", F.col("value") % 5))
+    agg = (stream.withWatermark("timestamp", "1 second")
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n")))
+    name = f"rate_out_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).start())
+    try:
+        import time
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if len(rows) == 5 and sum(r.n for r in rows) >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert {r.bucket for r in rows} == {0, 1, 2, 3, 4}
+    # value % 5 distributes the monotonically increasing counter evenly
+    counts = sorted(r.n for r in rows)
+    assert counts[-1] - counts[0] <= 1
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     """Built-in streaming dedup: duplicates of a key arriving within
     the watermark window are suppressed, and (unlike plain
