@@ -51,6 +51,10 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming engine with explicit keyed state."""
     from .jobs import _run_to_memory, _stage_events_stream
     events, stage = _stage_events_stream(spark, sf_dir)
+    # project before the stateful exchange: only 4 of 6 columns cross
+    # the Arrow boundary (drops `props`, the widest column — the JSON
+    # payload would otherwise dominate the python-worker transfer)
+    events = events.select("user_id", "event_type", "ts", "event_id")
     out = (events.groupBy("user_id", "event_type")
            .applyInPandasWithState(_first_seen, OUTPUT_SCHEMA, STATE_SCHEMA,
                                    "append", GroupStateTimeout.NoTimeout))
@@ -123,5 +127,6 @@ def stream_first_seen_ttl(spark: SparkSession, sf_dir: str,
     tests/test_streaming.py with a multi-batch run."""
     from .jobs import _run_to_memory, _stage_events_stream
     events, stage = _stage_events_stream(spark, sf_dir)
+    events = events.select("user_id", "event_type", "ts", "event_id")
     return _run_to_memory(first_seen_ttl_query(events, ttl_minutes=ttl_minutes),
                           "append", stage)
