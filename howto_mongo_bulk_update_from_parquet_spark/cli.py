@@ -76,12 +76,19 @@ def cmd_upsert(args: argparse.Namespace) -> int:
 def cmd_query(args: argparse.Namespace) -> int:
     from .observability import StructuredLog, run_query_logged
     from .plans import all_queries
-    spark = get_spark("query")
+    if args.list:
+        from .plans.catalog import CATALOG
+        all_queries()
+        for q in CATALOG.values():
+            kind = "oracle" if q.oracle else "rows-only"
+            print(f"{q.name:32s} [{kind}] {q.doc}")
+        return 0
     qs = all_queries()
     if args.name not in qs:
         print(f"unknown query {args.name!r}; available: {', '.join(sorted(qs))}",
               file=sys.stderr)
         return 2
+    spark = get_spark("query")
     # structured query_complete record (name/rows/duration) on stdout —
     # the reference's per-slice timing events, per-query here
     df = run_query_logged(spark, args.name, qs[args.name], args.sf_dir,
@@ -124,7 +131,9 @@ def main(argv: list[str] | None = None) -> int:
     u.set_defaults(fn=cmd_upsert)
 
     q = sub.add_parser("query", help="run a catalog query")
-    q.add_argument("--name", required=True)
+    q.add_argument("--list", action="store_true",
+                   help="list catalog queries and exit")
+    q.add_argument("--name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--explain", action="store_true")
