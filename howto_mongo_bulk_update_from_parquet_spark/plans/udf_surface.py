@@ -60,6 +60,37 @@ def q_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sum_sq_long("n_chars").alias("sum_sq_chars")))
 
 
+GROUPED_MAP_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(median(n_chars) AS DOUBLE) AS median_chars,
+       CAST(quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25) AS DOUBLE) AS iqr_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q_grouped_map_median", GROUPED_MAP_ORACLE,
+          "grouped-map applyInPandas: per-language median/IQR — "
+          "rank statistics are sort-based, so numpy and SQL agree "
+          "exactly (no summation-order noise)")
+def q_grouped_map_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["n_chars"].to_numpy(dtype="float64")
+        import numpy as np
+        q25, q50, q75 = np.percentile(v, [25, 50, 75])  # linear interp
+        return pd.DataFrame({"lang": [pdf["lang"].iloc[0]],
+                             "n_docs": [len(v)],
+                             "median_chars": [q50],
+                             "iqr_chars": [q75 - q25]})
+
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("lang", "n_chars")
+            .groupBy("lang")
+            .applyInPandas(stats, schema="lang string, n_docs long, "
+                                         "median_chars double, iqr_chars double"))
+
+
 UDTF_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 50
