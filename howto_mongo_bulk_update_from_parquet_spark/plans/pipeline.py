@@ -85,6 +85,43 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
 
 
+# --- duplicate clustering (connected components) -----------------------
+
+from .lsh import LSH_PAIRS_ORACLE  # noqa: E402 - oracle CTE reuse
+
+# recursive transitive closure over the LSH candidate pairs, cluster =
+# min reachable id — the SQL twin of iterative min-label propagation.
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({LSH_PAIRS_ORACLE})
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+FROM reach GROUP BY s
+"""
+
+
+@register("q_dedup_clusters", DEDUP_CLUSTERS_ORACLE,
+          "near-dup clustering: connected components over LSH candidate "
+          "pairs via iterative min-label propagation")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", 3)
+    sig = minhash_signatures(sh, "doc_id", 16)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id", 4), "doc_id")
+    return (connected_components(pairs, "id_a", "id_b")
+            .select(F.col("node").alias("doc_id"), "cluster"))
+
+
 # --- full corpus-build pipeline ----------------------------------------
 
 PIPELINE_ORACLE = """
