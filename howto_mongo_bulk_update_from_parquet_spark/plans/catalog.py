@@ -62,6 +62,7 @@ def _load() -> None:
     from . import relational5  # noqa: F401
     from . import relational6  # noqa: F401
     from . import relational7  # noqa: F401
+    from . import relational8  # noqa: F401
     from . import lsh  # noqa: F401
     from . import vector_lsh  # noqa: F401
     from . import pipeline  # noqa: F401

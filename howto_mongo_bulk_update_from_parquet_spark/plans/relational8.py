@@ -1,0 +1,94 @@
+"""Eighth battery: GROUPING() metadata, window value functions
+(first/last/nth), and deterministic stratified sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import dec
+from ..sources.parquet import load_table
+from .catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# GROUPING() disambiguates "NULL because rolled up" from "NULL in the
+# data" — the only reliable way to consume ROLLUP output downstream.
+GROUPING_ID_ORACLE = """
+SELECT COALESCE(l_returnflag, '<all>') AS rf,
+       COALESCE(l_linestatus, '<all>') AS ls,
+       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("q_grouping_id", GROUPING_ID_ORACLE,
+          "GROUPING() metadata over ROLLUP: tell rolled-up NULLs from "
+          "data NULLs")
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg((F.grouping("l_returnflag")
+                  + F.lit(2) * F.grouping("l_linestatus")).cast("long").alias("gid"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+                    "gid", "n"))
+
+
+WINDOW_VALUE_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+       CAST(last_value(o_totalprice) OVER w AS DOUBLE) AS last_price,
+       CAST(nth_value(o_totalprice, 2) OVER w AS DOUBLE) AS second_price
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("q_window_value_funcs", WINDOW_VALUE_ORACLE,
+          "first/last/nth value over a full-partition frame (the "
+          "default current-row frame would silently truncate last_value)")
+def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"))
+
+
+# Stratified sampling a training corpus: exactly `n` docs per language,
+# chosen by ordering on an id-hash — deterministic across runs, engines
+# and partitionings (rand()-based sampling is none of those).
+STRATIFIED_ORACLE = """
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 50
+"""
+
+
+@register("q_stratified_sample", STRATIFIED_ORACLE,
+          "deterministic stratified sample: 50 docs per language by "
+          "id-hash order (reproducible, unlike rand())")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 50).select("lang", "doc_id"))
