@@ -103,7 +103,11 @@ SELECT vec_id, cid AS cluster FROM (
           "centroid means → reassign, bit-exact through both rounds")
 def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    vals = _cells(e, "vec_id", "vd")
+    # the cell table feeds both assignment rounds AND the centroid
+    # recompute — checkpoint it once instead of re-exploding the scan
+    # three times (also truncates lineage across rounds, the standard
+    # iterative-algorithm hygiene)
+    vals = _cells(e, "vec_id", "vd").localCheckpoint(eager=True)
     cents = (_cells(e.filter(F.col("vec_id") < K), "vec_id", "cd")
              .withColumnRenamed("vec_id", "cid"))
     assign = _assign(vals, cents)            # round 1

@@ -36,3 +36,20 @@ def test_every_query_returns_dataframe_lazily(spark):
 def test_docstrings_present():
     for q in CATALOG.values():
         assert q.doc, f"{q.name} missing doc"
+
+
+def test_every_oracle_plans_in_duckdb():
+    """Cheap guard against oracle SQL rot: every oracle must at least
+    EXPLAIN cleanly against the real table views (full value
+    equivalence runs in selfcheck.py / the driver)."""
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    for name, sql in all_oracles().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"oracle for {name} fails to plan: {exc}")
