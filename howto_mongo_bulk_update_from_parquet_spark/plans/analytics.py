@@ -1,0 +1,154 @@
+"""Event-analytics battery: conversion funnel, retention cohorts, and
+the dedup keep-one application — the product-analytics shapes an
+events table exists for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Ordered funnel: a user converts at step N only if the steps happened
+# in TIME ORDER (first view < first click < first purchase) — the
+# min-timestamp comparison is what makes it a funnel, not three counts.
+FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS step_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS step_click,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                  THEN 1 END) AS step_purchase
+FROM firsts
+"""
+
+
+@register("q_event_funnel", FUNNEL_ORACLE,
+          "ordered conversion funnel view→click→purchase: min-timestamp "
+          "per step, strict time-order gating, one aggregation pass")
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+
+    def first_of(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    firsts = (e.groupBy("user_id")
+              .agg(first_of("view").alias("t_view"),
+                   first_of("click").alias("t_click"),
+                   first_of("purchase").alias("t_purchase")))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("step_click"),
+        F.count(F.when((F.col("t_purchase") > F.col("t_click"))
+                       & (F.col("t_click") > F.col("t_view")), 1))
+         .alias("step_purchase"))
+
+
+# Retention cohorts: users grouped by first-seen week, counted in each
+# later activity week — the (cohort, offset) matrix every growth
+# dashboard draws. Weeks via date_trunc; offset in whole weeks.
+RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.week) / 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_active
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("q_retention_cohorts", RETENTION_ORACLE,
+          "weekly retention cohorts: first-seen week × activity-week "
+          "offset matrix (distinct user-weeks, two aggregations)")
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    activity = (e.select("user_id",
+                         F.date_trunc("week", "ts").alias("week")).distinct())
+    return (activity.join(first_seen, "user_id")
+            .groupBy("cohort",
+                     (F.datediff("week", "cohort") / 7).cast("long")
+                      .alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+# The dedup PAYOFF: anti-join the corpus against non-representative
+# cluster members — duplicates vanish, one exemplar per cluster stays.
+KEEP_ONE_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({lsh_pairs})
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+clusters AS (
+  SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s
+),
+drop_list AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster)
+SELECT lang, COUNT(*) AS n_docs
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drop_list)
+GROUP BY lang
+"""
+
+
+def _keep_one_oracle() -> str:
+    from .lsh import LSH_PAIRS_ORACLE
+    return KEEP_ONE_ORACLE.format(lsh_pairs=LSH_PAIRS_ORACLE)
+
+
+@register("q_dedup_keep_one", None,  # oracle installed below (CTE reuse)
+          "dedup applied: drop every near-dup cluster member except the "
+          "min-id exemplar, count survivors per language")
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (lsh_bands, lsh_candidate_pairs,
+                                   minhash_signatures, shingles)
+    from ..operators.graph import dedup_representatives
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", 3)
+    sig = minhash_signatures(sh, "doc_id", 16)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id", 4), "doc_id")
+    drop = (dedup_representatives(pairs)
+            .filter(~F.col("keep"))
+            .select(F.col("node").alias("doc_id")))
+    kept = d.join(drop, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _install_keep_one_oracle() -> None:
+    from .catalog import CATALOG, Query
+    q = CATALOG["q_dedup_keep_one"]
+    CATALOG["q_dedup_keep_one"] = Query(name=q.name, fn=q.fn,
+                                        oracle=_keep_one_oracle(), doc=q.doc)
+
+
+_install_keep_one_oracle()

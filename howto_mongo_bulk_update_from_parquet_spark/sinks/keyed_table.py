@@ -70,8 +70,18 @@ def _legacy_root_has_data(spark: SparkSession, path: str) -> bool:
                for f in hfs.listdir(spark, path))
 
 
-def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
-    """Current committed snapshot of the keyed table."""
+def read_keyed_table(spark: SparkSession, path: str,
+                     version: int | None = None) -> DataFrame:
+    """Committed snapshot of the keyed table — the current one, or a
+    retained historical `version` (time travel; keep history with
+    `retain_versions` > 1 on the writer)."""
+    if version is not None:
+        snap = _base_dir(path, version)
+        if not hfs.exists(spark, hfs.join(snap, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"version {version} of {path} does not exist or was "
+                f"retired (write with retain_versions > 1 to keep history)")
+        return spark.read.parquet(snap)
     v = current_base_version(spark, path)
     if v:
         return spark.read.parquet(_base_dir(path, v))

@@ -46,6 +46,7 @@ def test_versioned_layout_single_write_per_round(spark, tmp_path):
 
 
 def test_retain_versions_keeps_previous_snapshot(spark, tmp_path):
+    import pytest
     path = os.path.join(str(tmp_path), "retained")
     r1 = spark.createDataFrame([("a", 1.0)], "_id string, v double")
     upsert_into_keyed_table(spark, r1, path=path, key="_id")
@@ -56,6 +57,11 @@ def test_retain_versions_keeps_previous_snapshot(spark, tmp_path):
     assert dirs == ["base_v00001", "base_v00002"]
     # reader follows the manifest to the newest version
     assert read_keyed_table(spark, path).count() == 2
+    # time travel: the retained v1 snapshot is still readable as-of
+    v1 = read_keyed_table(spark, path, version=1)
+    assert {r["_id"] for r in v1.collect()} == {"a"}
+    with pytest.raises(FileNotFoundError, match="does not exist or was"):
+        read_keyed_table(spark, path, version=7)
 
 
 def test_legacy_flat_table_upgrades_in_place(spark, tmp_path):
