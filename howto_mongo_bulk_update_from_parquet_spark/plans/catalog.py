@@ -70,6 +70,7 @@ def _load() -> None:
     from . import kmeans  # noqa: F401
     from . import analytics  # noqa: F401
     from . import quality  # noqa: F401
+    from . import history  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import streaming_q  # noqa: F401
     from . import scale_demo  # noqa: F401
