@@ -38,6 +38,58 @@ def test_docstrings_present():
         assert q.doc, f"{q.name} missing doc"
 
 
+def test_head50_spans_every_capability():
+    """The correctness harness attests a bounded prefix (cap 50) of the
+    registration order, so the first 50 names must cover every SURVEY
+    §2.2 category and LLM-pipeline operator — pin both the ordering
+    mechanism and the category spread."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans.catalog import _HEAD
+    names = list(all_queries())
+    assert names[:50] == list(_HEAD)
+    assert len(set(_HEAD)) == 50
+    head = set(_HEAD)
+    required = {
+        "scan_agg": "q1_pricing_summary",
+        "filter_project": "q_filter_project",
+        "merge_sink": "q_merge_upsert",
+        "generator": "q_generate",
+        "joins": "q_join_multiway",
+        "asof": "q_asof_join",
+        "aggregation": "q_rollup",
+        "window": "q_window_topk",
+        "sort_limit": "q_orderby_limit",
+        "set_ops": "q_setops",
+        "scalar_funcs": "q_string_funcs",
+        "dedup_lsh": "q_minhash_lsh_pairs",
+        "dedup_verify": "q_lsh_verified_pairs",
+        "dedup_cluster": "q_dedup_clusters",
+        "simhash": "q_simhash",
+        "knn": "q_knn_bruteforce",
+        "ivf": "q_ann_ivf_search",
+        "vector_lsh": "q_vector_lsh_verified",
+        "kmeans": "q_kmeans_iter",
+        "text_quality": "q_quality_score",
+        "corpus_pipeline": "q_training_pipeline",
+        "udaf": "q_udaf_grouped_agg",
+        "grouped_map": "q_grouped_map_median",
+        "udtf": "q_udtf_bigrams",
+        "multimodal": "q_multimodal_meta",
+        "streaming": "q_stream_tumbling",
+        "streaming_state_ttl": "q_stream_first_seen_ttl",
+        "scd2": "q_scd2_history",
+        "cdc": "q_cdc_diff",
+        "profiling": "q_profile_columns",
+        "referential_quality": "q_fk_orphans",
+    }
+    for cap, q in required.items():
+        assert q in head, f"capability {cap} not in attested head-50 ({q})"
+    # every head query must actually exist and (bar rows-only ops)
+    # carry an oracle
+    oracles = all_oracles()
+    missing_oracle = [n for n in _HEAD if n not in oracles]
+    assert missing_oracle == [], f"head queries without oracle: {missing_oracle}"
+
+
 def test_every_oracle_plans_in_duckdb():
     """Cheap guard against oracle SQL rot: every oracle must at least
     EXPLAIN cleanly against the real table views (full value
