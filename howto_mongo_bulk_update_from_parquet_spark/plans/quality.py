@@ -33,9 +33,44 @@ FROM lineitem
 
 
 @register("q_profile_columns", PROFILE_ORACLE,
-          "column profiling: rows/nulls/distinct/min/max per column in "
-          "ONE scan (all profiles are aggregates of the same pass)")
+          "exact column profiling: rows/nulls/distinct/min/max, one "
+          "column-pruned agg per column unioned (no multi-distinct Expand)")
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact profile. Deliberately ONE distinct aggregate per agg node:
+    multiple exact countDistincts in a single aggregate trigger an
+    Expand (k× row multiplication) — three independent single-column
+    aggs, each scanning only its own column (parquet column pruning),
+    are strictly cheaper and union to the same result. The scale
+    default for profiling is `q_profile_approx` (HLL sketch, one pass,
+    no Expand, no per-column exact distinct state)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(col: str, fmt=None):
+        to_s = fmt or (lambda c: c.cast("string"))
+        return li.select(col).agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            to_s(F.min(col)).alias("min_val"),
+            to_s(F.max(col)).alias("max_val"))
+
+    ts_fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    return (profile("l_orderkey")
+            .unionByName(profile("l_returnflag"))
+            .unionByName(profile("l_shipdate", ts_fmt)))
+
+
+@register("q_profile_approx", None,
+          "scale-path profiling: approx_count_distinct (HLL) per column "
+          "in one pass — no Expand, bounded sketch state; rows-only "
+          "driver check (sketch estimates are engine-specific), 5% "
+          "accuracy pinned by tests/test_plans.py")
+def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profiling default: every column profiled in a SINGLE
+    scan — HLL sketches merge map-side, so no Expand, no shuffle of raw
+    values, state is O(columns × sketch) not O(distinct values). The
+    exact twin (`q_profile_columns`) is the small-scale oracle."""
     li = load_table(spark, sf_dir, "lineitem")
 
     def profile(col: str, fmt=None):
@@ -44,7 +79,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(col).alias("col"),
             F.count(F.lit(1)).alias("n_rows"),
             (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
-            F.countDistinct(col).alias("n_distinct"),
+            F.approx_count_distinct(col, rsd=0.02).alias("n_distinct_approx"),
             to_s(F.min(col)).alias("min_val"),
             to_s(F.max(col)).alias("max_val"))
 
@@ -71,17 +106,22 @@ FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
 
 @register("q_fk_orphans", FK_ORACLE,
           "referential-integrity check: orphan counts across two FK "
-          "edges (broadcast the parent key sets)")
+          "edges (key-pruned shuffle joins; AQE picks the strategy)")
 def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides of each FK edge scale with the data (orders and
+    customer are fact-sized at 100 TB), so NO hard broadcast hint —
+    the left joins shuffle on the pruned single-column key sets and
+    AQE downgrades to broadcast only when a side actually fits. The
+    map-side-combinable count aggregates reduce each edge to one row."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    a = (li.join(F.broadcast(o.select("o_orderkey")),
+    a = (li.join(o.select("o_orderkey"),
                  li.l_orderkey == F.col("o_orderkey"), "left")
          .agg(F.lit("lineitem->orders").alias("fk"),
               F.count(F.lit(1)).alias("n_rows"),
               F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_orphans")))
-    b = (o.select("o_custkey").join(F.broadcast(c),
+    b = (o.select("o_custkey").join(c,
                                     F.col("o_custkey") == F.col("c_custkey"),
                                     "left")
          .agg(F.lit("orders->customer").alias("fk"),

@@ -119,12 +119,14 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_regionkey") <= 1)
-    # dims are tiny → broadcast; the fact-fact join (lineitem⋈orders)
-    # shuffles on the key and AQE handles skew.
+    # Only fixed-cardinality dims (nation ≤ 25, region ≤ 5 rows) get a
+    # hard broadcast hint. customer/supplier scale with SF, so their
+    # join strategy is left to AQE: broadcast while they fit, shuffle
+    # join past the threshold — a hard hint would OOM at 100×.
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-          .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-          .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(s, (li.l_suppkey == s.s_suppkey)
                 & (s.s_nationkey == c.c_nationkey))
           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -204,9 +206,11 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = ((li.l_partkey == p.p_partkey)
             & (li.l_quantity >= p.p_size - 5)
             & (li.l_quantity <= p.p_size + 5))
-    # part is a dim → broadcast keeps the range predicate out of a
-    # cartesian/sort-merge path entirely.
-    return (li.join(F.broadcast(p), cond)
+    # The equi half (l_partkey = p_partkey) keys the join; the range
+    # predicate rides along as a join filter, so this never degrades to
+    # a cartesian. part scales with SF → no hard broadcast hint (AQE
+    # broadcasts while it fits).
+    return (li.join(p, cond)
               .groupBy("p_brand")
               .agg(F.count(F.lit(1)).alias("n_close_qty"),
                    dsum("l_quantity").alias("sum_qty")))

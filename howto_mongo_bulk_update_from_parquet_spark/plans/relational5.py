@@ -147,9 +147,11 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3) \
         .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     vol = dec("l_extendedprice", 12, 2) * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
-    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    # supplier/customer scale with SF → strategy left to AQE; only the
+    # fixed ≤25-row nation sides keep hard broadcast hints.
+    return (li.join(s, li.l_suppkey == s.s_suppkey)
               .join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(c, o.o_custkey == c.c_custkey)
               .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
               .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
               .filter(F.col("n1_key") != F.col("n2_key"))

@@ -47,7 +47,8 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = _disc_price()
     promo = F.when(F.col("p_type") == "PROMO", dp).otherwise(
         F.lit(0).cast("decimal(14,4)"))
-    out = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # part scales with SF → no hard broadcast hint (AQE decides).
+    out = (li.join(p, li.l_partkey == p.p_partkey)
            .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
            .agg(F.sum(promo).cast("double").alias("promo_revenue"),
                 F.sum(dp).cast("double").alias("total_revenue")))
@@ -75,7 +76,8 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # part scales with SF → no hard broadcast hint (AQE decides).
+    j = li.join(p, li.l_partkey == p.p_partkey)
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)

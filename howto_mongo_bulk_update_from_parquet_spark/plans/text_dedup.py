@@ -116,8 +116,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.alias("sb")
     jac = (F.col("n_common").cast("double")
            / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")))
-    return (inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-                 .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+    # sizes has one row per doc (scales with the corpus) → no hard
+    # broadcast hint; AQE broadcasts while it fits.
+    return (inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+                 .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
                  .select("doc_a", "doc_b", "n_common",
                          F.col("sa.n_shingles").alias("n_a"),
                          F.col("sb.n_shingles").alias("n_b"),

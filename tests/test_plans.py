@@ -50,7 +50,49 @@ def test_rhp_buckets_is_single_projection_no_shuffle(spark):
 
 def test_lsh_pipelines_never_cross_join(spark):
     for name in ["q_minhash_lsh_pairs", "q_lsh_verified_pairs",
-                 "q_rhp_lsh_pairs"]:
+                 "q_rhp_lsh_pairs", "q_vector_lsh_verified"]:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_no_hard_broadcast_on_sf_scaling_tables(spark):
+    """orders/customer/supplier/part grow with SF: with the auto-
+    broadcast threshold disabled, their joins must degrade to shuffle
+    joins — proof there is no hard F.broadcast() hint that would OOM a
+    100× scale-up. (nation/region keep hints; queries here don't use
+    them or tolerate their BroadcastExchange.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ["q_fk_orphans", "q_join_range", "q_tpch_q14_promo",
+                     "q_tpch_q19_disjunctive", "q_ngram_jaccard"]:
+            plan = _plan(spark, name)
+            assert "BroadcastExchange" not in plan, name
+        # multiway keeps exactly the nation+region hints, nothing else
+        # (formatted explain prints each node twice: tree + details —
+        # count tree occurrences only)
+        plan = _plan(spark, "q_join_multiway")
+        assert plan.count("- BroadcastExchange") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_profile_queries_have_no_expand(spark):
+    """Multiple exact countDistincts in one agg trigger an Expand
+    (k× row multiply). The exact profile runs one distinct per agg
+    node; the approx profile uses HLL sketches — neither may Expand."""
+    for name in ["q_profile_columns", "q_profile_approx"]:
+        plan = _plan(spark, name)
+        assert "Expand" not in plan, name
+
+
+def test_profile_approx_within_5pct_of_exact(spark):
+    from howto_mongo_bulk_update_from_parquet_spark.plans import all_queries
+    exact = {r["col"]: r["n_distinct"]
+             for r in all_queries()["q_profile_columns"](spark, SF).collect()}
+    approx = {r["col"]: r["n_distinct_approx"]
+              for r in all_queries()["q_profile_approx"](spark, SF).collect()}
+    assert set(exact) == set(approx)
+    for col, n in exact.items():
+        assert abs(approx[col] - n) <= max(1, 0.05 * n), (col, n, approx[col])
