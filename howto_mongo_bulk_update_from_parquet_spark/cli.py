@@ -42,11 +42,20 @@ def cmd_upsert(args: argparse.Namespace) -> int:
         print("upsert requires --table or a Mongo URI (flag, env, or "
               "config file)", file=sys.stderr)
         return 2
+    if args.table and args.mongo_uri:
+        print("ambiguous sink: both --table and --mongo-uri given — "
+              "pick one", file=sys.stderr)
+        return 2
+    # Sink precedence: an EXPLICIT flag always beats ambient config — a
+    # Mongo URI resolved from $MONGO_CONNECTION_STRING or a config file
+    # must not silently redirect writes when the user typed --table.
+    use_mongo = bool(args.mongo_uri) or (bool(cfg.mongo_uri)
+                                         and not args.table)
     spark = get_spark("upsert")
     src = spark.read.schema(PIPELINE_SCHEMA).parquet(args.path)
     if cfg.n_partitions:
         src = src.repartition(cfg.n_partitions)
-    if cfg.mongo_uri:
+    if use_mongo:
         from .sinks.mongo import write_mongo_upserts
         result = write_mongo_upserts(src, uri=cfg.mongo_uri,
                                      database=cfg.database,

@@ -30,11 +30,20 @@ from pyspark.sql import functions as F
 
 def cosine_all_pairs_blocked(df: DataFrame, id_col: str, vec_col: str, *,
                              threshold: float, block_size: int = 100_000,
-                             round_digits: int = 5) -> DataFrame:
+                             round_digits: int = 5,
+                             eager_cleanup: bool = True) -> DataFrame:
     """All unordered pairs (id_a < id_b) with rounded cosine similarity
     ≥ `threshold`, tiled over broadcastable blocks.
 
-    Output: (id_a long, id_b long, cos_sim double)."""
+    Output: (id_a long, id_b long, cos_sim double).
+
+    `eager_cleanup` (default): the pair set — small by the threshold's
+    selectivity — is materialized via localCheckpoint, then the cached
+    blocked frame is unpersisted and every per-block broadcast
+    destroyed, so repeated calls in a long-lived session don't
+    accumulate executor storage. Pass False to keep the result fully
+    lazy; the CALLER then owns cleanup (storage is released only when
+    the session's context is torn down)."""
     import numpy as np
     import pandas as pd
 
@@ -73,6 +82,7 @@ def cosine_all_pairs_blocked(df: DataFrame, id_col: str, vec_col: str, *,
         return block_sim
 
     parts: list[DataFrame] = []
+    broadcasts = []
     for b in range(n_blocks):
         blk_pdf = (blocked.filter(F.col("__blk") == b)
                    .select("__id", "__vec").toPandas())
@@ -82,9 +92,18 @@ def cosine_all_pairs_blocked(df: DataFrame, id_col: str, vec_col: str, *,
         blk = np.stack(blk_pdf["__vec"].to_numpy()).astype(np.float64)
         blk /= np.linalg.norm(blk, axis=1, keepdims=True)
         bc = spark.sparkContext.broadcast((blk_ids, blk))
+        broadcasts.append(bc)
         stream = blocked.filter(F.col("__blk") >= b)
         parts.append(stream.mapInPandas(make_block_scorer(b, bc), schema=schema))
 
     if not parts:
-        return spark.createDataFrame([], schema)
-    return reduce(lambda a, c: a.unionByName(c), parts)
+        out = spark.createDataFrame([], schema)
+    else:
+        out = reduce(lambda a, c: a.unionByName(c), parts)
+    if eager_cleanup:
+        out = out.localCheckpoint(eager=True)
+        if n_blocks > 1:
+            blocked.unpersist()
+        for bc in broadcasts:
+            bc.destroy()
+    return out

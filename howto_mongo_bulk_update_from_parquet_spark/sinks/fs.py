@@ -70,6 +70,32 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+_OBJECT_STORE_SCHEMES = {"s3", "s3a", "s3n", "gs", "abfs", "abfss",
+                         "wasb", "wasbs", "oss", "cos"}
+
+
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Commit a small text file so no reader ever observes partial
+    content. Object stores: a single-object PUT is already atomic (and
+    rename there is a slow copy) → direct write. HDFS/local: write to a
+    temp name and rename over the target — rename is an atomic metadata
+    op; where the FS refuses to rename onto an existing file we
+    delete-then-rename, a sliver in which readers see the file MISSING
+    (and fall back), never truncated mid-write."""
+    fs, p = _fs_path(spark, path)
+    scheme = p.toUri().getScheme()
+    if scheme in _OBJECT_STORE_SCHEMES:
+        write_text(spark, path, text)
+        return
+    tmp = path + ".tmp"
+    write_text(spark, tmp, text)
+    _, p_tmp = _fs_path(spark, tmp)
+    if not fs.rename(p_tmp, p):
+        fs.delete(p, False)
+        if not fs.rename(p_tmp, p):
+            raise IOError(f"atomic commit of {path} failed")
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Contents of a small text file, or None if absent."""
     fs, p = _fs_path(spark, path)

@@ -22,9 +22,11 @@ Two write paths:
 
 All path operations go through the Hadoop FileSystem API (`sinks.fs`),
 so every function works unchanged on `file:`, `hdfs://` and `s3a://`
-paths. The manifest write is a single small object: atomic PUT on S3,
-metadata op on HDFS. Readers that race a manifest flip see the
-previous complete version — never a partial write.
+paths. The manifest commit is atomic everywhere: single-object PUT on
+object stores, temp-file + rename (atomic metadata op) on HDFS/local —
+a racing reader sees the old pointer or the new one, never partial
+content, and `retain_versions` (default 2: current + previous) keeps
+the base a pre-flip reader resolved alive until the next commit.
 """
 
 from __future__ import annotations
@@ -91,11 +93,14 @@ def read_keyed_table(spark: SparkSession, path: str,
 
 
 def _commit_version(spark: SparkSession, path: str, version: int,
-                    retain_versions: int = 1) -> None:
-    """Flip the manifest to `version`, then drop superseded bases
-    beyond `retain_versions` (kept for readers in flight / time
-    travel; 1 = current only)."""
-    hfs.write_text(spark, hfs.join(path, _MANIFEST), str(version))
+                    retain_versions: int = 2) -> None:
+    """Flip the manifest to `version` (atomic temp+rename commit — a
+    racing reader sees the old pointer or the new one, never a partial
+    file), then drop superseded bases beyond `retain_versions`. The
+    default keeps current + previous so a reader that resolved version
+    N just before the flip can finish its scan; set 1 only when no
+    concurrent readers exist."""
+    hfs.write_text_atomic(spark, hfs.join(path, _MANIFEST), str(version))
     keep = {version - i for i in range(retain_versions)}
     for d in hfs.listdir(spark, path):
         m = _BASE_RE.match(d)
@@ -113,7 +118,7 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             dedup_order_by: list[str] | None = None,
                             updated_at_col: str | None = "updatedAt",
                             n_files: int | None = None,
-                            retain_versions: int = 1,
+                            retain_versions: int = 2,
                             return_counts: bool = False):
     """MERGE `source` into the keyed parquet table at `path` (created on
     first write). Returns the post-merge table DataFrame, or
@@ -210,22 +215,22 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
 
 
 def compact(spark: SparkSession, path: str, key: str,
-            n_files: int | None = None) -> DataFrame:
+            n_files: int | None = None,
+            retain_versions: int = 2) -> DataFrame:
     """Fold base + all deltas into a new versioned base (ONE write +
-    manifest flip), then remove the deltas and the superseded base.
-    Readers between the flip and delta removal see a delta re-applied
-    over its own compacted result — harmless because the merge is
-    idempotent (same winner per key)."""
+    atomic manifest flip), then remove the deltas; superseded bases
+    past `retain_versions` (default: current + previous, for readers
+    in flight) are dropped. Readers between the flip and delta removal
+    see a delta re-applied over its own compacted result — harmless
+    because the merge is idempotent (same winner per key)."""
     merged = read_merged(spark, path, key)
     if n_files:
         merged = merged.repartition(n_files)
     old_version = current_base_version(spark, path)
     new_version = old_version + 1
     merged.write.mode("overwrite").parquet(_base_dir(path, new_version))
-    hfs.write_text(spark, hfs.join(path, _MANIFEST), str(new_version))
+    _commit_version(spark, path, new_version, retain_versions)
     for v in _delta_versions(spark, path):
         hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
-    if old_version:
-        hfs.delete(spark, _base_dir(path, old_version))
     hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
     return spark.read.parquet(_base_dir(path, new_version))

@@ -35,14 +35,19 @@ def test_versioned_layout_single_write_per_round(spark, tmp_path):
     r2 = spark.createDataFrame([("a", 9.0), ("c", 3.0)], "_id string, v double")
     upsert_into_keyed_table(spark, r2, path=path, key="_id")
     assert current_base_version(spark, path) == 2
-    # exactly ONE base directory holds the table (the superseded v1 is
-    # gone — each round wrote the merged table exactly once, no
-    # __tmp_write double-write dance)
-    base_dirs = [d for d in os.listdir(path) if d.startswith("base_v")]
-    assert base_dirs == ["base_v00002"]
+    # each round wrote the merged table exactly once (no __tmp_write
+    # double-write dance); the default retain window keeps current +
+    # previous so in-flight readers of v1 can finish
+    base_dirs = sorted(d for d in os.listdir(path) if d.startswith("base_v"))
+    assert base_dirs == ["base_v00001", "base_v00002"]
     assert not [d for d in os.listdir(path) if "tmp" in d.lower()]
     rows = {r["_id"]: r["v"] for r in read_keyed_table(spark, path).collect()}
     assert rows == {"a": 9.0, "b": 2.0, "c": 3.0}
+    # a third round pushes v1 out of the retain window
+    r3 = spark.createDataFrame([("d", 4.0)], "_id string, v double")
+    upsert_into_keyed_table(spark, r3, path=path, key="_id")
+    base_dirs = sorted(d for d in os.listdir(path) if d.startswith("base_v"))
+    assert base_dirs == ["base_v00002", "base_v00003"]
 
 
 def test_retain_versions_keeps_previous_snapshot(spark, tmp_path):
@@ -116,11 +121,12 @@ def test_compact_single_write_versioned_base(spark, tmp_path):
     assert "base" not in entries                        # legacy base removed
     assert not [d for d in entries if d.startswith("delta_")]
     assert not [d for d in entries if "tmp" in d.lower()]
-    # second compact rolls the version forward and drops v1
+    # second compact rolls the version forward; the default retain
+    # window keeps current + previous for in-flight readers
     append_delta(spark, spark.createDataFrame([("c", 3.0)], "_id string, v double"),
                  path=path, key="_id")
     compact(spark, path, "_id")
-    dirs = [d for d in os.listdir(path) if d.startswith("base_v")]
-    assert dirs == ["base_v00002"]
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("base_v"))
+    assert dirs == ["base_v00001", "base_v00002"]
     assert {r["_id"] for r in read_merged(spark, path, "_id").collect()} == \
         {"a", "b", "c"}

@@ -129,6 +129,46 @@ def test_cli_unknown_query(capsys):
     assert "unknown query" in capsys.readouterr().err
 
 
+def test_cli_explicit_table_wins_over_env_mongo_uri(spark, tmp_path,
+                                                   monkeypatch):
+    """An ambient $MONGO_CONNECTION_STRING must not silently redirect an
+    explicit --table write to Mongo."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    data = os.path.join(str(tmp_path), "data")
+    table = os.path.join(str(tmp_path), "table")
+    assert main(["generate", "--path", data, "--n-rows", "50",
+                 "--n-files", "1"]) == 0
+    monkeypatch.setenv("MONGO_CONNECTION_STRING", "mongodb://ambient:27017")
+    assert main(["upsert", "--path", data, "--table", table]) == 0
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import read_keyed_table
+    assert read_keyed_table(spark, table).count() == 50
+
+
+def test_cli_ambiguous_sink_errors(tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    assert main(["upsert", "--path", str(tmp_path), "--table", "/t",
+                 "--mongo-uri", "mongodb://x"]) == 2
+    assert "ambiguous sink" in capsys.readouterr().err
+
+
+def test_manifest_commit_atomic_and_retains_previous_base(spark, tmp_path):
+    """Default retain_versions=2: a reader that resolved version N just
+    before a flip can still finish its scan; the manifest commit goes
+    through temp+rename and leaves no .tmp behind."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import read_keyed_table
+    path = os.path.join(str(tmp_path), "retained")
+    for i in range(3):
+        src = spark.createDataFrame([("a", float(i))], "_id string, v double")
+        upsert_into_keyed_table(spark, src, path=path, key="_id")
+    names = set(os.listdir(path))
+    assert "base_v00003" in names and "base_v00002" in names
+    assert "base_v00001" not in names            # beyond retain window
+    assert "_CURRENT" in names and "_CURRENT.tmp" not in names
+    assert open(os.path.join(path, "_CURRENT")).read().strip() == "3"
+    # previous snapshot still time-travel readable
+    assert read_keyed_table(spark, path, version=2).count() == 1
+
+
 def test_keyed_table_counts(spark, tmp_path):
     path = os.path.join(str(tmp_path), "counted")
     r1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "_id string, v double")

@@ -43,6 +43,28 @@ def test_blocked_pairs_match_bruteforce(spark, block_size, n_blocks_min):
     assert -(-n // block_size) >= n_blocks_min
 
 
+def test_eager_cleanup_releases_cache_and_broadcasts(spark):
+    """Repeated multi-block calls in one session must not accumulate
+    executor storage: with eager_cleanup (default) only the small
+    checkpointed pair set stays cached — the blocked input frame is
+    unpersisted before returning."""
+    df = spark.createDataFrame([(i, [1.0, 2.0, 3.0]) for i in range(30)],
+                               "vid long, emb array<double>")
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = persistent_ids()
+    out = cosine_all_pairs_blocked(df, "vid", "emb", threshold=0.99,
+                                   block_size=8)
+    after = persistent_ids()
+    # exactly the one localCheckpoint RDD is new; the cached blocked
+    # frame (storage ~n_blocks× larger) is gone
+    assert len(after - before) == 1
+    # the result must survive the broadcast destroy + unpersist
+    assert len(out.collect()) == 30 * 29 // 2
+
+
 def test_blocked_pairs_no_duplicates_across_blocks(spark):
     # identical vectors in every block: every pair qualifies; each must
     # appear exactly once
