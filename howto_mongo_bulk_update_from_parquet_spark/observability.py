@@ -18,20 +18,55 @@ the driver-side semantic events the event log can't know about
 from __future__ import annotations
 
 import json
+import logging
+import logging.handlers
 import sys
 import time
 from contextlib import contextmanager
 from typing import Any, Iterator, TextIO
 
 
+def rotating_file_handler(path: str, max_bytes: int = 1_000_000,
+                          backup_count: int = 3) -> logging.Handler:
+    """Size-rotated file sink — parity with the reference's `logfile`
+    handler (config.yaml logging.handlers.logfile: RotatingFileHandler,
+    maxBytes 1e6, backupCount 3)."""
+    return logging.handlers.RotatingFileHandler(
+        path, maxBytes=max_bytes, backupCount=backup_count)
+
+
+def cloudwatch_handler(**kwargs: Any) -> logging.Handler:
+    """CloudWatch sink (reference src/func/log.py:15-32 setup_logger).
+    The `watchtower` package isn't in this environment — honest gate;
+    any stdlib logging.Handler plugs into StructuredLog the same way."""
+    try:
+        import watchtower  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "CloudWatch handler requires the public `watchtower` package "
+            "(pip install watchtower) — not present in this environment"
+        ) from exc
+    return watchtower.CloudWatchLogHandler(**kwargs)
+
+
 class StructuredLog:
     """Minimal JSON-lines event logger (stdlib-only, picklable-free —
-    driver-side use)."""
+    driver-side use). `handlers` tees every record, as its JSON line,
+    into arbitrary stdlib logging.Handlers (rotating file, CloudWatch,
+    syslog, …) — the reference's multi-handler config surface
+    (config.yaml logging.root.handlers) without a hard dependency."""
 
     def __init__(self, stream: TextIO | None = None,
-                 component: str = "howto_mongo_bulk_update_from_parquet_spark") -> None:
+                 component: str = "howto_mongo_bulk_update_from_parquet_spark",
+                 handlers: list[logging.Handler] | None = None) -> None:
         self.stream = stream if stream is not None else sys.stdout
         self.component = component
+        self.handlers = list(handlers or [])
+
+    def close(self) -> None:
+        """Flush + close attached handlers (reference close_handler)."""
+        for h in self.handlers:
+            h.close()
 
     def event(self, event: str, **fields: Any) -> dict[str, Any]:
         """Emit one structured record; returns it (tests assert shape)."""
@@ -41,9 +76,14 @@ class StructuredLog:
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
             **fields,
         }
-        json.dump(record, self.stream, default=str)
+        line = json.dumps(record, default=str)
+        self.stream.write(line)
         self.stream.write("\n")
         self.stream.flush()
+        for h in self.handlers:
+            h.handle(logging.LogRecord(
+                name=self.component, level=logging.INFO, pathname=__file__,
+                lineno=0, msg=line, args=(), exc_info=None))
         return record
 
     @contextmanager

@@ -86,7 +86,9 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 def configure_s3(spark: SparkSession, access_key: str | None = None,
-                 secret_key: str | None = None, endpoint: str | None = None) -> None:
+                 secret_key: str | None = None, endpoint: str | None = None,
+                 session_token: str | None = None,
+                 region: str | None = None) -> None:
     """S3 access via Hadoop S3A conf — replaces the reference's boto3→env
     bridge (/root/reference/src/func/aws.py:8-31). With no keys given,
     S3A falls back to the instance-profile/default provider chain, which
@@ -96,8 +98,75 @@ def configure_s3(spark: SparkSession, access_key: str | None = None,
         hconf.set("fs.s3a.access.key", access_key)
     if secret_key:
         hconf.set("fs.s3a.secret.key", secret_key)
+    if session_token:
+        hconf.set("fs.s3a.session.token", session_token)
+        hconf.set("fs.s3a.aws.credentials.provider",
+                  "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+    if region:
+        hconf.set("fs.s3a.endpoint.region", region)
     if endpoint:
         hconf.set("fs.s3a.endpoint", endpoint)
+
+
+def load_aws_profile(profile: str | None = None,
+                     credentials_path: str | None = None,
+                     config_path: str | None = None) -> dict[str, str | None]:
+    """Named-profile AWS credentials from the shared credentials/config
+    files (the same public file format boto3's Session reads) — parity
+    with the reference's boto3 profile bridge
+    (/root/reference/src/func/aws.py:8-31 get_credentials), without a
+    boto3 dependency: stdlib configparser over ~/.aws/credentials and
+    ~/.aws/config, honoring $AWS_PROFILE / $AWS_SHARED_CREDENTIALS_FILE
+    / $AWS_CONFIG_FILE.
+
+    Returns {access_key, secret_key, session_token, region} (values
+    None when absent). Raises KeyError for an unknown profile."""
+    import configparser
+    import os
+
+    profile = profile or os.environ.get("AWS_PROFILE") or "default"
+    cred_file = (credentials_path
+                 or os.environ.get("AWS_SHARED_CREDENTIALS_FILE")
+                 or os.path.expanduser("~/.aws/credentials"))
+    conf_file = (config_path
+                 or os.environ.get("AWS_CONFIG_FILE")
+                 or os.path.expanduser("~/.aws/config"))
+    creds = configparser.ConfigParser()
+    creds.read(cred_file)
+    if profile not in creds:
+        raise KeyError(f"profile {profile!r} not found in {cred_file}")
+    sec = creds[profile]
+    # region may live next to the keys, or in the config file where
+    # named profiles use a "[profile NAME]" section header
+    region = sec.get("region")
+    if not region:
+        conf = configparser.ConfigParser()
+        conf.read(conf_file)
+        for section in (profile if profile == "default"
+                        else f"profile {profile}", profile):
+            if section in conf and conf[section].get("region"):
+                region = conf[section]["region"]
+                break
+    return {
+        "access_key": sec.get("aws_access_key_id"),
+        "secret_key": sec.get("aws_secret_access_key"),
+        "session_token": sec.get("aws_session_token"),
+        "region": region,
+    }
+
+
+def configure_s3_from_profile(spark: SparkSession,
+                              profile: str | None = None,
+                              endpoint: str | None = None,
+                              credentials_path: str | None = None,
+                              config_path: str | None = None) -> None:
+    """Reference parity for `set_env_to_credentials(profile)`: resolve a
+    named profile and apply it to the session's S3A configuration."""
+    p = load_aws_profile(profile, credentials_path=credentials_path,
+                         config_path=config_path)
+    configure_s3(spark, access_key=p["access_key"],
+                 secret_key=p["secret_key"], endpoint=endpoint,
+                 session_token=p["session_token"], region=p["region"])
 
 
 def load_any(spark: SparkSession, path: str, fmt: str,

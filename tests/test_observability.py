@@ -42,6 +42,80 @@ def test_timed_error_channel_reraises():
     assert "boom" in line["error"]
 
 
+def test_rotating_file_handler_writes_and_rotates(tmp_path):
+    from howto_mongo_bulk_update_from_parquet_spark.observability import rotating_file_handler
+    path = os.path.join(str(tmp_path), "app.log")
+    log = StructuredLog(stream=io.StringIO(), handlers=[
+        rotating_file_handler(path, max_bytes=400, backup_count=2)])
+    for i in range(20):
+        log.event("write_complete", round=i, pad="x" * 40)
+    log.close()
+    # rotated backups exist and every surviving line is valid JSON with
+    # the structured shape
+    assert os.path.exists(path) and os.path.exists(path + ".1")
+    lines = [json.loads(ln) for ln in open(path).read().splitlines()]
+    assert lines and all(r["event"] == "write_complete" for r in lines)
+
+
+def test_cloudwatch_handler_is_honestly_gated():
+    from howto_mongo_bulk_update_from_parquet_spark.observability import cloudwatch_handler
+    with pytest.raises(NotImplementedError, match="watchtower"):
+        cloudwatch_handler()
+
+
+def test_aws_named_profile_bridge(tmp_path, monkeypatch):
+    """configparser twin of the reference's boto3 profile read
+    (src/func/aws.py:8-31): named profile keys + region from the
+    config file's '[profile X]' section."""
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_aws_profile
+    creds = tmp_path / "credentials"
+    creds.write_text(
+        "[default]\n"
+        "aws_access_key_id = AKIADEFAULT\n"
+        "aws_secret_access_key = sdefault\n"
+        "[staging]\n"
+        "aws_access_key_id = AKIASTAGING\n"
+        "aws_secret_access_key = sstaging\n"
+        "aws_session_token = tok123\n")
+    conf = tmp_path / "config"
+    conf.write_text(
+        "[default]\nregion = us-east-1\n"
+        "[profile staging]\nregion = eu-west-2\n")
+    got = load_aws_profile("staging", credentials_path=str(creds),
+                           config_path=str(conf))
+    assert got == {"access_key": "AKIASTAGING", "secret_key": "sstaging",
+                   "session_token": "tok123", "region": "eu-west-2"}
+    # default profile via $AWS_PROFILE resolution
+    monkeypatch.setenv("AWS_PROFILE", "default")
+    got = load_aws_profile(credentials_path=str(creds),
+                           config_path=str(conf))
+    assert got["access_key"] == "AKIADEFAULT"
+    assert got["session_token"] is None
+    assert got["region"] == "us-east-1"
+    with pytest.raises(KeyError, match="nope"):
+        load_aws_profile("nope", credentials_path=str(creds),
+                         config_path=str(conf))
+
+
+def test_configure_s3_from_profile_sets_hadoop_conf(spark, tmp_path):
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import configure_s3_from_profile
+    creds = tmp_path / "credentials"
+    creds.write_text(
+        "[p1]\n"
+        "aws_access_key_id = AKIA1\n"
+        "aws_secret_access_key = sec1\n"
+        "aws_session_token = tok1\n"
+        "region = ap-south-1\n")
+    configure_s3_from_profile(spark, "p1", credentials_path=str(creds),
+                              config_path=str(tmp_path / "absent"))
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AKIA1"
+    assert hconf.get("fs.s3a.secret.key") == "sec1"
+    assert hconf.get("fs.s3a.session.token") == "tok1"
+    assert hconf.get("fs.s3a.endpoint.region") == "ap-south-1"
+    assert "Temporary" in hconf.get("fs.s3a.aws.credentials.provider")
+
+
 def test_cli_query_emits_structured_timing(spark, capsys):
     from howto_mongo_bulk_update_from_parquet_spark.cli import main
     assert main(["query", "--name", "q_filter_project",
