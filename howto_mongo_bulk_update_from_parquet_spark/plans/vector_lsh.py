@@ -184,15 +184,18 @@ def q_vector_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
        (band, bucket) + distinct yields O(collisions) candidate pairs,
        never N². Banding trades cost for recall exactly like MinHash
        bands: P(candidate) = 1 - (1 - (1-θ/π)^b)^L.
-    2. verification — exact cosine computed only on the candidates
-       (two hash-joins back to the vectors + a JVM fold per pair).
+    2. verification — exact cosine computed only on the candidates.
+       Norms are precomputed ONCE per vector (carried through the two
+       hash-joins), so each candidate pair pays a single dot-product
+       fold instead of three — at N vectors and C candidates that is
+       N + C folds, not 3C.
 
     `operators/vector_blocks.cosine_all_pairs_blocked` (q_embedding_
     neardup) is the exactness VALIDATION BASELINE for this pipeline —
     the production default at scale is this query's shape, mirroring
     the text-side q_lsh_verified_pairs (plans/pipeline.py).
     """
-    from .similarity import _as_double, cosine
+    from .similarity import _as_double, dot
 
     e = load_table(spark, sf_dir, "embeddings")
     bucket_cols = [
@@ -206,16 +209,26 @@ def q_vector_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.struct(F.lit(k).cast("long").alias("band"),
                           F.col(f"__b{k}").alias("bucket"))
                  for k in range(N_BANDS)])).alias("bb"))
-             .select("vec_id", "bb.band", "bb.bucket"))
+             .select("vec_id", "bb.band", "bb.bucket")
+             # truncate lineage so the 36-hyperplane projection runs
+             # ONCE and both sides of the self-join read the tiny
+             # (vec_id, band, bucket) result; lazy (no job at
+             # construction), GC-cleaned
+             .localCheckpoint(eager=False))
     cand = (bands.select(F.col("vec_id").alias("id_a"), "band", "bucket")
             .join(bands.select(F.col("vec_id").alias("id_b"), "band", "bucket"),
                   ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    v = e.select("vec_id", _as_double("embedding").alias("ev"))
-    va = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("ev_a"))
-    vb = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("ev_b"))
-    sim = F.round(cosine(F.col("ev_a"), F.col("ev_b")), 6)
+    v = (e.select("vec_id", _as_double("embedding").alias("ev"))
+         .select("vec_id", "ev",
+                 F.sqrt(dot(F.col("ev"), F.col("ev"))).alias("nrm")))
+    va = v.select(F.col("vec_id").alias("id_a"),
+                  F.col("ev").alias("ev_a"), F.col("nrm").alias("nrm_a"))
+    vb = v.select(F.col("vec_id").alias("id_b"),
+                  F.col("ev").alias("ev_b"), F.col("nrm").alias("nrm_b"))
+    sim = F.round(dot(F.col("ev_a"), F.col("ev_b"))
+                  / (F.col("nrm_a") * F.col("nrm_b")), 6)
     return (cand.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b", sim.alias("cos_sim"))
             .filter(F.col("cos_sim") >= VERIFY_THRESHOLD))
