@@ -3,10 +3,16 @@ query on Spark and its oracle on DuckDB at a given SF, compare
 row-count, sorted-column schema, and order-insensitive values.
 
 Usage: python selfcheck.py [sf_dir] [query ...]
+
+A full-catalog run (no query filter) also writes SELFCHECK_FULL.json —
+the committed attestation record for every registered query, including
+the ones past the driver harness's 50-entry CORRECTNESS window.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -76,6 +82,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     from howto_mongo_bulk_update_from_parquet_spark.plans.catalog import CATALOG as cat
     for name, q in cat.items():
         if only and name not in only:
@@ -85,28 +92,44 @@ def main() -> int:
             sdf = q.fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
+            results[name] = {"status": "fail", "err": f"spark: {exc}"}
             n_fail += 1
             continue
         if q.oracle is None:
             n_rows_only += 1
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             print(f"ROWS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s, no oracle)")
             continue
         try:
             ddf = con.execute(q.oracle).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
+            results[name] = {"status": "fail", "err": f"duckdb: {exc}"}
             n_fail += 1
             continue
         problems = compare(name, sdf, ddf)
         if problems:
             n_fail += 1
+            results[name] = {"status": "fail", "spark_rows": len(sdf),
+                             "oracle_rows": len(ddf), "problems": problems}
             print(f"FAIL {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             for p in problems:
                 print(f"     {p}")
         else:
             n_pass += 1
+            results[name] = {"status": "pass", "spark_rows": len(sdf),
+                             "oracle_rows": len(ddf),
+                             "seconds": round(time.time() - t0, 2)}
             print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if not only:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SELFCHECK_FULL.json")
+        with open(out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "n_rows_only": n_rows_only, "queries": results},
+                      fh, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     return 1 if n_fail else 0
 
 
