@@ -116,6 +116,7 @@ def _load() -> None:
     from . import multimodal  # noqa: F401
     from . import streaming_q  # noqa: F401
     from . import scale_demo  # noqa: F401
+    from . import timeseries  # noqa: F401
     missing = [n for n in _HEAD if n not in CATALOG]
     if missing:
         raise RuntimeError(f"catalog head names not registered: {missing}")

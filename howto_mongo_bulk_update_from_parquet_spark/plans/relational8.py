@@ -92,3 +92,30 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
          .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
     return (d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
             .filter(F.col("rn") <= 50).select("lang", "doc_id"))
+
+# FULL OUTER: both unmatched sides survive with nulls — the merge-
+# reconciliation shape (also the internal join of keyed_upsert,
+# operators/merge.py; here as a first-class relational query).
+FULL_OUTER_ORACLE = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_mktsegment,
+       o.n_orders
+FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 750) c
+FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                 FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("q_join_full_outer", FULL_OUTER_ORACLE,
+          "FULL OUTER join: customers without orders AND order-keys "
+          "outside the customer slice both survive with nulls")
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") <= 750)
+         .select("c_custkey", "c_mktsegment"))
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders")))
+    return (c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+            .select(F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+                    "c_mktsegment", "n_orders"))
