@@ -9,7 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming.jobs import stream_session_windows, stream_tumbling_counts
+from ..streaming.jobs import (stream_session_windows, stream_stream_join,
+                              stream_tumbling_counts)
 from .catalog import register
 
 STREAM_TUMBLING_ORACLE = """
@@ -26,6 +27,29 @@ GROUP BY 1, 2
           "Structured Streaming watermarked tumbling windows (memory sink, availableNow)")
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_tumbling_counts(spark, sf_dir)
+
+
+# over the fully-staged batch the append-mode stream-stream join emits
+# exactly the batch join's pair set (watermarks only bound STATE, they
+# drop nothing when every row is on time relative to the final batch).
+STREAM_STREAM_JOIN_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_id, v.ts AS view_ts,
+       b.event_id AS buy_id, b.ts AS buy_ts
+FROM events v
+JOIN events b
+  ON b.user_id = v.user_id
+ AND v.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("q_stream_stream_join", STREAM_STREAM_JOIN_ORACLE,
+          "Structured Streaming stream-stream inner join: views joined "
+          "to same-user purchases within 30 min (watermarked both "
+          "sides, bounded state, append mode)")
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_stream_join(spark, sf_dir)
 
 
 # session_window merges an event into the previous session iff

@@ -78,6 +78,53 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_events", "sum_value")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-bounded stream-stream INNER join: each `view` joined
+    to the same user's `purchase` events landing within the following
+    30 minutes — the attribution-join shape.
+
+    Both sides carry watermarks and the join condition bounds buy_ts to
+    a finite window after view_ts, so the state store can expire a view
+    row once the purchase-side watermark passes view_ts + 30 min —
+    state stays bounded by (watermark delay + join window) × arrival
+    rate, never by stream length. Append mode (the only mode
+    stream-stream inner joins support) emits each matched pair exactly
+    once. Two independent file sources over the same staged directory
+    keep this a true two-stream join rather than a self-join."""
+    views_src, stage = _stage_events_stream(spark, sf_dir)
+    buys_src = (spark.readStream.schema(_RAW_EVENTS).parquet(stage)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    views = (views_src.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "10 minutes"))
+    buys = (buys_src.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("user_id"),
+                    F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("buy_ts"))
+            .withWatermark("buy_ts", "10 minutes"))
+    joined = (views.join(
+        buys,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("interval 30 minutes")),
+        "inner")
+        .select("user_id", "view_id", "view_ts", "buy_id", "buy_ts"))
+    # A stream-stream join opens FOUR state stores per shuffle
+    # partition; a streaming query's state partitioning is fixed at its
+    # first run, independent of batch queries — size it to the stream's
+    # key cardinality, not the session's batch-shuffle width. The
+    # override is scoped: the job runs to completion inside
+    # _run_to_memory, then the session conf is restored.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_to_memory(joined, "append", stage)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute gap — the streaming
     counterpart of the batch lag+cumsum sessionization."""
