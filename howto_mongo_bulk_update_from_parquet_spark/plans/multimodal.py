@@ -61,3 +61,34 @@ def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     meta = extract_media_meta(attach_blob(d, "doc_id", "text"), fake=True)
     return resize_plan(meta, max_side=256)
+
+
+# Byte-level features are exact integers, so the oracle can reproduce
+# them from the UTF-8 text (pure-ASCII fixture ⇒ ascii(char) == byte).
+FEATURES_ORACLE = """
+WITH b AS (
+  SELECT doc_id, ascii(substr(text, i.i, 1)) AS byte
+  FROM documents
+  CROSS JOIN LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) i
+  WHERE length(text) > 0
+)
+SELECT doc_id AS asset_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bytes,
+       CAST(COUNT(DISTINCT byte) AS BIGINT) AS n_distinct_bytes,
+       CAST(SUM(byte) AS BIGINT) AS sum_bytes,
+       CAST(MIN(byte) AS BIGINT) AS min_byte,
+       CAST(MAX(byte) AS BIGINT) AS max_byte
+FROM b GROUP BY doc_id
+"""
+
+
+@register("q_feature_extract", FEATURES_ORACLE,
+          "REAL multimodal feature extraction: per-asset byte statistics "
+          "via numpy over Arrow batches (the embedding-encoder pipeline "
+          "shape, executable end-to-end — no decode stub)")
+def q_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import extract_byte_features
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return extract_byte_features(attach_blob(d, "doc_id", "text"))

@@ -43,3 +43,16 @@ def test_sample_frames_only_video(spark):
     frames = sample_frames(meta, every_nth=6).collect()
     assert {f.asset_id for f in frames} == {2}
     assert [f.frame_idx for f in frames] == list(range(0, frames[-1].frame_idx + 1, 6))
+
+
+def test_byte_features_match_python(spark):
+    from howto_mongo_bulk_update_from_parquet_spark.operators.multimodal import (
+        attach_blob, extract_byte_features)
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "aaaa"), (3, "z")], "doc_id long, text string")
+    rows = {r.asset_id: r for r in
+            extract_byte_features(attach_blob(df, "doc_id", "text")).collect()}
+    assert rows[1].n_bytes == 3 and rows[1].n_distinct_bytes == 3
+    assert rows[1].sum_bytes == ord("a") + ord("b") + ord("c")
+    assert rows[2].n_distinct_bytes == 1 and rows[2].sum_bytes == 4 * ord("a")
+    assert rows[3].min_byte == rows[3].max_byte == ord("z")
