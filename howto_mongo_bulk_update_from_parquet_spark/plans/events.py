@@ -73,3 +73,99 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end")))
+
+
+# --- cascading rollup (hypertable continuous-aggregate pattern) --------
+
+# At 100 TB you never rescan raw events for coarser resolutions: the
+# daily rollup aggregates the HOURLY result (24× smaller), monthly
+# aggregates daily. Decimal sums are associative, so re-aggregation is
+# exact and the cascade equals a direct group-by at every level.
+ROLLUP_CASCADE_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT date_trunc('day', bucket) AS bucket,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+  FROM hourly GROUP BY 1
+),
+monthly AS (
+  SELECT date_trunc('month', bucket) AS bucket,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+  FROM daily GROUP BY 1
+)
+SELECT 'hour' AS level, CAST(bucket AS TIMESTAMP) AS bucket_start,
+       n_events, CAST(sv AS DOUBLE) AS sum_value FROM hourly
+UNION ALL
+SELECT 'day', CAST(bucket AS TIMESTAMP), n_events, CAST(sv AS DOUBLE) FROM daily
+UNION ALL
+SELECT 'month', CAST(bucket AS TIMESTAMP), n_events, CAST(sv AS DOUBLE) FROM monthly
+"""
+
+
+@register("q_rollup_cascade", ROLLUP_CASCADE_ORACLE,
+          "continuous-aggregate cascade: hour -> day -> month, each "
+          "level re-aggregating the previous (never rescanning raw)")
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,2)")).alias("sv")))
+    daily = (hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
+             .agg(F.sum("n_events").cast("long").alias("n_events"),
+                  F.sum("sv").alias("sv")))
+    monthly = (daily.groupBy(F.date_trunc("month", "bucket").alias("bucket"))
+               .agg(F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("sv").alias("sv")))
+
+    def lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.lit(name).alias("level"),
+                         F.col("bucket").alias("bucket_start"),
+                         "n_events", F.col("sv").cast("double").alias("sum_value"))
+
+    return (lvl(hourly, "hour")
+            .unionByName(lvl(daily, "day"))
+            .unionByName(lvl(monthly, "month")))
+
+
+# --- NTILE bucketing ----------------------------------------------------
+
+# Decile assignment is the dataset-split / price-banding primitive.
+# PARTITIONED ntile (per order-priority): each window sorts within its
+# partition — no global single-partition sort, so the plan survives
+# scale-up. (A GLOBAL ntile at 100 TB is the wrong tool: use
+# percentile_approx cut-points broadcast into a range bucketizer.)
+# (o_totalprice, o_orderkey) totally orders each partition, so tiles
+# are deterministic across engines and partitionings.
+NTILE_ORACLE = """
+SELECT o_orderpriority, decile,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         NTILE(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY o_orderpriority, decile
+"""
+
+
+@register("q_ntile_buckets", NTILE_ORACLE,
+          "NTILE(10) price deciles per order-priority with per-bucket "
+          "stats (partitioned window — no global sort)")
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice", "o_orderkey"))
+    return (o.select("o_orderpriority", "o_totalprice",
+                     F.ntile(10).over(w).alias("decile"))
+            .groupBy("o_orderpriority", "decile")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_totalprice").cast("double").alias("min_price"),
+                 F.max("o_totalprice").cast("double").alias("max_price")))
