@@ -112,12 +112,18 @@ SELECT 'month', CAST(bucket AS TIMESTAMP), n_events, CAST(sv AS DOUBLE) FROM mon
           "level re-aggregating the previous (never rescanning raw)")
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # each level is lazily checkpointed: the union below references
+    # hourly 3× and daily 2× (directly + through coarser levels), and
+    # without lineage truncation Spark would rescan raw events once per
+    # branch — exactly what the cascade exists to avoid
     hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.sum(F.col("value").cast("decimal(18,2)")).alias("sv")))
+                   F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"))
+              .localCheckpoint(eager=False))
     daily = (hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
              .agg(F.sum("n_events").cast("long").alias("n_events"),
-                  F.sum("sv").alias("sv")))
+                  F.sum("sv").alias("sv"))
+             .localCheckpoint(eager=False))
     monthly = (daily.groupBy(F.date_trunc("month", "bucket").alias("bucket"))
                .agg(F.sum("n_events").cast("long").alias("n_events"),
                     F.sum("sv").alias("sv")))
