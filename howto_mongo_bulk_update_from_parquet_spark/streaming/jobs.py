@@ -24,10 +24,27 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextmanager
+def scoped_state_partitions(spark: SparkSession, n: int = 8):
+    """Streaming state lives in one store per shuffle partition (×4 for
+    a stream-stream join), and a streaming query's state partitioning
+    is fixed at its first run — size it to the stream's key
+    cardinality, not the session's batch-shuffle width. Safe to scope:
+    the wrapped query runs to completion inside the block (awaitTermination),
+    then the session conf is restored for batch plans."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 _RAW_EVENTS = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -73,7 +90,8 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value")))
-    out = _run_to_memory(agg, "complete", stage)
+    with scoped_state_partitions(spark):
+        out = _run_to_memory(agg, "complete", stage)
     return out.select(F.col("w.start").alias("window_start"), "event_type",
                       "n_events", "sum_value")
 
@@ -111,18 +129,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("buy_ts") <= F.col("view_ts") + F.expr("interval 30 minutes")),
         "inner")
         .select("user_id", "view_id", "view_ts", "buy_id", "buy_ts"))
-    # A stream-stream join opens FOUR state stores per shuffle
-    # partition; a streaming query's state partitioning is fixed at its
-    # first run, independent of batch queries — size it to the stream's
-    # key cardinality, not the session's batch-shuffle width. The
-    # override is scoped: the job runs to completion inside
-    # _run_to_memory, then the session conf is restored.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with scoped_state_partitions(spark):
         return _run_to_memory(joined, "append", stage)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +140,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (events.withWatermark("ts", "10 minutes")
            .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
            .agg(F.count(F.lit(1)).alias("n_events")))
-    out = _run_to_memory(agg, "complete", stage)
+    with scoped_state_partitions(spark):
+        out = _run_to_memory(agg, "complete", stage)
     return out.select("user_id", F.col("sw.start").alias("session_start"),
                       F.col("sw.end").alias("session_end"), "n_events")

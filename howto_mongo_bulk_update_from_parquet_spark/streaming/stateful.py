@@ -49,7 +49,7 @@ def _first_seen(key, pdfs, state: GroupState):
 def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First occurrence of each (user, event_type), computed by the
     streaming engine with explicit keyed state."""
-    from .jobs import _run_to_memory, _stage_events_stream
+    from .jobs import _run_to_memory, _stage_events_stream, scoped_state_partitions
     events, stage = _stage_events_stream(spark, sf_dir)
     # project before the stateful exchange: only 4 of 6 columns cross
     # the Arrow boundary (drops `props`, the widest column — the JSON
@@ -58,7 +58,8 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (events.groupBy("user_id", "event_type")
            .applyInPandasWithState(_first_seen, OUTPUT_SCHEMA, STATE_SCHEMA,
                                    "append", GroupStateTimeout.NoTimeout))
-    return _run_to_memory(out, "append", stage)
+    with scoped_state_partitions(spark):
+        return _run_to_memory(out, "append", stage)
 
 
 def _make_first_seen_ttl(ttl_minutes: int):
@@ -125,8 +126,10 @@ def stream_first_seen_ttl(spark: SparkSession, sf_dir: str,
     window, so the result still equals the batch arg-min oracle — the
     eviction behavior itself is exercised by
     tests/test_streaming.py with a multi-batch run."""
-    from .jobs import _run_to_memory, _stage_events_stream
+    from .jobs import _run_to_memory, _stage_events_stream, scoped_state_partitions
     events, stage = _stage_events_stream(spark, sf_dir)
     events = events.select("user_id", "event_type", "ts", "event_id")
-    return _run_to_memory(first_seen_ttl_query(events, ttl_minutes=ttl_minutes),
-                          "append", stage)
+    with scoped_state_partitions(spark):
+        return _run_to_memory(
+            first_seen_ttl_query(events, ttl_minutes=ttl_minutes),
+            "append", stage)
