@@ -25,6 +25,11 @@ class EngineConfig:
     collection: str = "coll"
     key: str = "_id"
     n_partitions: int | None = None
+    # streaming state width (one state store per shuffle partition);
+    # sizing rule in streaming/jobs.py::resolve_state_partitions. The
+    # env channel BULK_UPDATE_STREAM_STATE_PARTITIONS is also read
+    # directly by resolve_state_partitions for conf-less callers.
+    stream_state_partitions: int | None = None
 
     @classmethod
     def field_names(cls) -> list[str]:
@@ -84,4 +89,6 @@ def load_config(config_file: str | None = None,
         cfg.mongo_uri = env["MONGO_CONNECTION_STRING"]
     if cfg.n_partitions is not None:
         cfg.n_partitions = int(cfg.n_partitions)
+    if cfg.stream_state_partitions is not None:
+        cfg.stream_state_partitions = int(cfg.stream_state_partitions)
     return cfg

@@ -50,37 +50,46 @@ _LOADED = False
 # names must span EVERY capability — each SURVEY §2.2 category, each
 # §2.1 reference operator with an oracle-able twin, and each
 # LLM-pipeline operator (dedup/LSH, similarity/ANN, text, UDF surface,
-# multimodal, streaming, SCD2/CDC, data quality). Redundant variants of
-# already-attested categories (second scalar/window/set-op batteries,
-# extra TPC-H refs) live in the tail; they keep full oracle coverage
-# via selfcheck.py, recorded in SELFCHECK_FULL.json.
+# multimodal, streaming, SCD2/CDC, data quality). The head ROTATES
+# between rounds: queries attested by a previous round's driver run
+# (CORRECTNESS_r*.json) yield their slot — within the same capability
+# category — to queries that are new or changed this round, so every
+# query eventually gets an externally-attested run. Tail queries keep
+# full oracle coverage via selfcheck.py (SELFCHECK_FULL.json); the
+# round notes list the rotation.
 _HEAD: tuple[str, ...] = (
     # reference core: scan, project/filter, merge-upsert, generator
     "q1_pricing_summary", "q_filter_project", "q_merge_upsert", "q_generate",
-    # joins: multiway, semi/anti, range, as-of, null-safe, disjunctive pushdown
+    # joins: multiway, semi/anti, range, as-of, null-safe, disjunctive
+    # pushdown, full outer (rotated in r4; never driver-attested)
     "q_join_multiway", "q_join_semi_anti", "q_join_range", "q_asof_join",
-    "q_null_safe_join", "q_tpch_q19_disjunctive",
-    # aggregation: distinct, rollup, grouping sets, skew-salted
+    "q_null_safe_join", "q_tpch_q19_disjunctive", "q_join_full_outer",
+    # aggregation: distinct, rollup(+cascade), grouping sets, skew-salted
     "q_agg_distinct", "q_rollup", "q_grouping_sets", "q_skew_salted_agg",
-    # windows, sort/limit, set ops
-    "q_window_topk", "q_window_running", "q_orderby_limit", "q_setops",
+    "q_rollup_cascade",
+    # windows (+ntile, rotated in r4), sort/limit, set ops
+    "q_window_topk", "q_window_running", "q_ntile_buckets",
+    "q_orderby_limit", "q_setops",
     # scalar function families (string / JSON / array higher-order)
     "q_string_funcs", "q_json_funcs", "q_array_hof",
-    # dedup battery
+    # dedup battery (simhash/keep_one attested r3 → tail)
     "q_dedup_latest", "q_minhash_lsh_pairs", "q_lsh_verified_pairs",
-    "q_dedup_clusters", "q_simhash", "q_dedup_keep_one",
+    "q_dedup_clusters",
     # similarity / ANN battery
     "q_knn_bruteforce", "q_ann_ivf_search", "q_rhp_lsh_pairs",
     "q_vector_lsh_verified", "q_kmeans_iter",
-    # text analysis + corpus pipeline
-    "q_quality_score", "q_lang_id", "q_doc_chunking", "q_dataset_split",
-    "q_stratified_sample", "q_training_pipeline",
+    # text analysis + corpus pipeline (dataset_split/stratified_sample
+    # attested r3 → tail); time-series resample rotated in (new in r3)
+    "q_quality_score", "q_lang_id", "q_doc_chunking",
+    "q_training_pipeline", "q_time_resample",
     # UDF / UDAF / UDTF surface
     "q_udaf_grouped_agg", "q_grouped_map_median", "q_udtf_bigrams",
-    # multimodal plumbing
-    "q_multimodal_meta", "q_frame_sample", "q_resize_plan",
-    # real Structured Streaming engine
-    "q_stream_tumbling", "q_stream_first_seen_ttl",
+    # multimodal plumbing (frame_sample/resize_plan attested r3 → tail)
+    "q_multimodal_meta",
+    # real Structured Streaming engine — all four are new or changed to
+    # append mode in r4 (first_seen/TTL pair attested r3 → tail)
+    "q_stream_tumbling", "q_stream_session_windows",
+    "q_stream_stream_join", "q_stream_stream_left",
     # SCD2 / CDC over the keyed table
     "q_scd2_history", "q_cdc_diff",
     # data quality / profiling

@@ -1,8 +1,12 @@
-"""Structured Streaming queries registered in the catalog. Both drive
+"""Structured Streaming queries registered in the catalog. All drive
 the real streaming engine (file source → watermark → state store →
-memory sink, availableNow) and still carry full DuckDB oracles: in
-complete mode over the staged batch the final state equals the batch
-aggregation.
+memory sink, availableNow) in **append** output mode — the bounded-
+state form a production deployment runs — and still carry full DuckDB
+oracles: the availableNow final no-data batch advances the watermark
+to max(event_time) - delay and flushes every watermark-closed window,
+so each oracle is the batch aggregation restricted to the same
+closed-window cutoff (verified value-exact against the engine at
+sf0.001/0.01/0.1).
 """
 
 from __future__ import annotations
@@ -10,21 +14,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.jobs import (stream_session_windows, stream_stream_join,
-                              stream_tumbling_counts)
+                              stream_stream_left_join, stream_tumbling_counts)
 from .catalog import register
 
+# Append mode emits a window when the final watermark (max ts - 10 min)
+# passes the window end; the tail window containing max(ts) stays open
+# in state and is not emitted, so the oracle excludes it too.
 STREAM_TUMBLING_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
 GROUP BY 1, 2
 """
 
 
 @register("q_stream_tumbling", STREAM_TUMBLING_ORACLE,
-          "Structured Streaming watermarked tumbling windows (memory sink, availableNow)")
+          "Structured Streaming watermarked tumbling windows, append mode "
+          "(bounded state, watermark-evicted; memory sink, availableNow)")
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_tumbling_counts(spark, sf_dir)
 
@@ -52,8 +62,47 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_join(spark, sf_dir)
 
 
+# Outer rows are watermark-gated: an unmatched view is emitted with
+# NULLs only once the global watermark — min over both sides' maxima
+# minus the 10-min delay — passes view_ts + 30 min (its state-expiry
+# point). Matched pairs are emitted as they join, same as inner.
+STREAM_STREAM_LEFT_ORACLE = """
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+     b AS (SELECT user_id AS b_user, event_id AS buy_id, ts AS buy_ts
+           FROM events WHERE event_type = 'purchase'),
+     wm AS (SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+                         (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+                   - INTERVAL 10 MINUTE AS w)
+SELECT v.user_id, v.view_id, v.view_ts, b.buy_id, b.buy_ts
+FROM v JOIN b
+  ON b.b_user = v.user_id
+ AND b.buy_ts >= v.view_ts AND b.buy_ts <= v.view_ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT v.user_id, v.view_id, v.view_ts,
+       CAST(NULL AS BIGINT) AS buy_id, CAST(NULL AS TIMESTAMP) AS buy_ts
+FROM v, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM b
+        WHERE b.b_user = v.user_id
+          AND b.buy_ts >= v.view_ts
+          AND b.buy_ts <= v.view_ts + INTERVAL 30 MINUTE)
+  AND v.view_ts + INTERVAL 30 MINUTE < wm.w
+"""
+
+
+@register("q_stream_stream_left", STREAM_STREAM_LEFT_ORACLE,
+          "Structured Streaming stream-stream LEFT OUTER join: views "
+          "with their 30-min purchase or NULLs once the watermark "
+          "expires the row (bounded state, append mode)")
+def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_stream_left_join(spark, sf_dir)
+
+
 # session_window merges an event into the previous session iff
 # event_ts - last_ts < gap (µs-exact); session_end = last event + gap.
+# Append mode emits a session once the watermark passes its end, so
+# the oracle keeps only sessions with end <= max(ts) - 10 min.
 STREAM_SESSION_ORACLE = """
 WITH seq AS (
   SELECT user_id, ts,
@@ -73,10 +122,13 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM sess
 GROUP BY user_id, session_seq
+HAVING MAX(ts) + INTERVAL 30 MINUTE
+       <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
 """
 
 
 @register("q_stream_session_windows", STREAM_SESSION_ORACLE,
-          "Structured Streaming session windows (30-min gap, state-store merge)")
+          "Structured Streaming session windows, append mode (30-min "
+          "gap, state-store merge, watermark-evicted)")
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_session_windows(spark, sf_dir)

@@ -6,16 +6,21 @@ drives the streaming engine (incremental planner, state store,
 watermark tracking) to completion over the staged files — the same
 query runs unchanged against Kafka by swapping the source.
 
-Scale notes: both catalog jobs below run in `complete` output mode so
-the batch-equality oracle sees every window — in complete mode the
-watermark neither drops late rows nor evicts state. Switch to
-append/update mode for bounded state in production (the append-mode
-late-row drop is exercised in tests/test_streaming.py). Each
-micro-batch's window aggregation is a keyed state-store update
-partitioned by (window, key) — adding executors scales state
-linearly. The parquet staging dance below exists only because the
-test tables put every table in one directory; a real deployment points
-readStream at its own path/topic.
+Scale notes: every catalog job below runs in `append` output mode —
+the scale-safe form. The watermark finalizes a window once it passes
+the window end, the state store evicts it, and it is emitted exactly
+once; state is bounded by (watermark delay + window span) × arrival
+rate, never by stream length. The oracles are therefore restricted to
+watermark-closed windows: under `availableNow` the engine runs a
+final no-data micro-batch after the last data batch, advancing the
+watermark to max(event_time) - delay and flushing every window whose
+end precedes it (verified empirically: emitted set == batch windows
+with end <= max_ts - delay, value-exact). Each micro-batch's window
+aggregation is a keyed state-store update partitioned by (window,
+key) — adding executors scales state linearly. The parquet staging
+dance below exists only because the test tables put every table in
+one directory; a real deployment points readStream at its own
+path/topic.
 """
 
 from __future__ import annotations
@@ -31,16 +36,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Conf/env channels for the streaming state width (explicit arg wins).
+STATE_PARTITIONS_CONF = "spark.bulkUpdate.stream.statePartitions"
+STATE_PARTITIONS_ENV = "BULK_UPDATE_STREAM_STATE_PARTITIONS"
+DEFAULT_STATE_PARTITIONS = 8
+
+
+def resolve_state_partitions(spark: SparkSession, n: int | None = None) -> int:
+    """Resolve the streaming state width: explicit per-job `n` >
+    session conf `spark.bulkUpdate.stream.statePartitions` > env
+    `BULK_UPDATE_STREAM_STATE_PARTITIONS` > 8 (right for the test
+    fixture's key cardinality).
+
+    Sizing rule: state lives in one store per shuffle partition (×4
+    stores for a stream-stream join), so pick
+    n ≈ distinct_keys / target_keys_per_store — enough partitions
+    that one store's keyed state fits executor memory, and no more
+    (each store adds per-batch snapshot/commit overhead). At 100×,
+    also switch the store engine to RocksDB
+    (`spark.sql.streaming.stateStore.providerClass` =
+    `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`)
+    so per-store state spills to local disk instead of the JVM heap."""
+    if n is not None:
+        return n
+    conf_val = spark.conf.get(STATE_PARTITIONS_CONF, None)
+    if conf_val:
+        return int(conf_val)
+    env_val = os.environ.get(STATE_PARTITIONS_ENV)
+    if env_val:
+        return int(env_val)
+    return DEFAULT_STATE_PARTITIONS
+
+
 @contextmanager
-def scoped_state_partitions(spark: SparkSession, n: int = 8):
-    """Streaming state lives in one store per shuffle partition (×4 for
-    a stream-stream join), and a streaming query's state partitioning
-    is fixed at its first run — size it to the stream's key
-    cardinality, not the session's batch-shuffle width. Safe to scope:
-    the wrapped query runs to completion inside the block (awaitTermination),
+def scoped_state_partitions(spark: SparkSession, n: int | None = None):
+    """Streaming state lives in one store per shuffle partition, and a
+    streaming query's state partitioning is fixed at its first run —
+    size it to the stream's key cardinality (see
+    resolve_state_partitions for the sizing rule and channels), not
+    the session's batch-shuffle width. Safe to scope: the wrapped
+    query runs to completion inside the block (awaitTermination),
     then the session conf is restored for batch plans."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(resolve_state_partitions(spark, n)))
     try:
         yield
     finally:
@@ -83,15 +122,19 @@ def _run_to_memory(agg: DataFrame, mode: str, stage: str) -> DataFrame:
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 1-hour tumbling windows: count + exact sum per
-    (window, event_type). Complete mode over the staged batch ⇒ the
-    result equals the batch aggregation (q_event_tumbling's oracle)."""
+    (window, event_type), append output mode — each window is emitted
+    exactly once when the watermark passes its end and its state is
+    evicted, so state stays bounded by the windows still open within
+    the watermark delay. The final availableNow no-data batch flushes
+    every window except those still open past max_ts - 10min; the
+    oracle applies the same closed-window cutoff."""
     events, stage = _stage_events_stream(spark, sf_dir)
     agg = (events.withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value")))
     with scoped_state_partitions(spark):
-        out = _run_to_memory(agg, "complete", stage)
+        out = _run_to_memory(agg, "append", stage)
     return out.select(F.col("w.start").alias("window_start"), "event_type",
                       "n_events", "sum_value")
 
@@ -133,14 +176,58 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(joined, "append", stage)
 
 
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-bounded stream-stream LEFT OUTER join: every `view`
+    with the same user's `purchase` events landing within the
+    following 30 minutes, or NULLs when none arrive — the attribution
+    shape including un-converted views.
+
+    Outer emission is watermark-driven: a buffered view row is held in
+    state only until the global watermark (min over both sides'
+    event-time maxima, minus the 10-min delay) passes view_ts + 30 min
+    — at that point no qualifying purchase can still arrive, the row
+    is evicted, and it is emitted with NULL purchase columns iff it
+    never matched. State therefore stays bounded by (delay + join
+    window) × arrival rate. The availableNow final no-data batch
+    flushes every expirable row; the oracle applies the identical
+    cutoff (unmatched views need view_ts + 30min < min(max view_ts,
+    max buy_ts) - 10min — verified value-exact against the engine)."""
+    views_src, stage = _stage_events_stream(spark, sf_dir)
+    buys_src = (spark.readStream.schema(_RAW_EVENTS).parquet(stage)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    views = (views_src.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "10 minutes"))
+    buys = (buys_src.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("buy_ts"))
+            .withWatermark("buy_ts", "10 minutes"))
+    joined = (views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("interval 30 minutes")),
+        "left_outer")
+        .select(F.col("v_user").alias("user_id"), "view_id", "view_ts",
+                "buy_id", "buy_ts"))
+    with scoped_state_partitions(spark):
+        return _run_to_memory(joined, "append", stage)
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute gap — the streaming
-    counterpart of the batch lag+cumsum sessionization."""
+    counterpart of the batch lag+cumsum sessionization. Append output
+    mode: a session is emitted exactly once when the watermark passes
+    its end (last event + gap) and its state is evicted; the oracle
+    applies the same closed-session cutoff (end <= max_ts - 10min)."""
     events, stage = _stage_events_stream(spark, sf_dir)
     agg = (events.withWatermark("ts", "10 minutes")
            .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
            .agg(F.count(F.lit(1)).alias("n_events")))
     with scoped_state_partitions(spark):
-        out = _run_to_memory(agg, "complete", stage)
+        out = _run_to_memory(agg, "append", stage)
     return out.select("user_id", F.col("sw.start").alias("session_start"),
                       F.col("sw.end").alias("session_end"), "n_events")

@@ -42,7 +42,11 @@ def test_head50_spans_every_capability():
     """The correctness harness attests a bounded prefix (cap 50) of the
     registration order, so the first 50 names must cover every SURVEY
     §2.2 category and LLM-pipeline operator — pin both the ordering
-    mechanism and the category spread."""
+    mechanism and the category spread. (The head ROTATES between
+    rounds: queries already driver-attested in CORRECTNESS_r*.json may
+    yield their slot to unattested ones in the same category — e.g.
+    q_simhash and q_stream_first_seen_ttl, attested r3, moved to the
+    selfcheck-covered tail in r4.)"""
     from howto_mongo_bulk_update_from_parquet_spark.plans.catalog import _HEAD
     names = list(all_queries())
     assert names[:50] == list(_HEAD)
@@ -63,7 +67,6 @@ def test_head50_spans_every_capability():
         "dedup_lsh": "q_minhash_lsh_pairs",
         "dedup_verify": "q_lsh_verified_pairs",
         "dedup_cluster": "q_dedup_clusters",
-        "simhash": "q_simhash",
         "knn": "q_knn_bruteforce",
         "ivf": "q_ann_ivf_search",
         "vector_lsh": "q_vector_lsh_verified",
@@ -75,7 +78,10 @@ def test_head50_spans_every_capability():
         "udtf": "q_udtf_bigrams",
         "multimodal": "q_multimodal_meta",
         "streaming": "q_stream_tumbling",
-        "streaming_state_ttl": "q_stream_first_seen_ttl",
+        "streaming_session": "q_stream_session_windows",
+        "streaming_join": "q_stream_stream_join",
+        "streaming_outer_join": "q_stream_stream_left",
+        "full_outer_join": "q_join_full_outer",
         "scd2": "q_scd2_history",
         "cdc": "q_cdc_diff",
         "profiling": "q_profile_columns",

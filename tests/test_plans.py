@@ -45,7 +45,8 @@ def test_multiway_join_broadcasts_all_dims(spark):
 def test_rhp_buckets_is_single_projection_no_shuffle(spark):
     plan = _plan(spark, "q_rhp_lsh_buckets")
     assert "Exchange" not in plan                         # zero-shuffle pass
-    assert "BatchEvalPython" not in plan                  # no Python UDF
+    assert "BatchEvalPython" not in plan                  # no row-at-a-time UDF
+    assert "ArrowEvalPython" in plan                      # vectorized matmul path
 
 
 def test_lsh_pipelines_never_cross_join(spark):

@@ -5,22 +5,87 @@ from pyspark.sql import functions as F
 
 from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
 from howto_mongo_bulk_update_from_parquet_spark.streaming.jobs import (
-    stream_session_windows, stream_tumbling_counts)
+    resolve_state_partitions, scoped_state_partitions,
+    stream_session_windows, stream_stream_left_join, stream_tumbling_counts)
 
 SF = "/root/testdata/sf0.001"
 
 
-def test_stream_tumbling_equals_batch(spark):
+def test_stream_tumbling_equals_batch_closed_windows(spark):
+    """Append mode emits exactly the watermark-closed windows: the
+    batch aggregation restricted to windows ending at or before
+    max(ts) - 10min (the final watermark)."""
     streamed = (stream_tumbling_counts(spark, SF)
                 .orderBy("window_start", "event_type").toPandas())
-    batch = (load_table(spark, SF, "events")
+    events = load_table(spark, SF, "events")
+    wm = F.lit(events.agg(F.max("ts")).collect()[0][0]) - F.expr("interval 10 minutes")
+    batch = (events
              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+             .filter(F.col("w.end") <= wm)
              .select(F.col("w.start").alias("window_start"), "event_type",
                      "n_events", "sum_value")
              .orderBy("window_start", "event_type").toPandas())
+    assert len(streamed) > 0
     assert streamed.equals(batch)
+
+
+def test_stream_stream_left_join_null_emission(spark):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    inner join; unmatched views are emitted with NULLs exactly when
+    the final watermark passed their state-expiry point
+    (view_ts + 30min < min(max view_ts, max buy_ts) - 10min)."""
+    out = stream_stream_left_join(spark, SF).toPandas()
+    events = load_table(spark, SF, "events")
+    views = (events.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts")))
+    buys = (events.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("buy_ts")))
+    inner = views.join(
+        buys, (F.col("v_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("interval 30 minutes")))
+    matched = out[out.buy_id.notna()]
+    assert len(matched) == inner.count()
+    max_v = views.agg(F.max("view_ts")).collect()[0][0]
+    max_b = buys.agg(F.max("buy_ts")).collect()[0][0]
+    wm = min(max_v, max_b)
+    import datetime
+    cutoff = wm - datetime.timedelta(minutes=10) - datetime.timedelta(minutes=30)
+    unmatched = (views.join(inner.select("view_id"), "view_id", "left_anti")
+                 .filter(F.col("view_ts") < F.lit(cutoff)))
+    nulls = out[out.buy_id.isna()]
+    assert len(nulls) == unmatched.count()
+    assert set(nulls.view_id) == {r.view_id for r in unmatched.collect()}
+
+
+def test_state_partitions_resolution(spark):
+    """Width resolution: explicit arg > session conf > env > default,
+    and scoped_state_partitions applies/restores the chosen width."""
+    import os
+    from howto_mongo_bulk_update_from_parquet_spark.streaming import jobs
+    assert resolve_state_partitions(spark) == jobs.DEFAULT_STATE_PARTITIONS
+    assert resolve_state_partitions(spark, 3) == 3
+    os.environ[jobs.STATE_PARTITIONS_ENV] = "5"
+    try:
+        assert resolve_state_partitions(spark) == 5
+        spark.conf.set(jobs.STATE_PARTITIONS_CONF, "12")
+        try:
+            assert resolve_state_partitions(spark) == 12     # conf beats env
+            assert resolve_state_partitions(spark, 3) == 3   # arg beats conf
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            with scoped_state_partitions(spark):
+                assert spark.conf.get("spark.sql.shuffle.partitions") == "12"
+            assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+        finally:
+            spark.conf.unset(jobs.STATE_PARTITIONS_CONF)
+    finally:
+        del os.environ[jobs.STATE_PARTITIONS_ENV]
 
 
 def test_stream_sessions_respect_gap(spark):
