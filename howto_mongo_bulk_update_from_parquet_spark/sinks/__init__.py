@@ -1,4 +1,4 @@
 from .mongo import write_mongo_upserts, build_upsert_ops  # noqa: F401
 from .keyed_table import (  # noqa: F401
-    upsert_into_keyed_table, read_keyed_table, current_base_version,
-    append_delta, read_merged, compact)
+    ConcurrentWriteError, upsert_into_keyed_table, read_keyed_table,
+    current_base_version, append_delta, read_merged, compact)

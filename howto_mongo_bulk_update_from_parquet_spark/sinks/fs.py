@@ -96,6 +96,23 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
             raise IOError(f"atomic commit of {path} failed")
 
 
+def rename_no_clobber(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename `src` to `dst` only if `dst` does not already exist;
+    False when it does (the caller lost a publish race). HDFS rename
+    already refuses an existing target, but the local scheme maps to
+    POSIX rename(2), which silently REPLACES it — so the existence
+    check runs first everywhere. The check-then-rename pair is not one
+    atomic op; callers layer it over a coarser claim (the versioned
+    data directory) and treat a False as a clean conflict signal, the
+    same discipline Delta Lake applies to its log-entry PUT on stores
+    without a compare-and-swap primitive."""
+    fs, p_dst = _fs_path(spark, dst)
+    if fs.exists(p_dst):
+        return False
+    _, p_src = _fs_path(spark, src)
+    return bool(fs.rename(p_src, p_dst))
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Contents of a small text file, or None if absent."""
     fs, p = _fs_path(spark, path)

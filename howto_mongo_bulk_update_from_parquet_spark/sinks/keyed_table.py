@@ -22,11 +22,31 @@ Two write paths:
 
 All path operations go through the Hadoop FileSystem API (`sinks.fs`),
 so every function works unchanged on `file:`, `hdfs://` and `s3a://`
-paths. The manifest commit is atomic everywhere: single-object PUT on
-object stores, temp-file + rename (atomic metadata op) on HDFS/local —
-a racing reader sees the old pointer or the new one, never partial
-content, and `retain_versions` (default 2: current + previous) keeps
-the base a pre-flip reader resolved alive until the next commit.
+paths.
+
+Commit protocol (round 4): the pointer is a VERSIONED manifest file
+`_CURRENT.v{NNNNN}` — readers take the highest — published by writing
+a temp file and renaming it into place only if the target is absent
+(`fs.rename_no_clobber`). Because a commit creates a NEW name and
+retires older pointers only after the new one is visible, there is
+never a missing-pointer window (the delete-then-rename sliver of the
+old single `_CURRENT` file, which could send a racing reader to the
+newest *uncommitted* base directory via the fallback scan).
+
+Concurrent writers: two upsert rounds that both read base version N
+both try to produce N+1. The loser is caught at TWO fences and gets a
+clean `ConcurrentWriteError` instead of silently dropping the
+winner's round: (1) the data write claims `base_v{N+1}` with Spark's
+error-if-exists mode — a completed competing write is detected before
+a byte is clobbered; (2) the manifest publish refuses to land
+`_CURRENT.v{N+1}` if a pointer at or past N+1 already exists.
+Interleaved rounds — the realistic failure, one writer committing
+while another holds a stale read — are always detected. Writers
+racing within the same millisecond on an object store additionally
+need a coordination service for the final rename (the same caveat
+Delta Lake documents for S3 without conditional PUT).
+`retain_versions` (default 2: current + previous) keeps the base a
+pre-flip reader resolved alive until the next commit.
 """
 
 from __future__ import annotations
@@ -41,29 +61,59 @@ from pyspark.sql.window import Window
 from ..operators.merge import keyed_upsert, prepare_source
 from . import fs as hfs
 
-_MANIFEST = "_CURRENT"
+_MANIFEST = "_CURRENT"                      # legacy (pre-round-4) pointer
+_MANIFEST_V_RE = re.compile(r"^_CURRENT\.v(\d{5})$")
 _BASE_RE = re.compile(r"^base_v(\d{5})$")
 _DELTA_RE = re.compile(r"^delta_(\d{5})$")
 _LEGACY_BASE = "base"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a base version this writer also tried
+    to produce. The losing round was NOT applied — re-read the table
+    (picking up the winner's commit) and retry the upsert."""
 
 
 def _base_dir(path: str, version: int) -> str:
     return hfs.join(path, f"base_v{version:05d}")
 
 
+def _manifest_name(version: int) -> str:
+    return f"{_MANIFEST}.v{version:05d}"
+
+
+def _manifest_versions(spark: SparkSession, path: str) -> list[int]:
+    return sorted(int(m.group(1)) for d in hfs.listdir(spark, path)
+                  if (m := _MANIFEST_V_RE.match(d)))
+
+
 def current_base_version(spark: SparkSession, path: str) -> int:
-    """Committed base version: the manifest pointer, falling back to
-    the newest *complete* (has _SUCCESS) base_v directory. 0 = none."""
+    """Committed base version: the highest versioned manifest pointer
+    (`_CURRENT.v{NNNNN}`), then the legacy single `_CURRENT` file, then
+    a recovery fallback over *complete* (has _SUCCESS) base_v dirs.
+    0 = none.
+
+    The fallback only runs when every pointer is gone (manual damage —
+    the commit protocol never leaves a pointerless window). It prefers
+    the SECOND-newest complete base when several survive: the newest
+    complete directory may be a data write whose manifest publish never
+    landed, i.e. an uncommitted snapshot — stale-but-committed beats
+    newest-but-unconfirmed."""
+    versions = _manifest_versions(spark, path)
+    if versions:
+        return versions[-1]
     txt = hfs.read_text(spark, hfs.join(path, _MANIFEST))
     if txt:
         try:
             return int(txt.strip())
         except ValueError:
             pass
-    complete = [int(m.group(1)) for d in hfs.listdir(spark, path)
-                if (m := _BASE_RE.match(d))
-                and hfs.exists(spark, hfs.join(path, d, "_SUCCESS"))]
-    return max(complete, default=0)
+    complete = sorted(int(m.group(1)) for d in hfs.listdir(spark, path)
+                      if (m := _BASE_RE.match(d))
+                      and hfs.exists(spark, hfs.join(path, d, "_SUCCESS")))
+    if len(complete) >= 2:
+        return complete[-2]
+    return complete[-1] if complete else 0
 
 
 def _legacy_root_has_data(spark: SparkSession, path: str) -> bool:
@@ -94,13 +144,31 @@ def read_keyed_table(spark: SparkSession, path: str,
 
 def _commit_version(spark: SparkSession, path: str, version: int,
                     retain_versions: int = 2) -> None:
-    """Flip the manifest to `version` (atomic temp+rename commit — a
-    racing reader sees the old pointer or the new one, never a partial
-    file), then drop superseded bases beyond `retain_versions`. The
-    default keeps current + previous so a reader that resolved version
-    N just before the flip can finish its scan; set 1 only when no
-    concurrent readers exist."""
-    hfs.write_text_atomic(spark, hfs.join(path, _MANIFEST), str(version))
+    """Publish `_CURRENT.v{version}` (temp write + rename-no-clobber),
+    raising `ConcurrentWriteError` if a pointer at or past `version`
+    already landed, then retire older pointers and superseded bases
+    beyond `retain_versions` — retirement happens strictly AFTER the
+    new pointer is visible, so readers always resolve some committed
+    pointer. The default retain window keeps current + previous so a
+    reader that resolved version N just before the flip can finish its
+    scan; set 1 only when no concurrent readers exist."""
+    published = _manifest_versions(spark, path)
+    if published and published[-1] >= version:
+        raise ConcurrentWriteError(
+            f"base version of {path} advanced to {published[-1]} while "
+            f"this round (target {version}) was writing; its merge was "
+            f"based on a stale snapshot — re-read and retry")
+    tmp = hfs.join(path, _manifest_name(version) + ".tmp")
+    hfs.write_text(spark, tmp, str(version))
+    if not hfs.rename_no_clobber(spark, tmp,
+                                 hfs.join(path, _manifest_name(version))):
+        hfs.delete(spark, tmp, recursive=False)
+        raise ConcurrentWriteError(
+            f"another writer published version {version} of {path} "
+            f"first; this round lost the commit race — re-read and retry")
+    for v in published:
+        hfs.delete(spark, hfs.join(path, _manifest_name(v)), recursive=False)
+    hfs.delete(spark, hfs.join(path, _MANIFEST), recursive=False)  # legacy
     keep = {version - i for i in range(retain_versions)}
     for d in hfs.listdir(spark, path):
         m = _BASE_RE.match(d)
@@ -110,6 +178,33 @@ def _commit_version(spark: SparkSession, path: str, version: int,
     for f in hfs.listdir(spark, path):
         if f.endswith(".parquet") or f == "_SUCCESS":
             hfs.delete(spark, hfs.join(path, f))
+
+
+def _write_claiming_base(spark: SparkSession, df: DataFrame, path: str,
+                         version: int) -> None:
+    """Write `df` as `base_v{version}`, claiming the directory: a
+    COMPLETE competing write (has _SUCCESS) means another writer that
+    read the same snapshot already produced this version → clean
+    conflict before a byte of its data is touched. An incomplete dir
+    is debris from a writer that died mid-job (crash-safety test
+    covers readers ignoring it) and is cleared. The write itself uses
+    Spark's default error-if-exists mode, so even a claim→write race
+    with a near-simultaneous writer fails loudly instead of
+    interleaving two jobs' files in one directory."""
+    from pyspark.errors import AnalysisException
+    dst = _base_dir(path, version)
+    if hfs.exists(spark, dst):
+        if hfs.exists(spark, hfs.join(dst, "_SUCCESS")):
+            raise ConcurrentWriteError(
+                f"{dst} already written by a concurrent round that read "
+                f"the same base snapshot — re-read and retry")
+        hfs.delete(spark, dst)
+    try:
+        df.write.mode("errorifexists").parquet(dst)
+    except AnalysisException as exc:
+        raise ConcurrentWriteError(
+            f"{dst} appeared during this round's write (concurrent "
+            f"writer) — re-read and retry") from exc
 
 
 def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
@@ -147,7 +242,7 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                           observation=obs)
     out = merged.repartition(n_files) if n_files else merged
     new_version = version + 1
-    out.write.mode("overwrite").parquet(_base_dir(path, new_version))
+    _write_claiming_base(spark, out, path, new_version)
     _commit_version(spark, path, new_version, retain_versions)
     result = spark.read.parquet(_base_dir(path, new_version))
     if return_counts:
@@ -228,7 +323,7 @@ def compact(spark: SparkSession, path: str, key: str,
         merged = merged.repartition(n_files)
     old_version = current_base_version(spark, path)
     new_version = old_version + 1
-    merged.write.mode("overwrite").parquet(_base_dir(path, new_version))
+    _write_claiming_base(spark, merged, path, new_version)
     _commit_version(spark, path, new_version, retain_versions)
     for v in _delta_versions(spark, path):
         hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))

@@ -97,9 +97,93 @@ def test_reader_ignores_incomplete_version_dirs(spark, tmp_path):
     # manifest still points at v1 → reader sees committed data only
     assert current_base_version(spark, path) == 1
     assert {r["_id"] for r in read_keyed_table(spark, path).collect()} == {"a"}
-    # even with the manifest gone, the fallback counts only COMPLETE
+    # even with every pointer gone, the fallback counts only COMPLETE
     # versions (those with _SUCCESS)
-    hfs.delete(spark, hfs.join(path, "_CURRENT"))
+    for f in os.listdir(path):
+        if f.startswith("_CURRENT"):
+            hfs.delete(spark, hfs.join(path, f))
+    assert current_base_version(spark, path) == 1
+
+
+def test_interleaved_writers_loser_gets_clean_conflict(spark, tmp_path, monkeypatch):
+    """Two upsert rounds that both read base version N: the winner
+    commits N+1; the loser must raise ConcurrentWriteError (not
+    silently drop the winner's round), and the table must still hold
+    the winner's data."""
+    import pytest
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import keyed_table as kt
+
+    path = os.path.join(str(tmp_path), "race")
+    r0 = spark.createDataFrame([("a", 1.0)], "_id string, v double")
+    upsert_into_keyed_table(spark, r0, path=path, key="_id")     # v1
+    winner = spark.createDataFrame([("b", 2.0)], "_id string, v double")
+    upsert_into_keyed_table(spark, winner, path=path, key="_id")  # v2 committed
+    # loser read version 1 before the winner's commit landed
+    monkeypatch.setattr(kt, "current_base_version", lambda *_: 1)
+    loser = spark.createDataFrame([("c", 3.0)], "_id string, v double")
+    with pytest.raises(kt.ConcurrentWriteError, match="re-read and retry"):
+        upsert_into_keyed_table(spark, loser, path=path, key="_id")
+    monkeypatch.undo()
+    rows = {r["_id"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert rows == {"a": 1.0, "b": 2.0}          # winner's commit intact
+    # and the retry path works: re-reading the true version succeeds
+    out = upsert_into_keyed_table(spark, loser, path=path, key="_id")
+    assert {r["_id"] for r in out.collect()} == {"a", "b", "c"}
+
+
+def test_manifest_publish_cas_refuses_stale_commit(spark, tmp_path):
+    """The pointer publish itself is a CAS: a pointer at or past the
+    target version makes _commit_version raise instead of republishing."""
+    import pytest
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import keyed_table as kt
+
+    path = os.path.join(str(tmp_path), "cas")
+    r0 = spark.createDataFrame([("a", 1.0)], "_id string, v double")
+    upsert_into_keyed_table(spark, r0, path=path, key="_id")     # publishes v1
+    with pytest.raises(kt.ConcurrentWriteError, match="advanced"):
+        kt._commit_version(spark, path, 1)
+    # commit of the NEXT version still proceeds normally
+    kt._commit_version(spark, path, 2, retain_versions=2)
+    assert current_base_version(spark, path) == 2
+
+
+def test_versioned_manifest_layout_and_legacy_pointer(spark, tmp_path):
+    """Commits publish _CURRENT.v{N} (no pointerless window: old
+    pointers retire only after the new one is visible); a pre-round-4
+    single _CURRENT file is still honored and migrated away on the
+    next commit."""
+    path = os.path.join(str(tmp_path), "layout")
+    for i in range(2):
+        src = spark.createDataFrame([("a", float(i))], "_id string, v double")
+        upsert_into_keyed_table(spark, src, path=path, key="_id")
+    names = set(os.listdir(path))
+    assert "_CURRENT.v00002" in names
+    assert "_CURRENT.v00001" not in names and "_CURRENT" not in names
+    assert not [n for n in names if n.endswith(".tmp")]
+    # legacy layout: only the old single-file pointer present
+    legacy = os.path.join(str(tmp_path), "legacy_ptr")
+    src = spark.createDataFrame([("a", 1.0)], "_id string, v double")
+    src.write.parquet(os.path.join(legacy, "base_v00001"))
+    hfs.write_text(spark, hfs.join(legacy, "_CURRENT"), "1")
+    assert current_base_version(spark, legacy) == 1
+    upsert_into_keyed_table(spark, src, path=legacy, key="_id")
+    names = set(os.listdir(legacy))
+    assert "_CURRENT.v00002" in names and "_CURRENT" not in names
+
+
+def test_pointerless_fallback_prefers_second_newest(spark, tmp_path):
+    """Recovery semantics: with every pointer gone and 2+ complete
+    bases, the newest may be an unconfirmed commit — the reader takes
+    the second-newest (stale-but-committed)."""
+    path = os.path.join(str(tmp_path), "fallback")
+    for i in range(2):
+        src = spark.createDataFrame([("a", float(i))], "_id string, v double")
+        upsert_into_keyed_table(spark, src, path=path, key="_id")
+    for f in os.listdir(path):
+        if f.startswith("_CURRENT"):
+            hfs.delete(spark, hfs.join(path, f))
     assert current_base_version(spark, path) == 1
 
 

@@ -163,8 +163,9 @@ def test_manifest_commit_atomic_and_retains_previous_base(spark, tmp_path):
     names = set(os.listdir(path))
     assert "base_v00003" in names and "base_v00002" in names
     assert "base_v00001" not in names            # beyond retain window
-    assert "_CURRENT" in names and "_CURRENT.tmp" not in names
-    assert open(os.path.join(path, "_CURRENT")).read().strip() == "3"
+    assert "_CURRENT.v00003" in names            # versioned pointer
+    assert not [n for n in names if n.endswith(".tmp")]
+    assert open(os.path.join(path, "_CURRENT.v00003")).read().strip() == "3"
     # previous snapshot still time-travel readable
     assert read_keyed_table(spark, path, version=2).count() == 1
 
