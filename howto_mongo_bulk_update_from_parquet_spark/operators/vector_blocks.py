@@ -37,13 +37,22 @@ def cosine_all_pairs_blocked(df: DataFrame, id_col: str, vec_col: str, *,
 
     Output: (id_a long, id_b long, cos_sim double).
 
-    `eager_cleanup` (default): the pair set — small by the threshold's
-    selectivity — is materialized via localCheckpoint, then the cached
-    blocked frame is unpersisted and every per-block broadcast
-    destroyed, so repeated calls in a long-lived session don't
-    accumulate executor storage. Pass False to keep the result fully
-    lazy; the CALLER then owns cleanup (storage is released only when
-    the session's context is torn down)."""
+    `eager_cleanup` (default): the call runs the scoring jobs eagerly
+    and collects the pair set — small by the threshold's selectivity —
+    into a DRIVER-BACKED DataFrame, then unpersists the cached blocked
+    frame and destroys every per-block broadcast, so repeated calls in
+    a long-lived session don't accumulate executor storage. Driver-
+    backed (not localCheckpoint) on purpose: checkpointed partitions
+    live only on the executors that computed them, so losing one after
+    the broadcasts are destroyed would make the result unrecoverable —
+    the collected form survives any executor loss. The collect is
+    bounded by the same selectivity argument that makes this operator
+    a validation baseline; if the threshold is loose enough that pairs
+    don't fit the driver, use the banded LSH path (plans/vector_lsh),
+    which needs no driver materialization at all. Pass False to keep
+    the result fully lazy (lost-executor recomputation semantics,
+    caller owns cleanup — storage is released only when the session's
+    context is torn down)."""
     import numpy as np
     import pandas as pd
 
@@ -101,7 +110,8 @@ def cosine_all_pairs_blocked(df: DataFrame, id_col: str, vec_col: str, *,
     else:
         out = reduce(lambda a, c: a.unionByName(c), parts)
     if eager_cleanup:
-        out = out.localCheckpoint(eager=True)
+        rows = out.collect()
+        out = spark.createDataFrame(rows, schema)
         if n_blocks > 1:
             blocked.unpersist()
         for bc in broadcasts:

@@ -69,28 +69,40 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The generator itself can't value-match a DuckDB oracle (Spark's
 # seeded rand() stream is engine-specific), so the oracle checks the
-# *contract*: deterministic id sequence + every feature/score in [0,1)
-# + the requested NULL fraction hitting only nullable columns.
+# *contract*, every flag computed from the REAL generated data:
+# deterministic id sequence (value-matched against range()), id
+# uniqueness, every feature/score in [0,1), non-null score, and each
+# nullable column's observed NULL count inside the binomial
+# acceptance interval of the requested null_fraction (a generator
+# wired to the wrong fraction — 0.5 vs 0.1 is ~22σ — fails the hash;
+# the seeded-mutation pytest proves the flags discriminate).
 GEN_ORACLE = """
 SELECT printf('id-%012d', g) AS _id,
        TRUE AS features_in_range,
        TRUE AS score_in_range,
-       TRUE AS score_not_null
+       TRUE AS score_not_null,
+       TRUE AS ids_unique,
+       TRUE AS null_counts_ok
 FROM range(0, 2000) t(g)
 """
 
 
 @register("q_generate", GEN_ORACLE,
           "distributed synthetic generator (reference G1): deterministic "
-          "ids, bounded uniform features, seeded")
+          "ids, bounded uniform features, seeded, null-fraction attested")
 def q_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generate import generation_contract
     df = generate_pipeline_data(spark, 2000, seed=42, null_fraction=0.1)
+    feat_cols = [f"feature_{i}" for i in range(1, 5)]
     feat_ok = None
-    for i in range(1, 5):
-        c = F.col(f"feature_{i}").isNull() | ((F.col(f"feature_{i}") >= 0) & (F.col(f"feature_{i}") < 1))
+    for name in feat_cols:
+        c = F.col(name).isNull() | ((F.col(name) >= 0) & (F.col(name) < 1))
         feat_ok = c if feat_ok is None else (feat_ok & c)
-    return df.select(
+    checked = generation_contract(df, 2000, null_fraction=0.1,
+                                  nullable_cols=feat_cols)
+    return checked.select(
         "_id",
         feat_ok.alias("features_in_range"),
         ((F.col("score") >= 0) & (F.col("score") < 1)).alias("score_in_range"),
-        F.col("score").isNotNull().alias("score_not_null"))
+        F.col("score").isNotNull().alias("score_not_null"),
+        "ids_unique", "null_counts_ok")

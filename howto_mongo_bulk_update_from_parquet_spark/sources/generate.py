@@ -12,8 +12,11 @@ available but non-reproducible across runs).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def generate_pipeline_data(spark: SparkSession, n_rows: int, *,
@@ -35,3 +38,40 @@ def generate_pipeline_data(spark: SparkSession, n_rows: int, *,
         cols.append(feature.alias(f"feature_{i}"))
     cols.append(F.rand(seed).alias("score"))
     return df.select(*cols)
+
+
+def _binomial_bounds(n: int, p: float, z: float = 5.0) -> tuple[int, int]:
+    """[lo, hi] acceptance interval for a Binomial(n, p) count at z
+    standard deviations — wide enough (z=5 ⇒ false-alarm ~6e-7) that a
+    fixed-seed run can never flake, tight enough that a mis-set
+    null_fraction (0.5 vs 0.1 at n=2000 is ~22σ out) always fails."""
+    if p <= 0:
+        return 0, 0
+    mu = n * p
+    sd = math.sqrt(n * p * (1 - p))
+    return max(0, math.floor(mu - z * sd)), min(n, math.ceil(mu + z * sd))
+
+
+def generation_contract(df: DataFrame, n_rows: int, *,
+                        null_fraction: float,
+                        nullable_cols: list[str]) -> DataFrame:
+    """Per-row boolean flags attesting the generator's contract from
+    the REAL data (so a broken generator fails the oracle, not just
+    the row count): `ids_unique` — no `_id` collides; `null_counts_ok`
+    — each nullable column's observed NULL count sits inside the
+    binomial acceptance interval of `null_fraction`. The full-frame
+    window is a deliberate single-partition pass: this is a validation
+    gate over a sample-sized frame, not a scale path (at scale, run
+    the same checks as one `agg` and broadcast the scalars)."""
+    whole = Window.partitionBy(F.lit(1))
+    lo, hi = _binomial_bounds(n_rows, null_fraction)
+    nulls_ok = None
+    for c in nullable_cols:
+        cnt = F.sum(F.col(c).isNull().cast("long")).over(whole)
+        ok = (cnt >= lo) & (cnt <= hi)
+        nulls_ok = ok if nulls_ok is None else nulls_ok & ok
+    per_id = F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    return df.withColumns({
+        "ids_unique": per_id == 1,
+        "null_counts_ok": nulls_ok if nulls_ok is not None else F.lit(True),
+    })

@@ -120,7 +120,12 @@ def load_aws_profile(profile: str | None = None,
     / $AWS_CONFIG_FILE.
 
     Returns {access_key, secret_key, session_token, region} (values
-    None when absent). Raises KeyError for an unknown profile."""
+    None when absent). Like boto3, the profile may live in EITHER file:
+    the credentials file wins for static keys, and a profile present
+    only in the config file ("[profile NAME]" section — the common
+    shape for SSO/role-based profiles) resolves too, usually to a
+    region-only result. Raises KeyError only when neither file knows
+    the profile."""
     import configparser
     import os
 
@@ -133,20 +138,25 @@ def load_aws_profile(profile: str | None = None,
                  or os.path.expanduser("~/.aws/config"))
     creds = configparser.ConfigParser()
     creds.read(cred_file)
-    if profile not in creds:
-        raise KeyError(f"profile {profile!r} not found in {cred_file}")
-    sec = creds[profile]
-    # region may live next to the keys, or in the config file where
-    # named profiles use a "[profile NAME]" section header
-    region = sec.get("region")
-    if not region:
-        conf = configparser.ConfigParser()
-        conf.read(conf_file)
-        for section in (profile if profile == "default"
-                        else f"profile {profile}", profile):
-            if section in conf and conf[section].get("region"):
-                region = conf[section]["region"]
-                break
+    conf = configparser.ConfigParser()
+    conf.read(conf_file)
+    # config-file section header is "[profile NAME]" except for default
+    conf_sec = None
+    for section in (profile if profile == "default"
+                    else f"profile {profile}", profile):
+        if section in conf:
+            conf_sec = conf[section]
+            break
+    if profile in creds:
+        sec = creds[profile]
+    elif conf_sec is not None:
+        sec = conf_sec            # config-only profile (e.g. SSO/role)
+    else:
+        raise KeyError(f"profile {profile!r} not found in "
+                       f"{cred_file} or {conf_file}")
+    # region may live next to the keys, or in the config file
+    region = sec.get("region") or (conf_sec.get("region")
+                                   if conf_sec is not None else None)
     return {
         "access_key": sec.get("aws_access_key_id"),
         "secret_key": sec.get("aws_secret_access_key"),

@@ -97,6 +97,31 @@ def test_aws_named_profile_bridge(tmp_path, monkeypatch):
                          config_path=str(conf))
 
 
+def test_aws_config_only_profile_resolves(tmp_path):
+    """boto3 parity: an SSO/role-based profile that exists ONLY in the
+    config file ('[profile NAME]' section, no static keys in the
+    credentials file) must resolve to a region-only result, not raise."""
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_aws_profile
+    creds = tmp_path / "credentials"
+    creds.write_text("[default]\naws_access_key_id = AKIADEFAULT\n"
+                     "aws_secret_access_key = sdefault\n")
+    conf = tmp_path / "config"
+    conf.write_text("[profile sso-dev]\n"
+                    "sso_start_url = https://example.awsapps.com/start\n"
+                    "region = ap-southeast-2\n")
+    got = load_aws_profile("sso-dev", credentials_path=str(creds),
+                           config_path=str(conf))
+    assert got == {"access_key": None, "secret_key": None,
+                   "session_token": None, "region": "ap-southeast-2"}
+    # static keys directly in a config-file profile section also work
+    conf.write_text("[profile cfgkeys]\n"
+                    "aws_access_key_id = AKIACFG\n"
+                    "aws_secret_access_key = scfg\nregion = us-west-2\n")
+    got = load_aws_profile("cfgkeys", credentials_path=str(creds),
+                           config_path=str(conf))
+    assert got["access_key"] == "AKIACFG" and got["region"] == "us-west-2"
+
+
 def test_configure_s3_from_profile_sets_hadoop_conf(spark, tmp_path):
     from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import configure_s3_from_profile
     creds = tmp_path / "credentials"

@@ -41,6 +41,35 @@ def test_generator_deterministic_and_bounded(spark):
     assert pa["feature_1"].dropna().between(0, 1).all()
 
 
+def test_generation_contract_discriminates(spark):
+    """The q_generate oracle flags are computed from the real data, so
+    they must actually discriminate: a generator run with a WRONG
+    null_fraction (seeded mutation) or duplicated ids flips them to
+    False; the honest run keeps them all True."""
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.sources.generate import (
+        generation_contract)
+
+    feats = [f"feature_{i}" for i in range(1, 5)]
+    good = generation_contract(
+        generate_pipeline_data(spark, 2000, seed=42, null_fraction=0.1),
+        2000, null_fraction=0.1, nullable_cols=feats).toPandas()
+    assert good["ids_unique"].all() and good["null_counts_ok"].all()
+    # mutation 1: generator wired to 0.5 while the contract claims 0.1
+    # (~22σ outside the binomial acceptance interval) — must fail
+    mutated = generation_contract(
+        generate_pipeline_data(spark, 2000, seed=42, null_fraction=0.5),
+        2000, null_fraction=0.1, nullable_cols=feats).toPandas()
+    assert not mutated["null_counts_ok"].any()
+    # mutation 2: id collision — constant ids must flip ids_unique
+    dup = generate_pipeline_data(spark, 100, seed=42) \
+        .withColumn("_id", F.lit("id-dup"))
+    flagged = generation_contract(dup, 100, null_fraction=0.0,
+                                  nullable_cols=feats).toPandas()
+    assert not flagged["ids_unique"].any()
+
+
 def test_generator_different_seed_differs(spark):
     a = generate_pipeline_data(spark, 100, seed=1).toPandas()
     b = generate_pipeline_data(spark, 100, seed=2).toPandas()

@@ -45,9 +45,11 @@ def test_blocked_pairs_match_bruteforce(spark, block_size, n_blocks_min):
 
 def test_eager_cleanup_releases_cache_and_broadcasts(spark):
     """Repeated multi-block calls in one session must not accumulate
-    executor storage: with eager_cleanup (default) only the small
-    checkpointed pair set stays cached — the blocked input frame is
-    unpersisted before returning."""
+    executor storage: with eager_cleanup (default) the pair set is
+    collected to a driver-backed DataFrame — NOTHING stays persisted
+    on executors (no localCheckpoint: its partitions would die with
+    the executor that computed them, unrecoverable once the broadcasts
+    are destroyed) — and the blocked input frame is unpersisted."""
     df = spark.createDataFrame([(i, [1.0, 2.0, 3.0]) for i in range(30)],
                                "vid long, emb array<double>")
     def persistent_ids():
@@ -58,9 +60,8 @@ def test_eager_cleanup_releases_cache_and_broadcasts(spark):
     out = cosine_all_pairs_blocked(df, "vid", "emb", threshold=0.99,
                                    block_size=8)
     after = persistent_ids()
-    # exactly the one localCheckpoint RDD is new; the cached blocked
-    # frame (storage ~n_blocks× larger) is gone
-    assert len(after - before) == 1
+    # no new persisted storage at all: the result is driver-backed
+    assert after - before == set()
     # the result must survive the broadcast destroy + unpersist
     assert len(out.collect()) == 30 * 29 // 2
 
