@@ -74,8 +74,12 @@ def cmd_upsert(args: argparse.Namespace) -> int:
                                                   key=cfg.key,
                                                   n_files=cfg.n_partitions,
                                                   return_counts=True)
-            rec["rows"] = out.count()
+            # every post-merge row is exactly one of matched / upserted /
+            # untouched, so the total comes free from the merge's own
+            # Observation — no second scan of the written table
             rec.update(counts)
+            rec["rows"] = (counts["n_matched"] + counts["n_upserted"]
+                           + counts["n_untouched"])
         print(f"keyed table {args.table}: {rec['rows']} rows "
               f"(matched={counts['n_matched']} upserted={counts['n_upserted']} "
               f"untouched={counts['n_untouched']})")

@@ -105,12 +105,16 @@ class StructuredLog:
 
 
 def run_query_logged(spark: Any, name: str, fn: Any, sf_dir: str,
-                     log: StructuredLog | None = None) -> Any:
+                     log: StructuredLog | None = None,
+                     count_rows: bool = True) -> Any:
     """Run a catalog query with a structured `query_complete` record:
-    name, row count, wall-clock. Returns the materialization-triggering
-    count's DataFrame for further use."""
+    name, wall-clock, and (by default) row count. `count_rows` is a
+    SEPARATE action that recomputes the query's DAG — right for the
+    CLI's one-shot UX, wrong for a hot path that goes on to consume
+    the DataFrame: there, pass False (rows logged as -1) or cache the
+    frame yourself before counting."""
     log = log or StructuredLog()
     with log.timed("query_complete", query=name, sf_dir=sf_dir) as rec:
         df = fn(spark, sf_dir)
-        rec["rows"] = df.count()
+        rec["rows"] = df.count() if count_rows else -1
     return df

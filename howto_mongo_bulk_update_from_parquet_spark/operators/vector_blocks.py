@@ -110,8 +110,12 @@ def cosine_all_pairs_blocked(df: DataFrame, id_col: str, vec_col: str, *,
     else:
         out = reduce(lambda a, c: a.unionByName(c), parts)
     if eager_cleanup:
-        rows = out.collect()
-        out = spark.createDataFrame(rows, schema)
+        # Arrow both ways: one batched transfer out, and the local
+        # relation ships back as Arrow per action instead of pickled
+        # rows (a plain collect()-of-Rows relation re-serializes
+        # row-at-a-time on EVERY downstream action)
+        pair_pdf = out.toPandas()
+        out = spark.createDataFrame(pair_pdf, schema)
         if n_blocks > 1:
             blocked.unpersist()
         for bc in broadcasts:
