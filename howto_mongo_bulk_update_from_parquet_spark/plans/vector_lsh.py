@@ -203,7 +203,13 @@ def q_rhp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     sig = rhp_band_buckets_udf(1, N_BITS)
     b = (e.select("vec_id", scaled_vec(F.col("embedding")).alias("__v"))
-         .select("vec_id", sig(F.col("__v"))[0].alias("bucket")))
+         .select("vec_id", sig(F.col("__v"))[0].alias("bucket"))
+         # truncate lineage so the Arrow-batched projection runs ONCE:
+         # the two join branches alias different columns, so their
+         # exchanges aren't identical and Catalyst re-executes the UDF
+         # per branch otherwise; lazy (no job at build time) — the tiny
+         # (vec_id, bucket) result materializes with the join's own job
+         .localCheckpoint(eager=False))
     a = b.select(F.col("vec_id").alias("id_a"), "bucket")
     c = b.select(F.col("vec_id").alias("id_b"), "bucket")
     return (a.join(c, "bucket")
