@@ -62,7 +62,8 @@ _HEAD: tuple[str, ...] = (
     "q1_pricing_summary", "q_filter_project", "q_merge_upsert", "q_generate",
     # joins: multiway, semi/anti, range, as-of, null-safe, disjunctive
     # pushdown, full outer (rotated in r4; never driver-attested)
-    "q_join_multiway", "q_join_semi_anti", "q_join_range", "q_asof_join",
+    # (q_join_range attested r3 → tail, slot rotated to q_stream_dedup)
+    "q_join_multiway", "q_join_semi_anti", "q_asof_join",
     "q_null_safe_join", "q_tpch_q19_disjunctive", "q_join_full_outer",
     # aggregation: distinct, rollup(+cascade), grouping sets, skew-salted
     "q_agg_distinct", "q_rollup", "q_grouping_sets", "q_skew_salted_agg",
@@ -89,7 +90,7 @@ _HEAD: tuple[str, ...] = (
     # real Structured Streaming engine — all four are new or changed to
     # append mode in r4 (first_seen/TTL pair attested r3 → tail)
     "q_stream_tumbling", "q_stream_session_windows",
-    "q_stream_stream_join", "q_stream_stream_left",
+    "q_stream_stream_join", "q_stream_stream_left", "q_stream_dedup",
     # SCD2 / CDC over the keyed table
     "q_scd2_history", "q_cdc_diff",
     # data quality / profiling

@@ -13,8 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming.jobs import (stream_session_windows, stream_stream_join,
-                              stream_stream_left_join, stream_tumbling_counts)
+from ..streaming.jobs import (stream_dedup_events, stream_session_windows,
+                              stream_stream_join, stream_stream_left_join,
+                              stream_tumbling_counts)
 from .catalog import register
 
 # Append mode emits a window when the final watermark (max ts - 10 min)
@@ -97,6 +98,23 @@ WHERE NOT EXISTS (
           "expires the row (bounded state, append mode)")
 def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_left_join(spark, sf_dir)
+
+
+# The engine is delivered every event TWICE (at-least-once emulation);
+# exactly-once dedup must recover the original set, row-identical.
+STREAM_DEDUP_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+"""
+
+
+@register("q_stream_dedup", STREAM_DEDUP_ORACLE,
+          "Structured Streaming exactly-once ingestion dedup: "
+          "dropDuplicatesWithinWatermark over a doubled (at-least-once) "
+          "delivery — per-key state evicted at the watermark, so dedup "
+          "state is bounded by delay x rate, not the key universe")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_dedup_events(spark, sf_dir)
 
 
 # session_window merges an event into the previous session iff

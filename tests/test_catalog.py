@@ -81,6 +81,7 @@ def test_head50_spans_every_capability():
         "streaming_session": "q_stream_session_windows",
         "streaming_join": "q_stream_stream_join",
         "streaming_outer_join": "q_stream_stream_left",
+        "streaming_dedup": "q_stream_dedup",
         "full_outer_join": "q_join_full_outer",
         "scd2": "q_scd2_history",
         "cdc": "q_cdc_diff",

@@ -5,7 +5,7 @@ from pyspark.sql import functions as F
 
 from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
 from howto_mongo_bulk_update_from_parquet_spark.streaming.jobs import (
-    resolve_state_partitions, scoped_state_partitions,
+    resolve_state_partitions, scoped_state_partitions, stream_dedup_events,
     stream_session_windows, stream_stream_left_join, stream_tumbling_counts)
 
 SF = "/root/testdata/sf0.001"
@@ -86,6 +86,21 @@ def test_state_partitions_resolution(spark):
             spark.conf.unset(jobs.STATE_PARTITIONS_CONF)
     finally:
         del os.environ[jobs.STATE_PARTITIONS_ENV]
+
+
+def test_stream_dedup_exactly_once_under_redelivery(spark):
+    """Every event is delivered twice (at-least-once source emulation);
+    dropDuplicatesWithinWatermark must emit each event_id exactly once
+    and recover the original set row-identically."""
+    out = stream_dedup_events(spark, SF).toPandas()
+    batch = (load_table(spark, SF, "events")
+             .select("event_id", "ts", "user_id", "event_type", "value")
+             .toPandas())
+    assert len(out) == len(batch)                 # doubled input, no growth
+    assert out.event_id.is_unique
+    key = ["event_id", "ts", "user_id", "event_type", "value"]
+    assert (out.sort_values("event_id").reset_index(drop=True)[key]
+            .equals(batch.sort_values("event_id").reset_index(drop=True)[key]))
 
 
 def test_rocksdb_state_store_provider_runs(spark):
