@@ -173,3 +173,68 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").cast("long").alias("total_tokens"),
                  F.sum(F.ceil(F.col("n_tok") / F.lit(30.0)).cast("long"))
                   .cast("long").alias("n_chunks")))
+
+
+# --- sequence packing ---------------------------------------------------
+
+PACK_BUDGET = 512   # tokens per training sequence
+
+# Greedy sequential packing ("concat-then-chunk"): documents are laid
+# end-to-end in deterministic (lang, doc_id) order and each doc is
+# assigned to the sequence its FIRST token lands in —
+# seq_id = (running_total_before_doc) div budget. One window per lang
+# partition; no shuffle beyond the partitionBy.
+DOC_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM t
+)
+SELECT lang,
+       CAST(tok_offset // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1, 2
+"""
+
+
+@register("q_doc_packing", DOC_PACKING_ORACLE,
+          "greedy sequential sequence packing: docs laid end-to-end per "
+          "lang, assigned to the fixed-token-budget training sequence "
+          "their first token lands in")
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, the step between chunking and
+    batching in a corpus build: concatenate documents in a
+    deterministic order and cut every `PACK_BUDGET` tokens.
+
+    Scale posture: ONE window per `lang` partition (the natural
+    packing domain — sequences never mix languages), so the cumsum
+    parallelizes across languages and the only shuffle is the
+    partitionBy. At 100 TB with few giant languages, sub-partition
+    first (e.g. by shard = hash(doc_id) % k) and run the same window
+    per (lang, shard): packing quality is unaffected because sequence
+    boundaries are per-domain by construction, and the prefix sum
+    stays distributed instead of serializing one language onto one
+    task."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = d.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+    offs = toks.withColumn(
+        "offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (offs
+            .withColumn("seq_id", F.expr(f"offset div {PACK_BUDGET}"))
+            .groupBy("lang", "seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("seq_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

@@ -49,6 +49,17 @@ def test_rhp_buckets_is_single_projection_no_shuffle(spark):
     assert "ArrowEvalPython" in plan                      # vectorized matmul path
 
 
+def test_doc_packing_single_shuffle_per_lang(spark):
+    """The packing cumsum runs one window per lang partition: exactly
+    one exchange feeds the window sort, then the (lang, seq_id) agg
+    reuses that partitioning via partial aggregation — no second
+    full shuffle of the doc rows, and no Python in the plan."""
+    plan = _plan(spark, "q_doc_packing")
+    assert plan.count("Exchange") <= 2      # window shuffle + final agg
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan         # pure JVM expressions
+
+
 def test_lsh_pipelines_never_cross_join(spark):
     for name in ["q_minhash_lsh_pairs", "q_lsh_verified_pairs",
                  "q_rhp_lsh_pairs", "q_vector_lsh_verified"]:
