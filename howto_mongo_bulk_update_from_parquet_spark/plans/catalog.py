@@ -81,8 +81,9 @@ _HEAD: tuple[str, ...] = (
     "q_vector_lsh_verified", "q_kmeans_iter",
     # text analysis + corpus pipeline (dataset_split/stratified_sample
     # attested r3 → tail); time-series resample rotated in (new in r3)
-    # (q_doc_chunking attested r3 → tail, slot rotated to q_doc_packing)
-    "q_quality_score", "q_lang_id", "q_doc_packing",
+    # (q_doc_chunking, q_lang_id attested r3 → tail; slots rotated to
+    # q_doc_packing, q_repetition_ratio)
+    "q_quality_score", "q_repetition_ratio", "q_doc_packing",
     "q_training_pipeline", "q_time_resample",
     # UDF / UDAF / UDTF surface
     "q_udaf_grouped_agg", "q_grouped_map_median", "q_udtf_bigrams",

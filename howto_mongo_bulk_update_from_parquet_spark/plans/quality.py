@@ -128,3 +128,51 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.count(F.lit(1)).alias("n_rows"),
               F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_orphans")))
     return a.unionByName(b)
+
+
+# --- within-document repetition (Gopher/C4-style quality signal) -------
+
+# dup_ratio = 1 - distinct/total over ALL 3-gram occurrences in the
+# doc. Computed entirely with array expressions on the row — no
+# explode, no shuffle: the signal costs one projection pass however
+# large the corpus, the cheapest possible shape for a per-doc filter
+# that fronts a 100 TB quality gate.
+REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       ROUND(CASE WHEN len(grams) > 0
+             THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             ELSE 0.0 END, 6) AS dup_ratio
+FROM g
+"""
+
+
+@register("q_repetition_ratio", REPETITION_ORACLE,
+          "within-doc 3-gram repetition ratio (Gopher/C4-style quality "
+          "filter) — pure array expressions, zero shuffle/explode")
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("__tk"))
+    grams_expr = ("CASE WHEN size(__tk) >= 3 THEN "
+                  "transform(sequence(0, size(__tk) - 3), "
+                  "i -> concat_ws(' ', __tk[i], __tk[i+1], __tk[i+2])) "
+                  "ELSE array() END")
+    g = toks.select("doc_id", F.expr(grams_expr).alias("__g"))
+    n_grams = F.size("__g").cast("long")
+    n_distinct = F.size(F.array_distinct("__g")).cast("long")
+    ratio = F.when(n_grams > 0,
+                   F.round(F.lit(1.0) - n_distinct.cast("double") / n_grams, 6)
+                   ).otherwise(F.lit(0.0))
+    return g.select("doc_id", n_grams.alias("n_grams"),
+                    n_distinct.alias("n_distinct"), ratio.alias("dup_ratio"))
