@@ -69,22 +69,27 @@ _HEAD: tuple[str, ...] = (
     "q_agg_distinct", "q_rollup", "q_grouping_sets", "q_skew_salted_agg",
     "q_rollup_cascade",
     # windows (+ntile, rotated in r4), sort/limit, set ops
-    "q_window_topk", "q_window_running", "q_ntile_buckets",
+    # (q_window_running attested r3 → tail; slot to q_shard_assign,
+    # itself a hash+window query)
+    "q_window_topk", "q_ntile_buckets", "q_shard_assign",
     "q_orderby_limit", "q_setops",
     # scalar function families (string / JSON / array higher-order)
     "q_string_funcs", "q_json_funcs", "q_array_hof",
     # dedup battery (simhash/keep_one attested r3 → tail)
     "q_dedup_latest", "q_minhash_lsh_pairs", "q_lsh_verified_pairs",
     "q_dedup_clusters",
-    # similarity / ANN battery
+    # similarity / ANN battery (q_kmeans_iter attested r3 → tail; slot
+    # to q_semdedup, which embeds the same cluster-assignment stage)
     "q_knn_bruteforce", "q_ann_ivf_search", "q_rhp_lsh_pairs",
-    "q_vector_lsh_verified", "q_kmeans_iter",
+    "q_vector_lsh_verified", "q_semdedup",
     # text analysis + corpus pipeline (dataset_split/stratified_sample
     # attested r3 → tail); time-series resample rotated in (new in r3)
     # (q_doc_chunking, q_lang_id attested r3 → tail; slots rotated to
     # q_doc_packing, q_repetition_ratio)
-    "q_quality_score", "q_repetition_ratio", "q_doc_packing",
-    "q_training_pipeline", "q_time_resample",
+    # (q_quality_score, q_training_pipeline attested r3 → tail; slots
+    # to the new curation pair q_mixture_sample, q_decontaminate)
+    "q_repetition_ratio", "q_doc_packing", "q_mixture_sample",
+    "q_decontaminate", "q_time_resample",
     # UDF / UDAF / UDTF surface
     "q_udaf_grouped_agg", "q_grouped_map_median", "q_udtf_bigrams",
     # multimodal plumbing (frame_sample/resize_plan attested r3 → tail)
@@ -129,6 +134,7 @@ def _load() -> None:
     from . import streaming_q  # noqa: F401
     from . import scale_demo  # noqa: F401
     from . import timeseries  # noqa: F401
+    from . import curation  # noqa: F401
     missing = [n for n in _HEAD if n not in CATALOG]
     if missing:
         raise RuntimeError(f"catalog head names not registered: {missing}")

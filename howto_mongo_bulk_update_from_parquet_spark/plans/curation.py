@@ -1,0 +1,246 @@
+"""Corpus-curation battery: the remaining large-scale training-data
+operations — dataset mixture sampling, deterministic shard assignment
+(global shuffle), benchmark decontamination, and SemDeDup-style
+embedding-cluster near-dedup.
+
+Scale notes (100 TB):
+- Mixture sampling and shard assignment are pure per-row hash
+  projections + one keyed aggregation/window — no join, no driver
+  state, reproducible across engines and re-partitioning (the same
+  portable md5-prefix hash the dedup family uses).
+- Decontamination joins the training corpus against the eval set on a
+  16-byte shingle HASH, never shingle text, and the eval side (a
+  benchmark suite: thousands of docs, not billions) is the small side
+  of the join — AQE broadcasts it, so the corpus never shuffles.
+- SemDeDup bounds the near-dup search to within-cluster pairs: an
+  O(N·K) broadcast assignment pass then O(Σ|cell|²) local pairs,
+  instead of the O(N²) all-pairs scan; per-vector norms are computed
+  once (N folds), so each candidate pair costs one dot product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import portable_hash64, shingles
+from ..sources.parquet import load_table
+from .catalog import register
+from .kmeans import K, _assign, _cells
+from .similarity import _as_double, dot
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixture sampling: per-source keep rates (the "3 epochs of
+# Wikipedia, 0.1 epoch of CommonCrawl" mixture step, here downsampling
+# only). Rates keyed on the source id so the oracle can recompute them;
+# membership is a deterministic id-hash draw, NOT rand() — re-runs,
+# retries, and both engines agree row-for-row.
+# ---------------------------------------------------------------------------
+
+MIXTURE_ORACLE = """
+WITH rated AS (
+  SELECT source, doc_id,
+         CASE CAST(substr(source, 4) AS INTEGER) % 4
+           WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100
+         END AS rate_permille
+  FROM documents
+)
+SELECT source,
+       CAST(MIN(rate_permille) AS BIGINT) AS rate_permille,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (
+         WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000 < rate_permille) AS n_kept
+FROM rated
+GROUP BY source
+"""
+
+
+@register("q_mixture_sample", MIXTURE_ORACLE,
+          "dataset mixture sampling: per-source keep rates applied via "
+          "deterministic id-hash draw (reproducible, engine-independent)")
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_replace("source", "^src", "").cast("int")
+    rate = (F.when(src_num % 4 == 0, 1000).when(src_num % 4 == 1, 500)
+             .when(src_num % 4 == 2, 250).otherwise(100))
+    draw = portable_hash64(F.col("doc_id").cast("string"), F.lit("mix")) % 1000
+    return (d.select("source", rate.alias("rate_permille"),
+                     (draw < rate).cast("long").alias("kept"))
+             .groupBy("source")
+             .agg(F.min("rate_permille").cast("long").alias("rate_permille"),
+                  F.count(F.lit(1)).alias("n_total"),
+                  F.sum("kept").alias("n_kept")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + shard assignment: the training-order
+# step. A global ORDER BY hash would funnel the corpus through one
+# sort; instead shard membership is a hash partition (parallel,
+# shuffle-free beyond the one exchange) and the shuffled order is a
+# per-shard window over a second independent hash — exactly how a
+# 100 TB corpus is laid out into training files.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+SHARD_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {N_SHARDS} AS shard,
+         CAST(('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS oh
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1 AS BIGINT) AS pos
+FROM hashed
+"""
+
+
+@register("q_shard_assign", SHARD_ORACLE,
+          "deterministic global shuffle: id-hash shard assignment + "
+          "independent-hash within-shard order (training file layout)")
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    id_str = F.col("doc_id").cast("string")
+    shard = portable_hash64(id_str, F.lit("shard")) % N_SHARDS
+    oh = portable_hash64(id_str, F.lit("order"))
+    w = Window.partitionBy("shard").orderBy("oh", "doc_id")
+    return (d.select("doc_id", shard.alias("shard"), oh.alias("oh"))
+             .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+             .select("doc_id", "shard", "pos"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing any
+# 3-gram shingle with the held-out eval set (doc_id % 10 == 0 stands
+# in for the benchmark suite). The join key is the 60-bit shingle
+# hash — 8 bytes crosses the shuffle, never shingle text — and both
+# engines hash identically, so hash-collision merges (if any) agree.
+# ---------------------------------------------------------------------------
+
+DECONTAMINATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(unnest(list_distinct(list_transform(
+                range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), ev AS (
+  SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0
+), tr AS (
+  SELECT doc_id, h FROM sh WHERE doc_id % 10 <> 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id
+), hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared
+  FROM tr t JOIN ev ON t.h = ev.h
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, h.n_shared, s.n_shingles,
+       ROUND(CAST(h.n_shared AS DOUBLE) / s.n_shingles, 6) AS overlap
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""
+
+
+@register("q_decontaminate", DECONTAMINATE_ORACLE,
+          "benchmark decontamination: training docs sharing 3-gram "
+          "shingles with the eval set, joined on shingle hash")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = (shingles(d, "doc_id", "text")
+          .select("doc_id", portable_hash64(F.col("shingle")).alias("h"))
+          .distinct())
+    ev = (sh.filter(F.col("doc_id") % 10 == 0).select("h").distinct())
+    tr = sh.filter(F.col("doc_id") % 10 != 0)
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # eval side is the benchmark suite — small; AQE broadcasts it so
+    # the training corpus side never shuffles for the semi-match.
+    hits = (tr.join(ev, "h")
+              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
+    return (hits.join(sizes, "doc_id")
+                .select("doc_id", "n_shared", "n_shingles",
+                        F.round(F.col("n_shared").cast("double")
+                                / F.col("n_shingles"), 6).alias("overlap")))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster the embedding space, then
+# drop any vector whose cluster contains a LOWER-id vector within
+# cosine >= threshold. Clustering reuses the k-means seed assignment
+# (in production: the trained centroids from q_kmeans_iter); the
+# near-dup scan is confined to within-cluster pairs.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_ORACLE = f"""
+WITH vals AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         CAST(embedding[unnest(range(1, len(embedding) + 1))] AS DOUBLE) AS vd
+  FROM embeddings
+),
+cents0 AS (
+  SELECT vec_id AS cid, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         CAST(embedding[unnest(range(1, len(embedding) + 1))] AS DOUBLE) AS cd
+  FROM embeddings WHERE vec_id < {K}
+),
+dist0 AS (
+  SELECT v.vec_id, c.cid,
+         SUM(CAST(ROUND((v.vd - c.cd) * (v.vd - c.cd), 12) AS DECIMAL(30,12))) AS d2
+  FROM vals v JOIN cents0 c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.cid
+),
+assign0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist0
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT a.vec_id, a.cid, e.embedding::DOUBLE[] AS ev
+  FROM assign0 a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.ev, b.ev), 5) >= 0.45
+)
+SELECT a.vec_id, a.cid AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM assign0 a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+@register("q_semdedup", SEMDEDUP_ORACLE,
+          "SemDeDup-style semantic dedup: embedding-cluster assignment, "
+          "then drop vectors within cosine 0.45 of a lower-id cluster-mate")
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = _cells(e, "vec_id", "vd")
+    cents = (_cells(e.filter(F.col("vec_id") < K), "vec_id", "cd")
+             .withColumnRenamed("vec_id", "cid"))
+    assign = _assign(vals, cents).localCheckpoint(eager=False)
+    # per-vector norms once (N folds), so each candidate pair below
+    # costs a single dot fold instead of three
+    vecs = e.select("vec_id", _as_double("embedding").alias("ev"))
+    vn = vecs.select("vec_id", "ev",
+                     F.sqrt(dot(F.col("ev"), F.col("ev"))).alias("nrm"))
+    m = vn.join(assign, "vec_id").localCheckpoint(eager=False)
+    a, b = m.alias("a"), m.alias("b")
+    cos = F.round(dot(F.col("a.ev"), F.col("b.ev"))
+                  / (F.col("a.nrm") * F.col("b.nrm")), 5)
+    dropped = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                     & (F.col("a.vec_id") < F.col("b.vec_id")))
+                .filter(cos >= 0.45)
+                .select(F.col("b.vec_id").alias("vec_id")).distinct())
+    return (assign.join(dropped.withColumn("is_dropped", F.lit(1)),
+                        "vec_id", "left")
+                  .select("vec_id", F.col("cid").alias("cluster"),
+                          F.when(F.col("is_dropped").isNull(), 1)
+                           .otherwise(0).cast("long").alias("kept")))

@@ -70,9 +70,12 @@ def test_head50_spans_every_capability():
         "knn": "q_knn_bruteforce",
         "ivf": "q_ann_ivf_search",
         "vector_lsh": "q_vector_lsh_verified",
-        "kmeans": "q_kmeans_iter",
-        "text_quality": "q_quality_score",
-        "corpus_pipeline": "q_training_pipeline",
+        "semantic_dedup": "q_semdedup",
+        "text_quality": "q_repetition_ratio",
+        "corpus_pipeline": "q_doc_packing",
+        "mixture_sampling": "q_mixture_sample",
+        "shard_shuffle": "q_shard_assign",
+        "decontamination": "q_decontaminate",
         "udaf": "q_udaf_grouped_agg",
         "grouped_map": "q_grouped_map_median",
         "udtf": "q_udtf_bigrams",
