@@ -35,15 +35,39 @@ def _set_if_differs(spark: SparkSession, key: str, value: str) -> None:
         spark.conf.set(key, value)
 
 
+_TS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """True iff the parquet file stores `ts` with nanosecond unit
+    (TIMESTAMP(NANOS) / timestamp[ns]), which Spark must read as raw
+    int64. One driver-side footer read, cached per path. Files without
+    a readable footer or `ts` field fall through to the native reader."""
+    got = _TS_NANOS_CACHE.get(path)
+    if got is None:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            fld = pq.ParquetFile(path).schema_arrow.field("ts")
+            got = ((pa.types.is_timestamp(fld.type) and fld.type.unit == "ns")
+                   or pa.types.is_integer(fld.type))
+        except Exception:  # noqa: BLE001 - absent file/field: native read
+            got = False
+        _TS_NANOS_CACHE[path] = got
+    return got
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                schema: T.StructType | None = None) -> DataFrame:
     """Scan one parquet table with its explicit schema (no inference).
 
-    The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader can't widen to TimestampType (µs). We read
-    it as raw nanos (`nanosAsLong`) and convert with exact integer
-    division — same ns→µs truncation DuckDB applies, so results stay
-    oracle-comparable.
+    The `events` table has shipped `ts` as either parquet
+    TIMESTAMP(NANOS) (older fixtures) or TIMESTAMP(MICROS). Spark's
+    vectorized reader can't widen NANOS to TimestampType (µs), so for
+    ns-unit files we read raw nanos (`nanosAsLong`) and convert with
+    exact integer division — the same ns→µs truncation DuckDB applies,
+    so results stay oracle-comparable. µs-unit files read natively.
+    The unit is detected once per file from the parquet footer.
     """
     # Parquet timestamps here are timezone-naive; pin the session to UTC
     # so their epoch interpretation (and pandas conversion) is stable no
@@ -60,7 +84,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
                     str(spark.sparkContext.defaultParallelism))
     schema = schema or TESTDATA_SCHEMAS.get(name)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and events_ts_is_nanos(path):
         _set_if_differs(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = T.StructType([
             T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)

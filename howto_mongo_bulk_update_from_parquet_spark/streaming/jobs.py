@@ -95,18 +95,29 @@ _RAW_EVENTS = T.StructType([
 ])
 
 
+def _open_events_stream(spark: SparkSession, stage: str) -> DataFrame:
+    """Open a staged events dir as a stream, handling both `ts` units
+    the fixture has shipped (TIMESTAMP(NANOS) → raw-int64 read + exact
+    ns→µs division; TIMESTAMP(MICROS) → native read). Same detection
+    as the batch loader (sources/parquet.py::events_ts_is_nanos)."""
+    from ..sources.parquet import events_ts_is_nanos
+    if events_ts_is_nanos(os.path.join(stage, "events.parquet")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (spark.readStream.schema(_RAW_EVENTS).parquet(stage)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    from ..schemas import TESTDATA_SCHEMAS
+    return spark.readStream.schema(TESTDATA_SCHEMAS["events"]).parquet(stage)
+
+
 def _stage_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """Stage events.parquet into its own dir and open it as a stream."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stage = os.path.join(tempfile.gettempdir(),
                          f"howto_mongo_bulk_update_from_parquet_spark_stream_{uuid.uuid4().hex[:8]}")
     os.makedirs(stage, exist_ok=True)
     shutil.copy(os.path.join(sf_dir, "events.parquet"),
                 os.path.join(stage, "events.parquet"))
-    stream = (spark.readStream.schema(_RAW_EVENTS).parquet(stage)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
-    return stream, stage
+    return _open_events_stream(spark, stage), stage
 
 
 def _run_to_memory(agg: DataFrame, mode: str, stage: str) -> DataFrame:
@@ -153,8 +164,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     once. Two independent file sources over the same staged directory
     keep this a true two-stream join rather than a self-join."""
     views_src, stage = _stage_events_stream(spark, sf_dir)
-    buys_src = (spark.readStream.schema(_RAW_EVENTS).parquet(stage)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    buys_src = _open_events_stream(spark, stage)
     views = (views_src.filter(F.col("event_type") == "view")
              .select(F.col("user_id").alias("v_user"),
                      F.col("event_id").alias("view_id"),
@@ -220,8 +230,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff (unmatched views need view_ts + 30min < min(max view_ts,
     max buy_ts) - 10min — verified value-exact against the engine)."""
     views_src, stage = _stage_events_stream(spark, sf_dir)
-    buys_src = (spark.readStream.schema(_RAW_EVENTS).parquet(stage)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    buys_src = _open_events_stream(spark, stage)
     views = (views_src.filter(F.col("event_type") == "view")
              .select(F.col("user_id").alias("v_user"),
                      F.col("event_id").alias("view_id"),
