@@ -1,0 +1,190 @@
+"""Arrow-batched exact vector kernels: centroid assignment, cluster
+pair-scan, and centroid scoring as numpy matmuls over `mapInPandas` /
+`applyInPandas`.
+
+Why these exist: the expression-level forms (posexplode → broadcast
+join on pos → decimal aggregation, or per-pair `aggregate`/`zip_with`
+folds) are correct and fully declarative, but they pay an N×K×dim
+row blowup through a shuffle (assignment) or an interpreted
+higher-order fold per candidate pair. The kernels here compute the
+IDENTICAL values — including the cross-engine exact-decimal rounding
+discipline — as one Arrow batch → one numpy matmul, with no shuffle
+at all for assignment (centroids ride the task closure, exactly like
+MLlib's KMeans broadcasts its centers each Lloyd's round).
+
+Exactness contract (matches plans/kmeans.py and the DuckDB oracles):
+  distance  d2 = Σ_dims ROUND((vd - cd)², 12)  summed as DECIMAL
+The kernel reproduces this bit-for-bit in int64: each term is the
+HALF_UP 12-decimal rounding of the exact IEEE double (vd-cd)²,
+scaled by 1e12 (terms are non-negative and ≤ ~4·10¹², and 64 of
+them stay far below 2⁶³, so the integer sum is exact). The scaled
+rounding is vectorized; elements whose scaled fraction falls within
+a few ulps of the .5 boundary — where float error could flip HALF_UP
+— are re-rounded through `decimal.Decimal(double)` (the exact binary
+expansion, i.e. precisely the BigDecimal semantics Spark's `round`
+uses). Everything else is plain correctly-rounded IEEE arithmetic,
+identical in numpy, the JVM, and DuckDB.
+
+Scale notes (100 TB): assignment is embarrassingly parallel — a map
+over vector batches with a K×dim closure; no exploded cells, no
+join, no shuffle. The pair scan is confined to within-cluster blocks
+(the SemDeDup contract: K is chosen so E[|cell|] is bounded — e.g.
+K = N/5k — so each group's gram matrix is a small dense matmul).
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCALE12 = Decimal("1e-12")
+
+
+def round12_scaled(d: np.ndarray) -> np.ndarray:
+    """int64 of ROUND(d, 12)·1e12 with exact HALF_UP semantics for
+    NON-NEGATIVE doubles (Spark round / DuckDB ROUND / decimal cast
+    all agree on this value)."""
+    t = d * 1e12
+    n = np.floor(t + 0.5)
+    # ambiguity window: |t - (floor(t)+0.5)| within a few ulps of t —
+    # only there can multiply error flip HALF_UP. ~0 elements in
+    # practice; each goes through the exact Decimal expansion.
+    frac = t - np.floor(t)
+    eps = np.spacing(np.maximum(np.abs(t), 1.0)) * 8.0
+    amb = np.abs(frac - 0.5) <= eps
+    if amb.any():
+        flat_d = d[amb].ravel()
+        exact = [int((Decimal(float(x)).quantize(_SCALE12, ROUND_HALF_UP)
+                      * 1_000_000_000_000))
+                 for x in flat_d]
+        n = n.copy()
+        n[amb] = np.array(exact, dtype=np.float64)
+    return n.astype(np.int64)
+
+
+def _stack(col: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list<float> column."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+ASSIGN_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("cid", T.LongType()),
+])
+
+ASSIGN_VEC_SCHEMA = T.StructType(
+    ASSIGN_SCHEMA.fields
+    + [T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+
+
+def assign_exact(vecs: DataFrame, centroids: list[tuple[int, list[float]]],
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 carry_vec: bool = False) -> DataFrame:
+    """Nearest-centroid assignment by exact-decimal squared L2 — the
+    Arrow kernel form of plans/kmeans.py::_assign (bit-identical
+    output, proven by tests/test_vector_kernels.py).
+
+    `centroids` is driver state: [(cid, [dim doubles]), ...] sorted
+    ascending by cid (ties break to the lowest cid, like the oracle's
+    ORDER BY d2, cid). No shuffle: one map over vector batches.
+    `carry_vec=True` also emits the vector (as doubles) so a
+    downstream per-cluster stage can group without re-joining the
+    source — the embeddings cross exactly one exchange either way,
+    this just removes the join.
+    """
+    cents = sorted(centroids)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.float64)  # (K, dim)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _stack(pdf[vec_col])                       # (n, dim)
+            # exact per-term rounding, then exact integer sums
+            diff = V[:, None, :] - C[None, :, :]           # (n, K, dim)
+            d2 = round12_scaled(diff * diff).sum(axis=2)   # (n, K) int64
+            best = cids[np.argmin(d2, axis=1)]             # first min = lowest cid
+            out = {"vec_id": pdf[id_col].to_numpy(), "cid": best}
+            if carry_vec:
+                out["embedding"] = list(V)
+            yield pd.DataFrame(out)
+
+    schema = ASSIGN_VEC_SCHEMA if carry_vec else ASSIGN_SCHEMA
+    return vecs.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def score_centroids(vecs: DataFrame, centroids: list[tuple[int, list[float]]],
+                    round_to: int = 6, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, c_id, sim): rounded cosine of every vector against
+    every centroid — one matmul per Arrow batch instead of K
+    interpreted `aggregate` folds per row. Rounding to `round_to`
+    absorbs summation-order ulps exactly as the expression form does
+    (both engines already fold in different orders)."""
+    cents = sorted(centroids)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))                      # (K,)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("c_id", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _stack(pdf[vec_col])
+            vn = np.sqrt((V * V).sum(axis=1))
+            sim = np.round((V @ C.T) / (vn[:, None] * cn[None, :]), round_to)
+            n, k = sim.shape
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf[id_col].to_numpy(), k),
+                "c_id": np.tile(cids, n),
+                "sim": sim.ravel(),
+            })
+
+    return vecs.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def cluster_neardup_flags(members: DataFrame, threshold: float,
+                          round_to: int = 5) -> DataFrame:
+    """(vec_id, cluster, kept): within each cluster, drop any vector
+    whose cluster holds a LOWER-id vector with rounded cosine ≥
+    threshold (the SemDeDup keep-first rule) — one gram matmul per
+    cluster via applyInPandas instead of a candidate-pair self-join
+    with per-pair folds.
+
+    `members` must have (vec_id, cid, embedding). Cluster blocks are
+    bounded by construction (K scales with N), so each group's
+    |cell|² gram matrix is small and dense."""
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cluster", T.LongType()),
+        T.StructField("kept", T.LongType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        E = _stack(pdf["embedding"])
+        nrm = np.sqrt((E * E).sum(axis=1))
+        cos = np.round((E @ E.T) / np.outer(nrm, nrm), round_to)
+        # strictly-lower-id comparisons only (upper triangle, j > i)
+        dup = np.triu(cos >= threshold, k=1).any(axis=0)
+        return pd.DataFrame({"vec_id": ids,
+                             "cluster": pdf["cid"].to_numpy(),
+                             "kept": (~dup).astype(np.int64)})
+
+    return (members.groupBy("cid")
+            .applyInPandas(kernel, schema))

@@ -13,9 +13,9 @@ Scale notes (100 TB):
   benchmark suite: thousands of docs, not billions) is the small side
   of the join — AQE broadcasts it, so the corpus never shuffles.
 - SemDeDup bounds the near-dup search to within-cluster pairs: an
-  O(N·K) broadcast assignment pass then O(Σ|cell|²) local pairs,
-  instead of the O(N²) all-pairs scan; per-vector norms are computed
-  once (N folds), so each candidate pair costs one dot product.
+  O(N·K) shuffle-free Arrow assignment pass (centroids ride the task
+  closure) then one dense gram matmul per cluster block, instead of
+  the O(N²) all-pairs scan — see operators/vector_kernels.py.
 """
 
 from __future__ import annotations
@@ -27,8 +27,7 @@ from pyspark.sql.window import Window
 from ..operators.dedup import portable_hash64, shingles
 from ..sources.parquet import load_table
 from .catalog import register
-from .kmeans import K, _assign, _cells
-from .similarity import _as_double, dot
+from .kmeans import K
 
 
 # ---------------------------------------------------------------------------
@@ -221,26 +220,17 @@ FROM assign0 a LEFT JOIN dropped d ON a.vec_id = d.vec_id
           "SemDeDup-style semantic dedup: embedding-cluster assignment, "
           "then drop vectors within cosine 0.45 of a lower-id cluster-mate")
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-kernel SemDeDup: one shuffle-free assignment pass
+    (mapInPandas, exact-decimal distance contract) carrying the
+    vectors, then ONE gram matmul per cluster via applyInPandas —
+    replacing the candidate-pair self-join whose per-pair cosine was
+    an interpreted `aggregate` fold. Total movement: the embeddings
+    cross exactly one exchange (the groupBy cid), and cluster blocks
+    are bounded by construction (SemDeDup picks K ∝ N so E[|cell|]
+    is a constant), so each block's |cell|² gram matrix is a small
+    dense matmul."""
+    from ..operators.vector_kernels import assign_exact, cluster_neardup_flags
     e = load_table(spark, sf_dir, "embeddings")
-    vals = _cells(e, "vec_id", "vd")
-    cents = (_cells(e.filter(F.col("vec_id") < K), "vec_id", "cd")
-             .withColumnRenamed("vec_id", "cid"))
-    assign = _assign(vals, cents).localCheckpoint(eager=False)
-    # per-vector norms once (N folds), so each candidate pair below
-    # costs a single dot fold instead of three
-    vecs = e.select("vec_id", _as_double("embedding").alias("ev"))
-    vn = vecs.select("vec_id", "ev",
-                     F.sqrt(dot(F.col("ev"), F.col("ev"))).alias("nrm"))
-    m = vn.join(assign, "vec_id").localCheckpoint(eager=False)
-    a, b = m.alias("a"), m.alias("b")
-    cos = F.round(dot(F.col("a.ev"), F.col("b.ev"))
-                  / (F.col("a.nrm") * F.col("b.nrm")), 5)
-    dropped = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
-                     & (F.col("a.vec_id") < F.col("b.vec_id")))
-                .filter(cos >= 0.45)
-                .select(F.col("b.vec_id").alias("vec_id")).distinct())
-    return (assign.join(dropped.withColumn("is_dropped", F.lit(1)),
-                        "vec_id", "left")
-                  .select("vec_id", F.col("cid").alias("cluster"),
-                          F.when(F.col("is_dropped").isNull(), 1)
-                           .otherwise(0).cast("long").alias("kept")))
+    from .kmeans import seed_centroids
+    members = assign_exact(e, seed_centroids(e), carry_vec=True)
+    return cluster_neardup_flags(members, threshold=0.45)

@@ -98,19 +98,40 @@ SELECT vec_id, cid AS cluster FROM (
 """
 
 
+def seed_centroids(e: DataFrame, k: int = K) -> list[tuple[int, list[float]]]:
+    """Driver-side seed centroids (vec_id < k), as (cid, dims) —
+    K×dim doubles of driver state, the same shape MLlib's KMeans
+    carries between Lloyd's rounds."""
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in e.filter(F.col("vec_id") < k)
+                      .select("vec_id", "embedding").collect()]
+
+
+def _collect_centroids(cent_cells: DataFrame) -> list[tuple[int, list[float]]]:
+    """(cid, pos, cd) cells → driver-side [(cid, ordered dims)]."""
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in cent_cells.collect():
+        by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cd"])
+    return [(cid, [dims[p] for p in range(len(dims))])
+            for cid, dims in sorted(by_cid.items())]
+
+
 @register("q_kmeans_iter", KMEANS_ORACLE,
           "two Lloyd's k-means rounds (IVF training): assign → exact "
           "centroid means → reassign, bit-exact through both rounds")
 def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's rounds with the Arrow assignment kernel: centroids are
+    driver state (K×dim doubles, like MLlib KMeans), each assignment
+    is ONE shuffle-free mapInPandas matmul with the exact-decimal
+    rounding contract (operators/vector_kernels.py), and only the
+    centroid recompute — an exact decimal mean — runs as an exploded
+    aggregation (one shuffle of K×dim groups per round). The
+    expression-form `_assign` stays as the no-Python fallback and the
+    cross-check in tests/test_vector_kernels.py."""
+    from ..operators.vector_kernels import assign_exact
     e = load_table(spark, sf_dir, "embeddings")
-    # the cell table feeds both assignment rounds AND the centroid
-    # recompute — checkpoint it once instead of re-exploding the scan
-    # three times (also truncates lineage across rounds, the standard
-    # iterative-algorithm hygiene)
-    vals = _cells(e, "vec_id", "vd").localCheckpoint(eager=True)
-    cents = (_cells(e.filter(F.col("vec_id") < K), "vec_id", "cd")
-             .withColumnRenamed("vec_id", "cid"))
-    assign = _assign(vals, cents)            # round 1
-    cents = _recompute(vals, assign)
-    assign = _assign(vals, cents)            # round 2
+    assign = assign_exact(e, seed_centroids(e))          # round 1
+    vals = _cells(e, "vec_id", "vd")
+    cents = _collect_centroids(_recompute(vals, assign))
+    assign = assign_exact(e, cents)                      # round 2
     return assign.select("vec_id", F.col("cid").alias("cluster"))

@@ -123,22 +123,30 @@ WHERE rank <= 3
           "full IVF search: trained centroids (label means) → nprobe=2 "
           "bucket probe → exact top-3 (the ANN scale path)")
 def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with the Arrow scoring kernel: the trained coarse
+    quantizer (exact per-label decimal means) is collected to the
+    driver — n_labels×dim doubles, the same state MLlib carries —
+    and every vector scores against all centroids in ONE matmul per
+    Arrow batch (operators/vector_kernels.py::score_centroids)
+    instead of K interpreted `aggregate` folds per row. The probe
+    stage's exact re-rank keeps the JVM fold form (tiny candidate
+    set)."""
     from .similarity import _as_double, cosine
+    from ..operators.vector_kernels import score_centroids
     e = load_table(spark, sf_dir, "embeddings")
-    # trained coarse quantizer: exact per-label mean per dimension,
-    # reassembled into an ordered array (sort_array on (pos, val) structs)
+    # trained coarse quantizer: exact per-label mean per dimension
     cmean = (e.select("label", F.posexplode("embedding").alias("pos0", "val"))
               .groupBy("label", (F.col("pos0") + 1).alias("pos"))
               .agg((F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
                     / F.count(F.lit(1))).alias("cval")))
-    cent = (cmean.groupBy(F.col("label").alias("c_id"))
-            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                             lambda s: s["cval"]).alias("cv")))
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cmean.collect():
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(r["cval"])
+    cents = [(cid, [dims[p] for p in range(1, len(dims) + 1)])
+             for cid, dims in sorted(by_label.items())]
     v = e.select("vec_id", _as_double("embedding").alias("ev"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-    scored = (v.join(F.broadcast(cent))
-               .select("vec_id", "c_id",
-                       F.round(cosine(F.col("ev"), F.col("cv")), 6).alias("sim"))
+    scored = (score_centroids(e, cents, round_to=6)
                .withColumn("rn", F.row_number().over(w_assign)))
     assign = scored.filter(F.col("rn") == 1).select("vec_id", F.col("c_id").alias("bucket"))
     queries = (e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))

@@ -1,0 +1,87 @@
+"""Arrow vector kernels vs the expression forms: the mapInPandas
+assignment must reproduce the exploded-cells decimal aggregation
+bit-for-bit, and the exact-rounding helper must match BigDecimal
+HALF_UP on adversarial boundary values."""
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from howto_mongo_bulk_update_from_parquet_spark.operators.vector_kernels import (
+    assign_exact, cluster_neardup_flags, round12_scaled)
+from howto_mongo_bulk_update_from_parquet_spark.plans.kmeans import (
+    _assign, _cells, _recompute, K, seed_centroids, _collect_centroids)
+from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_round12_scaled_matches_decimal_half_up():
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.random(2000) * 4.0,                  # typical squared diffs
+        rng.random(100) * 1e-9,                  # tiny
+        np.array([0.0, 1.2345678901235e-3]),
+        # exact representable .5-boundary neighbourhoods
+        np.array([5e-13, 1.5e-12, 2.5e-12, 0.1234567890125]),
+    ])
+    got = round12_scaled(vals)
+    want = np.array([int(Decimal(float(x)).quantize(Decimal("1e-12"),
+                                                    ROUND_HALF_UP)
+                         * 1_000_000_000_000) for x in vals])
+    assert (got == want).all()
+
+
+def test_assign_kernel_matches_expression_form(spark):
+    e = load_table(spark, SF, "embeddings")
+    vals = _cells(e, "vec_id", "vd")
+    cents = (_cells(e.filter(F.col("vec_id") < K), "vec_id", "cd")
+             .withColumnRenamed("vec_id", "cid"))
+    want = {(r["vec_id"], r["cid"]) for r in _assign(vals, cents).collect()}
+    got = {(r["vec_id"], r["cid"])
+           for r in assign_exact(e, seed_centroids(e)).collect()}
+    assert got == want and len(got) == e.count()
+
+
+def test_assign_kernel_matches_after_recompute_round(spark):
+    """Round-2 centroids (exact decimal means) must also agree."""
+    e = load_table(spark, SF, "embeddings")
+    vals = _cells(e, "vec_id", "vd")
+    a1 = assign_exact(e, seed_centroids(e))
+    cents_df = _recompute(vals, a1)
+    want = {(r["vec_id"], r["cid"])
+            for r in _assign(vals, cents_df.withColumnRenamed("cd", "cd")
+                             ).collect()}
+    got = {(r["vec_id"], r["cid"])
+           for r in assign_exact(e, _collect_centroids(cents_df)).collect()}
+    assert got == want
+
+
+def test_cluster_neardup_flags_matches_pair_join(spark):
+    """The per-cluster gram kernel must flag exactly the vectors the
+    pair-join + fold-cosine form drops."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans.similarity import (
+        _as_double, dot)
+    e = load_table(spark, SF, "embeddings")
+    members = assign_exact(e, seed_centroids(e), carry_vec=True)
+    got = {(r["vec_id"], r["cluster"], r["kept"])
+           for r in cluster_neardup_flags(members, 0.45).collect()}
+
+    assign = assign_exact(e, seed_centroids(e))
+    vn = (e.select("vec_id", _as_double("embedding").alias("ev"))
+           .withColumn("nrm", F.sqrt(dot(F.col("ev"), F.col("ev")))))
+    m = vn.join(assign, "vec_id")
+    a, b = m.alias("a"), m.alias("b")
+    cos = F.round(dot(F.col("a.ev"), F.col("b.ev"))
+                  / (F.col("a.nrm") * F.col("b.nrm")), 5)
+    dropped = {r["vec_id"] for r in
+               a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                      & (F.col("a.vec_id") < F.col("b.vec_id")))
+                .filter(cos >= 0.45)
+                .select(F.col("b.vec_id").alias("vec_id")).distinct().collect()}
+    want = {(r["vec_id"], r["cid"], 0 if r["vec_id"] in dropped else 1)
+            for r in assign.collect()}
+    assert got == want
+    assert any(k == 0 for _, _, k in got), "fixture should drop something"
