@@ -60,27 +60,33 @@ _LOADED = False
 _HEAD: tuple[str, ...] = (
     # reference core: scan, project/filter, merge-upsert, generator
     "q1_pricing_summary", "q_filter_project", "q_merge_upsert", "q_generate",
-    # joins: multiway, semi/anti, range, as-of, null-safe, disjunctive
-    # pushdown, full outer (rotated in r4; never driver-attested)
-    # (q_join_range attested r3 → tail, slot rotated to q_stream_dedup)
-    "q_join_multiway", "q_join_semi_anti", "q_asof_join",
-    "q_null_safe_join", "q_tpch_q19_disjunctive", "q_join_full_outer",
-    # aggregation: distinct, rollup(+cascade), grouping sets, skew-salted
-    "q_agg_distinct", "q_rollup", "q_grouping_sets", "q_skew_salted_agg",
+    # joins (r5 rotation: q_join_multiway / q_join_semi_anti /
+    # q_null_safe_join attested r4 → tail; slots to the new TPC-H
+    # battery II join queries)
+    "q_tpch_q3_shipping", "q_tpch_q4_priority", "q_tpch_q5_local_volume",
+    "q_asof_join", "q_tpch_q19_disjunctive", "q_join_full_outer",
+    # aggregation (r5: q_agg_distinct / q_rollup / q_grouping_sets
+    # attested r4 → tail; slots to Q6/Q18/Q22 — filter-agg, IN-HAVING
+    # semi join, scalar-subquery + NOT EXISTS)
+    "q_tpch_q6_forecast", "q_tpch_q18_large_volume",
+    "q_tpch_q22_idle_balance", "q_skew_salted_agg",
     "q_rollup_cascade",
     # windows (+ntile, rotated in r4), sort/limit, set ops
     # (q_window_running attested r3 → tail; slot to q_shard_assign,
     # itself a hash+window query)
     "q_window_topk", "q_ntile_buckets", "q_shard_assign",
     "q_orderby_limit", "q_setops",
-    # scalar function families (string / JSON / array higher-order)
-    "q_string_funcs", "q_json_funcs", "q_array_hof",
+    # scalar function families (r5: q_string_funcs attested r4 → tail;
+    # slot lent to the text-analysis block below)
+    "q_json_funcs", "q_array_hof",
     # dedup battery (simhash/keep_one attested r3 → tail)
     "q_dedup_latest", "q_minhash_lsh_pairs", "q_lsh_verified_pairs",
     "q_dedup_clusters",
-    # similarity / ANN battery (q_kmeans_iter attested r3 → tail; slot
-    # to q_semdedup, which embeds the same cluster-assignment stage)
-    "q_knn_bruteforce", "q_ann_ivf_search", "q_rhp_lsh_pairs",
+    # similarity / ANN battery (r5: q_knn_bruteforce attested r4 →
+    # tail; q_kmeans_iter rotates BACK in — its assignment moved to
+    # the Arrow kernel this round and a changed impl re-earns
+    # attestation, alongside kernel-rewired q_ann_ivf_search/q_semdedup)
+    "q_kmeans_iter", "q_ann_ivf_search", "q_rhp_lsh_pairs",
     "q_vector_lsh_verified", "q_semdedup",
     # text analysis + corpus pipeline (dataset_split/stratified_sample
     # attested r3 → tail); time-series resample rotated in (new in r3)
@@ -88,8 +94,12 @@ _HEAD: tuple[str, ...] = (
     # q_doc_packing, q_repetition_ratio)
     # (q_quality_score, q_training_pipeline attested r3 → tail; slots
     # to the new curation pair q_mixture_sample, q_decontaminate)
-    "q_repetition_ratio", "q_doc_packing", "q_mixture_sample",
-    "q_decontaminate", "q_time_resample",
+    # (r5: q_repetition_ratio attested r4 → tail, slot to
+    # q_token_entropy; q_tfidf_top_terms takes the scalar-funcs loan;
+    # singleton-capability slots — mixture, packing, decontamination,
+    # resample — never rotate out)
+    "q_token_entropy", "q_tfidf_top_terms", "q_doc_packing",
+    "q_mixture_sample", "q_decontaminate", "q_time_resample",
     # UDF / UDAF / UDTF surface
     "q_udaf_grouped_agg", "q_grouped_map_median", "q_udtf_bigrams",
     # multimodal plumbing (frame_sample/resize_plan attested r3 → tail)
@@ -135,6 +145,8 @@ def _load() -> None:
     from . import scale_demo  # noqa: F401
     from . import timeseries  # noqa: F401
     from . import curation  # noqa: F401
+    from . import relational9  # noqa: F401
+    from . import text_stats  # noqa: F401
     missing = [n for n in _HEAD if n not in CATALOG]
     if missing:
         raise RuntimeError(f"catalog head names not registered: {missing}")

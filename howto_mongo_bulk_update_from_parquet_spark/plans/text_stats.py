@@ -1,0 +1,109 @@
+"""Corpus statistics for curation: per-document token entropy (the
+Gopher-style "gibberish / repetition" signal the repetition-ratio
+query complements) and TF-IDF top terms (the classic salience score a
+mixture or retrieval stage keys on).
+
+Cross-engine float discipline for logarithms: a sum of doubles is
+order-dependent, so every per-token entropy term is rounded to 9
+decimals and summed as DECIMAL (order-independent, both engines
+agree); single-multiplication scores (tf·idf) need no decimal pass —
+one IEEE multiply is order-free — and the final ROUND(…, 6) absorbs
+any last-ulp difference between the engines' log implementations.
+
+Scale notes (100 TB): both queries are explode → groupBy(key)
+pipelines — map-side combinable, shuffle bounded by distinct
+(doc, token) pairs, no joins except TF-IDF's token-keyed df join
+(token vocabulary ≪ corpus; AQE broadcasts when it fits). The
+doc-frequency side never carries text beyond the token itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+
+ENTROPY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 300
+), counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+), terms AS (
+  SELECT doc_id, c,
+         CAST(ROUND(c * log2(CAST(c AS DOUBLE)), 9) AS DECIMAL(20,9)) AS t
+  FROM counts
+), agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(t) AS DOUBLE) AS s
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n AS n_tokens,
+       ROUND(log2(CAST(n AS DOUBLE)) - s / n, 6) AS token_entropy
+FROM agg
+"""
+
+
+@register("q_token_entropy", ENTROPY_ORACLE,
+          "per-document token Shannon entropy (H = log2 n - sum(c*log2 c)/n "
+          "with decimal-summed terms), the gibberish/repetition signal")
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    term = (F.round(F.col("c") * F.log2(F.col("c").cast("double")), 9)
+            .cast("decimal(20,9)"))
+    agg = (counts.groupBy("doc_id")
+           .agg(F.sum("c").cast("long").alias("n"),
+                F.sum(term).cast("double").alias("s")))
+    return agg.select(
+        "doc_id", F.col("n").alias("n_tokens"),
+        F.round(F.log2(F.col("n").cast("double")) - F.col("s") / F.col("n"), 6)
+         .alias("token_entropy"))
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         ROUND(t.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tf t JOIN df d ON t.tok = d.tok
+)
+SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+@register("q_tfidf_top_terms", TFIDF_ORACLE,
+          "TF-IDF top-3 terms per document: corpus df join + windowed "
+          "top-k (salience scoring for mixtures/retrieval)")
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver scalar, like the oracle's (SELECT n_docs)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = (toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    scored = (tf.join(df, "tok")
+              .select("doc_id", "tok", "tf", "df",
+                      F.round(F.col("tf") * F.log(F.lit(float(n_docs))
+                                                  / F.col("df")), 6)
+                       .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rnk") <= 3)
+                  .select("doc_id", "tok", F.col("tf").cast("long").alias("tf"),
+                          F.col("df").cast("long").alias("df"), "tfidf", "rnk"))

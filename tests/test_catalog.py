@@ -57,21 +57,24 @@ def test_head50_spans_every_capability():
         "filter_project": "q_filter_project",
         "merge_sink": "q_merge_upsert",
         "generator": "q_generate",
-        "joins": "q_join_multiway",
+        "joins": "q_tpch_q3_shipping",
+        "subquery_joins": "q_tpch_q4_priority",
         "asof": "q_asof_join",
-        "aggregation": "q_rollup",
+        "aggregation": "q_rollup_cascade",
+        "filter_agg": "q_tpch_q6_forecast",
         "window": "q_window_topk",
         "sort_limit": "q_orderby_limit",
         "set_ops": "q_setops",
-        "scalar_funcs": "q_string_funcs",
+        "scalar_funcs": "q_json_funcs",
         "dedup_lsh": "q_minhash_lsh_pairs",
         "dedup_verify": "q_lsh_verified_pairs",
         "dedup_cluster": "q_dedup_clusters",
-        "knn": "q_knn_bruteforce",
+        "kmeans": "q_kmeans_iter",
         "ivf": "q_ann_ivf_search",
         "vector_lsh": "q_vector_lsh_verified",
         "semantic_dedup": "q_semdedup",
-        "text_quality": "q_repetition_ratio",
+        "text_quality": "q_token_entropy",
+        "corpus_stats": "q_tfidf_top_terms",
         "corpus_pipeline": "q_doc_packing",
         "mixture_sampling": "q_mixture_sample",
         "shard_shuffle": "q_shard_assign",
