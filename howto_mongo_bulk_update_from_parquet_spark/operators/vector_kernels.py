@@ -157,6 +157,53 @@ def score_centroids(vecs: DataFrame, centroids: list[tuple[int, list[float]]],
     return vecs.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def pq_encode(vecs: DataFrame, codebook: list[tuple[int, list[float]]],
+              n_blocks: int, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization encode: split each vector into `n_blocks`
+    contiguous sub-vectors, assign each to its nearest codeword (the
+    same exact-decimal squared-L2 contract as assign_exact, per
+    block), emit the code tuple + total reconstruction error.
+
+    `codebook` holds FULL seed vectors [(code, dims)]; block b uses
+    their [b·w, (b+1)·w) slice — the IVF-PQ training shorthand the
+    oracle mirrors. One shuffle-free map; at 100 TB this is the
+    standard ANN compression pass (64 floats → n_blocks bytes),
+    with codebooks as broadcast driver state."""
+    cb = sorted(codebook)
+    codes = np.array([c for c, _ in cb], dtype=np.int64)
+    C = np.array([v for _, v in cb], dtype=np.float64)     # (K, dim)
+    dim = C.shape[1]
+    assert dim % n_blocks == 0, "dim must divide evenly into blocks"
+    w = dim // n_blocks
+
+    fields = [T.StructField("vec_id", T.LongType())]
+    fields += [T.StructField(f"code{b}", T.LongType()) for b in range(n_blocks)]
+    fields.append(T.StructField("recon_err", T.DoubleType()))
+    schema = T.StructType(fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _stack(pdf[vec_col])
+            out = {"vec_id": pdf[id_col].to_numpy()}
+            total = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(n_blocks):
+                sl = slice(b * w, (b + 1) * w)
+                diff = V[:, None, sl] - C[None, :, sl]     # (n, K, w)
+                d2 = round12_scaled(diff * diff).sum(axis=2)
+                best = np.argmin(d2, axis=1)               # first min = lowest code
+                out[f"code{b}"] = codes[best]
+                total += d2[np.arange(len(pdf)), best]
+            # exact decimal total / 1e12 -> nearest double, identical
+            # to the oracle's CAST(SUM(DECIMAL) AS DOUBLE)
+            out["recon_err"] = total / 1e12
+            yield pd.DataFrame(out)
+
+    return vecs.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def cluster_neardup_flags(members: DataFrame, threshold: float,
                           round_to: int = 5) -> DataFrame:
     """(vec_id, cluster, kept): within each cluster, drop any vector

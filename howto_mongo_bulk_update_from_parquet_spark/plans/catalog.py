@@ -86,7 +86,8 @@ _HEAD: tuple[str, ...] = (
     # tail; q_kmeans_iter rotates BACK in — its assignment moved to
     # the Arrow kernel this round and a changed impl re-earns
     # attestation, alongside kernel-rewired q_ann_ivf_search/q_semdedup)
-    "q_kmeans_iter", "q_ann_ivf_search", "q_rhp_lsh_pairs",
+    # (q_rhp_lsh_pairs attested r4 → tail; slot to the new PQ encode)
+    "q_kmeans_iter", "q_ann_ivf_search", "q_pq_encode",
     "q_vector_lsh_verified", "q_semdedup",
     # text analysis + corpus pipeline (dataset_split/stratified_sample
     # attested r3 → tail); time-series resample rotated in (new in r3)
@@ -147,6 +148,7 @@ def _load() -> None:
     from . import curation  # noqa: F401
     from . import relational9  # noqa: F401
     from . import text_stats  # noqa: F401
+    from . import pq  # noqa: F401
     missing = [n for n in _HEAD if n not in CATALOG]
     if missing:
         raise RuntimeError(f"catalog head names not registered: {missing}")
