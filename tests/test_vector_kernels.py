@@ -59,6 +59,23 @@ def test_assign_kernel_matches_after_recompute_round(spark):
     assert got == want
 
 
+def test_pq_encode_seeds_self_code_and_error_monotone(spark):
+    """Codebook seed vectors must encode to their own code with zero
+    reconstruction error; non-seed vectors get nonneg error and codes
+    within the codebook range."""
+    from howto_mongo_bulk_update_from_parquet_spark.operators.vector_kernels import pq_encode
+    e = load_table(spark, SF, "embeddings")
+    out = pq_encode(e, seed_centroids(e, 16), 4).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == e.count()
+    for i in range(16):
+        r = by_id[i]
+        assert (r["code0"], r["code1"], r["code2"], r["code3"]) == (i, i, i, i)
+        assert r["recon_err"] == 0.0
+    assert all(0 <= r[f"code{b}"] < 16 for r in out for b in range(4))
+    assert all(r["recon_err"] >= 0.0 for r in out)
+
+
 def test_cluster_neardup_flags_matches_pair_join(spark):
     """The per-cluster gram kernel must flag exactly the vectors the
     pair-join + fold-cosine form drops."""
