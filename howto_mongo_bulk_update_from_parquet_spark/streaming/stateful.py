@@ -10,6 +10,8 @@ micro-batches via the state store.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -58,8 +60,22 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (events.groupBy("user_id", "event_type")
            .applyInPandasWithState(_first_seen, OUTPUT_SCHEMA, STATE_SCHEMA,
                                    "append", GroupStateTimeout.NoTimeout))
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, _python_state_width(spark)):
         return _run_to_memory(out, "append", stage)
+
+
+def _python_state_width(spark: SparkSession) -> int | None:
+    """Python-stateful operators (applyInPandasWithState) run one Arrow
+    stream + one Python worker PER state partition — unlike JVM window
+    state, their wall-clock scales with partition count up to the core
+    count (measured ~1.8× at 32 vs 8 on local[32]). Default the width
+    to the session's parallelism; an explicit conf/env channel
+    (resolve_state_partitions) still wins so operators can apply the
+    keys-per-store rule when the key universe dominates."""
+    from .jobs import STATE_PARTITIONS_CONF, STATE_PARTITIONS_ENV
+    if spark.conf.get(STATE_PARTITIONS_CONF, None) or os.environ.get(STATE_PARTITIONS_ENV):
+        return None  # explicit channels keep priority
+    return spark.sparkContext.defaultParallelism
 
 
 def _make_first_seen_ttl(ttl_minutes: int):
@@ -129,7 +145,7 @@ def stream_first_seen_ttl(spark: SparkSession, sf_dir: str,
     from .jobs import _run_to_memory, _stage_events_stream, scoped_state_partitions
     events, stage = _stage_events_stream(spark, sf_dir)
     events = events.select("user_id", "event_type", "ts", "event_id")
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, _python_state_width(spark)):
         return _run_to_memory(
             first_seen_ttl_query(events, ttl_minutes=ttl_minutes),
             "append", stage)
