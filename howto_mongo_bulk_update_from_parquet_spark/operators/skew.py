@@ -42,3 +42,32 @@ def salted_sum_count(df: DataFrame, key: str, value: Column,
         partials=[(F.sum(value), "ps"), (F.count(F.lit(1)), "pc")],
         finals=lambda: [F.sum("ps").alias("sum_value"),
                         F.sum("pc").alias("n_rows")])
+
+
+def salted_join(big: DataFrame, dim: DataFrame, key: str,
+                n_salts: int = 16, salt_on: Column | None = None) -> DataFrame:
+    """Skew-safe equi-join of a big fact side against a small-but-not-
+    broadcastable dim: the fact side gets a deterministic salt, the dim
+    side is replicated once per salt, and the join key becomes
+    (key, salt) — a hot key's rows spread over `n_salts` reducers
+    instead of landing on one. Row-identical to the plain join (the
+    salt never reaches the output); only shuffle distribution changes.
+
+    `salt_on` picks the salting expression (default: a hash of the
+    fact row's key column plus a row-local component is WRONG — the
+    salt must NOT be derived from the join key alone or a hot key
+    still maps to one reducer; default uses a per-row spread).
+    The dim replication multiplies the dim by n_salts — the technique
+    only pays when |dim| × n_salts ≪ |big|, the usual regime for a
+    medium dim over the broadcast threshold."""
+    spark = big.sparkSession
+    salt = (salt_on if salt_on is not None
+            else F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)))
+    fact = big.withColumn("__salt", salt.cast("int"))
+    salts = spark.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+    dim_r = dim.crossJoin(salts)
+    # SHUFFLE_HASH pins the shuffle path (the scenario salting exists
+    # for); without it a tiny test dim would auto-broadcast and the
+    # salted shape would never see an exchange.
+    out = fact.join(dim_r.hint("SHUFFLE_HASH"), [key, "__salt"])
+    return out.drop("__salt")

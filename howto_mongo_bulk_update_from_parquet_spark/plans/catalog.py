@@ -69,12 +69,14 @@ _HEAD: tuple[str, ...] = (
     # attested r4 → tail; slots to Q6/Q18/Q22 — filter-agg, IN-HAVING
     # semi join, scalar-subquery + NOT EXISTS)
     "q_tpch_q6_forecast", "q_tpch_q18_large_volume",
-    "q_tpch_q22_idle_balance", "q_skew_salted_agg",
+    "q_tpch_q22_idle_balance", "q_skew_salted_join",
     "q_rollup_cascade",
     # windows (+ntile, rotated in r4), sort/limit, set ops
     # (q_window_running attested r3 → tail; slot to q_shard_assign,
     # itself a hash+window query)
-    "q_window_topk", "q_ntile_buckets", "q_shard_assign",
+    # (q_window_topk / q_skew_salted_agg attested r4 → tail; slots to
+    # the winsorized trim and the salted skew JOIN)
+    "q_outlier_trim", "q_ntile_buckets", "q_shard_assign",
     "q_orderby_limit", "q_setops",
     # scalar function families (r5: q_string_funcs attested r4 → tail;
     # slot lent to the text-analysis block below)

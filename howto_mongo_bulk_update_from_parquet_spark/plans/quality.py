@@ -176,3 +176,53 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ).otherwise(F.lit(0.0))
     return g.select("doc_id", n_grams.alias("n_grams"),
                     n_distinct.alias("n_distinct"), ratio.alias("dup_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# Winsorized trim: drop each group's bottom/top 5% by rank before
+# aggregating — the outlier-robust statistics pass a cleaning pipeline
+# runs before fitting thresholds. Bounds are INTEGER arithmetic on the
+# group rank (no percentile interpolation), so both engines keep the
+# identical row set; the trimmed mean is an exact decimal sum / count.
+# ---------------------------------------------------------------------------
+
+TRIM_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), kept AS (
+  SELECT * FROM ranked WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100
+)
+SELECT l_returnflag, COUNT(*) AS n_kept,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price_trimmed,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS p05_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS p95_price
+FROM kept GROUP BY l_returnflag
+"""
+
+
+@register("q_outlier_trim", TRIM_ORACLE,
+          "winsorized trim: drop each group's rank-bottom/top 5% (integer "
+          "bounds, no interpolation), exact trimmed mean + cut points")
+def q_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.numeric import dec
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    cut = F.expr("n * 5 DIV 100")
+    kept = ranked.filter((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+    return (kept.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 (F.sum(dec("l_extendedprice", 12, 2)).cast("double")
+                  / F.count(F.lit(1))).alias("avg_price_trimmed"),
+                 F.min("l_extendedprice").cast("double").alias("p05_price"),
+                 F.max("l_extendedprice").cast("double").alias("p95_price")))

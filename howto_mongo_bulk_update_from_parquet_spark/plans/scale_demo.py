@@ -38,6 +38,45 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_rows")
 
 
+# Salted skew JOIN: the 3-value l_returnflag dim is the maximal-skew
+# equi-join (3 hot keys -> 3 reducers in a plain shuffle join). The
+# salted form spreads each key over 16 reducers; the oracle is the
+# PLAIN join - results must be row-identical, salt never escapes.
+SALTED_JOIN_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT l_returnflag AS flag,
+         CASE l_returnflag WHEN 'A' THEN 'accepted'
+                           WHEN 'R' THEN 'returned'
+                           ELSE 'none' END AS flag_label
+  FROM lineitem
+)
+SELECT d.flag_label,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+GROUP BY d.flag_label
+"""
+
+
+@register("q_skew_salted_join", SALTED_JOIN_ORACLE,
+          "salted skew join: fact side salted, dim replicated per salt, "
+          "join on (key, salt) — row-identical to the plain join")
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (li.select(F.col("l_returnflag").alias("flag")).distinct()
+             .withColumn("flag_label",
+                         F.when(F.col("flag") == "A", "accepted")
+                          .when(F.col("flag") == "R", "returned")
+                          .otherwise("none")))
+    joined = salted_join(li.withColumnRenamed("l_returnflag", "flag"),
+                         dim, "flag", n_salts=16)
+    vol = dec("l_extendedprice", 12, 2) * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (joined.groupBy("flag_label")
+            .agg(F.sum(vol).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
 RANGE_FRAME_ORACLE = """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

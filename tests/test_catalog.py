@@ -62,7 +62,8 @@ def test_head50_spans_every_capability():
         "asof": "q_asof_join",
         "aggregation": "q_rollup_cascade",
         "filter_agg": "q_tpch_q6_forecast",
-        "window": "q_window_topk",
+        "window": "q_ntile_buckets",
+        "outlier_trim": "q_outlier_trim",
         "sort_limit": "q_orderby_limit",
         "set_ops": "q_setops",
         "scalar_funcs": "q_json_funcs",
