@@ -107,9 +107,9 @@ _HEAD: tuple[str, ...] = (
     "q_udaf_grouped_agg", "q_grouped_map_median", "q_udtf_bigrams",
     # multimodal plumbing (frame_sample/resize_plan attested r3 → tail)
     "q_multimodal_meta",
-    # real Structured Streaming engine — all four are new or changed to
-    # append mode in r4 (first_seen/TTL pair attested r3 → tail)
-    "q_stream_tumbling", "q_stream_session_windows",
+    # real Structured Streaming engine (r5: q_stream_tumbling attested
+    # r4 → tail; slot to the new sliding-window query)
+    "q_stream_sliding", "q_stream_session_windows",
     "q_stream_stream_join", "q_stream_stream_left", "q_stream_dedup",
     # SCD2 / CDC over the keyed table
     "q_scd2_history", "q_cdc_diff",

@@ -14,8 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.jobs import (stream_dedup_events, stream_session_windows,
-                              stream_stream_join, stream_stream_left_join,
-                              stream_tumbling_counts)
+                              stream_sliding_counts, stream_stream_join,
+                              stream_stream_left_join, stream_tumbling_counts)
 from .catalog import register
 
 # Append mode emits a window when the final watermark (max ts - 10 min)
@@ -38,6 +38,32 @@ GROUP BY 1, 2
           "(bounded state, watermark-evicted; memory sink, availableNow)")
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_tumbling_counts(spark, sf_dir)
+
+
+# sliding: each event belongs to span/slide = 2 windows; the same
+# closed-window cutoff applies per window
+STREAM_SLIDING_ORACLE = """
+WITH w AS (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM w
+WHERE window_start + INTERVAL 2 HOUR
+      <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+GROUP BY 1, 2
+"""
+
+
+@register("q_stream_sliding", STREAM_SLIDING_ORACLE,
+          "Structured Streaming sliding windows (2h span / 1h slide), "
+          "append mode — span/slide x tumbling state, watermark-evicted")
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_sliding_counts(spark, sf_dir)
 
 
 # over the fully-staged batch the append-mode stream-stream join emits

@@ -150,6 +150,24 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_events", "sum_value")
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 2-hour windows sliding every hour: each event lands
+    in TWO open windows, so sliding state is (span/slide)× the
+    tumbling case — the watermark still evicts each window exactly
+    once at window_end + delay, keeping state bounded by the windows
+    open within (delay + span). Append mode; oracle applies the same
+    closed-window cutoff."""
+    events, stage = _stage_events_stream(spark, sf_dir)
+    agg = (events.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value")))
+    with scoped_state_partitions(spark):
+        out = _run_to_memory(agg, "append", stage)
+    return out.select(F.col("w.start").alias("window_start"), "event_type",
+                      "n_events", "sum_value")
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time-bounded stream-stream INNER join: each `view` joined
     to the same user's `purchase` events landing within the following

@@ -84,7 +84,7 @@ def test_head50_spans_every_capability():
         "grouped_map": "q_grouped_map_median",
         "udtf": "q_udtf_bigrams",
         "multimodal": "q_multimodal_meta",
-        "streaming": "q_stream_tumbling",
+        "streaming": "q_stream_sliding",
         "streaming_session": "q_stream_session_windows",
         "streaming_join": "q_stream_stream_join",
         "streaming_outer_join": "q_stream_stream_left",
