@@ -26,3 +26,18 @@ def test_dedup_representatives_keep_flags(spark):
     rows = {r.node: (r.cluster, r.keep)
             for r in dedup_representatives(pairs).collect()}
     assert rows == {3: (3, True), 7: (3, False), 11: (3, False)}
+
+
+def test_pointer_jumping_chain_converges_logarithmically(spark):
+    """A 64-node chain is the adversarial O(diameter) case for plain
+    min-label propagation (~63 rounds); pointer jumping must collapse
+    it in O(log n) rounds and still find the single component."""
+    from howto_mongo_bulk_update_from_parquet_spark.operators.graph import (
+        _components_loop_stats)
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    labels, rounds = _components_loop_stats(pairs, "id_a", "id_b", 100)
+    got = {(r["node"], r["cluster"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert rounds <= 14, f"expected O(log n) rounds, got {rounds}"
