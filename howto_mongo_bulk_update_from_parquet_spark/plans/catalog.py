@@ -76,8 +76,10 @@ _HEAD: tuple[str, ...] = (
     # itself a hash+window query)
     # (q_window_topk / q_skew_salted_agg attested r4 → tail; slots to
     # the winsorized trim and the salted skew JOIN)
+    # (q_orderby_limit attested r4 → tail; slot to the E-S weighted
+    # sample — itself a global top-n)
     "q_outlier_trim", "q_ntile_buckets", "q_shard_assign",
-    "q_orderby_limit", "q_setops",
+    "q_weighted_sample", "q_setops",
     # scalar function families (r5: q_string_funcs attested r4 → tail;
     # slot lent to the text-analysis block below)
     "q_json_funcs", "q_array_hof",

@@ -234,3 +234,46 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kmeans import seed_centroids
     members = assign_exact(e, seed_centroids(e), carry_vec=True)
     return cluster_neardup_flags(members, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis): each doc draws a
+# deterministic uniform u from its id-hash and scores k = u^(1/w);
+# the global top-n by k IS a weighted sample without replacement —
+# inclusion probability proportional to weight (here n_chars, a
+# quality/length proxy), reproducible across engines and runs. The
+# score is one pow per row (order-free IEEE, round-9 absorbs libm
+# ulps); selection is a plain top-n — at 100 TB, a per-partition
+# top-n then a driver-side merge, never a global sort.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         (CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 1000000 + 0.5) / 1000000.0 AS u
+  FROM documents WHERE n_chars > 0
+), scored AS (
+  SELECT doc_id, source, n_chars, ROUND(POW(u, 1.0 / n_chars), 9) AS k
+  FROM keyed
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, k, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rnk FROM scored)
+WHERE rnk <= 100
+"""
+
+
+@register("q_weighted_sample", WEIGHTED_SAMPLE_ORACLE,
+          "Efraimidis-Spirakis weighted sample: deterministic id-hash "
+          "uniform, k = u^(1/weight), global top-100 by k")
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = ((portable_hash64(F.col("doc_id").cast("string"), F.lit("wsample"))
+          % 1_000_000 + F.lit(0.5)) / 1_000_000.0)
+    k = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+    w = Window.orderBy(F.col("k").desc(), "doc_id")
+    return (d.select("doc_id", "source",
+                     F.col("n_chars").cast("long").alias("n_chars"),
+                     k.alias("k"))
+             .withColumn("rnk", F.row_number().over(w).cast("long"))
+             .filter(F.col("rnk") <= 100))

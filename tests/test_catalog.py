@@ -64,7 +64,7 @@ def test_head50_spans_every_capability():
         "filter_agg": "q_tpch_q6_forecast",
         "window": "q_ntile_buckets",
         "outlier_trim": "q_outlier_trim",
-        "sort_limit": "q_orderby_limit",
+        "sort_limit": "q_weighted_sample",
         "set_ops": "q_setops",
         "scalar_funcs": "q_json_funcs",
         "dedup_lsh": "q_minhash_lsh_pairs",
