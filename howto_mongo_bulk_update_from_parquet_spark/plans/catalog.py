@@ -63,8 +63,10 @@ _HEAD: tuple[str, ...] = (
     # joins (r5 rotation: q_join_multiway / q_join_semi_anti /
     # q_null_safe_join attested r4 → tail; slots to the new TPC-H
     # battery II join queries)
+    # (q_tpch_q19_disjunctive attested r4 → tail; slot to battery
+    # III's Q8 — Q13/Q15/Q17 queue in the tail for future rotation)
     "q_tpch_q3_shipping", "q_tpch_q4_priority", "q_tpch_q5_local_volume",
-    "q_asof_join", "q_tpch_q19_disjunctive", "q_join_full_outer",
+    "q_asof_join", "q_tpch_q8_market_share", "q_join_full_outer",
     # aggregation (r5: q_agg_distinct / q_rollup / q_grouping_sets
     # attested r4 → tail; slots to Q6/Q18/Q22 — filter-agg, IN-HAVING
     # semi join, scalar-subquery + NOT EXISTS)
@@ -153,6 +155,7 @@ def _load() -> None:
     from . import relational9  # noqa: F401
     from . import text_stats  # noqa: F401
     from . import pq  # noqa: F401
+    from . import relational10  # noqa: F401
     missing = [n for n in _HEAD if n not in CATALOG]
     if missing:
         raise RuntimeError(f"catalog head names not registered: {missing}")
