@@ -204,6 +204,64 @@ def pq_encode(vecs: DataFrame, codebook: list[tuple[int, list[float]]],
     return vecs.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def pq_adc_search(vecs: DataFrame, codebook: list[tuple[int, list[float]]],
+                  n_blocks: int, queries: list[tuple[int, list[float]]],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance PQ search: each query precomputes a
+    (n_blocks × K) lookup table of exact block distances to every
+    codeword; scanning the corpus then costs n_blocks int64 table
+    lookups per (query, vector) instead of a dim-length float dot —
+    THE trick that makes exhaustive ANN over compressed codes feasible
+    at 100 TB. Distances keep the exact-decimal contract (int64-scaled
+    round-12 terms), so ranks are bit-identical in both engines.
+
+    Emits (q_id, n_id, adc_scaled) for every corpus vector except the
+    query itself; callers rank/limit. LUTs ride the task closure
+    (queries × blocks × K int64s — KBs)."""
+    cb = sorted(codebook)
+    codes = np.array([c for c, _ in cb], dtype=np.int64)
+    code_pos = {c: i for i, c in enumerate(codes)}
+    C = np.array([v for _, v in cb], dtype=np.float64)
+    dim = C.shape[1]
+    w = dim // n_blocks
+    q_ids = np.array([q for q, _ in queries], dtype=np.int64)
+    Q = np.array([v for _, v in queries], dtype=np.float64)     # (nq, dim)
+    # LUT[qi, b, ci] = exact scaled block distance
+    lut = np.zeros((len(q_ids), n_blocks, len(codes)), dtype=np.int64)
+    for b in range(n_blocks):
+        sl = slice(b * w, (b + 1) * w)
+        diff = Q[:, None, sl] - C[None, :, sl]
+        lut[:, b, :] = round12_scaled(diff * diff).sum(axis=2)
+
+    schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("n_id", T.LongType()),
+        T.StructField("adc_scaled", T.LongType()),
+    ])
+
+    encoded = pq_encode(vecs, codebook, n_blocks, id_col, vec_col)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            ids = pdf["vec_id"].to_numpy()
+            adc = np.zeros((len(q_ids), n), dtype=np.int64)
+            for b in range(n_blocks):
+                ci = np.array([code_pos[c] for c in pdf[f"code{b}"]])
+                adc += lut[:, b, :][:, ci]
+            out = pd.DataFrame({
+                "q_id": np.repeat(q_ids, n),
+                "n_id": np.tile(ids, len(q_ids)),
+                "adc_scaled": adc.ravel(),
+            })
+            yield out[out.q_id != out.n_id]
+
+    return encoded.mapInPandas(kernel, schema)
+
+
 def cluster_neardup_flags(members: DataFrame, threshold: float,
                           round_to: int = 5) -> DataFrame:
     """(vec_id, cluster, kept): within each cluster, drop any vector

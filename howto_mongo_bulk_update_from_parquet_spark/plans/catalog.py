@@ -93,8 +93,9 @@ _HEAD: tuple[str, ...] = (
     # the Arrow kernel this round and a changed impl re-earns
     # attestation, alongside kernel-rewired q_ann_ivf_search/q_semdedup)
     # (q_rhp_lsh_pairs attested r4 → tail; slot to the new PQ encode)
+    # (q_vector_lsh_verified attested r4 → tail; slot to PQ-ADC search)
     "q_kmeans_iter", "q_ann_ivf_search", "q_pq_encode",
-    "q_vector_lsh_verified", "q_semdedup",
+    "q_pq_search", "q_semdedup",
     # text analysis + corpus pipeline (dataset_split/stratified_sample
     # attested r3 → tail); time-series resample rotated in (new in r3)
     # (q_doc_chunking, q_lang_id attested r3 → tail; slots rotated to

@@ -68,3 +68,63 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kmeans import seed_centroids
     e = load_table(spark, sf_dir, "embeddings")
     return pq_encode(e, seed_centroids(e, N_CODES), N_BLOCKS)
+
+
+PQ_SEARCH_ORACLE = f"""
+WITH vals AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         CAST(embedding[unnest(range(1, len(embedding) + 1))] AS DOUBLE) AS vd
+  FROM embeddings
+),
+blocked AS (
+  SELECT vec_id, CAST(pos // 16 AS BIGINT) AS blk, pos % 16 AS bpos, vd FROM vals
+),
+cb AS (
+  SELECT vec_id AS code, CAST(pos // 16 AS BIGINT) AS blk, pos % 16 AS bpos, vd AS cd
+  FROM vals WHERE vec_id < {N_CODES}
+),
+dist AS (
+  SELECT b.vec_id, b.blk, c.code,
+         SUM(CAST(ROUND((b.vd - c.cd) * (b.vd - c.cd), 12) AS DECIMAL(30,12))) AS d2
+  FROM blocked b JOIN cb c ON b.blk = c.blk AND b.bpos = c.bpos
+  GROUP BY b.vec_id, b.blk, c.code
+),
+codes AS (
+  SELECT vec_id, blk, code FROM (
+    SELECT vec_id, blk, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, blk ORDER BY d2, code) AS rn
+    FROM dist) WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS q_id, x.vec_id AS n_id, SUM(q.d2) AS adc_d2
+  FROM dist q
+  JOIN codes x ON x.blk = q.blk AND x.code = q.code
+  WHERE q.vec_id >= 100 AND q.vec_id < 105 AND x.vec_id <> q.vec_id
+  GROUP BY q.vec_id, x.vec_id
+)
+SELECT q_id, n_id, CAST(adc_d2 AS DOUBLE) AS adc_dist, rank FROM (
+  SELECT q_id, n_id, adc_d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= 5
+"""
+
+
+@register("q_pq_search", PQ_SEARCH_ORACLE,
+          "PQ asymmetric-distance search: per-query codeword lookup "
+          "tables, exact int64 block distances, top-5 per query")
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..operators.vector_kernels import pq_adc_search
+    from .kmeans import seed_centroids
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+          for r in e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+                    .select("vec_id", "embedding").collect()]
+    scored = pq_adc_search(e, seed_centroids(e, N_CODES), N_BLOCKS, qs)
+    w = Window.partitionBy("q_id").orderBy("adc_scaled", "n_id")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .filter(F.col("rank") <= 5)
+                  .select("q_id", "n_id",
+                          (F.col("adc_scaled") / 1e12).alias("adc_dist"),
+                          "rank"))

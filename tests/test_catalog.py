@@ -72,7 +72,7 @@ def test_head50_spans_every_capability():
         "dedup_cluster": "q_dedup_clusters",
         "kmeans": "q_kmeans_iter",
         "ivf": "q_ann_ivf_search",
-        "vector_lsh": "q_vector_lsh_verified",
+        "pq_search": "q_pq_search",
         "semantic_dedup": "q_semdedup",
         "text_quality": "q_token_entropy",
         "corpus_stats": "q_tfidf_top_terms",
