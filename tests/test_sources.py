@@ -142,3 +142,48 @@ def test_permissive_json_keeps_corrupt_records(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {r["_id"] for r in good} == {"a", "b"}
     assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_events_loader_handles_both_ts_units(spark, tmp_path):
+    """The fixture has shipped events.ts as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS) across rounds; load_table must read both to the
+    same timestamps (ns truncated to µs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    rows = {
+        "event_id": [0, 1],
+        "ts": [dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+               dt.datetime(2024, 6, 15, 12, 30, 45, 654321)],
+        "user_id": [10, 20],
+        "event_type": ["view", "purchase"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    for unit, sub in [("us", "us_dir"), ("ns", "ns_dir")]:
+        d = tmp_path / sub
+        d.mkdir()
+        t = pa.table(rows)
+        t = t.set_column(1, "ts", t["ts"].cast(pa.timestamp(unit)))
+        pq.write_table(t, str(d / "events.parquet"))
+    got_us = {(r.event_id, r.ts) for r in
+              load_table(spark, str(tmp_path / "us_dir"), "events").collect()}
+    got_ns = {(r.event_id, r.ts) for r in
+              load_table(spark, str(tmp_path / "ns_dir"), "events").collect()}
+    want = {(0, rows["ts"][0]), (1, rows["ts"][1])}
+    assert got_us == want and got_ns == want
+
+
+def test_binary_file_source_reads_opaque_media(spark, tmp_path):
+    """Multimodal raw-bytes layer: binaryFile rows carry the exact
+    file content; pathGlobFilter prunes at listing time."""
+    from howto_mongo_bulk_update_from_parquet_spark.sources.binary import load_binary_files
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (tmp_path / "b.png").write_bytes(b"\x89PNG-fake-bb")
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+    df = load_binary_files(spark, str(tmp_path), glob="*.png")
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content))
+            for r in df.collect()}
+    assert rows == {"a.png": (11, b"\x89PNG-fake-a"),
+                    "b.png": (12, b"\x89PNG-fake-bb")}
