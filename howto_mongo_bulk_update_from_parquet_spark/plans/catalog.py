@@ -118,8 +118,9 @@ _HEAD: tuple[str, ...] = (
     "q_stream_stream_join", "q_stream_stream_left", "q_stream_dedup",
     # SCD2 / CDC over the keyed table
     "q_scd2_history", "q_cdc_diff",
-    # data quality / profiling
-    "q_profile_columns", "q_fk_orphans",
+    # data quality / profiling (r5: q_profile_columns attested r4 →
+    # tail; slot to the histogram binning pass)
+    "q_histogram", "q_fk_orphans",
 )
 
 

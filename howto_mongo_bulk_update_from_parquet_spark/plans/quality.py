@@ -226,3 +226,32 @@ def q_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.count(F.lit(1))).alias("avg_price_trimmed"),
                  F.min("l_extendedprice").cast("double").alias("p05_price"),
                  F.max("l_extendedprice").cast("double").alias("p95_price")))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram: the profiling binning pass (one scan, one
+# map-side-combinable groupBy on the bin id). Bin edges are literals,
+# the bin id is floor of one double division (identical IEEE op in
+# both engines), and the top bin clamps the tail — no percentile
+# estimation, no data-dependent edges.
+# ---------------------------------------------------------------------------
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000), 19) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+FROM lineitem GROUP BY 1
+"""
+
+
+@register("q_histogram", HISTOGRAM_ORACLE,
+          "fixed-width histogram of l_extendedprice (20 bins, clamped "
+          "tail): single-scan profiling binning")
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_id = F.least(F.floor(F.col("l_extendedprice") / 5000), F.lit(19))
+    return (li.groupBy(bin_id.cast("long").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("l_extendedprice").cast("double").alias("lo"),
+                 F.max("l_extendedprice").cast("double").alias("hi")))

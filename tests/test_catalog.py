@@ -92,7 +92,7 @@ def test_head50_spans_every_capability():
         "full_outer_join": "q_join_full_outer",
         "scd2": "q_scd2_history",
         "cdc": "q_cdc_diff",
-        "profiling": "q_profile_columns",
+        "profiling": "q_histogram",
         "referential_quality": "q_fk_orphans",
     }
     for cap, q in required.items():
