@@ -108,3 +108,34 @@ def test_profile_approx_within_5pct_of_exact(spark):
     assert set(exact) == set(approx)
     for col, n in exact.items():
         assert abs(approx[col] - n) <= max(1, 0.05 * n), (col, n, approx[col])
+
+
+def test_q6_predicates_all_pushed_and_schema_pruned(spark):
+    """TPC-H Q6 is the pure-pushdown scan: every predicate must reach
+    the parquet reader and only the 4 referenced columns are read."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans import all_queries
+    df = all_queries()["q_tpch_q6_forecast"](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    for frag in ["GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount,0.04)",
+                 "LessThanOrEqual(l_discount,0.06)",
+                 "LessThan(l_quantity,24.0)"]:
+        assert frag in plan, f"predicate not pushed: {frag}"
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_assign_kernel_plan_is_shuffle_free(spark):
+    """The Arrow assignment kernel must not introduce an Exchange —
+    centroids ride the task closure, the pass is map-only."""
+    from howto_mongo_bulk_update_from_parquet_spark.operators.vector_kernels import assign_exact
+    from howto_mongo_bulk_update_from_parquet_spark.plans.kmeans import seed_centroids
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
+    e = load_table(spark, SF, "embeddings")
+    out = assign_exact(e, seed_centroids(e))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
