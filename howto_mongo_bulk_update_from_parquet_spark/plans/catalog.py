@@ -85,8 +85,9 @@ _HEAD: tuple[str, ...] = (
     # scalar function families (r5: q_string_funcs attested r4 → tail;
     # slot lent to the text-analysis block below)
     "q_json_funcs", "q_array_hof",
-    # dedup battery (simhash/keep_one attested r3 → tail)
-    "q_dedup_latest", "q_minhash_lsh_pairs", "q_lsh_verified_pairs",
+    # dedup battery (simhash/keep_one attested r3 → tail; r5:
+    # q_dedup_latest attested r4 → tail, slot to containment dedup)
+    "q_containment_dedup", "q_minhash_lsh_pairs", "q_lsh_verified_pairs",
     "q_dedup_clusters",
     # similarity / ANN battery (r5: q_knn_bruteforce attested r4 →
     # tail; q_kmeans_iter rotates BACK in — its assignment moved to

@@ -338,3 +338,65 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("chunk_text"),
         F.least(F.size("tk") - F.col("chunk_idx") * 30, F.lit(40))
          .cast("long").alias("chunk_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup: n_common / min(|A|,|B|) catches SUBSUMED docs
+# (a quote or excerpt expanded inside a longer doc) that symmetric
+# Jaccard under-scores — the Lee-et-al-style complement to
+# q_ngram_jaccard. The join key is the 60-bit shingle hash (8 bytes
+# across the shuffle, never shingle text); the smaller side of each
+# qualifying pair is flagged as the contained (droppable) doc.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 1000
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment,
+       CASE WHEN sa.n < sb.n THEN i.doc_a WHEN sb.n < sa.n THEN i.doc_b
+            ELSE GREATEST(i.doc_a, i.doc_b) END AS contained_doc
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.7
+"""
+
+
+@register("q_containment_dedup", CONTAINMENT_ORACLE,
+          "containment near-dup: n_common/min(|A|,|B|) >= 0.7 over "
+          "hashed shingles; flags the subsumed (smaller) doc")
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash64, shingles as mk_shingles
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    sh = (mk_shingles(d, "doc_id", "text")
+          .select("doc_id", portable_hash64(F.col("shingle")).alias("h"))
+          .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    contained = (F.when(F.col("n_a") < F.col("n_b"), F.col("doc_a"))
+                  .when(F.col("n_b") < F.col("n_a"), F.col("doc_b"))
+                  .otherwise(F.greatest("doc_a", "doc_b")))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(cont >= 0.7)
+            .select("doc_a", "doc_b", "n_common", "n_a", "n_b",
+                    F.round(cont, 6).alias("containment"),
+                    contained.alias("contained_doc")))
