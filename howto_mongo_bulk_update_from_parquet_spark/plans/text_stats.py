@@ -107,3 +107,57 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(F.col("rnk") <= 3)
                   .select("doc_id", "tok", F.col("tf").cast("long").alias("tf"),
                           F.col("df").cast("long").alias("df"), "tfidf", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix: pairwise distinct-shingle overlap between
+# corpus sources — the "which feeds duplicate each other" report a
+# curation pipeline runs before setting mixture weights. Shingles
+# dedup to (source, hash) FIRST, so the pair join's input is bounded
+# by vocabulary x sources, not corpus size, and only 8-byte hashes
+# cross the shuffle.
+# ---------------------------------------------------------------------------
+
+SOURCE_OVERLAP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), sizes AS (
+  SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS overlap
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+JOIN sizes sa ON sa.source = a.source JOIN sizes sb ON sb.source = b.source
+GROUP BY a.source, b.source, sa.n, sb.n
+"""
+
+
+@register("q_source_overlap", SOURCE_OVERLAP_ORACLE,
+          "pairwise source shingle-overlap matrix (per-source distinct "
+          "hashed shingles, bounded by vocabulary x sources)")
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash64, shingles as mk_shingles
+    d = load_table(spark, sf_dir, "documents")
+    sh = (mk_shingles(d.select(F.col("source").alias("doc_id"), "text"),
+                      "doc_id", "text")
+          .select(F.col("doc_id").alias("source"),
+                  portable_hash64(F.col("shingle")).alias("h"))
+          .distinct())
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (a.join(b, ["h"]).filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .join(sa, "source_a").join(sb, "source_b")
+             .select("source_a", "source_b", "n_shared", "n_a", "n_b",
+                     F.round(F.col("n_shared").cast("double")
+                             / F.least("n_a", "n_b"), 6).alias("overlap")))

@@ -102,3 +102,21 @@ def test_cluster_neardup_flags_matches_pair_join(spark):
             for r in assign.collect()}
     assert got == want
     assert any(k == 0 for _, _, k in got), "fixture should drop something"
+
+
+def test_round12_scaled_property_matches_decimal():
+    """Property: for any non-negative double, the vectorized scaled
+    rounding equals HALF_UP on the exact binary expansion (Spark's
+    BigDecimal semantics)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=0.0, max_value=4.5, allow_nan=False,
+                     allow_infinity=False))
+    def check(x):
+        got = int(round12_scaled(np.array([x]))[0])
+        want = int(Decimal(x).quantize(Decimal("1e-12"), ROUND_HALF_UP)
+                   * 1_000_000_000_000)
+        assert got == want, (x, got, want)
+
+    check()
