@@ -41,7 +41,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     Size it up (or pass None to inherit the session width) when a
     dedup graph's vertex set itself is cluster-scale. Every round's
     result is materialized inside the scope (eager localCheckpoint),
-    so downstream consumers shuffle at the caller's width."""
+    so downstream consumers shuffle at the caller's width.
+
+    CONCURRENCY: the width is scoped by flipping the session conf
+    for the loop's duration (Spark offers no per-query override for
+    groupBy/join shuffle width) — any OTHER query planned on the same
+    SparkSession while the loop runs would silently plan at the
+    narrowed width. The catalog/selfcheck harnesses execute queries
+    serially, so this holds there; callers driving the session from
+    multiple threads must pass `loop_shuffle_partitions=None` (no
+    conf mutation — AQE's partition coalescing then recovers most of
+    the narrow-width win by shrinking the tiny frontier shuffles at
+    runtime)."""
     spark = pairs.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if loop_shuffle_partitions is not None:

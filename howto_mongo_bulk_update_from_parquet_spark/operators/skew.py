@@ -53,16 +53,22 @@ def salted_join(big: DataFrame, dim: DataFrame, key: str,
     instead of landing on one. Row-identical to the plain join (the
     salt never reaches the output); only shuffle distribution changes.
 
-    `salt_on` picks the salting expression (default: a hash of the
-    fact row's key column plus a row-local component is WRONG — the
-    salt must NOT be derived from the join key alone or a hot key
-    still maps to one reducer; default uses a per-row spread).
+    `salt_on` picks the salting expression. The default is a
+    ROW-POSITION salt (`crc32(monotonically_increasing_id())`, the
+    same spread salted_agg uses), NOT a content hash: a content hash
+    maps fully-duplicated fact rows — the common shape of hot-key
+    skew — all to ONE salt, putting the hot key right back on a
+    single reducer, and it fails outright on un-hashable column types
+    (MapType). The position salt spreads duplicates uniformly and is
+    output-safe because the salt never reaches the result (join
+    output is row-identical for ANY salt assignment).
     The dim replication multiplies the dim by n_salts — the technique
     only pays when |dim| × n_salts ≪ |big|, the usual regime for a
     medium dim over the broadcast threshold."""
     spark = big.sparkSession
     salt = (salt_on if salt_on is not None
-            else F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)))
+            else F.crc32(F.monotonically_increasing_id().cast("string"))
+            % n_salts)
     fact = big.withColumn("__salt", salt.cast("int"))
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
     dim_r = dim.crossJoin(salts)

@@ -69,6 +69,35 @@ def round12_scaled(d: np.ndarray) -> np.ndarray:
     return n.astype(np.int64)
 
 
+def round_half_up(d: np.ndarray, round_to: int) -> np.ndarray:
+    """ROUND(d, round_to) with HALF_UP (away-from-zero) ties — the
+    semantics of Spark's F.round (Java BigDecimal HALF_UP) and
+    DuckDB's ROUND — for doubles of EITHER sign. np.round is IEEE
+    half-to-even, which silently diverges on exactly-representable
+    half-boundary values (e.g. 2**-7 = 0.0078125 at round_to=6:
+    HALF_UP gives 0.007813, half-even gives 0.007812), breaking the
+    cross-engine exactness contract for rounded cosines. Same
+    scaled-floor + ulp-ambiguity Decimal-fallback discipline as
+    round12_scaled, applied to |d| then sign-restored.
+    """
+    scale = 10.0 ** round_to           # exact for round_to <= 22
+    t = np.abs(d) * scale
+    n = np.floor(t + 0.5)
+    frac = t - np.floor(t)
+    eps = np.spacing(np.maximum(t, 1.0)) * 8.0
+    amb = np.abs(frac - 0.5) <= eps
+    out = n / scale
+    if amb.any():
+        q = Decimal(1).scaleb(-round_to)
+        exact = [float(Decimal(float(x)).quantize(q, ROUND_HALF_UP))
+                 for x in np.abs(d)[amb].ravel()]
+        out = out.copy()
+        out[amb] = np.array(exact, dtype=np.float64)
+    # copysign restores the sign; `+ 0.0` folds -0.0 back to +0.0
+    # (BigDecimal has no signed zero, so F.round yields +0.0 there).
+    return np.copysign(out, d) + 0.0
+
+
 def _stack(col: pd.Series) -> np.ndarray:
     """(n, dim) float64 matrix from an Arrow list<float> column."""
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
@@ -146,7 +175,8 @@ def score_centroids(vecs: DataFrame, centroids: list[tuple[int, list[float]]],
                 continue
             V = _stack(pdf[vec_col])
             vn = np.sqrt((V * V).sum(axis=1))
-            sim = np.round((V @ C.T) / (vn[:, None] * cn[None, :]), round_to)
+            sim = round_half_up((V @ C.T) / (vn[:, None] * cn[None, :]),
+                                round_to)
             n, k = sim.shape
             yield pd.DataFrame({
                 "vec_id": np.repeat(pdf[id_col].to_numpy(), k),
@@ -284,7 +314,7 @@ def cluster_neardup_flags(members: DataFrame, threshold: float,
         ids = pdf["vec_id"].to_numpy()
         E = _stack(pdf["embedding"])
         nrm = np.sqrt((E * E).sum(axis=1))
-        cos = np.round((E @ E.T) / np.outer(nrm, nrm), round_to)
+        cos = round_half_up((E @ E.T) / np.outer(nrm, nrm), round_to)
         # strictly-lower-id comparisons only (upper triangle, j > i)
         dup = np.triu(cos >= threshold, k=1).any(axis=0)
         return pd.DataFrame({"vec_id": ids,

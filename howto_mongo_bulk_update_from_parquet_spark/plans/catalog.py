@@ -58,70 +58,69 @@ _LOADED = False
 # full oracle coverage via selfcheck.py (SELFCHECK_FULL.json); the
 # round notes list the rotation.
 _HEAD: tuple[str, ...] = (
+    # --- ROUND-6 ROTATION: the verdict's priority is the attestation
+    # tail — 26 of 133 queries had never had a driver-attested run
+    # across r1-r5. ALL 26 rotate into this head, plus the five
+    # queries whose implementation changed this round and so re-earn
+    # attestation (q_weighted_sample TakeOrderedAndProject rewrite,
+    # q_tpch_q15 agg-max rewrite, q_semdedup / q_ann_ivf_search
+    # HALF_UP cosine-rounding kernels, q_skew_salted_join position
+    # salt) and the new two-pass winsorization. Everything attested
+    # green in CORRECTNESS_r05 yields its slot; capability singletons
+    # (reference core, asof, set ops, mixture/packing/decontamination/
+    # resample, UDF surface, SCD2/CDC, multimodal, graph clustering)
+    # keep theirs so the head still spans every §2.2 category. ---
     # reference core: scan, project/filter, merge-upsert, generator
     "q1_pricing_summary", "q_filter_project", "q_merge_upsert", "q_generate",
-    # joins (r5 rotation: q_join_multiway / q_join_semi_anti /
-    # q_null_safe_join attested r4 → tail; slots to the new TPC-H
-    # battery II join queries)
-    # (q_tpch_q19_disjunctive attested r4 → tail; slot to battery
-    # III's Q8 — Q13/Q15/Q17 queue in the tail for future rotation)
-    "q_tpch_q3_shipping", "q_tpch_q4_priority", "q_tpch_q5_local_volume",
-    "q_asof_join", "q_tpch_q8_market_share", "q_join_full_outer",
-    # aggregation (r5: q_agg_distinct / q_rollup / q_grouping_sets
-    # attested r4 → tail; slots to Q6/Q18/Q22 — filter-agg, IN-HAVING
-    # semi join, scalar-subquery + NOT EXISTS)
-    "q_tpch_q6_forecast", "q_tpch_q18_large_volume",
-    "q_tpch_q22_idle_balance", "q_skew_salted_join",
-    "q_rollup_cascade",
-    # windows (+ntile, rotated in r4), sort/limit, set ops
-    # (q_window_running attested r3 → tail; slot to q_shard_assign,
-    # itself a hash+window query)
-    # (q_window_topk / q_skew_salted_agg attested r4 → tail; slots to
-    # the winsorized trim and the salted skew JOIN)
-    # (q_orderby_limit attested r4 → tail; slot to the E-S weighted
-    # sample — itself a global top-n)
-    "q_outlier_trim", "q_ntile_buckets", "q_shard_assign",
+    # TPC-H battery tail that never saw a driver window (q3/q4/q5/q6/
+    # q8/q18/q22 attested r5 → tail)
+    "q_tpch_q7_volume", "q_tpch_q10_returns", "q_tpch_q13_order_dist",
+    "q_tpch_q14_promo", "q_tpch_q15_top_supplier",
+    "q_tpch_q17_small_quantity",
+    # joins: asof keeps its singleton slot; semi/anti via IN/NOT IN
+    # and SQL LATERAL rotate in (never attested)
+    "q_asof_join", "q_in_not_in", "q_lateral_topk",
+    # aggregation (rollup_cascade attested r5 → tail; grouping-id and
+    # HAVING rotate in) + the re-earning salted join + new winsorize
+    "q_grouping_id", "q_having", "q_skew_salted_join",
+    "q_winsorize_bounds",
+    # windows (ntile/shard_assign attested r5 → tail; the three
+    # never-attested window batteries + DISTINCT ON rotate in), plus
+    # sorts/limits regains a driver slot (tail since r4)
+    "q_window_range_frame", "q_window_rank_dist", "q_window_value_funcs",
+    "q_distinct_on", "q_orderby_limit",
+    # re-earning: top-k rewritten as TakeOrderedAndProject this round
     "q_weighted_sample", "q_setops",
-    # scalar function families (r5: q_string_funcs attested r4 → tail;
-    # slot lent to the text-analysis block below)
-    "q_json_funcs", "q_array_hof",
-    # dedup battery (simhash/keep_one attested r3 → tail; r5:
-    # q_dedup_latest attested r4 → tail, slot to containment dedup)
-    "q_containment_dedup", "q_minhash_lsh_pairs", "q_lsh_verified_pairs",
-    "q_dedup_clusters",
-    # similarity / ANN battery (r5: q_knn_bruteforce attested r4 →
-    # tail; q_kmeans_iter rotates BACK in — its assignment moved to
-    # the Arrow kernel this round and a changed impl re-earns
-    # attestation, alongside kernel-rewired q_ann_ivf_search/q_semdedup)
-    # (q_rhp_lsh_pairs attested r4 → tail; slot to the new PQ encode)
-    # (q_vector_lsh_verified attested r4 → tail; slot to PQ-ADC search)
-    "q_kmeans_iter", "q_ann_ivf_search", "q_pq_encode",
-    "q_pq_search", "q_semdedup",
-    # text analysis + corpus pipeline (dataset_split/stratified_sample
-    # attested r3 → tail); time-series resample rotated in (new in r3)
-    # (q_doc_chunking, q_lang_id attested r3 → tail; slots rotated to
-    # q_doc_packing, q_repetition_ratio)
-    # (q_quality_score, q_training_pipeline attested r3 → tail; slots
-    # to the new curation pair q_mixture_sample, q_decontaminate)
-    # (r5: q_repetition_ratio attested r4 → tail, slot to
-    # q_token_entropy; q_tfidf_top_terms takes the scalar-funcs loan;
-    # singleton-capability slots — mixture, packing, decontamination,
-    # resample — never rotate out)
-    "q_token_entropy", "q_tfidf_top_terms", "q_doc_packing",
-    "q_mixture_sample", "q_decontaminate", "q_time_resample",
-    # UDF / UDAF / UDTF surface
-    "q_udaf_grouped_agg", "q_grouped_map_median", "q_udtf_bigrams",
-    # multimodal plumbing (frame_sample/resize_plan attested r3 → tail)
-    "q_multimodal_meta",
-    # real Structured Streaming engine (r5: q_stream_tumbling attested
-    # r4 → tail; slot to the new sliding-window query)
-    "q_stream_sliding", "q_stream_session_windows",
-    "q_stream_stream_join", "q_stream_stream_left", "q_stream_dedup",
+    # scalar function families (json/array_hof attested r5 → tail;
+    # null-handling, normalization, and regex tokenizer rotate in)
+    "q_null_funcs", "q_string_normalize", "q_token_regex",
+    # events battery (never attested): funnel, sliding, cohorts
+    "q_event_funnel", "q_event_sliding", "q_retention_cohorts",
+    # dedup battery (containment/minhash_pairs/lsh_verified attested
+    # r5 → tail; the signature and bucket internals rotate in;
+    # clusters keeps the graph-operator slot)
+    "q_minhash_signatures", "q_rhp_lsh_buckets", "q_dedup_clusters",
+    # similarity / ANN (pq_encode/pq_search/kmeans attested r5 →
+    # tail; semdedup + ivf re-earn: their cosine rounding moved to
+    # the HALF_UP kernel this round)
+    "q_ann_ivf_search", "q_semdedup",
+    # text/corpus singletons (never rotate out)
+    "q_doc_packing", "q_mixture_sample", "q_decontaminate",
+    "q_time_resample",
+    # UDF / UDAF / UDTF surface (grouped_map attested r5 → tail)
+    "q_udaf_grouped_agg", "q_udtf_bigrams",
+    # multimodal plumbing + the never-attested feature extraction
+    "q_multimodal_meta", "q_feature_extract",
+    # streaming (sliding/session/left attested r5 → tail; first-seen
+    # state rotates in — never driver-attested)
+    "q_stream_first_seen", "q_stream_dedup", "q_stream_stream_join",
     # SCD2 / CDC over the keyed table
     "q_scd2_history", "q_cdc_diff",
-    # data quality / profiling (r5: q_profile_columns attested r4 →
-    # tail; slot to the histogram binning pass)
-    "q_histogram", "q_fk_orphans",
+    # profiling: the HLL-sketch profile (rows-only by design) rotates
+    # in; histogram/fk_orphans attested r5 → tail
+    "q_profile_approx",
+    # curation: source-overlap matrix (never attested)
+    "q_source_overlap",
 )
 
 

@@ -265,15 +265,38 @@ WHERE rnk <= 100
 
 @register("q_weighted_sample", WEIGHTED_SAMPLE_ORACLE,
           "Efraimidis-Spirakis weighted sample: deterministic id-hash "
-          "uniform, k = u^(1/weight), global top-100 by k")
+          "uniform, k = u^(1/weight), top-100 by k via per-partition "
+          "top-k merge (TakeOrderedAndProject, no global sort)")
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection is `orderBy(...).limit(100)`, which Spark compiles to
+    TakeOrderedAndProject — each partition keeps a 100-row heap and
+    the driver merges heaps; the corpus never funnels through one
+    sort partition (the r5 form was a global row_number window, the
+    exact anti-pattern the docstring above warns about). Ranking the
+    ≤100 survivors uses NO window either: they pack into one sorted
+    struct array (two-stage collect_list agg, bounded by the limit)
+    and posexplode's position is the rank — the plan contains zero
+    WindowExec nodes (pinned in tests/test_plans.py). The struct
+    sorts by (-k, doc_id): double negation is a sign-bit flip, so
+    `-(-k) == k` bit-for-bit and ascending struct order IS
+    (k DESC, doc_id ASC)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = ((portable_hash64(F.col("doc_id").cast("string"), F.lit("wsample"))
           % 1_000_000 + F.lit(0.5)) / 1_000_000.0)
     k = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
-    w = Window.orderBy(F.col("k").desc(), "doc_id")
-    return (d.select("doc_id", "source",
-                     F.col("n_chars").cast("long").alias("n_chars"),
-                     k.alias("k"))
-             .withColumn("rnk", F.row_number().over(w).cast("long"))
-             .filter(F.col("rnk") <= 100))
+    top = (d.select("doc_id", "source",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    k.alias("k"))
+            .orderBy(F.col("k").desc(), "doc_id")
+            .limit(100))
+    packed = F.struct((-F.col("k")).alias("nk"),
+                      F.col("doc_id").alias("doc_id"),
+                      F.col("source").alias("source"),
+                      F.col("n_chars").alias("n_chars"))
+    return (top.agg(F.sort_array(F.collect_list(packed)).alias("arr"))
+            .select(F.posexplode("arr").alias("pos", "r"))
+            .select(F.col("r.doc_id").alias("doc_id"),
+                    F.col("r.source").alias("source"),
+                    F.col("r.n_chars").alias("n_chars"),
+                    (-F.col("r.nk")).alias("k"),
+                    (F.col("pos") + 1).cast("long").alias("rnk")))

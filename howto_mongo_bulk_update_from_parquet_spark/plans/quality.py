@@ -208,6 +208,16 @@ FROM kept GROUP BY l_returnflag
           "winsorized trim: drop each group's rank-bottom/top 5% (integer "
           "bounds, no interpolation), exact trimmed mean + cut points")
 def q_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE HAZARD (documented, by design): the per-row rank needs a
+    per-group sort, and l_returnflag has ~3 distinct values — so this
+    plan ranks ALL of lineitem in 3 reducer tasks. That is the exact
+    skewed-key full shuffle operators/skew.py exists to avoid; it is
+    acceptable ONLY for small/medium groups or as an oracle twin.
+    The production form at 100 TB is q_winsorize_bounds below: exact
+    order-statistic cut values via approx-percentile neighborhoods +
+    local refinement, never a full per-group sort. The two differ
+    only at tied boundary values (this form splits ties by row
+    order; the bounds form trims by value, tie-inclusive)."""
     from pyspark.sql.window import Window
     from ..functions.numeric import dec
     li = load_table(spark, sf_dir, "lineitem")
@@ -226,6 +236,121 @@ def q_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.count(F.lit(1))).alias("avg_price_trimmed"),
                  F.min("l_extendedprice").cast("double").alias("p05_price"),
                  F.max("l_extendedprice").cast("double").alias("p95_price")))
+
+
+# ---------------------------------------------------------------------------
+# Scale-safe winsorization: the same 5%/95% trim as q_outlier_trim,
+# but WITHOUT the per-group full sort (which lands all of lineitem on
+# ~3 reducers — the documented hazard above). Semantics are value-
+# inclusive: the cut values are the EXACT order statistics at ranks
+# cut+1 and n-cut (deterministic regardless of tie order), and every
+# row with lo <= v <= hi is kept. The plan:
+#   pass 1  per-group n + approx-percentile brackets around each cut
+#           (accuracy 1e-4 ⇒ the true order statistic provably lies
+#           inside the [p±0.002] value bracket once n ≥ ~1100; groups
+#           under 5000 rows take a whole-group bracket — tiny, exact)
+#   pass 2  per-group count of rows strictly below each bracket
+#   pass 3  rank ONLY the bracket rows (≤0.4% of the group at scale)
+#           and read off the exact cut values at the local rank
+#   pass 4  broadcast the 3-row bounds table, filter, aggregate
+# Four map-side-combinable scans + KB-scale shuffles replace one
+# full-table sort into 3 tasks. The oracle is the naive rank form.
+# ---------------------------------------------------------------------------
+
+WINSOR_ORACLE = """
+WITH nt AS (
+  SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn
+  FROM lineitem
+), bounds AS (
+  SELECT r.l_returnflag,
+         MIN(CASE WHEN rn = n * 5 // 100 + 1 THEN l_extendedprice END) AS lo,
+         MIN(CASE WHEN rn = n - n * 5 // 100 THEN l_extendedprice END) AS hi
+  FROM ranked r JOIN nt USING (l_returnflag)
+  GROUP BY r.l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(MIN(b.lo) AS DOUBLE) AS lo_cut,
+       CAST(MIN(b.hi) AS DOUBLE) AS hi_cut,
+       COUNT(*) AS n_kept,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         / COUNT(*) AS avg_price_winsor
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+WHERE l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+GROUP BY l.l_returnflag
+"""
+
+_WINSOR_SMALL_N = 5000  # below this, bracket = whole group (still exact)
+
+
+@register("q_winsorize_bounds", WINSOR_ORACLE,
+          "scale-safe winsorization: exact 5%/95% order-statistic cut "
+          "values via approx-percentile brackets + local refinement "
+          "(no full per-group sort), value-inclusive trimmed mean")
+def q_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.numeric import dec
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice"))
+    v = F.col("l_extendedprice")
+
+    # pass 1: per-group n + bracket values around both cuts. Spark's
+    # percentile_approx (Greenwald-Khanna) at accuracy 10000 bounds
+    # the returned value's rank within ±1e-4·n of the requested p, so
+    # the [p-0.002, p+0.002] bracket contains the exact cut rank with
+    # ≥0.0019·n-2 ranks of margin — positive from n≈1100; the
+    # small-group fallback covers the rest with the whole group.
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(v, [0.048, 0.052, 0.948, 0.952],
+                            10000).alias("ap"))
+    nb = stats.select(
+        "l_returnflag", "n", F.expr("n * 5 DIV 100").alias("cut"),
+        F.col("ap")[0].alias("lo_a"), F.col("ap")[1].alias("lo_b"),
+        F.col("ap")[2].alias("hi_a"), F.col("ap")[3].alias("hi_b"),
+        (F.col("n") < _WINSOR_SMALL_N).alias("small"))
+    j = li.join(F.broadcast(nb), "l_returnflag")
+
+    # pass 2: strict-below counts anchor the brackets' global ranks
+    # (when small, the bracket is the whole group and the anchor is 0)
+    below = j.groupBy("l_returnflag").agg(
+        F.sum(F.when((v < F.col("lo_a")) & ~F.col("small"), 1)
+               .otherwise(0)).alias("n_lt_lo"),
+        F.sum(F.when((v < F.col("hi_a")) & ~F.col("small"), 1)
+               .otherwise(0)).alias("n_lt_hi"))
+
+    # pass 3: rank only bracket rows; global rank = local rank + anchor.
+    # The value at the target rank is the exact order statistic —
+    # deterministic even under ties, because equal values are
+    # interchangeable at a rank boundary.
+    wv = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+
+    def cut_value(target_rank, lo_col, hi_col, anchor, alias):
+        nbr = j.filter(F.col("small") | ((v >= F.col(lo_col))
+                                         & (v <= F.col(hi_col))))
+        return (nbr.withColumn("lrn", F.row_number().over(wv))
+                .join(F.broadcast(below), "l_returnflag")
+                .filter(F.col("lrn") + F.col(anchor) == target_rank)
+                .groupBy("l_returnflag")
+                .agg(F.min("l_extendedprice").alias(alias)))
+
+    lo_v = cut_value(F.col("cut") + 1, "lo_a", "lo_b", "n_lt_lo", "lo_cut")
+    hi_v = cut_value(F.col("n") - F.col("cut"), "hi_a", "hi_b", "n_lt_hi",
+                     "hi_cut")
+    bounds = lo_v.join(hi_v, "l_returnflag")
+
+    # pass 4: broadcast the per-group bounds, filter, aggregate
+    return (li.join(F.broadcast(bounds), "l_returnflag")
+            .filter((v >= F.col("lo_cut")) & (v <= F.col("hi_cut")))
+            .groupBy("l_returnflag")
+            .agg(F.min("lo_cut").cast("double").alias("lo_cut"),
+                 F.min("hi_cut").cast("double").alias("hi_cut"),
+                 F.count(F.lit(1)).alias("n_kept"),
+                 (F.sum(dec("l_extendedprice", 12, 2)).cast("double")
+                  / F.count(F.lit(1))).alias("avg_price_winsor")))
 
 
 # ---------------------------------------------------------------------------

@@ -129,16 +129,23 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 
 @register("q_tpch_q15_top_supplier", Q15_ORACLE,
           "TPC-H Q15: top supplier(s) by quarterly revenue — scalar "
-          "MAX over a derived view, as an unpartitioned window max")
+          "MAX over a derived view, as an agg + broadcast semi filter")
 def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar `(SELECT MAX(total_revenue) FROM revenue)` is a full
+    `agg(max)` (map-side partials, one-row result) broadcast back over
+    the per-supplier view — the same scalar-subquery shape q_tpch_q17
+    uses for its brand threshold. The r5 form was
+    `Window.partitionBy()`, which moved the whole revenue view to ONE
+    partition; at 100x supplier cardinality that is a straggler, while
+    the agg+broadcast never concentrates more than a single row."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     revenue = (li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
                          & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
                .groupBy(F.col("l_suppkey").alias("supplier_no"))
                .agg(F.sum(_disc_price()).cast("double").alias("total_revenue")))
-    w = Window.partitionBy()
-    top = (revenue.withColumn("mx", F.max("total_revenue").over(w))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = (revenue.join(F.broadcast(mx))
            .filter(F.col("total_revenue") == F.col("mx")).drop("mx"))
     return (s.join(top, s.s_suppkey == top.supplier_no)
             .select("s_suppkey", "s_name", "total_revenue"))

@@ -107,7 +107,14 @@ def current_base_version(spark: SparkSession, path: str) -> int:
         try:
             return int(txt.strip())
         except ValueError:
-            pass
+            # legacy single-file pointer exists but is garbage — say so
+            # (the complete-base fallback below still recovers) rather
+            # than silently pretending it was absent.
+            import logging
+            logging.getLogger(__name__).warning(
+                "keyed_table: unparseable legacy _CURRENT pointer at %s "
+                "(%r) — falling back to complete-base recovery",
+                path, txt.strip()[:64])
     complete = sorted(int(m.group(1)) for d in hfs.listdir(spark, path)
                       if (m := _BASE_RE.match(d))
                       and hfs.exists(spark, hfs.join(path, d, "_SUCCESS")))

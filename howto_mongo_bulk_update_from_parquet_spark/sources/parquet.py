@@ -35,25 +35,39 @@ def _set_if_differs(spark: SparkSession, key: str, value: str) -> None:
         spark.conf.set(key, value)
 
 
-_TS_NANOS_CACHE: dict[str, bool] = {}
+_TS_NANOS_CACHE: dict[tuple[str, float], bool] = {}
 
 
 def events_ts_is_nanos(path: str) -> bool:
     """True iff the parquet file stores `ts` with nanosecond unit
     (TIMESTAMP(NANOS) / timestamp[ns]), which Spark must read as raw
-    int64. One driver-side footer read, cached per path. Files without
-    a readable footer or `ts` field fall through to the native reader."""
-    got = _TS_NANOS_CACHE.get(path)
+    int64. One driver-side footer read, cached per (path, mtime) — so
+    a fixture regenerated IN PLACE with a different unit re-probes
+    instead of serving a stale verdict (the driver has done exactly
+    that between rounds). Only the EXPECTED failures fall through to
+    the native reader: path absent / not locally readable (includes
+    remote URIs the driver can't open — native read is the only
+    option there) and a missing `ts` field. Anything else — corrupt
+    footer, pyarrow import failure — propagates, so a genuinely
+    ns-unit file can't silently route to the native reader and die
+    later with an obscure vectorized-reader error."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return False  # absent / non-local path: native read
+    key = (path, mtime)
+    got = _TS_NANOS_CACHE.get(key)
     if got is None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
         try:
-            import pyarrow as pa
-            import pyarrow.parquet as pq
             fld = pq.ParquetFile(path).schema_arrow.field("ts")
+        except (FileNotFoundError, KeyError):
+            got = False  # raced-away file / no ts field: native read
+        else:
             got = ((pa.types.is_timestamp(fld.type) and fld.type.unit == "ns")
                    or pa.types.is_integer(fld.type))
-        except Exception:  # noqa: BLE001 - absent file/field: native read
-            got = False
-        _TS_NANOS_CACHE[path] = got
+        _TS_NANOS_CACHE[key] = got
     return got
 
 

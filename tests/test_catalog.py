@@ -52,55 +52,69 @@ def test_head50_spans_every_capability():
     assert names[:50] == list(_HEAD)
     assert len(set(_HEAD)) == 50
     head = set(_HEAD)
+    # r6 map: the never-attested 26 rotated in wholesale, so several
+    # capabilities are now represented by their formerly-tail query
     required = {
         "scan_agg": "q1_pricing_summary",
         "filter_project": "q_filter_project",
         "merge_sink": "q_merge_upsert",
         "generator": "q_generate",
-        "joins": "q_tpch_q3_shipping",
-        "subquery_joins": "q_tpch_q4_priority",
+        "joins": "q_tpch_q7_volume",
+        "left_join_agg": "q_tpch_q13_order_dist",
+        "scalar_subquery": "q_tpch_q15_top_supplier",
+        "correlated_window": "q_tpch_q17_small_quantity",
+        "semi_anti": "q_in_not_in",
+        "lateral": "q_lateral_topk",
         "asof": "q_asof_join",
-        "aggregation": "q_rollup_cascade",
-        "filter_agg": "q_tpch_q6_forecast",
-        "window": "q_ntile_buckets",
-        "outlier_trim": "q_outlier_trim",
-        "sort_limit": "q_weighted_sample",
+        "aggregation": "q_grouping_id",
+        "having": "q_having",
+        "skew": "q_skew_salted_join",
+        "winsorize": "q_winsorize_bounds",
+        "window_frames": "q_window_range_frame",
+        "window_rank": "q_window_rank_dist",
+        "window_value": "q_window_value_funcs",
+        "distinct_on": "q_distinct_on",
+        "sort_limit": "q_orderby_limit",
+        "weighted_sampling": "q_weighted_sample",
         "set_ops": "q_setops",
-        "scalar_funcs": "q_json_funcs",
-        "dedup_lsh": "q_minhash_lsh_pairs",
-        "dedup_verify": "q_lsh_verified_pairs",
+        "null_funcs": "q_null_funcs",
+        "string_normalize": "q_string_normalize",
+        "tokenize": "q_token_regex",
+        "events_funnel": "q_event_funnel",
+        "events_window": "q_event_sliding",
+        "retention": "q_retention_cohorts",
+        "dedup_signatures": "q_minhash_signatures",
+        "vector_lsh": "q_rhp_lsh_buckets",
         "dedup_cluster": "q_dedup_clusters",
-        "kmeans": "q_kmeans_iter",
         "ivf": "q_ann_ivf_search",
-        "pq_search": "q_pq_search",
         "semantic_dedup": "q_semdedup",
-        "text_quality": "q_token_entropy",
-        "corpus_stats": "q_tfidf_top_terms",
         "corpus_pipeline": "q_doc_packing",
         "mixture_sampling": "q_mixture_sample",
-        "shard_shuffle": "q_shard_assign",
         "decontamination": "q_decontaminate",
+        "timeseries": "q_time_resample",
         "udaf": "q_udaf_grouped_agg",
-        "grouped_map": "q_grouped_map_median",
         "udtf": "q_udtf_bigrams",
         "multimodal": "q_multimodal_meta",
-        "streaming": "q_stream_sliding",
-        "streaming_session": "q_stream_session_windows",
-        "streaming_join": "q_stream_stream_join",
-        "streaming_outer_join": "q_stream_stream_left",
+        "feature_extract": "q_feature_extract",
+        "streaming_state": "q_stream_first_seen",
         "streaming_dedup": "q_stream_dedup",
-        "full_outer_join": "q_join_full_outer",
+        "streaming_join": "q_stream_stream_join",
         "scd2": "q_scd2_history",
         "cdc": "q_cdc_diff",
-        "profiling": "q_histogram",
-        "referential_quality": "q_fk_orphans",
+        "profiling": "q_profile_approx",
+        "source_overlap": "q_source_overlap",
     }
     for cap, q in required.items():
         assert q in head, f"capability {cap} not in attested head-50 ({q})"
     # every head query must actually exist and (bar rows-only ops)
     # carry an oracle
     oracles = all_oracles()
-    missing_oracle = [n for n in _HEAD if n not in oracles]
+    # rows-only by design (HLL sketches have no deterministic SQL
+    # twin; accuracy is pytest-pinned instead): the driver records
+    # the weaker rows-only check for these, knowingly
+    rows_only_ok = {"q_profile_approx"}
+    missing_oracle = [n for n in _HEAD
+                      if n not in oracles and n not in rows_only_ok]
     assert missing_oracle == [], f"head queries without oracle: {missing_oracle}"
 
 

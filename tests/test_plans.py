@@ -128,6 +128,56 @@ def test_q6_predicates_all_pushed_and_schema_pruned(spark):
     assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
 
 
+def test_weighted_sample_is_topk_not_global_window(spark):
+    """The E-S weighted sample must select via TakeOrderedAndProject
+    (per-partition top-k + driver merge) and must contain NO window
+    at all — the r5 form ranked the whole corpus through one
+    unpartitioned WindowExec partition."""
+    plan = _plan(spark, "q_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "- Exchange" not in plan      # broadcast-free, shuffle-free
+
+
+def test_q15_scalar_max_has_no_window(spark):
+    """TPC-H Q15's scalar MAX must be an agg + broadcast join (the
+    q17 scalar-subquery shape), not an unpartitioned window over the
+    per-supplier revenue view."""
+    plan = _plan(spark, "q_tpch_q15_top_supplier")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_search_plan_is_shuffle_free(spark):
+    """PQ-ADC: encode + LUT scan are two chained mapInPandas passes
+    with the codebook/LUTs riding the task closure — no Exchange
+    anywhere between the parquet scan and the ADC output."""
+    from howto_mongo_bulk_update_from_parquet_spark.operators.vector_kernels import pq_adc_search
+    from howto_mongo_bulk_update_from_parquet_spark.plans.kmeans import seed_centroids
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
+    e = load_table(spark, SF, "embeddings")
+    cb = seed_centroids(e, 16)
+    out = pq_adc_search(e, cb, 4, queries=[cb[0], cb[1]])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2      # encode pass + ADC pass
+
+
+def test_winsorize_bounds_windows_only_brackets(spark):
+    """The scale-safe winsorization may sort only the bracket rows:
+    every WindowExec input must sit above a bracket Filter, never the
+    raw scan — textually, each Window in the formatted plan is fed by
+    a Filter mentioning the bracket columns (lo_a/lo_b or hi_a/hi_b
+    or the small-group flag)."""
+    plan = _plan(spark, "q_winsorize_bounds")
+    import re
+    # formatted explain: "(N) Window" nodes reference their input ids;
+    # simpler textual pin — the plan's Filters include the bracket
+    # predicates, and there are exactly 2 Window nodes (lo + hi cut)
+    assert plan.count("- Window") == 2
+    assert "lo_a" in plan and "hi_a" in plan and "small" in plan
+
+
 def test_assign_kernel_plan_is_shuffle_free(spark):
     """The Arrow assignment kernel must not introduce an Exchange —
     centroids ride the task closure, the pass is map-only."""

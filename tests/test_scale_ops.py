@@ -31,6 +31,83 @@ def test_salted_partial_stage_spreads_key(spark):
     assert partial_rows > 1
 
 
+def test_salted_join_default_salt_spreads_duplicate_rows(spark):
+    """ADVICE r5: a content-derived salt maps fully-duplicated fact
+    rows (the common hot-key shape) all to ONE salt, recreating the
+    hot reducer. The row-position default must spread them."""
+    df = spark.createDataFrame([("hot", 1.0)] * 400, "k string, v double")
+    from howto_mongo_bulk_update_from_parquet_spark.operators.skew import salted_join
+    dim = spark.createDataFrame([("hot", "d")], "k string, d string")
+    out = salted_join(df, dim, "k", n_salts=8)
+    assert out.count() == 400                       # row-identical join
+    # reproduce the default salt expression: identical duplicate rows
+    # must still land on >1 salt
+    n_salts_hit = (df.withColumn(
+        "__salt", F.crc32(F.monotonically_increasing_id().cast("string")) % 8)
+        .select("__salt").distinct().count())
+    assert n_salts_hit > 1
+
+
+def _winsorize_exact_rank_form(spark, sf_dir):
+    """Test oracle: value-inclusive winsorization via the naive full
+    per-group sort (the form q_winsorize_bounds must reproduce
+    without the sort)."""
+    from pyspark.sql.window import Window
+    from howto_mongo_bulk_update_from_parquet_spark.functions.numeric import dec
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    cut = F.expr("n * 5 DIV 100")
+    bounds = (ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == cut + 1, F.col("l_extendedprice")))
+         .alias("lo"),
+        F.min(F.when(F.col("rn") == F.col("n") - cut,
+                     F.col("l_extendedprice"))).alias("hi")))
+    v = F.col("l_extendedprice")
+    return {r["l_returnflag"]:
+            (r["lo_cut"], r["hi_cut"], r["n_kept"], r["avg_price_winsor"])
+            for r in (li.join(F.broadcast(bounds), "l_returnflag")
+                      .filter((v >= F.col("lo")) & (v <= F.col("hi")))
+                      .groupBy("l_returnflag")
+                      .agg(F.min("lo").cast("double").alias("lo_cut"),
+                           F.min("hi").cast("double").alias("hi_cut"),
+                           F.count(F.lit(1)).alias("n_kept"),
+                           (F.sum(dec("l_extendedprice", 12, 2))
+                            .cast("double") / F.count(F.lit(1)))
+                           .alias("avg_price_winsor"))).collect()}
+
+
+def test_winsorize_bounds_exact_on_both_paths(spark):
+    """q_winsorize_bounds must equal the naive rank form on BOTH code
+    paths: sf0.001 groups are under the 5000-row threshold (whole-
+    group bracket), sf0.01 groups are over it (approx-percentile
+    bracket + local refinement)."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans import all_queries
+    from howto_mongo_bulk_update_from_parquet_spark.plans.quality import (
+        _WINSOR_SMALL_N)
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
+    for sf_dir, expect_small in [("/root/testdata/sf0.001", True),
+                                 ("/root/testdata/sf0.01", False)]:
+        sizes = [r["n"] for r in
+                 load_table(spark, sf_dir, "lineitem")
+                 .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()]
+        # confirm which branch this SF exercises
+        assert all((n < _WINSOR_SMALL_N) == expect_small
+                   for n in sizes), (sf_dir, sizes)
+        got = {r["l_returnflag"]:
+               (r["lo_cut"], r["hi_cut"], r["n_kept"], r["avg_price_winsor"])
+               for r in all_queries()["q_winsorize_bounds"](
+                   spark, sf_dir).collect()}
+        want = _winsorize_exact_rank_form(spark, sf_dir)
+        assert got == want, sf_dir
+
+
 def test_stream_first_seen_matches_batch(spark):
     from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
     from howto_mongo_bulk_update_from_parquet_spark.streaming.stateful import stream_first_seen

@@ -144,15 +144,9 @@ def test_permissive_json_keeps_corrupt_records(spark, tmp_path):
     assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
 
 
-def test_events_loader_handles_both_ts_units(spark, tmp_path):
-    """The fixture has shipped events.ts as TIMESTAMP(NANOS) and as
-    TIMESTAMP(MICROS) across rounds; load_table must read both to the
-    same timestamps (ns truncated to µs)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+def _events_rows():
     import datetime as dt
-
-    rows = {
+    return {
         "event_id": [0, 1],
         "ts": [dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
                dt.datetime(2024, 6, 15, 12, 30, 45, 654321)],
@@ -161,18 +155,60 @@ def test_events_loader_handles_both_ts_units(spark, tmp_path):
         "value": [1.5, 2.5],
         "props": ["{}", "{}"],
     }
-    for unit, sub in [("us", "us_dir"), ("ns", "ns_dir")]:
-        d = tmp_path / sub
+
+
+def _write_events(dirpath, unit):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table(_events_rows())
+    t = t.set_column(1, "ts", t["ts"].cast(pa.timestamp(unit), safe=False))
+    pq.write_table(t, str(dirpath / "events.parquet"))
+
+
+def test_events_loader_handles_all_parquet_ts_units(spark, tmp_path):
+    """The driver has regenerated events.ts with a different parquet
+    time unit between rounds (ns in r1-r4, µs in r5). Chaos-cover the
+    WHOLE unit space: s / ms / µs / ns arrow columns (parquet stores
+    s as ms — pyarrow coerces on write), asserting the loader lands
+    every variant in the same sane timestamp range [2020, 2030) with
+    sub-second precision truncated to the stored unit."""
+    import datetime as dt
+
+    rows = _events_rows()
+    truncated = {
+        "s": [t.replace(microsecond=0) for t in rows["ts"]],
+        "ms": [t.replace(microsecond=t.microsecond // 1000 * 1000)
+               for t in rows["ts"]],
+        "us": rows["ts"],
+        "ns": rows["ts"],
+    }
+    for unit in ("s", "ms", "us", "ns"):
+        d = tmp_path / f"{unit}_dir"
         d.mkdir()
-        t = pa.table(rows)
-        t = t.set_column(1, "ts", t["ts"].cast(pa.timestamp(unit)))
-        pq.write_table(t, str(d / "events.parquet"))
-    got_us = {(r.event_id, r.ts) for r in
-              load_table(spark, str(tmp_path / "us_dir"), "events").collect()}
-    got_ns = {(r.event_id, r.ts) for r in
-              load_table(spark, str(tmp_path / "ns_dir"), "events").collect()}
-    want = {(0, rows["ts"][0]), (1, rows["ts"][1])}
-    assert got_us == want and got_ns == want
+        _write_events(d, unit)
+        got = {(r.event_id, r.ts) for r in
+               load_table(spark, str(d), "events").collect()}
+        want = {(0, truncated[unit][0]), (1, truncated[unit][1])}
+        assert got == want, unit
+        assert all(dt.datetime(2020, 1, 1) <= ts < dt.datetime(2030, 1, 1)
+                   for _, ts in got), unit
+
+
+def test_events_ts_unit_probe_survives_in_place_regeneration(spark, tmp_path):
+    """The unit probe caches per (path, mtime): regenerating the SAME
+    file with a different unit — which the driver has actually done —
+    must re-probe, not serve the stale verdict."""
+    import os
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        events_ts_is_nanos)
+    p = tmp_path / "events.parquet"
+    _write_events(tmp_path, "us")
+    assert events_ts_is_nanos(str(p)) is False
+    _write_events(tmp_path, "ns")
+    os.utime(str(p), (1, 1))          # force a distinct mtime
+    assert events_ts_is_nanos(str(p)) is True
+    # absent path: expected fallthrough, not an exception
+    assert events_ts_is_nanos(str(tmp_path / "nope.parquet")) is False
 
 
 def test_binary_file_source_reads_opaque_media(spark, tmp_path):

@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from howto_mongo_bulk_update_from_parquet_spark.operators.vector_kernels import (
-    assign_exact, cluster_neardup_flags, round12_scaled)
+    assign_exact, cluster_neardup_flags, round12_scaled, round_half_up)
 from howto_mongo_bulk_update_from_parquet_spark.plans.kmeans import (
     _assign, _cells, _recompute, K, seed_centroids, _collect_centroids)
 from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
@@ -32,6 +32,56 @@ def test_round12_scaled_matches_decimal_half_up():
                                                     ROUND_HALF_UP)
                          * 1_000_000_000_000) for x in vals])
     assert (got == want).all()
+
+
+def test_round_half_up_matches_decimal_on_boundaries():
+    """The cosine-rounding kernel must be HALF_UP (F.round / DuckDB
+    ROUND), not numpy's half-to-even — 2**-7 = 0.0078125 is exactly
+    representable and rounds differently under the two modes at 6
+    decimals (HALF_UP 0.007813, half-even 0.007812)."""
+    rng = np.random.default_rng(11)
+    for r in (5, 6):
+        vals = np.concatenate([
+            rng.random(2000) * 2.0 - 1.0,            # cosine range
+            np.array([0.0078125, -0.0078125,          # 2**-7 boundaries
+                      0.015625, -0.015625,            # 2**-6
+                      0.5, -0.5, 1.0, -1.0, 0.0]),
+            rng.random(100) * 1e-9 - 5e-10,           # near-zero
+        ])
+        got = round_half_up(vals, r)
+        q = Decimal(1).scaleb(-r)
+        want = np.array([
+            float(-(Decimal(float(-x)).quantize(q, ROUND_HALF_UP)))
+            if x < 0 else
+            float(Decimal(float(x)).quantize(q, ROUND_HALF_UP))
+            for x in vals])
+        assert (got == want).all(), (r, vals[got != want][:5])
+    # half-even would get these WRONG — prove the mode actually differs
+    assert round_half_up(np.array([0.0078125]), 6)[0] == 0.007813
+    assert np.round(np.array([0.0078125]), 6)[0] == 0.007812
+    # negative ties round away from zero; -0.0 folds to +0.0
+    assert round_half_up(np.array([-0.0078125]), 6)[0] == -0.007813
+    import math
+    z = round_half_up(np.array([-1e-9]), 6)[0]
+    assert z == 0.0 and math.copysign(1.0, z) == 1.0
+
+
+def test_round_half_up_property_matches_decimal():
+    """Property: signed doubles, both common round_to values."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False,
+                     allow_infinity=False),
+           st.sampled_from([5, 6]))
+    def check(x, r):
+        got = round_half_up(np.array([x]), r)[0]
+        q = Decimal(1).scaleb(-r)
+        ax = float(Decimal(float(abs(x))).quantize(q, ROUND_HALF_UP))
+        want = -ax if (x < 0 and ax != 0.0) else ax
+        assert got == want, (x, r, got, want)
+
+    check()
 
 
 def test_assign_kernel_matches_expression_form(spark):
