@@ -56,6 +56,8 @@ def cosine_all_pairs_blocked(df: DataFrame, id_col: str, vec_col: str, *,
     import numpy as np
     import pandas as pd
 
+    from .vector_kernels import round_half_up
+
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     n = base.count()
@@ -79,7 +81,9 @@ def cosine_all_pairs_blocked(df: DataFrame, id_col: str, vec_col: str, *,
                 q_blk = pdf["__blk"].to_numpy()
                 q = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
                 q /= np.linalg.norm(q, axis=1, keepdims=True)
-                sims = np.round(q @ blk.T, round_digits)
+                # HALF_UP, matching the oracle's ROUND — np.round is
+                # half-to-even and diverges on boundary cosines
+                sims = round_half_up(q @ blk.T, round_digits)
                 same = q_blk[:, None] == b
                 ok = (sims >= threshold) & np.where(
                     same, q_ids[:, None] < blk_ids[None, :], True)

@@ -4,10 +4,11 @@ offers, each used where it's the right tool and oracle-checked.
 - grouped-aggregate `pandas_udf` (UDAF): Arrow-batched, one call per
   group — here an exact integer aggregation so the result is
   engine-identical (a float UDAF would re-order summation).
-- Python UDTF (`@udtf`): row-at-a-time table function — the slow path
-  by design, bounded to a small id range; the relational twin
-  (posexplode over a transform) is what the engine uses at scale
-  (q_doc_chunking), this entry proves the API surface.
+- Python UDTF (`@udtf`): table function over LATERAL, executed on
+  Spark 4's Arrow UDTF path (conf-enabled per query so the driver's
+  vanilla session batches too); the relational twin (posexplode over
+  a transform) remains the pure-JVM form (q_doc_chunking), this
+  entry proves the UDTF API surface.
 - The Arrow batch paths (`mapInPandas`, `applyInPandasWithState`) are
   exercised by q_simhash / q_multimodal_meta / q_stream_first_seen.
 """
@@ -104,10 +105,19 @@ WHERE len(tk) >= 2
 
 
 @register("q_udtf_bigrams", UDTF_ORACLE,
-          "Python UDTF: one row per token bigram — the row-at-a-time "
-          "API surface, deliberately bounded (scale path = posexplode)")
+          "Python UDTF via LATERAL: one row per token bigram, executed "
+          "on the Arrow batch path (ArrowEvalPythonUDTF)")
 def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
+    from ..sources.parquet import _set_if_differs
+
+    # Spark 4 ships an Arrow transfer path for Python UDTFs behind a
+    # conf (off by default); without it the LATERAL evaluates as
+    # row-at-a-time BatchEvalPythonUDTF — the one Python-row hop the
+    # r5 plan sweep found. Set here (not only in the session factory)
+    # so the driver's vanilla session gets the batch path too.
+    _set_if_differs(spark, "spark.sql.execution.pythonUDTF.arrow.enabled",
+                    "true")
 
     @udtf(returnType="doc_id: long, pos: long, bigram: string")
     class Bigrams:

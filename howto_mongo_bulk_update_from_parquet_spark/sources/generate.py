@@ -59,19 +59,23 @@ def generation_contract(df: DataFrame, n_rows: int, *,
     the REAL data (so a broken generator fails the oracle, not just
     the row count): `ids_unique` — no `_id` collides; `null_counts_ok`
     — each nullable column's observed NULL count sits inside the
-    binomial acceptance interval of `null_fraction`. The full-frame
-    window is a deliberate single-partition pass: this is a validation
-    gate over a sample-sized frame, not a scale path (at scale, run
-    the same checks as one `agg` and broadcast the scalars)."""
-    whole = Window.partitionBy(F.lit(1))
+    binomial acceptance interval of `null_fraction`. The global NULL
+    counts come from one `agg` (map-side partials) whose one-row
+    result is broadcast back over the frame — never a global window,
+    so the gate itself scales with the generator. `ids_unique` stays
+    a per-key window (partitioned by `_id`, maximal spread)."""
     lo, hi = _binomial_bounds(n_rows, null_fraction)
+    per_id = F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    flagged = df.withColumn("ids_unique", per_id == 1)
+    if not nullable_cols:
+        return flagged.withColumn("null_counts_ok", F.lit(True))
+    scalars = df.agg(*[F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{i}")
+                       for i, c in enumerate(nullable_cols)])
     nulls_ok = None
-    for c in nullable_cols:
-        cnt = F.sum(F.col(c).isNull().cast("long")).over(whole)
+    for i in range(len(nullable_cols)):
+        cnt = F.col(f"__nc_{i}")
         ok = (cnt >= lo) & (cnt <= hi)
         nulls_ok = ok if nulls_ok is None else nulls_ok & ok
-    per_id = F.count(F.lit(1)).over(Window.partitionBy("_id"))
-    return df.withColumns({
-        "ids_unique": per_id == 1,
-        "null_counts_ok": nulls_ok if nulls_ok is not None else F.lit(True),
-    })
+    return (flagged.join(F.broadcast(scalars))
+            .withColumn("null_counts_ok", nulls_ok)
+            .drop(*[f"__nc_{i}" for i in range(len(nullable_cols))]))

@@ -178,6 +178,41 @@ def test_winsorize_bounds_windows_only_brackets(spark):
     assert "lo_a" in plan and "hi_a" in plan and "small" in plan
 
 
+def test_catalog_wide_no_global_windows_cartesians_or_row_udfs(spark):
+    """Sweep EVERY batch catalog query's plan for the three
+    anti-patterns the per-query pins can't cover exhaustively:
+    - unpartitioned windows (all rows → one WindowExec partition);
+      detected from windowspecdefinition's first argument — a frame
+      spec or an ASC/DESC ordering means no partition expressions
+      (partitioned windows lead with a plain attribute)
+    - CartesianProduct
+    - row-at-a-time Python evaluation (BatchEvalPython[UDTF]; the
+      Arrow forms ArrowEvalPython[UDTF] / MapInPandas are fine)
+    Streaming queries are skipped: constructing them runs the stream
+    (cost), and their returned plan is a memory-table scan."""
+    import re
+    from howto_mongo_bulk_update_from_parquet_spark.plans import all_queries
+    unpart = re.compile(
+        r"windowspecdefinition\((specifiedwindowframe|\S+ (ASC|DESC) NULLS)")
+    findings = {}
+    for name, fn in sorted(all_queries().items()):
+        if name.startswith("q_stream_"):
+            continue
+        df = fn(spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        probs = []
+        if unpart.search(opt):
+            probs.append("unpartitioned window")
+        if "CartesianProduct" in phys:
+            probs.append("cartesian product")
+        if "BatchEvalPython" in phys:          # also matches the UDTF node
+            probs.append("row-at-a-time python")
+        if probs:
+            findings[name] = probs
+    assert findings == {}, findings
+
+
 def test_assign_kernel_plan_is_shuffle_free(spark):
     """The Arrow assignment kernel must not introduce an Exchange —
     centroids ride the task closure, the pass is map-only."""
