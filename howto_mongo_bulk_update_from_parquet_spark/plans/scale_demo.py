@@ -77,6 +77,64 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_rows")))
 
 
+# Dynamic partition pruning: at 100 TB a fact table is laid out
+# partitioned on a join/filter column; a selective dim-side predicate
+# must prune fact PARTITION DIRECTORIES at runtime (before the scan),
+# not filter rows after reading everything. Spark injects a
+# dynamicpruningexpression into the fact scan's PartitionFilters when
+# the join key is a partition column and the dim side is selective —
+# here 2 of 5 event_type directories survive. The partitioned copy is
+# written once per fixture generation (path keyed on the source file's
+# mtime, so a driver-regenerated fixture re-materializes instead of
+# serving stale rows) — the write itself is the standard layout step
+# (G2 partitionBy), the query then proves the pruned read.
+DPP_ORACLE = """
+WITH dim AS (
+  SELECT 'purchase' AS event_type, 5 AS weight
+  UNION ALL SELECT 'signup', 3
+)
+SELECT e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6)) * d.weight) AS DOUBLE)
+         AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+def _dpp_events_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_dpp_{key}")
+
+
+@register("q_dpp_partition_pruned_join", DPP_ORACLE,
+          "dynamic partition pruning: event_type-partitioned fact copy, "
+          "selective dim join prunes 3 of 5 partition dirs at runtime")
+def q_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    path = _dpp_events_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (load_table(spark, sf_dir, "events")
+         .write.partitionBy("event_type").mode("overwrite").parquet(path))
+    part = spark.read.parquet(path)
+    # the third row + real predicate make the dim SELECTIVE (DPP only
+    # fires when the build side filters), and weights stay literal so
+    # the oracle is pure SQL
+    dim = (spark.createDataFrame(
+        [("purchase", 5), ("signup", 3), ("click", 0)],
+        "event_type string, weight int")
+        .filter(F.col("weight") > 0))
+    return (part.join(F.broadcast(dim), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(dec("value", 18, 6) * F.col("weight"))
+                  .cast("double").alias("weighted_value")))
+
+
 RANGE_FRAME_ORACLE = """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -178,6 +178,15 @@ def test_winsorize_bounds_windows_only_brackets(spark):
     assert "lo_a" in plan and "hi_a" in plan and "small" in plan
 
 
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """The partitioned-fact join must carry a dynamicpruningexpression
+    in the scan's PartitionFilters — runtime directory pruning, not a
+    full read + row filter."""
+    plan = _plan(spark, "q_dpp_partition_pruned_join")
+    assert "dynamicpruning" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_catalog_wide_no_global_windows_cartesians_or_row_udfs(spark):
     """Sweep EVERY batch catalog query's plan for the three
     anti-patterns the per-query pins can't cover exhaustively:
