@@ -187,6 +187,35 @@ def test_dpp_join_prunes_partitions_at_runtime(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """Runtime row-level filtering, the shuffle-join sibling of DPP:
+    with a selective build side, the optimizer must inject a
+    bloom_filter_agg on the dim and a might_contain probe ABOVE the
+    fact scan, so non-joining fact rows die before the shuffle. At
+    fixture scale the application-side size threshold (default 10 GB —
+    i.e. tuned for the real cluster) is lowered to let the rewrite
+    fire; the optimizer path is identical."""
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+    confs = {"spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+             "spark.sql.autoBroadcastJoinThreshold": "-1"}
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        o = (load_table(spark, SF, "orders")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_catalog_wide_no_global_windows_cartesians_or_row_udfs(spark):
     """Sweep EVERY batch catalog query's plan for the three
     anti-patterns the per-query pins can't cover exhaustively:
