@@ -135,6 +135,52 @@ def q_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("weighted_value")))
 
 
+# Bucketed co-located join: the OTHER layout-time join optimization.
+# Both sides are written `bucketBy(8, join_key).sortBy(join_key)` —
+# at read time the scans' output partitioning already satisfies the
+# join's distribution, so the sort-merge join runs with NO exchange
+# on either side (plan-pinned); only the final groupBy shuffles its
+# few aggregate rows. At 100 TB this is how a fact table that joins
+# the same dimension every day avoids re-shuffling itself every day.
+# Tables are materialized once per fixture generation (names keyed on
+# the source files' mtimes, same policy as the DPP copy).
+BUCKETED_ORACLE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_spend
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def _bucketed_table_name(sf_dir: str, table: str) -> str:
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:10]
+    return f"bkt_{table}_{key}"
+
+
+@register("q_bucketed_colocated_join", BUCKETED_ORACLE,
+          "bucketed co-located join: both sides bucketBy(8, key) — "
+          "sort-merge join with zero exchanges on the join inputs")
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for table, key_col in [("orders", "o_custkey"), ("customer", "c_custkey")]:
+        name = _bucketed_table_name(sf_dir, table)
+        if not spark.catalog.tableExists(name):
+            (load_table(spark, sf_dir, table)
+             .write.bucketBy(8, key_col).sortBy(key_col)
+             .mode("overwrite").saveAsTable(name))
+    o = spark.table(_bucketed_table_name(sf_dir, "orders"))
+    c = spark.table(_bucketed_table_name(sf_dir, "customer"))
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(dec("o_totalprice", 18, 2)).cast("double")
+                  .alias("total_spend")))
+
+
 RANGE_FRAME_ORACLE = """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

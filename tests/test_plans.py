@@ -216,6 +216,20 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
             spark.conf.set(k, v)
 
 
+def test_bucketed_join_has_no_exchange_on_join_inputs(spark):
+    """Both sides bucketed on the join key: the sort-merge join must
+    consume the scans' bucket partitioning directly — the only
+    Exchange in the whole plan is the final tiny groupBy."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "q_bucketed_colocated_join")
+        assert "SortMergeJoin" in plan
+        assert plan.count("- Exchange") == 1       # final agg only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_catalog_wide_no_global_windows_cartesians_or_row_udfs(spark):
     """Sweep EVERY batch catalog query's plan for the three
     anti-patterns the per-query pins can't cover exhaustively:
