@@ -107,13 +107,18 @@ _HEAD: tuple[str, ...] = (
     # text/corpus singletons (never rotate out)
     "q_doc_packing", "q_mixture_sample", "q_decontaminate",
     "q_time_resample",
-    # UDF / UDAF / UDTF surface (grouped_map attested r5 → tail)
-    "q_udaf_grouped_agg", "q_udtf_bigrams",
+    # UDF / UDAF / UDTF surface (grouped_map + UDAF attested r5 →
+    # tail; the UDTF re-earns — it moved to the Arrow path this round)
+    "q_udtf_bigrams",
+    # runtime filtering + layout joins — BRAND NEW this round, so they
+    # take head slots immediately (r5 verdict: new code paths attest
+    # before re-earners)
+    "q_dpp_partition_pruned_join", "q_bucketed_colocated_join",
     # multimodal plumbing + the never-attested feature extraction
     "q_multimodal_meta", "q_feature_extract",
-    # streaming (sliding/session/left attested r5 → tail; first-seen
-    # state rotates in — never driver-attested)
-    "q_stream_first_seen", "q_stream_dedup", "q_stream_stream_join",
+    # streaming (sliding/session/join/left attested r5 → tail;
+    # first-seen state rotates in — never driver-attested)
+    "q_stream_first_seen", "q_stream_dedup",
     # SCD2 / CDC over the keyed table
     "q_scd2_history", "q_cdc_diff",
     # profiling: the HLL-sketch profile (rows-only by design) rotates

@@ -166,9 +166,19 @@ def _bucketed_table_name(sf_dir: str, table: str) -> str:
           "bucketed co-located join: both sides bucketBy(8, key) — "
           "sort-merge join with zero exchanges on the join inputs")
 def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    from urllib.parse import urlparse
     for table, key_col in [("orders", "o_custkey"), ("customer", "c_custkey")]:
         name = _bucketed_table_name(sf_dir, table)
         if not spark.catalog.tableExists(name):
+            # the default catalog is in-memory per process: a previous
+            # process may have left the managed location behind without
+            # a registration — clear the orphan or saveAsTable refuses
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            loc = os.path.join(wh, name.lower())
+            if wh and os.path.exists(loc):
+                shutil.rmtree(loc)
             (load_table(spark, sf_dir, table)
              .write.bucketBy(8, key_col).sortBy(key_col)
              .mode("overwrite").saveAsTable(name))

@@ -92,13 +92,13 @@ def test_head50_spans_every_capability():
         "mixture_sampling": "q_mixture_sample",
         "decontamination": "q_decontaminate",
         "timeseries": "q_time_resample",
-        "udaf": "q_udaf_grouped_agg",
         "udtf": "q_udtf_bigrams",
+        "dynamic_partition_pruning": "q_dpp_partition_pruned_join",
+        "bucketed_join": "q_bucketed_colocated_join",
         "multimodal": "q_multimodal_meta",
         "feature_extract": "q_feature_extract",
         "streaming_state": "q_stream_first_seen",
         "streaming_dedup": "q_stream_dedup",
-        "streaming_join": "q_stream_stream_join",
         "scd2": "q_scd2_history",
         "cdc": "q_cdc_diff",
         "profiling": "q_profile_approx",
