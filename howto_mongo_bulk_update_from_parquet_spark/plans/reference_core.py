@@ -106,3 +106,73 @@ def q_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("score") >= 0) & (F.col("score") < 1)).alias("score_in_range"),
         F.col("score").isNotNull().alias("score_not_null"),
         "ids_unique", "null_counts_ok")
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus ingest: the interchange format LLM training corpora
+# actually arrive in. The documents table is staged as JSONL once per
+# fixture generation (mtime-keyed dir, like the DPP/bucketed copies)
+# plus one deliberately corrupt file; the read is schema-explicit
+# (no inference pass over millions of files) in PERMISSIVE mode with
+# a _corrupt_record capture column, so malformed lines are COUNTED,
+# never silently dropped and never fatal — the only sane posture when
+# ingesting a crawl at scale.
+# ---------------------------------------------------------------------------
+
+JSONL_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '__corrupt__', 3, 0
+"""
+
+
+def _jsonl_stage_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_jsonl_{key}")
+
+
+@register("q_jsonl_ingest", JSONL_ORACLE,
+          "JSONL corpus ingest: schema-explicit PERMISSIVE read with "
+          "corrupt-line capture — malformed lines counted, not fatal")
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..sources.parquet import load_table
+    path = _jsonl_stage_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (load_table(spark, sf_dir, "documents")
+         .write.mode("overwrite").json(path))
+        # three malformed lines in their own part file: json-write
+        # escapes newlines inside strings, so every legit line is one
+        # valid JSON object and exactly these three are corrupt
+        with open(os.path.join(path, "zz_corrupt.json"), "w") as fh:
+            fh.write("this is not json\n{truncated: \n,,,\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = (spark.read.schema(schema).option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path))
+    # one pass, one groupBy: corrupt lines fold into their own label
+    # (Spark refuses plans whose only referenced column is the
+    # internal corrupt-record column, so the label derivation also
+    # keeps the scan legal)
+    label = (F.when(F.col("_corrupt_record").isNotNull(), "__corrupt__")
+             .otherwise(F.col("lang")))
+    return (df.groupBy(label.alias("lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.coalesce(F.sum("n_chars"), F.lit(0))
+                  .cast("long").alias("total_chars")))
