@@ -176,3 +176,76 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.coalesce(F.sum("n_chars"), F.lit(0))
                   .cast("long").alias("total_chars")))
+
+
+# ---------------------------------------------------------------------------
+# CSV ingest, same posture as JSONL: schema-explicit (no inference),
+# PERMISSIVE with corrupt-line capture. CSV quoting round-trips
+# embedded delimiters/newlines; the deliberately broken part file
+# carries rows whose arity/typing can't parse.
+# ---------------------------------------------------------------------------
+
+CSV_ORACLE = """
+SELECT source, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM (SELECT c_mktsegment AS source, c_acctbal FROM customer)
+GROUP BY source
+UNION ALL
+SELECT '__corrupt__', 2, 0
+"""
+
+
+def _csv_stage_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+    src = os.path.join(sf_dir, "customer.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_csv_{key}")
+
+
+@register("q_csv_ingest", CSV_ORACLE,
+          "CSV ingest: schema-explicit PERMISSIVE read, quoted "
+          "round-trip, corrupt rows counted into their own group")
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..functions.numeric import dec
+    from ..sources.parquet import load_table
+    path = _csv_stage_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_mktsegment", "c_acctbal")
+         .write.mode("overwrite").option("header", "false").csv(path))
+        # under-arity rows are the one malformation univocity flags
+        # at the TOKENIZER level (probed on this Spark: bad casts null
+        # the field and over-long rows silently drop the surplus)
+        with open(os.path.join(path, "zz_corrupt.csv"), "w") as fh:
+            fh.write("only_one_token\n")
+            fh.write("12345,SHORT\n")
+    schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    # CSV corruption is judged against the columns the parser actually
+    # parses: with parser column pruning on (default), a downstream
+    # projection that drops c_custkey would also skip its failing cast
+    # and silently UN-corrupt the row — pin full-row parsing so the
+    # corrupt count doesn't depend on which columns the query touches
+    from ..sources.parquet import _set_if_differs
+    _set_if_differs(spark, "spark.sql.csv.parser.columnPruning.enabled",
+                    "false")
+    df = (spark.read.schema(schema).option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(path))
+    label = (F.when(F.col("_corrupt_record").isNotNull(), "__corrupt__")
+             .otherwise(F.col("c_mktsegment")))
+    return (df.groupBy(label.alias("source"))
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.coalesce(F.sum(dec("c_acctbal", 12, 2)).cast("double"),
+                            F.lit(0.0)).alias("total_bal")))

@@ -9,8 +9,12 @@ offers, each used where it's the right tool and oracle-checked.
   vanilla session batches too); the relational twin (posexplode over
   a transform) remains the pure-JVM form (q_doc_chunking), this
   entry proves the UDTF API surface.
-- The Arrow batch paths (`mapInPandas`, `applyInPandasWithState`) are
-  exercised by q_simhash / q_multimodal_meta / q_stream_first_seen.
+- `mapInArrow` (`q_arrow_batch_norms`): raw pyarrow RecordBatches,
+  no pandas layer — the lowest-overhead extension point, carrying
+  the exact-decimal kernel contract.
+- The pandas Arrow batch paths (`mapInPandas`,
+  `applyInPandasWithState`) are exercised by q_simhash /
+  q_multimodal_meta / q_stream_first_seen.
 """
 
 # NOTE: no `from __future__ import annotations` here — pandas_udf
@@ -132,3 +136,51 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT b.* FROM __udtf_docs d, "
         "LATERAL bigrams_udtf(d.doc_id, d.text) b")
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the lowest-overhead Python extension point — raw
+# pyarrow RecordBatches, no pandas conversion at all. Exactness keeps
+# the engine's decimal contract: per-element squares are HALF_UP
+# round-12 scaled to int64 (exact integer sums — the same kernel the
+# k-means/PQ distance path uses), so the value is bit-identical to
+# the oracle's DECIMAL fold regardless of either engine's float
+# summation order.
+# ---------------------------------------------------------------------------
+
+ARROW_NORMS_ORACLE = """
+WITH vals AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS vd
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(CAST(SUM(CAST(ROUND(vd * vd, 12) AS DECIMAL(30,12))) AS DOUBLE), 6)
+         AS sq_norm
+FROM vals GROUP BY vec_id
+"""
+
+
+@register("q_arrow_batch_norms", ARROW_NORMS_ORACLE,
+          "mapInArrow kernel: exact-decimal squared norms over raw "
+          "pyarrow RecordBatches — zero pandas, zero shuffle")
+def q_arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators.vector_kernels import round12_scaled, round_half_up
+
+    def kernel(batches):
+        for b in batches:
+            if not b.num_rows:
+                continue
+            ids = b.column("vec_id")
+            emb = b.column("embedding").to_pylist()
+            V = np.array(emb, dtype=np.float64)          # (n, dim)
+            scaled = round12_scaled(V * V).sum(axis=1)   # exact int64
+            norms = round_half_up(scaled / 1e12, 6)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(norms, type=pa.float64())],
+                ["vec_id", "sq_norm"])
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(kernel, "vec_id long, sq_norm double")
