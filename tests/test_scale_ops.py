@@ -108,6 +108,36 @@ def test_winsorize_bounds_exact_on_both_paths(spark):
         assert got == want, sf_dir
 
 
+def test_winsorize_bracket_logic_survives_heavy_ties(spark, tmp_path):
+    """Order statistics with MASSIVE ties (10 distinct values over
+    8000 rows/group — far past the 5000 approx-path threshold): the
+    bracket refinement must still land the exact rank-(cut+1) and
+    rank-(n-cut) values, because whole runs of equal values straddle
+    both brackets and the strict-below anchors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(3)
+    rows = [(("G1" if i % 2 == 0 else "G2"),
+             int(i),
+             int(i % 4),
+             float(rng.integers(0, 10) * 10.0))
+            for i in range(16000)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_orderkey long, l_linenumber int, "
+              "l_extendedprice double")
+    d = tmp_path / "lineitem.parquet"
+    df.repartition(4).write.mode("overwrite").parquet(str(d))
+    # load_table applies the full lineitem schema; columns absent from
+    # this synthetic file read as null, and the query touches neither
+    from howto_mongo_bulk_update_from_parquet_spark.plans.quality import (
+        q_winsorize_bounds)
+    got = {r["l_returnflag"]:
+           (r["lo_cut"], r["hi_cut"], r["n_kept"], r["avg_price_winsor"])
+           for r in q_winsorize_bounds(spark, str(tmp_path)).collect()}
+    want = _winsorize_exact_rank_form(spark, str(tmp_path))
+    assert got == want
+
+
 def test_stream_first_seen_matches_batch(spark):
     from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
     from howto_mongo_bulk_update_from_parquet_spark.streaming.stateful import stream_first_seen
