@@ -380,3 +380,84 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("l_extendedprice").cast("double").alias("lo"),
                  F.max("l_extendedprice").cast("double").alias("hi")))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: the redaction pass a corpus runs before training.
+# The synthetic fixture carries no PII, so each doc deterministically
+# gains one email and (on even ids) one phone number, then the scrub
+# removes them — the catalog entry proves the full inject→detect→
+# redact→verify loop with both engines running the identical regexes
+# (patterns kept to the portable common subset of Java regex and
+# RE2: character classes, counted repeats, no lookaround).
+# ---------------------------------------------------------------------------
+
+PII_ORACLE = """
+WITH seeded AS (
+  SELECT doc_id, lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com' ||
+         CASE WHEN doc_id % 2 = 0
+              THEN ' or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+           AS n_emails,
+         len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+           AS n_phones,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                          '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+  FROM seeded
+)
+SELECT lang,
+       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+       CAST(SUM(CASE WHEN regexp_matches(clean, '@|[0-9]{3}-[0-9]{3}-[0-9]{4}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_residual,
+       CAST(SUM(len(clean)) AS BIGINT) AS total_clean_chars
+FROM scrubbed GROUP BY lang
+"""
+
+
+@register("q_pii_scrub", PII_ORACLE,
+          "PII scrubbing: inject deterministic emails/phones, redact "
+          "with portable regexes, verify zero residual matches")
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    phone = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit(" or 555-"),
+                 F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                 F.lit("-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    ).otherwise(F.lit(""))
+    seeded = d.select(
+        "doc_id", "lang",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com"),
+                 phone).alias("text"))
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    phone_re = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    clean = F.regexp_replace(
+        F.regexp_replace("text", email_re, "<EMAIL>"),
+        phone_re, "<PHONE>")
+    scrubbed = seeded.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0)))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0)))
+         .alias("n_phones"),
+        clean.alias("clean"))
+    residual = (F.col("clean").rlike("@")
+                | F.col("clean").rlike(phone_re)).cast("long")
+    return (scrubbed.groupBy("lang")
+            .agg(F.sum("n_emails").cast("long").alias("n_emails"),
+                 F.sum("n_phones").cast("long").alias("n_phones"),
+                 F.sum(residual).alias("n_residual"),
+                 F.sum(F.length("clean")).cast("long")
+                  .alias("total_clean_chars")))
