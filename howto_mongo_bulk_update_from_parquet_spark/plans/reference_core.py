@@ -249,3 +249,67 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_custs"),
                  F.coalesce(F.sum(dec("c_acctbal", 12, 2)).cast("double"),
                             F.lit(0.0)).alias("total_bal")))
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: a long-lived lake accumulates files written under
+# different schema generations. Stage two generations of the customer
+# table (gen-1 lacks the later `tier` column), then read the whole
+# directory with mergeSchema — the union schema comes back with nulls
+# for pre-evolution rows, which fold into a '__legacy__' bucket. At
+# 100 TB this is the difference between migrating years of files and
+# just reading them.
+# ---------------------------------------------------------------------------
+
+EVOLUTION_ORACLE = """
+WITH g AS (
+  SELECT c_custkey, c_acctbal, NULL AS tier
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT COALESCE(tier, '__legacy__') AS tier,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM g GROUP BY 1
+"""
+
+
+def _evolution_stage_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+    src = os.path.join(sf_dir, "customer.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_evo_{key}")
+
+
+@register("q_schema_evolution_read", EVOLUTION_ORACLE,
+          "mergeSchema over two parquet schema generations: pre-"
+          "evolution rows surface with null in the added column")
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..functions.numeric import dec
+    from ..sources.parquet import load_table
+    path = _evolution_stage_path(sf_dir)
+    done = os.path.join(path, "_STAGED")
+    if not os.path.exists(done):
+        c = load_table(spark, sf_dir, "customer")
+        (c.filter(F.col("c_custkey") % 2 == 0)
+         .select("c_custkey", "c_acctbal")
+         .write.mode("overwrite").parquet(os.path.join(path, "gen1")))
+        (c.filter(F.col("c_custkey") % 2 == 1)
+         .select("c_custkey", "c_acctbal",
+                 F.col("c_mktsegment").alias("tier"))
+         .write.mode("overwrite").parquet(os.path.join(path, "gen2")))
+        open(done, "w").close()
+    df = (spark.read.option("mergeSchema", "true")
+          .parquet(os.path.join(path, "gen1"), os.path.join(path, "gen2")))
+    return (df.groupBy(F.coalesce(F.col("tier"), F.lit("__legacy__"))
+                       .alias("tier"))
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.sum(dec("c_acctbal", 12, 2)).cast("double")
+                  .alias("total_bal")))
