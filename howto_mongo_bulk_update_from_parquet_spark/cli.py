@@ -112,16 +112,38 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _bounded_int(lo: int, hi: int | None = None):
+    """argparse type mirroring the reference CLI's click.IntRange
+    validation (/root/reference/src/cli/mongo_update.py:17-43 bounds
+    batch-size to 1000..1e8 and concurrent-tasks to 1..100) — bad
+    knob values fail at parse time, not mid-job."""
+    def parse(s: str) -> int:
+        v = int(s)
+        if v < lo or (hi is not None and v > hi):
+            top = hi if hi is not None else "∞"
+            raise argparse.ArgumentTypeError(
+                f"{v} outside allowed range [{lo}, {top}]")
+        return v
+    return parse
+
+
+def _fraction(s: str) -> float:
+    v = float(s)
+    if not 0.0 <= v <= 1.0:
+        raise argparse.ArgumentTypeError(f"{v} is not a fraction in [0, 1]")
+    return v
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="howto_mongo_bulk_update_from_parquet_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("generate", help="write synthetic pipeline parquet")
     g.add_argument("--path", required=True)
-    g.add_argument("--n-rows", type=int, default=10_000)
-    g.add_argument("--n-files", type=int, default=10)
+    g.add_argument("--n-rows", type=_bounded_int(1), default=10_000)
+    g.add_argument("--n-files", type=_bounded_int(1, 100_000), default=10)
     g.add_argument("--seed", type=int, default=42)
-    g.add_argument("--null-fraction", type=float, default=0.0)
+    g.add_argument("--null-fraction", type=_fraction, default=0.0)
     g.set_defaults(fn=cmd_generate)
 
     u = sub.add_parser("upsert", help="bulk-upsert parquet into a keyed sink")
@@ -136,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--database")
     u.add_argument("--collection")
     u.add_argument("--key", help=f"merge key (default {PIPELINE_KEY})")
-    u.add_argument("--n-partitions", type=int,
+    u.add_argument("--n-partitions", type=_bounded_int(1, 100_000),
                    help="write parallelism (replaces --concurrent-tasks)")
     u.add_argument("--permissive", action="store_true",
                    help="log-and-continue on bulk-write errors "

@@ -180,3 +180,19 @@ def test_keyed_table_counts(spark, tmp_path):
     _, c2 = upsert_into_keyed_table(spark, r2, path=path, key="_id",
                                     return_counts=True)
     assert c2 == {"n_matched": 1, "n_upserted": 1, "n_untouched": 1}
+
+
+def test_cli_knob_ranges_fail_at_parse_time(capsys):
+    """Reference parity: click.IntRange-style knob validation — bad
+    values die in argparse, never mid-job."""
+    import pytest
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    for argv in [
+        ["generate", "--path", "/tmp/x", "--n-rows", "0"],
+        ["generate", "--path", "/tmp/x", "--null-fraction", "1.5"],
+        ["upsert", "--path", "/tmp/x", "--table", "/tmp/t",
+         "--n-partitions", "0"],
+    ]:
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv
