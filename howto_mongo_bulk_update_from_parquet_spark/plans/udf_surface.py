@@ -184,3 +184,64 @@ def q_arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(kernel, "vec_id long, sq_norm double")
+
+
+# ---------------------------------------------------------------------------
+# applyInArrow: the grouped twin of mapInArrow — one pyarrow Table
+# per group, no pandas. Completes the Python extension-point surface
+# (UDF / UDAF / UDTF / mapInPandas / applyInPandas(WithState) /
+# mapInArrow / applyInArrow). Same exact-decimal discipline: the
+# per-label norm total is an int64 sum of HALF_UP round-12 scaled
+# squares, bit-identical to the oracle's DECIMAL fold.
+# ---------------------------------------------------------------------------
+
+ARROW_GROUPED_ORACLE = """
+WITH vals AS (
+  SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS vd
+  FROM embeddings
+), per_vec AS (
+  SELECT label, vec_id,
+         SUM(CAST(ROUND(vd * vd, 12) AS DECIMAL(30,12))) AS sq
+  FROM vals GROUP BY label, vec_id
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(MAX(vec_id) AS BIGINT) AS max_vec_id,
+       ROUND(CAST(SUM(sq) AS DOUBLE), 6) AS total_sq_norm
+FROM per_vec GROUP BY label
+"""
+
+
+@register("q_arrow_grouped_stats", ARROW_GROUPED_ORACLE,
+          "applyInArrow: per-label vector stats over one pyarrow "
+          "Table per group — exact-decimal norm totals, no pandas")
+def q_arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators.vector_kernels import round12_scaled, round_half_up
+
+    def kernel(table: pa.Table) -> pa.Table:
+        ids = table.column("vec_id").to_numpy()
+        V = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
+        total = int(round12_scaled(V * V).sum())     # exact int64 sum
+        # types must match the declared schema exactly (applyInArrow
+        # does no coercion: a python-int list infers int64, but label
+        # is int32 in the source)
+        return pa.table({
+            "label": pa.array([table.column("label")[0].as_py()],
+                              type=pa.int32()),
+            "n_vecs": pa.array([len(ids)], type=pa.int64()),
+            "min_vec_id": pa.array([int(ids.min())], type=pa.int64()),
+            "max_vec_id": pa.array([int(ids.max())], type=pa.int64()),
+            "total_sq_norm": pa.array(
+                [float(round_half_up(np.array([total / 1e12]), 6)[0])],
+                type=pa.float64()),
+        })
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (e.select("label", "vec_id", "embedding")
+            .groupBy("label")
+            .applyInArrow(kernel, "label int, n_vecs long, min_vec_id long, "
+                                  "max_vec_id long, total_sq_norm double"))

@@ -76,3 +76,38 @@ def test_portable_hash_matches_duckdb(spark):
     want = duckdb.sql(
         "SELECT CAST(('0x' || substr(md5('7:abc'), 1, 15)) AS BIGINT)").fetchone()[0]
     assert got == want
+
+
+def test_portable_hash64_bit_identical_across_engines(spark):
+    """portable_hash64 is the semantic backbone of every dedup/LSH/
+    sampling oracle — prove the Spark expression and DuckDB's
+    md5-prefix arithmetic agree byte-for-byte on adversarial strings
+    (unicode, empties, long runs, full printable range), not just on
+    fixture text."""
+    import random
+    import string
+
+    import duckdb
+    from pyspark.sql import functions as F
+    from howto_mongo_bulk_update_from_parquet_spark.operators.dedup import portable_hash64
+
+    rng = random.Random(5)
+    samples = ["", " ", "a b c", "naïve café 東京", "x" * 500] + \
+        ["".join(rng.choices(string.printable, k=rng.randint(1, 60)))
+         for _ in range(200)]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r[0] for r in
+           df.select(portable_hash64(F.col("s"))).collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)",
+        [s]).fetchone()[0] for s in samples]
+    assert got == want
+    # seeded form: md5('seed:' || s)
+    got_seeded = [r[0] for r in
+                  df.select(portable_hash64(F.col("s"), F.lit("mix")))
+                  .collect()]
+    want_seeded = [con.execute(
+        "SELECT CAST(('0x' || substr(md5('mix:' || ?), 1, 15)) AS BIGINT)",
+        [s]).fetchone()[0] for s in samples]
+    assert got_seeded == want_seeded
