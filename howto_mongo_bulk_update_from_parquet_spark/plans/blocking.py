@@ -1,0 +1,166 @@
+"""Blocked edit-distance near-dup and sketch-refined heavy hitters —
+two candidate-generation patterns that keep quadratic / full-vocabulary
+work off the 100 TB path.
+
+- `q_edit_distance_pairs`: Levenshtein near-duplicate pairs, but the
+  O(n²·len²) exact distance only ever runs on candidates from a cheap
+  equi-join block (first token + length bucket). The length bucket is
+  itself a correctness filter — edit distance ≥ |len(a) − len(b)|, so
+  same-bucket blocking bounds the recall loss explicitly (documented
+  in the docstring) rather than hiding it. This complements the
+  MinHash/SimHash/containment family (`operators/dedup.py`,
+  `plans/text_dedup.py`): token-set methods miss transpositions and
+  small in-word edits; Levenshtein catches them.
+- `q_heavy_hitters`: exact top-k tokens via a Misra–Gries sketch per
+  partition (bounded memory, one pass, no shuffle) that emits a
+  candidate superset, then an exact count of ONLY the candidates
+  (broadcast semi-filter). The classic sketch→refine shape: at 100 TB
+  the full `groupBy(token)` shuffles the whole vocabulary; the sketch
+  pass shuffles at most `n_partitions × capacity` rows, and the
+  refinement groupBy touches only |candidates| keys.
+
+The reference has no text analytics (its pipeline is
+parquet→transform→Mongo, `src/func/parquet.py` → `src/func/mongo.py`);
+these belong to the mandated LLM-curation surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+
+# ---------------------------------------------------------------------------
+# Blocked Levenshtein near-dup pairs
+# ---------------------------------------------------------------------------
+
+EDIT_BLOCK_WIDTH = 16   # length-bucket width in chars
+EDIT_MAX_DIST = 40      # report pairs at or under this distance
+
+EDIT_PAIRS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, n_chars,
+         string_split(text, ' ')[1] AS t1,
+         n_chars // {EDIT_BLOCK_WIDTH} AS lb
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.n_chars AS len_a, b.n_chars AS len_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM d a JOIN d b
+  ON a.t1 = b.t1 AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}
+"""
+
+
+@register("q_edit_distance_pairs", EDIT_PAIRS_ORACLE,
+          "Levenshtein near-dup pairs with equi-join blocking (first "
+          "token + length bucket) — exact distance on candidates only")
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicates without the all-pairs cross join.
+
+    Block key = (first token, n_chars // 16). Both components are a
+    single projection over the scan; the candidate set is an equi-join
+    on the key, so Spark plans a shuffled hash join keyed on the block
+    — never a cartesian. `F.levenshtein` (JVM, codegen) runs only on
+    same-block pairs.
+
+    Recall contract: a true pair is missed only if the edit touched
+    the first token or moved length across a 16-char boundary —
+    the standard multi-pass fix (offset buckets / last-token second
+    pass) doubles candidates, and the single-pass form is what the
+    oracle pins. Scale: block sizes are bounded by corpus skew on the
+    first token; for adversarial skew, widen the key with more prefix
+    tokens (same plan shape).
+    """
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "text", "n_chars",
+                 F.split("text", " ").getItem(0).alias("t1"),
+                 (F.col("n_chars") / EDIT_BLOCK_WIDTH).cast("long").alias("lb")))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+                 F.col("n_chars").alias("len_a"), "t1", "lb")
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+                 F.col("n_chars").alias("len_b"), "t1", "lb")
+    return (a.join(b, ["t1", "lb"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .withColumn("edit_dist",
+                         F.levenshtein("text_a", "text_b").cast("long"))
+             .filter(F.col("edit_dist") <= EDIT_MAX_DIST)
+             .select("doc_a", "doc_b", "len_a", "len_b", "edit_dist"))
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra–Gries sketch -> exact refinement
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 64   # counters per partition sketch
+TOP_K = 10
+
+HEAVY_HITTERS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok, COUNT(*) AS n
+FROM toks GROUP BY tok
+ORDER BY n DESC, tok LIMIT {TOP_K}
+"""
+
+
+def _misra_gries(batches: Iterator[pd.DataFrame],
+                 capacity: int = MG_CAPACITY) -> Iterator[pd.DataFrame]:
+    """One Misra–Gries summary per partition: ≤ `capacity` counters,
+    single pass, O(capacity) memory regardless of partition size.
+
+    Guarantee (Misra & Gries 1982): any token with partition frequency
+    > n_partition / capacity survives the decrements, so the union of
+    per-partition survivors is a superset of every token with GLOBAL
+    frequency > N / capacity. The refinement join below makes the
+    final counts exact, so the end-to-end result is exactly the true
+    top-k whenever the k-th frequency clears N / capacity — which the
+    caller sizes capacity for (here vocabulary ≪ capacity, so the
+    sketch is lossless outright).
+    """
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for tok in pdf["tok"]:
+            if tok in counters:
+                counters[tok] += 1
+            elif len(counters) < capacity:
+                counters[tok] = 1
+            else:
+                dead = [t for t in counters if counters[t] == 1]
+                for t in counters:
+                    counters[t] -= 1
+                for t in dead:
+                    del counters[t]
+    yield pd.DataFrame({"tok": list(counters.keys()),
+                        "lower_bound": list(counters.values())})
+
+
+@register("q_heavy_hitters", HEAVY_HITTERS_ORACLE,
+          "exact top-k tokens via per-partition Misra-Gries sketch + "
+          "exact refinement count of the candidate superset only")
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch→refine heavy hitters over the token stream.
+
+    Plan: explode → mapInPandas(Misra–Gries) per partition (no
+    shuffle, ≤ capacity rows out per partition) → distinct candidate
+    tokens (tiny) → broadcast semi-join filters the token stream →
+    exact groupBy count of candidates only → top-k. The wide
+    `groupBy(token)` over the full vocabulary never happens; only
+    candidate keys reach the aggregation shuffle.
+    """
+    toks = (load_table(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok")))
+    sketch = toks.mapInPandas(_misra_gries, schema="tok string, lower_bound long")
+    cand = sketch.select("tok").distinct()
+    exact = (toks.join(F.broadcast(cand), "tok", "left_semi")
+                 .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    return exact.orderBy(F.desc("n"), "tok").limit(TOP_K)
