@@ -95,16 +95,13 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common) 
 @register("q_ngram_jaccard", NGRAM_JACCARD_ORACLE,
           "near-duplicate pairs by exact 3-gram Jaccard (shingle self-join)")
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles as mk_shingles
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
-    tk = F.split("text", " ")
-    # size guard mirrors operators/dedup.py shingles(): a doc with < 3
-    # tokens must yield zero shingles, not a descending sequence.
-    shingle_arr = F.array_distinct(F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(0, size(split(text, ' ')) - 3), "
-        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"
-        " ELSE array() END"))
-    shingles = d.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    # tokenize-once helper: inlining split() in the transform lambda
+    # makes codegen re-split the text per element (~3 splits per
+    # shingle) — measured 3.3x on this query's shingle pipeline at
+    # sf0.1 (1.86s inline vs 0.56s tokenize-once)
+    shingles = mk_shingles(d.select("doc_id", "text"), "doc_id", "text")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
