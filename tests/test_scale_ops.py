@@ -152,3 +152,43 @@ def test_stream_first_seen_matches_batch(spark):
                      F.col("ts").alias("first_ts"))
              .orderBy("user_id", "event_type").toPandas())
     assert streamed.reset_index(drop=True).equals(batch.reset_index(drop=True))
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The automatic complement to operators/skew.py's manual salting:
+    with AQE skew-join on, a sort-merge join whose one reducer holds a
+    hot key gets that partition split at runtime (OptimizeSkewedJoin
+    marks the join `skew=true`). Thresholds are scaled down to fixture
+    size — the same optimizer path fires at the 256 MB defaults on a
+    cluster."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 200_000).select(
+            F.lit(0).cast("long").alias("k"), F.col("id").alias("v"))
+        cold = spark.range(0, 2_000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v"))
+        small = spark.range(0, 51).select(
+            F.col("id").alias("k"), F.col("id").alias("w"))
+        joined = hot.union(cold).join(small, "k")
+        # collect() (not count()) so THIS dataframe's QueryExecution is
+        # the one that runs — count() builds a separate plan tree and
+        # joined's own adaptive plan would stay isFinalPlan=false
+        assert len(joined.collect()) == 202_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
