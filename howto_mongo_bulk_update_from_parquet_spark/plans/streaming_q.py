@@ -176,3 +176,26 @@ HAVING MAX(ts) + INTERVAL 30 MINUTE
           "gap, state-store merge, watermark-evicted)")
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_session_windows(spark, sf_dir)
+
+
+# stream-static: the join itself is stateless (static side re-planned
+# each micro-batch, broadcast); only the windowed agg holds state, so
+# the oracle is the batch join + the same closed-window cutoff.
+STREAM_STATIC_ORACLE = """
+SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+       c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR
+      <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+GROUP BY 1, 2
+"""
+
+
+@register("q_stream_static_enrich", STREAM_STATIC_ORACLE,
+          "Structured Streaming stream-static broadcast enrichment join "
+          "+ watermarked tumbling counts per market segment, append mode")
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import stream_static_enrich
+    return stream_static_enrich(spark, sf_dir)

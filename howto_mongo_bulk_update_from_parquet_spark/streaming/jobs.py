@@ -285,3 +285,33 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _run_to_memory(agg, "append", stage)
     return out.select("user_id", F.col("sw.start").alias("session_start"),
                       F.col("sw.end").alias("session_end"), "n_events")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension, then watermarked tumbling counts per market segment.
+
+    The static side holds NO state — every micro-batch's plan joins
+    the batch against the dimension afresh (so a dim updated between
+    batches is picked up), and the broadcast hint keeps it a map-side
+    hash join: the stream never shuffles for the enrichment, only for
+    the windowed aggregation. This is the standard "enrich with a
+    slowly-changing dim" deployment shape; at 100 TB/day the dim
+    broadcast is per-executor-once, not per-row. Append output mode
+    with the same closed-window eviction contract as the other jobs.
+    """
+    events, stage = _stage_events_stream(spark, sf_dir)
+    from ..sources.parquet import load_table
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    enriched = (events.withWatermark("ts", "10 minutes")
+                .join(F.broadcast(dim), "user_id"))
+    agg = (enriched
+           .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value")))
+    with scoped_state_partitions(spark):
+        out = _run_to_memory(agg, "append", stage)
+    return out.select(F.col("w.start").alias("window_start"), "c_mktsegment",
+                      "n_events", "sum_value")
