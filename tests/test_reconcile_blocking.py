@@ -175,3 +175,51 @@ def test_zorder_buckets_cover_bounded_rectangles(spark):
     for r in rows:
         assert r.x_max - r.x_min < span
         assert r.y_max - r.y_min < span
+
+
+# ---------------------------------------------------------------------------
+# reconcile operators: checksum diff against the keyed-table sink
+# ---------------------------------------------------------------------------
+
+def test_checksum_diff_clean_after_keyed_table_roundtrip(spark, tmp_path):
+    """The verification step the reference pipeline lacks: after a bulk
+    upsert into the keyed table, a checksum diff of source vs sink
+    (ignoring the sink's audit column) is empty; a tampered sink shows
+    exactly the tampered group."""
+    import os
+    from howto_mongo_bulk_update_from_parquet_spark.operators.reconcile import checksum_diff
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        read_keyed_table, upsert_into_keyed_table)
+    path = os.path.join(str(tmp_path), "keyed")
+    src = spark.createDataFrame(
+        [(f"k{i}", f"g{i % 3}", float(i)) for i in range(60)],
+        "_id string, grp string, v double")
+    upsert_into_keyed_table(spark, src, path=path, key="_id")
+    sink = read_keyed_table(spark, path)  # has extra updatedAt column
+    assert checksum_diff(src, sink, ["grp"], cols=["_id", "v"]).count() == 0
+    tampered = sink.withColumn(
+        "v", F.when(F.col("_id") == "k3", F.col("v") + 0.5)
+              .otherwise(F.col("v")))
+    bad = checksum_diff(src, tampered, ["grp"], cols=["_id", "v"]).collect()
+    assert [r.grp for r in bad] == ["g0"]  # k3 -> grp g0; others clean
+    assert bad[0].left_n_rows == bad[0].right_n_rows == 20
+
+
+def test_checksum_diff_reports_one_sided_groups(spark):
+    from howto_mongo_bulk_update_from_parquet_spark.operators.reconcile import checksum_diff
+    a = spark.createDataFrame([("g1", 1), ("g2", 2)], "grp string, v int")
+    b = spark.createDataFrame([("g1", 1), ("g3", 3)], "grp string, v int")
+    rows = {r.grp: r for r in checksum_diff(a, b, ["grp"]).collect()}
+    assert set(rows) == {"g2", "g3"}
+    assert rows["g2"].right_n_rows is None
+    assert rows["g3"].left_n_rows is None
+
+
+def test_canonical_row_null_vs_empty_distinct(spark):
+    """(NULL,'x') must not collide with ('x',NULL) or ('',  'x')."""
+    from howto_mongo_bulk_update_from_parquet_spark.operators.reconcile import canonical_row
+    df = spark.createDataFrame(
+        [(None, "x"), ("x", None), ("", "x"), ("x", "")],
+        "a string, b string")
+    vals = [r.c for r in df.select(canonical_row(df).alias("c")).collect()]
+    assert len(set(vals)) == 4
