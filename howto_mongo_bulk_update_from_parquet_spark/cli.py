@@ -6,6 +6,7 @@ catalog-query runner.
     python -m howto_mongo_bulk_update_from_parquet_spark.cli upsert --path /tmp/data --table /tmp/keyed --key _id
     python -m howto_mongo_bulk_update_from_parquet_spark.cli upsert --path /tmp/data --mongo-uri mongodb://... \
         --database db --collection coll --key _id
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli reconcile --path /tmp/data --table /tmp/keyed
     python -m howto_mongo_bulk_update_from_parquet_spark.cli query --name q1_pricing_summary --sf-dir /root/testdata/sf0.001
 
 The reference's --batch-size / --concurrent-tasks knobs become
@@ -86,6 +87,46 @@ def cmd_upsert(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_reconcile(args: argparse.Namespace) -> int:
+    """Verify the keyed-table sink holds exactly the source snapshot —
+    the validation step the reference pipeline never runs after its
+    bulk writes. The source goes through the SAME normalization as the
+    upsert path (`prepare_source`: null-key drop + latest-per-key), so
+    a clean full-snapshot load reconciles clean; null-skip partial
+    updates are out of scope (a null payload intentionally preserves
+    the sink's older value) and are reported as diffs.
+
+    Exit codes: 0 = clean, 1 = mismatched groups found, 2 = usage.
+    """
+    from .observability import StructuredLog
+    from .operators.merge import prepare_source
+    from .operators.reconcile import checksum_diff
+    from .sinks.keyed_table import read_keyed_table
+    spark = get_spark("reconcile")
+    src = prepare_source(
+        spark.read.schema(PIPELINE_SCHEMA).parquet(args.path), args.key)
+    sink = read_keyed_table(spark, args.table)
+    from pyspark.sql import functions as F
+    bucket = F.pmod(F.crc32(F.col(args.key).cast("string")),
+                    F.lit(args.n_buckets)).alias("bucket")
+    diffs = checksum_diff(src.withColumn("bucket", bucket),
+                          sink.withColumn("bucket", bucket),
+                          ["bucket"], cols=src.columns).collect()
+    log = StructuredLog()
+    log.event("reconcile_complete", source=args.path, table=args.table,
+              n_buckets=args.n_buckets, n_mismatched=len(diffs))
+    if not diffs:
+        print(f"reconcile clean: {args.table} matches {args.path} "
+              f"across {args.n_buckets} buckets")
+        return 0
+    for r in diffs[:20]:
+        print(f"bucket {r.bucket}: source(n={r.left_n_rows}) "
+              f"sink(n={r.right_n_rows})", file=sys.stderr)
+    print(f"reconcile FAILED: {len(diffs)}/{args.n_buckets} buckets "
+          f"mismatched", file=sys.stderr)
+    return 1
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     from .observability import StructuredLog, run_query_logged
     from .plans import all_queries
@@ -164,6 +205,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="log-and-continue on bulk-write errors "
                         "(reference error ladder) instead of fail-fast")
     u.set_defaults(fn=cmd_upsert)
+
+    r = sub.add_parser("reconcile",
+                       help="checksum-verify a keyed table against its "
+                            "source parquet snapshot")
+    r.add_argument("--path", required=True, help="source parquet dir")
+    r.add_argument("--table", required=True, help="keyed table path")
+    r.add_argument("--key", default=PIPELINE_KEY)
+    r.add_argument("--n-buckets", type=_bounded_int(1, 1_000_000),
+                   default=64,
+                   help="hash buckets for mismatch localization")
+    r.set_defaults(fn=cmd_reconcile)
 
     q = sub.add_parser("query", help="run a catalog query")
     q.add_argument("--list", action="store_true",

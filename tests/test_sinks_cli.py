@@ -196,3 +196,36 @@ def test_cli_knob_ranges_fail_at_parse_time(capsys):
         with pytest.raises(SystemExit) as exc:
             main(argv)
         assert exc.value.code == 2, argv
+
+
+def test_cli_reconcile_clean_and_tampered(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    import os
+    from pyspark.sql import functions as F
+    data = os.path.join(str(tmp_path), "data")
+    table = os.path.join(str(tmp_path), "table")
+    assert main(["generate", "--path", data, "--n-rows", "400",
+                 "--n-files", "2"]) == 0
+    assert main(["upsert", "--path", data, "--table", table]) == 0
+    assert main(["reconcile", "--path", data, "--table", table]) == 0
+    out = capsys.readouterr().out
+    assert "reconcile clean" in out
+    # tamper one sink row in place -> non-zero exit, mismatch reported
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        current_base_version, read_keyed_table)
+    cur = read_keyed_table(spark, table)
+    victim = cur.first()
+    num_cols = [f.name for f in cur.schema.fields
+                if f.dataType.simpleString() in ("double", "bigint")
+                and f.name != "_id"]
+    tampered = spark.createDataFrame(cur.collect(), cur.schema).withColumn(
+        num_cols[0],
+        F.when(F.col("_id") == victim["_id"],
+               F.coalesce(F.col(num_cols[0]) + 1, F.lit(1.0)))
+         .otherwise(F.col(num_cols[0])))
+    v = current_base_version(spark, table)
+    tampered.write.mode("overwrite").parquet(
+        os.path.join(table, f"base_v{v:05d}"))
+    assert main(["reconcile", "--path", data, "--table", table]) == 1
+    err = capsys.readouterr().err
+    assert "reconcile FAILED: 1/64 buckets" in err
