@@ -313,3 +313,73 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_custs"),
                  F.sum(dec("c_acctbal", 12, 2)).cast("double")
                   .alias("total_bal")))
+
+
+# ---------------------------------------------------------------------------
+# XML ingest (Spark 4 built-in XML source), same posture as JSONL/CSV:
+# schema-explicit, PERMISSIVE, corrupt rows counted into their own
+# group. The corrupt part file is WELL-FORMED XML whose rows fail
+# typing (like the CSV arity/type breakage) — a malformed document
+# would abort the whole-file StAX parse rather than degrade per row.
+# ---------------------------------------------------------------------------
+
+XML_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '__corrupt__', 2, 0
+"""
+
+
+def _xml_stage_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_xml_{key}")
+
+
+@register("q_xml_ingest", XML_ORACLE,
+          "XML corpus ingest (Spark 4 built-in source): schema-explicit "
+          "PERMISSIVE read, type-invalid rows counted, not fatal")
+def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..sources.parquet import load_table
+    path = _xml_stage_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (load_table(spark, sf_dir, "documents")
+         .write.format("xml")
+         .option("rootTag", "docs").option("rowTag", "doc")
+         .mode("overwrite").save(path))
+        with open(os.path.join(path, "zz_corrupt.xml"), "w") as fh:
+            fh.write("<docs>"
+                     "<doc><doc_id>6</doc_id><lang>xx</lang>"
+                     "<n_chars>not a number</n_chars></doc>"
+                     "<doc><doc_id>7</doc_id><lang>xx</lang>"
+                     "<n_chars>also bad</n_chars></doc>"
+                     "</docs>")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = (spark.read.format("xml").schema(schema)
+          .option("rowTag", "doc")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .load(path))
+    label = (F.when(F.col("_corrupt_record").isNotNull(), "__corrupt__")
+             .otherwise(F.col("lang")))
+    return (df.groupBy(label.alias("lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.coalesce(F.sum(F.when(F.col("_corrupt_record").isNull(),
+                                         F.col("n_chars"))), F.lit(0))
+                  .cast("long").alias("total_chars")))
