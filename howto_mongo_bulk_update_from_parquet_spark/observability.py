@@ -104,17 +104,69 @@ class StructuredLog:
                    **fields, **extra)
 
 
+def plan_metrics(df: Any) -> dict[str, int]:
+    """Executed-plan SQLMetrics, summed per `NodeName.metric` key.
+
+    Walks the physical tree through the py4j bridge, following
+    `AdaptiveSparkPlan.finalPhysicalPlan()` and query-stage wrappers,
+    so it works on AQE plans. Only meaningful AFTER an action has run
+    the plan (metrics are zero before). This is the executor-side
+    truth the logs otherwise lack: `spillSize` > 0 is the
+    partitions-don't-fit red flag, `peakMemory` sizes the hash tables,
+    `numOutputRows` per operator localizes explosion joins.
+    """
+    out: dict[str, int] = {}
+
+    def walk(node: Any) -> None:
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            key = f"{node.nodeName()}.{kv._1()}"
+            out[key] = out.get(key, 0) + kv._2().value()
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        for unwrap in ("finalPhysicalPlan", "plan"):  # AQE root / stages
+            try:
+                walk(getattr(node, unwrap)())
+            except Exception:  # noqa: BLE001 - node kind doesn't wrap
+                pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def spill_bytes(df: Any) -> int:
+    """Total executor spill across the executed plan — 0 means every
+    partition's aggregation/sort state fit in memory (the sizing
+    contract `spark.sql.shuffle.partitions` is tuned for)."""
+    return sum(v for k, v in plan_metrics(df).items()
+               if k.endswith(".spillSize"))
+
+
 def run_query_logged(spark: Any, name: str, fn: Any, sf_dir: str,
                      log: StructuredLog | None = None,
                      count_rows: bool = True) -> Any:
     """Run a catalog query with a structured `query_complete` record:
-    name, wall-clock, and (by default) row count. `count_rows` is a
-    SEPARATE action that recomputes the query's DAG — right for the
-    CLI's one-shot UX, wrong for a hot path that goes on to consume
-    the DataFrame: there, pass False (rows logged as -1) or cache the
-    frame yourself before counting."""
+    name, wall-clock, (by default) row count, and executor spill from
+    the counting run's plan metrics. `count_rows` is a SEPARATE action
+    that recomputes the query's DAG — right for the CLI's one-shot UX,
+    wrong for a hot path that goes on to consume the DataFrame: there,
+    pass False (rows logged as -1) or cache the frame yourself before
+    counting."""
     log = log or StructuredLog()
     with log.timed("query_complete", query=name, sf_dir=sf_dir) as rec:
         df = fn(spark, sf_dir)
-        rec["rows"] = df.count() if count_rows else -1
+        if count_rows:
+            # count via an agg we keep a handle to: df.count() builds a
+            # NEW Dataset, whose executed plan (and its spill metrics)
+            # would be unreachable afterwards
+            from pyspark.sql import functions as F
+            agg = df.agg(F.count(F.lit(1)).alias("n"))
+            rec["rows"] = agg.collect()[0].n
+            try:
+                rec["spill_bytes"] = spill_bytes(agg)
+            except Exception:  # noqa: BLE001 - metrics are best-effort
+                pass
+        else:
+            rec["rows"] = -1
     return df

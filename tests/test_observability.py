@@ -169,3 +169,32 @@ def test_cli_upsert_emits_structured_counts(spark, tmp_path, capsys):
     assert u[0]["rows"] == 100
     assert u[0]["n_upserted"] == 100 and u[0]["n_matched"] == 0
     assert u[0]["duration_s"] > 0
+
+
+def test_plan_metrics_and_spill_after_action(spark):
+    from pyspark.sql import functions as F
+    from howto_mongo_bulk_update_from_parquet_spark.observability import plan_metrics, spill_bytes
+    df = (spark.range(10_000)
+          .select((F.col("id") % 7).alias("k"))
+          .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+    df.collect()
+    m = plan_metrics(df)
+    assert any(k.endswith(".numOutputRows") for k in m)
+    # 7 groups in executor memory: no spill at this scale
+    assert spill_bytes(df) == 0
+
+
+def test_run_query_logged_emits_spill_field(spark, capsys):
+    import json
+    from howto_mongo_bulk_update_from_parquet_spark.observability import StructuredLog, run_query_logged
+
+    def q(s, sf_dir):
+        from pyspark.sql import functions as F
+        return s.range(100).agg(F.sum("id").alias("s"))
+
+    run_query_logged(spark, "probe", q, "unused", log=StructuredLog())
+    recs = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines() if line.startswith("{")]
+    done = [r for r in recs if r.get("event") == "query_complete"]
+    assert done and done[0]["rows"] == 1
+    assert done[0].get("spill_bytes", 0) == 0
