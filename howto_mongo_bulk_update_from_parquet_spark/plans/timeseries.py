@@ -73,3 +73,95 @@ def q_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "day",
                     F.col("v").isNull().alias("filled"),
                     F.last("v", ignorenulls=True).over(w).alias("v_ffill")))
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation across grid gaps — the numeric companion to
+# q_time_resample's forward fill (ML feature pipelines interpolate
+# continuous signals, ffill categorical state). Built on the sparse
+# purchase series so real gaps exist at every SF (825 of 1366 grid
+# days at sf0.01 are gaps). Both neighbors come from two frame-bounded
+# window passes (preceding / following), each carrying (value, day)
+# pairs; the interpolation itself is one fixed IEEE expression tree on
+# scalars, identical in both engines, rounded to 6 at the end.
+# Edge policy: before the first known point → backfill, after the
+# last → forward fill.
+# ---------------------------------------------------------------------------
+
+INTERP_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events
+  WHERE user_id < 50 AND ts IS NOT NULL AND event_type = 'purchase'
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+  FROM spans
+),
+g AS (
+  SELECT g.user_id, g.day, d.v,
+         last_value(d.v IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+           OVER w_prev AS pd,
+         first_value(d.v IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+           OVER w_next AS nd
+  FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+  WINDOW
+    w_prev AS (PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day, v IS NULL AS filled,
+       CASE WHEN v IS NOT NULL THEN ROUND(v, 6)
+            WHEN pv IS NULL THEN ROUND(nv, 6)
+            WHEN nv IS NULL THEN ROUND(pv, 6)
+            ELSE ROUND(pv + (nv - pv)
+                       * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                          / date_diff('day', pd, nd)), 6)
+       END AS v_interp
+FROM g
+"""
+
+
+@register("q_time_interpolate", INTERP_ORACLE,
+          "time-series linear interpolation across grid gaps "
+          "(two frame-bounded window passes; bfill/ffill at the edges)")
+def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.filter((F.col("user_id") < 50) & F.col("ts").isNotNull()
+                      & (F.col("event_type") == "purchase"))
+             .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("double").alias("v")))
+    grid = (daily.groupBy("user_id")
+            .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+            .select("user_id", F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")))
+    w_prev = (Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_next = (Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    g = (grid.join(daily, ["user_id", "day"], "left")
+         .select("user_id", "day", "v",
+                 F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+                 F.last(known_day, ignorenulls=True).over(w_prev).alias("pd"),
+                 F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+                 F.first(known_day, ignorenulls=True).over(w_next).alias("nd")))
+    frac = (F.datediff("day", "pd").cast("double")
+            / F.datediff("nd", "pd"))
+    interp = (F.when(F.col("v").isNotNull(), F.round(F.col("v"), 6))
+              .when(F.col("pv").isNull(), F.round(F.col("nv"), 6))
+              .when(F.col("nv").isNull(), F.round(F.col("pv"), 6))
+              .otherwise(F.round(F.col("pv")
+                                 + (F.col("nv") - F.col("pv")) * frac, 6)))
+    return g.select("user_id", "day",
+                    F.col("v").isNull().alias("filled"),
+                    interp.alias("v_interp"))
