@@ -47,6 +47,7 @@ def main() -> None:
     # layout step a real deployment amortizes across every run
     for staged in ["q_dpp_partition_pruned_join", "q_bucketed_colocated_join",
                    "q_jsonl_ingest", "q_csv_ingest", "q_xml_ingest",
+                   "q_fixedwidth_ingest",
                    "q_schema_evolution_read"]:
         try:
             queries[staged](spark, sf_dir)

@@ -383,3 +383,56 @@ def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce(F.sum(F.when(F.col("_corrupt_record").isNull(),
                                          F.col("n_chars"))), F.lit(0))
                   .cast("long").alias("total_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width ingest through the custom Python DataSource
+# (sources/fixedwidth.py) — the connector-development surface: real
+# BatchScan node, one partition per file, filter pushdown applied
+# inside the per-line parse. Spark trusts filters the reader accepts
+# (no residual Filter node), so the oracle applying the same
+# predicate checks the pushdown's correctness, not just the parse.
+# ---------------------------------------------------------------------------
+
+FIXEDWIDTH_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > 0
+GROUP BY c_mktsegment
+"""
+
+
+def _fixedwidth_stage_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+    src = os.path.join(sf_dir, "customer.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_fw_{key}")
+
+
+@register("q_fixedwidth_ingest", FIXEDWIDTH_ORACLE,
+          "fixed-width ingest via a custom Python DataSource: "
+          "per-file partitions + parse-time filter pushdown")
+def q_fixedwidth_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.fixedwidth import register_fixedwidth, write_fixedwidth
+    from ..sources.parquet import load_table
+    register_fixedwidth(spark)
+    path = _fixedwidth_stage_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_fixedwidth(
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal"),
+            path, [12, 12, 12])
+    fw = (spark.read.format("fixedwidth")
+          .schema("c_custkey long, c_mktsegment string, c_acctbal double")
+          .option("widths", "12,12,12").load(path))
+    return (fw.filter(F.col("c_acctbal") > 0)   # pushed into the parse
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+                  .cast("double").alias("total_bal")))

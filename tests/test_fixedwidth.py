@@ -1,0 +1,77 @@
+"""Custom Python DataSource (fixed-width): round trip, per-file
+partition parallelism, parse-time filter pushdown, width contract."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from howto_mongo_bulk_update_from_parquet_spark.sources.fixedwidth import (
+    FixedWidthReader, register_fixedwidth, write_fixedwidth)
+
+
+@pytest.fixture()
+def fw_dir(spark, tmp_path):
+    register_fixedwidth(spark)
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}", float(i) / 2 if i % 5 else None)
+         for i in range(100)],
+        "k long, tag string, v double").repartition(4)
+    d = os.path.join(str(tmp_path), "fw")
+    write_fixedwidth(df, d, [6, 6, 10])
+    return d, df
+
+
+def _read(spark, d):
+    return (spark.read.format("fixedwidth")
+            .schema("k long, tag string, v double")
+            .option("widths", "6,6,10").load(d))
+
+
+def test_round_trip_exact(spark, fw_dir):
+    d, df = fw_dir
+    assert sorted(map(tuple, _read(spark, d).collect())) \
+        == sorted(map(tuple, df.collect()))
+
+
+def test_one_partition_per_file(spark, fw_dir):
+    d, _ = fw_dir
+    n_files = len([f for f in os.listdir(d) if f.endswith(".txt")])
+    assert n_files == 4
+    assert _read(spark, d).rdd.getNumPartitions() == n_files
+
+
+def test_pushed_filters_match_unpushed_semantics(spark, fw_dir):
+    """Spark trusts accepted filters (no residual Filter node), so the
+    parse-time evaluation must equal Spark's own: compare every
+    supported comparison against post-scan filtering of the full
+    read."""
+    d, _ = fw_dir
+    full = _read(spark, d).collect()
+    for cond in ["k > 50", "k >= 99", "k < 3", "k <= 0", "k = 7",
+                 "tag = 's1'", "v IS NOT NULL", "v > 20.0",
+                 "k > 10 AND tag = 's2' AND v IS NOT NULL"]:
+        got = sorted(map(tuple, _read(spark, d).filter(cond).collect()))
+        want = sorted(tuple(r) for r in
+                      spark.createDataFrame(full, "k long, tag string, v double")
+                      .filter(cond).collect())
+        assert got == want, cond
+
+
+def test_unsupported_filters_are_returned_to_spark(spark):
+    class Opts(dict):
+        pass
+    from pyspark.sql.types import StructType
+    schema = StructType.fromDDL("k long, tag string")
+    r = FixedWidthReader(schema, Opts(path="/tmp", widths="4,4"))
+    from pyspark.sql.datasource import EqualTo, Not
+    residual = list(r.pushFilters([EqualTo(("k",), 5),
+                                   Not(EqualTo(("tag",), "x"))]))
+    assert len(residual) == 1 and isinstance(residual[0], Not)
+    assert len(r._filters) == 1
+
+
+def test_too_wide_value_raises_at_write(spark, tmp_path):
+    df = spark.createDataFrame([("toolongvalue",)], "s string")
+    with pytest.raises(Exception, match="too wide"):
+        write_fixedwidth(df, os.path.join(str(tmp_path), "x"), [4])
