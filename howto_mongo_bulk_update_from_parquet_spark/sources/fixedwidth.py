@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
                                     GreaterThan, GreaterThanOrEqual,
                                     InputPartition, IsNotNull, LessThan,
-                                    LessThanOrEqual)
+                                    LessThanOrEqual,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.types import DoubleType, LongType, StructType
 
 
@@ -156,3 +157,59 @@ def write_fixedwidth(df: DataFrame, path: str, widths: list[int]) -> None:
              .otherwise(F.rpad(s, w, " ")))
     (df.select(F.concat(*cols).alias("value"))
        .write.mode("overwrite").text(path))
+
+
+# ---------------------------------------------------------------------------
+# Custom STREAMING source (SimpleDataSourceStreamReader): replayable
+# deterministic event ticks. The simple-reader contract keeps offsets
+# as plain dicts ({"tick": N}) and must be able to RE-READ any
+# committed range (readBetweenOffsets) for recovery — exactly the
+# replayability Kafka offers and rate/memory sources fake. Rows per
+# tick and a hard stop come from options, so tests drive a bounded,
+# fully deterministic stream through real micro-batch machinery.
+# ---------------------------------------------------------------------------
+
+
+class TickStreamDataSource(DataSource):
+    """`spark.readStream.format("tickstream")` — schema (tick, i, value)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tickstream"
+
+    def schema(self) -> str:
+        return "tick long, i long, value double"
+
+    def simpleStreamReader(self, schema):  # noqa: N802 - API name
+        return TickStreamReader(self.options)
+
+
+class TickStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self._rows_per_tick = int(options.get("rowspertick", "5"))
+        self._max_tick = int(options.get("maxticks", "3"))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"tick": 0}
+
+    def _rows(self, tick: int):
+        for i in range(self._rows_per_tick):
+            # deterministic payload: replaying a range yields
+            # identical rows, byte for byte
+            yield (tick, i, float(tick * 100 + i))
+
+    def read(self, start: dict):
+        tick = start["tick"]
+        if tick >= self._max_tick:
+            return [], start
+        # a LIST, not a generator: the engine pickles the prefetched
+        # batch into its offset cache for replay
+        return list(self._rows(tick)), {"tick": tick + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [row for tick in range(start["tick"], end["tick"])
+                for row in self._rows(tick)]
+
+
+def register_tickstream(spark: SparkSession) -> None:
+    spark.dataSource.register(TickStreamDataSource)

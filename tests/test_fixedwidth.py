@@ -75,3 +75,33 @@ def test_too_wide_value_raises_at_write(spark, tmp_path):
     df = spark.createDataFrame([("toolongvalue",)], "s string")
     with pytest.raises(Exception, match="too wide"):
         write_fixedwidth(df, os.path.join(str(tmp_path), "x"), [4])
+
+
+def test_tickstream_custom_streaming_source(spark, tmp_path):
+    """The custom Python STREAMING source drives real micro-batch
+    machinery: availableNow consumes the bounded stream to its max
+    tick with exactly-once, deterministic batches."""
+    import os
+    from howto_mongo_bulk_update_from_parquet_spark.sources.fixedwidth import register_tickstream
+    register_tickstream(spark)
+    # Python streaming sources don't support Trigger.AvailableNow
+    # (Spark falls back to ONE batch) — run continuous micro-batches
+    # and stop once the bounded stream is drained
+    out = (spark.readStream.format("tickstream")
+           .option("rowspertick", "4").option("maxticks", "3").load()
+           .writeStream.format("memory").queryName("ticks_mem")
+           .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+           .start())
+    import time
+    want = sorted((t, i, float(t * 100 + i))
+                  for t in range(3) for i in range(4))
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("ticks_mem").count() >= len(want):
+                break
+            time.sleep(0.5)
+        rows = sorted(map(tuple, spark.table("ticks_mem").collect()))
+    finally:
+        out.stop()
+    assert rows == want
