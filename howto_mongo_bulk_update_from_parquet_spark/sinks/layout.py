@@ -1,0 +1,57 @@
+"""Write-side data layout: z-ordered parquet writes.
+
+`q_zorder_layout` (plans/reconcile.py) audits clustering quality;
+this module is the write path that CREATES it — the engine-side
+equivalent of Delta's OPTIMIZE ZORDER BY: scale both cluster keys to
+16-bit range, Morton-interleave, `repartitionByRange` on the z-value
+(contiguous z-ranges per output file) and sort within each partition,
+then write WITHOUT the helper columns. Every parquet footer then
+carries min/max stats covering a bounded rectangle in BOTH dimensions,
+so a reader's predicate on EITHER column skips most files/row-groups —
+a single-column sort gives that for one column only.
+
+The per-file bound is geometric: N contiguous z-range files at
+N = 4^k cut each dimension's span by ~2^k (a z-curve segment of
+length L spans at most ~sqrt(L) per axis) — pytest pins the halving
+against a naive write where every file spans the full key range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.reconcile import zorder2
+
+
+def zorder_scaled(df: DataFrame, x_col: str, y_col: str) -> Column:
+    """Morton code of the two columns min-max scaled to 16 bits each.
+
+    The bounds aggregate is one tiny job (4 values) broadcast back —
+    same shape as the generator contract; exact integer `div` keeps
+    the scaling deterministic."""
+    b = df.agg(F.min(x_col).alias("xmin"), F.max(x_col).alias("xmax"),
+               F.min(y_col).alias("ymin"), F.max(y_col).alias("ymax")
+               ).first()
+    x = F.expr(f"(({x_col} - {b.xmin}) * 65536) "
+               f"div ({b.xmax} - {b.xmin} + 1)")
+    y = F.expr(f"(({y_col} - {b.ymin}) * 65536) "
+               f"div ({b.ymax} - {b.ymin} + 1)")
+    return zorder2(x, y)
+
+
+def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str,
+                   n_files: int = 16) -> None:
+    """Z-order-clustered parquet write on two integer-valued columns.
+
+    `repartitionByRange` gives each output file a CONTIGUOUS z-range
+    (a range shuffle with sampled bounds), `sortWithinPartitions`
+    orders rows inside it so row-group stats nest the same way, and
+    the z helper column is dropped before the write — layout is
+    physical, the schema stays clean."""
+    z = zorder_scaled(df, x_col, y_col)
+    (df.withColumn("__z", z)
+       .repartitionByRange(n_files, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode("overwrite").parquet(path))
