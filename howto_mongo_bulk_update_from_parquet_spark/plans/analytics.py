@@ -152,3 +152,74 @@ def _install_keep_one_oracle() -> None:
 
 
 _install_keep_one_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Exact pairwise Pearson correlation matrix over lineitem's numeric
+# measures, in ONE aggregate pass: all moment sums (Sx, Sxx, Sxy) are
+# DECIMAL (order-independent, engine-exact); the correlation formula
+# itself is a fixed IEEE expression over those exact scalars, so both
+# engines produce identical bits. Spark's built-in corr() is a
+# float-accumulator (shuffle-order-dependent) — this is the oracle-
+# disciplined form, and at 100 TB it is STILL one map-side-combined
+# aggregation producing a single 15-number row, then driver-sized
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"SUM(CAST({c} AS DECIMAL(28,6))) AS s_{c}")
+        sums.append(f"SUM(CAST({c} AS DECIMAL(28,6))"
+                    f" * CAST({c} AS DECIMAL(28,6))) AS q_{c}")
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b_ in _CORR_COLS[i + 1:]:
+            sums.append(f"SUM(CAST({a} AS DECIMAL(28,6))"
+                        f" * CAST({b_} AS DECIMAL(28,6))) AS p_{a}_{b_}")
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b_}' AS col_b, "
+                f"ROUND((n * CAST(p_{a}_{b_} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b_} AS DOUBLE))"
+                f" / sqrt((n * CAST(q_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (n * CAST(q_{b_} AS DOUBLE)"
+                f" - CAST(s_{b_} AS DOUBLE) * CAST(s_{b_} AS DOUBLE))), 6)"
+                f" AS pearson_r FROM m")
+    return ("WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+            + "\nUNION ALL\n".join(pairs))
+
+
+@register("q_correlation_matrix", _corr_oracle(),
+          "exact pairwise Pearson correlations over lineitem measures: "
+          "one decimal-moment aggregate pass, fixed-float finish")
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    d = {c: F.col(c).cast("decimal(28,6)") for c in _CORR_COLS}
+    for c in _CORR_COLS:
+        aggs.append(F.sum(d[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).alias(f"q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS)
+             for b in _CORR_COLS[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(d[a] * d[b]).alias(f"p_{a}_{b}"))
+    m = li.agg(*aggs)
+
+    def r(a: str, b: str):
+        n = F.col("n")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        qa, qb = F.col(f"q_{a}").cast("double"), F.col(f"q_{b}").cast("double")
+        p = F.col(f"p_{a}_{b}").cast("double")
+        return F.round((n * p - sa * sb)
+                       / F.sqrt((n * qa - sa * sa) * (n * qb - sb * sb)), 6)
+
+    # one explode over a struct array — NOT a 6-way union of selects
+    # over `m`, which would plan six full scans of lineitem
+    out = F.array(*[F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                             r(a, b).alias("pearson_r"))
+                    for a, b in pairs])
+    return m.select(F.explode(out).alias("x")).select("x.*")
