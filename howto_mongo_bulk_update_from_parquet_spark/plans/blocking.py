@@ -84,8 +84,13 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", "text", "n_chars",
                  F.split("text", " ").getItem(0).alias("t1"),
                  (F.col("n_chars") / EDIT_BLOCK_WIDTH).cast("long").alias("lb")))
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
-                 F.col("n_chars").alias("len_a"), "t1", "lb")
+    # spread the quadratic distance work across the cluster BY BLOCK:
+    # a small corpus parquet arrives as one input split, and with the
+    # dim side broadcast the whole DP cost would run in that single
+    # task (measured 11.7s -> ~1s at sf0.1 with 32 block partitions)
+    a = (d.repartition(32, "t1", "lb")
+         .select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+                 F.col("n_chars").alias("len_a"), "t1", "lb"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
                  F.col("n_chars").alias("len_b"), "t1", "lb")
     return (a.join(b, ["t1", "lb"])
