@@ -105,3 +105,35 @@ def test_tickstream_custom_streaming_source(spark, tmp_path):
     finally:
         out.stop()
     assert rows == want
+
+
+def test_polymorphic_udtf_analyze_schema(spark):
+    """Spark 4 polymorphic Python UDTF: the output schema is computed
+    by analyze() from a constant argument — the table function's arity
+    is data-driven at plan time, the remaining piece of the UDTF
+    surface beyond the fixed-schema Arrow UDTF (q_udtf_bigrams)."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class FirstNTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            parts = (text or "").split(" ")
+            yield tuple((parts[i] if i < len(parts) else None)
+                        for i in range(n))
+
+    spark.udtf.register("first_n_tokens", FirstNTokens)
+    two = spark.sql("SELECT * FROM first_n_tokens('a b c', 2)")
+    assert two.columns == ["tok0", "tok1"]
+    assert two.collect()[0] == ("a", "b")
+    four = spark.sql("SELECT * FROM first_n_tokens('a b c', 4)")
+    assert four.columns == ["tok0", "tok1", "tok2", "tok3"]
+    assert four.collect()[0] == ("a", "b", "c", None)
