@@ -137,3 +137,37 @@ def test_polymorphic_udtf_analyze_schema(spark):
     four = spark.sql("SELECT * FROM first_n_tokens('a b c', 4)")
     assert four.columns == ["tok0", "tok1", "tok2", "tok3"]
     assert four.collect()[0] == ("a", "b", "c", None)
+
+
+def test_fixedwidth_roundtrip_property(spark, tmp_path):
+    """Hypothesis round-trip over the representable value space.
+    Fixed-width columns cannot carry trailing spaces or newlines (the
+    slot pad and the line terminator are in-band) — the strategy
+    excludes them, which IS the format's documented contract."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    text = (st.text(alphabet=st.characters(
+                codec="utf-8", exclude_characters=" \n\r",
+                exclude_categories=("Cs", "Cc")), max_size=8)
+            .map(lambda s: s or None))
+    rows = st.lists(st.tuples(st.integers(0, 10**8), text,
+                              st.one_of(st.none(),
+                                        st.floats(allow_nan=False,
+                                                  allow_infinity=False,
+                                                  width=16))),
+                    min_size=1, max_size=20)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(rows=rows)
+    def check(rows):
+        df = spark.createDataFrame(rows, "k long, s string, v double")
+        d = os.path.join(str(tmp_path), "prop")
+        write_fixedwidth(df, d, [10, 8, 24])
+        back = (spark.read.format("fixedwidth")
+                .schema("k long, s string, v double")
+                .option("widths", "10,8,24").load(d))
+        assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    register_fixedwidth(spark)
+    check()

@@ -223,3 +223,21 @@ def test_canonical_row_null_vs_empty_distinct(spark):
         "a string, b string")
     vals = [r.c for r in df.select(canonical_row(df).alias("c")).collect()]
     assert len(set(vals)) == 4
+
+
+def test_heavy_hitters_plan_aggregates_candidates_only(spark):
+    """The full-vocabulary groupBy must not exist: the only count
+    aggregation sits above a LeftSemi broadcast of the Misra-Gries
+    candidates, and the sketch pass itself is shuffle-free (no
+    Exchange between scan and MapInPandas)."""
+    phys = (q_heavy_hitters(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in phys and "LeftSemi" in phys
+    scan_to_mg = phys.split("MapInPandas")[-1]
+    assert "Exchange" not in scan_to_mg  # sketch reads the scan directly
+
+
+def test_table_checksum_single_exchange(spark):
+    phys = (q_table_checksum(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert phys.count("Exchange") == 1  # partial agg -> one shuffle
