@@ -72,3 +72,44 @@ def test_merge_sql_null_skip_shape():
     assert "INSERT (_id, f1, f2, updatedAt)" in sql
     assert "VALUES (s._id, s.f1, s.f2, current_timestamp())" in sql
     assert "MERGE INTO cat.db.t t" in sql
+
+
+def test_stream_upsert_reconciles_against_landing_snapshot(spark, tmp_path):
+    """End-to-end pipeline verification: land parquet batches → stream
+    them through foreachBatch upserts → prove with the reconciliation
+    checksum that the keyed table holds exactly the latest-per-key view
+    of everything landed (the check the reference pipeline never ran)."""
+    import os
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from howto_mongo_bulk_update_from_parquet_spark.operators.merge import prepare_source
+    from howto_mongo_bulk_update_from_parquet_spark.operators.reconcile import checksum_diff
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import read_keyed_table
+    from howto_mongo_bulk_update_from_parquet_spark.streaming.upsert import stream_upsert_parquet
+
+    schema = T.StructType([T.StructField("_id", T.StringType()),
+                           T.StructField("v", T.DoubleType()),
+                           T.StructField("batch", T.LongType())])
+    land = os.path.join(str(tmp_path), "land")
+    table = os.path.join(str(tmp_path), "table")
+    ck = os.path.join(str(tmp_path), "ck")
+    os.makedirs(land)
+    for b in range(3):  # overlapping keys across batches: upsert wins
+        (spark.createDataFrame(
+            [(f"k{i}", float(b * 100 + i), b) for i in range(b * 5, b * 5 + 20)],
+            schema).coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(land, f"b{b}")))
+    for b in range(3):
+        stream_upsert_parquet(spark, os.path.join(land, f"b{b}"),
+                              schema=schema, table_path=table, key="_id",
+                              checkpoint=os.path.join(ck, str(b)))
+    landed = spark.read.schema(schema).parquet(
+        *[os.path.join(land, f"b{b}") for b in range(3)])
+    expected = prepare_source(landed, "_id", order_by=["batch"])
+    sink = read_keyed_table(spark, table)
+    bucket = F.pmod(F.crc32(F.col("_id")), F.lit(8)).alias("bucket")
+    diffs = checksum_diff(expected.withColumn("bucket", bucket),
+                          sink.withColumn("bucket", bucket),
+                          ["bucket"], cols=["_id", "v"])
+    assert diffs.count() == 0
+    assert sink.count() == 30  # keys k0..k29
