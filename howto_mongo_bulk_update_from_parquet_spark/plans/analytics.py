@@ -223,3 +223,40 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              r(a, b).alias("pearson_r"))
                     for a, b in pairs])
     return m.select(F.explode(out).alias("x")).select("x.*")
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view refresh: the aggregate state is built
+# from history (events before Jan 20), a delta batch (Jan 20 onward)
+# is merged in WITHOUT rescanning history, and the oracle is the FULL
+# RECOMPUTE over everything — the merge must be bit-identical to it.
+# Decimal accumulators make that exact; at 100 TB the refresh scans
+# one day's partition instead of the table.
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_ORACLE = """
+SELECT event_type,
+       COUNT(value) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value)
+         AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_incremental_rollup", INCREMENTAL_ORACLE,
+          "incremental materialized-view refresh: base state + delta "
+          "merge, oracle = full recompute (must match bit-for-bit)")
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (aggregate_state, merge_agg_state,
+                                         read_view)
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = aggregate_state(e.filter(F.col("ts") < cutoff),
+                           ["event_type"], "value")
+    delta = aggregate_state(e.filter(~(F.col("ts") < cutoff)),
+                            ["event_type"], "value")
+    return read_view(merge_agg_state(base, delta, ["event_type"]))

@@ -192,3 +192,30 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_state_merge_equals_full_recompute(spark):
+    """base ⊕ delta (any slicing, any merge order) == full recompute —
+    bit-exact thanks to the decimal accumulators."""
+    from howto_mongo_bulk_update_from_parquet_spark.operators.incremental import (
+        aggregate_state, merge_agg_state, read_view)
+    rows = [(f"g{i % 5}", float(i) * 1.01 if i % 7 else None)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    full = {tuple(r)[:1]: tuple(r)[1:] for r in
+            read_view(aggregate_state(df, ["k"], "v")).collect()}
+    # slice into 3 uneven batches, merge pairwise in a skewed order
+    b0 = df.filter("v IS NULL OR v < 30")
+    b1 = df.filter("v >= 30 AND v < 150")
+    b2 = df.filter("v >= 150")
+    s = merge_agg_state(
+        merge_agg_state(aggregate_state(b2, ["k"], "v"),
+                        aggregate_state(b0, ["k"], "v"), ["k"]),
+        aggregate_state(b1, ["k"], "v"), ["k"])
+    inc = {tuple(r)[:1]: tuple(r)[1:] for r in read_view(s).collect()}
+    assert inc == full
+    # a group entirely inside ONE batch must pass through the merges
+    only = spark.createDataFrame([("solo", 1.5)], "k string, v double")
+    s2 = merge_agg_state(s, aggregate_state(only, ["k"], "v"), ["k"])
+    got = {r.k: r.n_rows for r in read_view(s2).collect()}
+    assert got["solo"] == 1
