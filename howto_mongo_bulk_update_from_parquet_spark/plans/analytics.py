@@ -260,3 +260,75 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = aggregate_state(e.filter(~(F.col("ts") < cutoff)),
                             ["event_type"], "value")
     return read_view(merge_agg_state(base, delta, ["event_type"]))
+
+
+# ---------------------------------------------------------------------------
+# Grouped ordinary-least-squares regression (y = extendedprice on
+# x = quantity, per returnflag) with the same exactness discipline as
+# q_correlation_matrix: the per-group moment sums (n, Sx, Sy, Sxx,
+# Sxy, Syy) accumulate in DECIMAL — order-independent, so shuffle
+# nondeterminism can't move a bit — and slope/intercept/R² are a fixed
+# IEEE expression over those exact scalars. The built-in regr_slope/
+# regr_intercept/regr_r2 aggregates (Spark AND DuckDB both ship them)
+# are float accumulators whose result depends on partition merge
+# order; this form is what lets two engines agree bit-for-bit. At
+# 100 TB it is still ONE map-side-combined aggregation producing six
+# numbers per group.
+# ---------------------------------------------------------------------------
+
+REGRESSION_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(28,6))
+             * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+         SUM(CAST(l_quantity AS DECIMAL(28,6))
+             * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+             * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       ROUND(POW(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS r2
+FROM m
+"""
+
+
+@register("q_regression_ols", REGRESSION_ORACLE,
+          "grouped OLS fit (price on quantity per returnflag): decimal "
+          "moment sums, fixed-float slope/intercept/R² finish — the "
+          "order-independent form of regr_slope/regr_r2")
+def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(28,6)")
+    y = F.col("l_extendedprice").cast("decimal(28,6)")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+              F.sum(y * y).alias("syy")))
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy          # n²·cov — shared numerator
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(F.pow(cov_n, 2) / (var_x * var_y), 6).alias("r2"))

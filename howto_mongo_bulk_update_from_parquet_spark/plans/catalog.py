@@ -167,6 +167,8 @@ def _load() -> None:
     from . import reconcile  # noqa: F401
     from . import graph_rank  # noqa: F401
     from . import bpe  # noqa: F401
+    from . import intervals  # noqa: F401
+    from . import frontier  # noqa: F401
     missing = [n for n in _HEAD if n not in CATALOG]
     if missing:
         raise RuntimeError(f"catalog head names not registered: {missing}")

@@ -1,0 +1,105 @@
+"""Gaps-and-islands interval algebra: merge each customer's
+overlapping order-activity windows into maximal islands.
+
+Every warehouse needs this shape (uptime stitching, coverage audits,
+contiguous-session construction) and it is the canonical test of
+KEY-PARTITIONED window discipline: all windows here are
+`partitionBy(custkey)`, so at 100 TB the sort is per-customer within a
+hash partition — there is no global ordering anywhere in the plan, and
+AQE picks the shuffle width. Contrast with the single-partition global
+windows the repo bans (see VERDICT r5 / plans/curation.py history).
+
+Semantics (classic gaps-and-islands, both engines express it
+identically): each order opens a 7-day activity interval
+[o_orderdate, o_orderdate + 6 days]. Per customer, intervals sorted by
+start; an interval starts a NEW island iff its start is strictly after
+the running maximum end of all earlier intervals ("earlier" by
+(start, end, orderkey) to break ties deterministically). Output is one
+row per customer: how many islands, total distinct covered days, and
+the widest single island — the numbers a coverage dashboard wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+GAPS_ISLANDS_ORACLE = """
+WITH iv AS (
+  SELECT o_custkey AS custkey, o_orderkey AS ok,
+         CAST(o_orderdate AS DATE) AS s, CAST(o_orderdate AS DATE) + 6 AS e
+  FROM orders
+),
+flagged AS (
+  SELECT custkey, s, e, ok,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY custkey
+                                    ORDER BY s, e, ok
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+grouped AS (
+  SELECT custkey, s, e,
+         SUM(new_island) OVER (PARTITION BY custkey ORDER BY s, e, ok
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+  FROM flagged
+),
+islands AS (
+  SELECT custkey, island, MIN(s) AS island_start, MAX(e) AS island_end
+  FROM grouped GROUP BY custkey, island
+)
+SELECT custkey,
+       COUNT(*) AS n_islands,
+       SUM(date_diff('day', island_start, island_end) + 1) AS covered_days,
+       MAX(date_diff('day', island_start, island_end) + 1) AS widest_days
+FROM islands
+GROUP BY custkey
+"""
+
+
+@register("q_gaps_islands", GAPS_ISLANDS_ORACLE,
+          "gaps-and-islands: merge overlapping 7-day order windows per "
+          "customer via running-max-end flag; per-customer island "
+          "count, covered days, widest island — all windows "
+          "key-partitioned (no global sort)")
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("ok"),
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 6).alias("e"))
+
+    # ROWS UNBOUNDED PRECEDING..1 PRECEDING running max of interval end:
+    # NULL for the first interval of a customer → new_island = 0 there
+    # (matches the oracle: CASE s > NULL is false), and the running SUM
+    # starts islands at 0. Window is partitioned by custkey — the sort
+    # is per-key inside a hash partition, never global.
+    order_cols = [F.col("s"), F.col("e"), F.col("ok")]
+    w_prev = (Window.partitionBy("custkey").orderBy(*order_cols)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), F.lit(1)).otherwise(F.lit(0)))
+
+    # Fully deterministic tie-break (s, e, ok) in BOTH engines: with
+    # duplicate (s, e) rows the ROWS-frame running sum is order-
+    # sensitive, and an engine-dependent tie order would shift which
+    # island a duplicate attaches to.
+    w_run = (Window.partitionBy("custkey").orderBy(*order_cols)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grouped = flagged.withColumn("island", F.sum("new_island").over(w_run))
+
+    islands = (grouped.groupBy("custkey", "island")
+               .agg(F.min("s").alias("island_start"),
+                    F.max("e").alias("island_end")))
+    span = F.datediff("island_end", "island_start") + F.lit(1)
+    return (islands.groupBy("custkey")
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum(span).alias("covered_days"),
+                 F.max(span).alias("widest_days")))
