@@ -111,3 +111,111 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * F.coalesce(F.col("acc").cast("double"),
                                            F.lit(0.0)), 9).alias("pr")))
     return pr.select("node", F.col("pr").alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle count + global clustering coefficient over the LSH near-dup
+# graph (nodes = documents, edges = q_minhash_lsh_pairs candidates) —
+# the standard cohesion diagnostic for dedup clusters: triangle-dense
+# components are genuine duplicate families, triangle-free stars are
+# usually banding accidents.
+#
+# Scale shape (node-iterator++): edges are ORIENTED low→high by the
+# total order (degree, id) before the wedge join, so every wedge is
+# generated at its lowest-degree apex — the O(m^1.5) bound that keeps
+# hub nodes from exploding the intermediate. The oracle counts the
+# same triangles declaratively from id-ordered edges; orientation
+# changes only the join cost, never the count.
+# ---------------------------------------------------------------------------
+
+TRIANGLES_ORACLE = """
+WITH pairs AS ({lsh_pairs}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY n
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) = 0 THEN 0.0
+            ELSE ROUND(3.0 * (SELECT n_triangles FROM tri)
+                       / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+       END AS clustering
+"""
+
+
+def _triangles_oracle() -> str:
+    from .lsh import LSH_PAIRS_ORACLE
+    return TRIANGLES_ORACLE.format(lsh_pairs=LSH_PAIRS_ORACLE)
+
+
+@register("q_triangle_count", None,  # oracle installed below (CTE reuse)
+          "triangle count + clustering coefficient of the LSH dup "
+          "graph: degree-ordered edge orientation, wedge join bounded "
+          "O(m^1.5); oracle = declarative id-ordered triple join")
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (lsh_bands, lsh_candidate_pairs,
+                                   minhash_signatures, shingles)
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles(d, "doc_id", "text", 3), "doc_id", 16)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id", 4), "doc_id")
+
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    deg = (edges.select(F.col("u").alias("n"))
+           .unionAll(edges.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+
+    # orient each edge low→high by the total order (deg, id): wedges
+    # form at the lower-degree endpoint, bounding the join fan-out
+    withdeg = (edges
+               .join(deg.select(F.col("n").alias("u"),
+                                F.col("d").alias("du")), "u")
+               .join(deg.select(F.col("n").alias("v"),
+                                F.col("d").alias("dv")), "v"))
+    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = withdeg.select(
+        F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(ru < rv, rv).otherwise(ru).alias("hi_r"),
+        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("hi"))
+
+    e1 = oriented.select("lo", F.col("hi").alias("w1"),
+                         F.col("hi_r").alias("r1"))
+    e2 = oriented.select("lo", F.col("hi").alias("w2"),
+                         F.col("hi_r").alias("r2"))
+    # wedge (w1, w2) at apex lo, ordered by rank so the closing edge's
+    # own orientation (lower-rank endpoint first) matches lo=w1, hi=w2
+    wedges = (e1.join(e2, "lo")
+              .filter(F.col("r1") < F.col("r2"))
+              .select(F.col("w1").alias("lo"), F.col("w2").alias("hi")))
+    tri = wedges.join(oriented.select("lo", "hi"), ["lo", "hi"], "left_semi")
+
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    wsum = deg.agg(F.sum(F.floor(F.col("d") * (F.col("d") - 1) / 2))
+                   .alias("wedges"))
+    out = (n_nodes.crossJoin(n_edges).crossJoin(n_tri).crossJoin(wsum))
+    return out.select(
+        "n_nodes", "n_edges", "n_triangles",
+        F.when(F.col("wedges") == 0, F.lit(0.0))
+         .otherwise(F.round(F.lit(3.0) * F.col("n_triangles")
+                            / F.col("wedges"), 6)).alias("clustering"))
+
+
+def _install_triangles_oracle() -> None:
+    from .catalog import CATALOG, Query
+    q = CATALOG["q_triangle_count"]
+    CATALOG["q_triangle_count"] = Query(name=q.name, fn=q.fn,
+                                        oracle=_triangles_oracle(), doc=q.doc)
+
+
+_install_triangles_oracle()

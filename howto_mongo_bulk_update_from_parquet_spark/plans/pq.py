@@ -128,3 +128,73 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("q_id", "n_id",
                           (F.col("adc_scaled") / 1e12).alias("adc_dist"),
                           "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization — the other standard embedding
+# compression next to PQ: per-dimension min/max over the corpus →
+# 8-bit code per float, 4x smaller vectors. Bounds are min/max (order-
+# independent, no float-sum hazard) over a posexplode that collapses
+# map-side into 64 groups; they come back as a 64-row BROADCAST — the
+# whole pipeline is scan → narrow explode → broadcast join → partial
+# agg, no wide shuffle of exploded rows. Per-row code and
+# reconstruction error are fixed IEEE expressions on doubles, so both
+# engines agree bit-for-bit; the error mean crosses the engines
+# through the usual decimal-sum bridge.
+# ---------------------------------------------------------------------------
+
+SQ_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+bounds AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim
+),
+coded AS (
+  SELECT e.vec_id, e.label, e.dim, e.x, b.mn, b.mx,
+         GREATEST(-128, LEAST(127,
+           CAST(FLOOR((e.x - b.mn) / (b.mx - b.mn) * 255) AS BIGINT)
+           - 128)) AS code
+  FROM ex e JOIN bounds b ON e.dim = b.dim
+)
+SELECT label,
+       COUNT(DISTINCT vec_id) AS n_vecs,
+       SUM(code * dim) AS code_checksum,
+       ROUND(CAST(SUM(CAST(ABS(x - (mn + (code + 128) / 255.0 * (mx - mn)))
+                           AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_abs_err
+FROM coded
+GROUP BY label
+"""
+
+
+@register("q_sq_int8_quantize", SQ_ORACLE,
+          "int8 scalar quantization of embeddings: per-dim min/max "
+          "bounds (64-row broadcast), codegen floor-quantize + "
+          "reconstruction error; decimal-bridged error mean per label")
+def q_sq_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"))
+    bounds = ex.groupBy("dim").agg(F.min("x").alias("mn"),
+                                   F.max("x").alias("mx"))
+    coded = (ex.join(F.broadcast(bounds), "dim")
+             .withColumn("code", F.greatest(F.lit(-128), F.least(
+                 F.lit(127),
+                 F.floor((F.col("x") - F.col("mn"))
+                         / (F.col("mx") - F.col("mn")) * 255)
+                 .cast("long") - 128))))
+    recon = (F.col("mn") + (F.col("code") + 128) / F.lit(255.0)
+             * (F.col("mx") - F.col("mn")))
+    err = F.abs(F.col("x") - recon).cast("decimal(28,12)")
+    return (coded.groupBy("label")
+            .agg(F.countDistinct("vec_id").alias("n_vecs"),
+                 F.sum(F.col("code") * F.col("dim")).alias("code_checksum"),
+                 F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6)
+                  .alias("mean_abs_err")))

@@ -1,0 +1,43 @@
+"""Mergeable distinct-count sketches: Apache DataSketches HLL via
+Spark's built-in `hll_sketch_agg` / `hll_union_agg` (JVM-side,
+map-side combinable — the 100 TB answer to COUNT(DISTINCT) when the
+exact shuffle is not worth it, and the ONLY answer when per-segment
+sketches must be stored and re-unioned later without re-scanning).
+
+No DuckDB oracle: DuckDB's approx_count_distinct is a different
+algorithm with different estimates, so this is one of the catalog's
+genuinely non-SQL-expressible entries (rows-only driver check). The
+accuracy contract is pytest-pinned instead (tests/test_sketches.py):
+lgK=14 → relative error ≤ ~1.6% at 3 sigma vs the exact count, and
+the per-segment sketches UNION to the same estimate as one pass over
+the union — the mergeability property that makes sketches composable
+across partitions, days, and tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+LG_K = 14
+
+
+@register("q_hll_distinct", None,
+          "HLL distinct-user sketches per event_type + their union "
+          "(DataSketches, lgK=14): mergeable approximate "
+          "COUNT(DISTINCT); accuracy + merge law pytest-pinned")
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = (e.groupBy("event_type")
+           .agg(F.hll_sketch_agg("user_id", F.lit(LG_K)).alias("sk")))
+    per_est = per.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_users"))
+    # union of the per-segment sketches — NOT a rescan of events
+    total = (per.agg(F.hll_union_agg("sk").alias("sk"))
+             .select(F.lit("__all__").alias("scope"),
+                     F.hll_sketch_estimate("sk").alias("approx_users")))
+    return per_est.unionAll(total)
