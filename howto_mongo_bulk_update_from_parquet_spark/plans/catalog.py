@@ -171,6 +171,7 @@ def _load() -> None:
     from . import frontier  # noqa: F401
     from . import bloom  # noqa: F401
     from . import sketches  # noqa: F401
+    from . import sparse_sim  # noqa: F401
     missing = [n for n in _HEAD if n not in CATALOG]
     if missing:
         raise RuntimeError(f"catalog head names not registered: {missing}")

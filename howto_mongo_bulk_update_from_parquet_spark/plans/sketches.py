@@ -41,3 +41,17 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit("__all__").alias("scope"),
                      F.hll_sketch_estimate("sk").alias("approx_users")))
     return per_est.unionAll(total)
+
+
+@register("q_pca_project", None,
+          "PCA: one-pass Arrow-batch Gram partials, driver eigh over "
+          "the 64x64 covariance (KB state), shuffle-free projection "
+          "to 4 components; numpy-parity pinned in tests/test_pca.py")
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_fit, pca_project
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, comps, _ = pca_fit(emb, k=4)
+    proj = pca_project(emb, mu, comps)
+    return proj.select("vec_id", "label",
+                       *[F.round(f"pc{i}", 6).alias(f"pc{i}")
+                         for i in range(1, 5)])

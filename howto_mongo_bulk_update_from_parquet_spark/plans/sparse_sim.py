@@ -1,0 +1,106 @@
+"""Sparse TF-IDF cosine similarity via an inverted-index join — the
+exact-weighted upgrade of q_ngram_jaccard's binary overlap, and the
+standard "which docs are near-dups and HOW close" scorer when
+embeddings aren't available.
+
+Shape: postings (doc, shingle) → document frequency per shingle → an
+idf weight per posting → pairs meet ONLY through shared shingles
+(inverted-index self-join), never all-pairs. A df cutoff (df ≤ N/10)
+drops boilerplate shingles before the join — at 100 TB that cutoff is
+what bounds the per-shingle fan-out (a shingle appearing in f docs
+contributes f·(f−1)/2 candidate pairs; the cutoff caps f).
+
+Cross-engine exactness without transcendentals: idf is the LINEAR
+form N/df — one IEEE divide, identical in both engines (ln-idf would
+hinge on two libms rounding ln identically; N/df doesn't). Every
+accumulated float (norms, dots) crosses the shuffle as
+DECIMAL(38,12) per the repo's numeric discipline, so partial-agg
+order can't move a bit; sqrt and the final divide are single
+correctly-rounded IEEE ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import shingles
+from ..sources.parquet import load_table
+from .catalog import register
+
+MAX_DF_RATIO = 10   # keep shingle iff df * 10 <= n_docs
+MIN_COSINE = 0.5
+
+SPARSE_COSINE_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+w AS (
+  SELECT s.doc_id, s.shingle, CAST(n.n_docs AS DOUBLE) / df.df AS idf
+  FROM sh s CROSS JOIN n JOIN df ON s.shingle = df.shingle
+  WHERE df.df * {MAX_DF_RATIO} <= n.n_docs
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(idf * idf AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(CAST(a.idf * b.idf AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.id_a, d.id_b,
+       ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON d.id_a = na.doc_id
+JOIN norms nb ON d.id_b = nb.doc_id
+WHERE d.dot / (na.nrm * nb.nrm) >= {MIN_COSINE}
+"""
+
+
+@register("q_sparse_cosine_pairs", SPARSE_COSINE_ORACLE,
+          "TF-IDF cosine near-dup pairs via inverted-index join: "
+          "df-cutoff bounds fan-out, linear idf (no transcendental), "
+          "decimal-bridged dots/norms; cosine >= 0.5")
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", 3)
+
+    n = sh.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = (sh.join(df_, "shingle")
+         .crossJoin(F.broadcast(n))
+         .filter(F.col("df") * MAX_DF_RATIO <= F.col("n_docs"))
+         .select("doc_id", "shingle",
+                 (F.col("n_docs").cast("double") / F.col("df")).alias("idf")))
+
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    norms = (w.groupBy("doc_id")
+             .agg(F.sqrt(F.sum(dec(F.col("idf") * F.col("idf")))
+                         .cast("double")).alias("nrm")))
+
+    a = w.select(F.col("doc_id").alias("id_a"), "shingle",
+                 F.col("idf").alias("ia"))
+    b = w.select(F.col("doc_id").alias("id_b"), "shingle",
+                 F.col("idf").alias("ib"))
+    dots = (a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(dec(F.col("ia") * F.col("ib")))
+                 .cast("double").alias("dot")))
+
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (dots
+            .join(norms.select(F.col("doc_id").alias("id_a"),
+                               F.col("nrm").alias("na")), "id_a")
+            .join(norms.select(F.col("doc_id").alias("id_b"),
+                               F.col("nrm").alias("nb")), "id_b")
+            .filter(cos >= MIN_COSINE)
+            .select("id_a", "id_b", F.round(cos, 6).alias("cosine")))
