@@ -55,3 +55,58 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select("vec_id", "label",
                        *[F.round(f"pc{i}", 6).alias(f"pc{i}")
                          for i in range(1, 5)])
+
+
+# ---------------------------------------------------------------------------
+# Declarative constraint audit over orders (operators/constraints.py):
+# five row-local checks share ONE aggregation pass (sum(case) columns
+# in a single agg — one scan however many constraints), uniqueness is
+# count minus distinct in the same pass, and the referential check is
+# one broadcast anti-join. The oracle states each constraint as a
+# scalar subquery over the same predicates.
+# ---------------------------------------------------------------------------
+
+CONSTRAINT_ORACLE = """
+SELECT 'not_null(o_custkey)' AS "constraint",
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+         AS n_violations
+UNION ALL
+SELECT 'accepted(o_orderstatus)',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+           OR o_orderstatus IS NULL)
+UNION ALL
+SELECT 'range(o_totalprice)',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice < 0 OR o_totalprice > 300000
+           OR o_totalprice IS NULL)
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+UNION ALL
+SELECT 'fk(o_custkey)',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+"""
+
+CONSTRAINT_ORACLE = ('SELECT "constraint", n_violations, '
+                     "n_violations = 0 AS passed FROM (" +
+                     CONSTRAINT_ORACLE + ")")
+
+
+@register("q_constraint_audit", CONSTRAINT_ORACLE,
+          "Deequ-style declarative audit: 4 row-local constraints in "
+          "ONE aggregation pass + broadcast-anti-join FK check; "
+          "report = (constraint, n_violations, passed)")
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import constraints as C
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return C.audit(o, [
+        C.not_null("o_custkey"),
+        C.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        C.in_range("o_totalprice", 0, 300000),
+        C.unique("o_orderkey"),
+        C.foreign_key("o_custkey", cust, "c_custkey"),
+    ])

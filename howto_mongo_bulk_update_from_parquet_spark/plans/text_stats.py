@@ -161,3 +161,75 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("source_a", "source_b", "n_shared", "n_a", "n_b",
                      F.round(F.col("n_shared").cast("double")
                              / F.least("n_a", "n_b"), 6).alias("overlap")))
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring — the n-gram perplexity proxy every
+# corpus-quality pipeline runs (KenLM-style, MLE without smoothing:
+# the model is trained on the same corpus it scores, so every bigram
+# has count ≥ 1 and no backoff is needed). Per-doc average bigram
+# log-probability: avg over positions of log2(c(w1,w2) / c(w1,·)).
+#
+# Same log discipline as q_token_entropy: each per-bigram term is ONE
+# division + ONE log2, rounded to 9 decimals, decimal-summed — engine-
+# identical. Scale: two token-keyed aggregations (vocabulary-sized,
+# map-side combinable) + two vocabulary-keyed joins back to the
+# per-doc bigram stream; AQE broadcasts the count sides when they fit.
+# ---------------------------------------------------------------------------
+
+BIGRAM_LM_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS b
+  FROM tk
+),
+c12 AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+c1 AS (
+  SELECT split_part(b, ' ', 1) AS w1, COUNT(*) AS c FROM bg GROUP BY w1
+),
+terms AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(log2(CAST(c12.c AS DOUBLE) / c1.c), 9)
+              AS DECIMAL(20,9)) AS lp
+  FROM bg
+  JOIN c12 ON bg.b = c12.b
+  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM terms GROUP BY doc_id
+"""
+
+
+@register("q_bigram_lm_score", BIGRAM_LM_ORACLE,
+          "per-doc avg bigram log-prob (MLE corpus LM, perplexity "
+          "proxy): vocabulary-keyed count joins, round-9 decimal-"
+          "summed log terms")
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    tk = (d.filter(F.size(t) >= 2)
+          .select("doc_id", t.alias("t")))
+    z = F.arrays_zip(F.slice("t", 1, F.size("t") - 1),
+                     F.slice("t", 2, F.size("t") - 1))
+    bg = tk.select(
+        "doc_id",
+        F.explode(F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"])))
+         .alias("b"))
+    c12 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (bg.select(F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"))
+          .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    term = (F.round(F.log2(F.col("c12").cast("double") / F.col("c1")), 9)
+            .cast("decimal(20,9)"))
+    joined = (bg.join(c12, "b")
+              .withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+              .join(c1, "w1"))
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 6)
+                  .alias("avg_logprob")))
