@@ -127,6 +127,49 @@ def cmd_reconcile(args: argparse.Namespace) -> int:
     return 1
 
 
+def cmd_audit(args: argparse.Namespace) -> int:
+    """Declarative data-quality gate over any parquet table: the
+    constraint flags compile to one aggregation pass (+ one broadcast
+    anti-join per --fk) via operators/constraints.py — the check a
+    load pipeline runs between landing and publish.
+
+    Exit codes: 0 = all constraints pass, 1 = violations, 2 = usage.
+    """
+    from .observability import StructuredLog
+    from .operators import constraints as C
+    spark = get_spark("audit")
+    df = spark.read.parquet(args.path)
+    spec: list[C.Constraint] = []
+    for col in args.not_null or []:
+        spec.append(C.not_null(col))
+    for col in args.unique or []:
+        spec.append(C.unique(*col.split(",")))
+    for s in args.accepted or []:
+        col, vals = s.split("=", 1)
+        spec.append(C.accepted_values(col, vals.split(",")))
+    for s in args.range or []:
+        col, bounds = s.split("=", 1)
+        lo, hi = (float(x) for x in bounds.split(",", 1))
+        spec.append(C.in_range(col, lo, hi))
+    for s in args.fk or []:
+        col, ref = s.split("=", 1)
+        dim_path, dim_col = ref.rsplit(":", 1)
+        spec.append(C.foreign_key(col, spark.read.parquet(dim_path),
+                                  dim_col))
+    if not spec:
+        print("no constraints given", file=sys.stderr)
+        return 2
+    rows = C.audit(df, spec).collect()
+    log = StructuredLog()
+    failed = [r for r in rows if not r.passed]
+    for r in rows:
+        status = "PASS" if r.passed else f"FAIL ({r.n_violations})"
+        print(f"{r['constraint']:40s} {status}")
+    log.event("audit_complete", path=args.path, n_constraints=len(rows),
+              n_failed=len(failed))
+    return 1 if failed else 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     from .observability import StructuredLog, run_query_logged
     from .plans import all_queries
@@ -216,6 +259,16 @@ def main(argv: list[str] | None = None) -> int:
                    default=64,
                    help="hash buckets for mismatch localization")
     r.set_defaults(fn=cmd_reconcile)
+
+    a = sub.add_parser("audit", help="declarative data-quality gate "
+                                     "over a parquet table")
+    a.add_argument("--path", required=True, help="parquet dir to audit")
+    a.add_argument("--not-null", action="append", metavar="COL")
+    a.add_argument("--unique", action="append", metavar="COL[,COL…]")
+    a.add_argument("--accepted", action="append", metavar="COL=V1,V2")
+    a.add_argument("--range", action="append", metavar="COL=LO,HI")
+    a.add_argument("--fk", action="append", metavar="COL=DIMPATH:DIMCOL")
+    a.set_defaults(fn=cmd_audit)
 
     q = sub.add_parser("query", help="run a catalog query")
     q.add_argument("--list", action="store_true",

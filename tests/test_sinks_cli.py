@@ -229,3 +229,27 @@ def test_cli_reconcile_clean_and_tampered(spark, tmp_path, capsys):
     assert main(["reconcile", "--path", data, "--table", table]) == 1
     err = capsys.readouterr().err
     assert "reconcile FAILED: 1/64 buckets" in err
+
+
+def test_cli_audit_pass_and_fail(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    import os
+    fact = os.path.join(str(tmp_path), "fact")
+    dim = os.path.join(str(tmp_path), "dim")
+    spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", 7.5), (3, "A", 9.0)],
+        "k long, status string, price double").write.parquet(fact)
+    spark.createDataFrame([(1,), (2,), (3,)], "d long").write.parquet(dim)
+    ok = main(["audit", "--path", fact, "--not-null", "status",
+               "--unique", "k", "--accepted", "status=A,B",
+               "--range", "price=0,10", "--fk", f"k={dim}:d"])
+    assert ok == 0
+    assert "PASS" in capsys.readouterr().out
+    # shrink the accepted set + range so two constraints fail → exit 1
+    bad = main(["audit", "--path", fact, "--accepted", "status=A",
+                "--range", "price=0,8"])
+    assert bad == 1
+    out = capsys.readouterr().out
+    assert "FAIL (1)" in out      # one 'B' row, one price 9.0 row
+    # no constraints at all is a usage error
+    assert main(["audit", "--path", fact]) == 2
