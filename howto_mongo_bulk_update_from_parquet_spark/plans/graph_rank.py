@@ -168,7 +168,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(shingles(d, "doc_id", "text", 3), "doc_id", 16)
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id", 4), "doc_id")
 
-    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    # the LSH pipeline (shingle → minhash → band join) feeds SIX plan
+    # branches below (deg twice, orientation join, both wedge sides,
+    # the closing semi join); cut it once — the edge list is tiny
+    edges = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+             .localCheckpoint(eager=False))
     deg = (edges.select(F.col("u").alias("n"))
            .unionAll(edges.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
@@ -185,7 +189,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = withdeg.select(
         F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(ru < rv, rv).otherwise(ru).alias("hi_r"),
-        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("hi"))
+        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("hi")) \
+        .localCheckpoint(eager=False)
 
     e1 = oriented.select("lo", F.col("hi").alias("w1"),
                          F.col("hi_r").alias("r1"))
