@@ -67,3 +67,95 @@ def q_band_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.round(F.sum(gap.cast("decimal(18,9)")).cast("double")
                          / F.count(F.lit(1)), 6).alias("avg_gap")))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (A-priori level 2): part pairs bought in
+# the same order, support-thresholded. The pair space explodes per
+# BASKET, not per table — a basket of s items yields s·(s−1)/2 pairs,
+# so the self-join is keyed on l_orderkey and its fan-out is bounded
+# by basket size (~7 here); the support HAVING prunes the long tail
+# before the result materializes. At 100 TB the one watch-item is a
+# pathological mega-basket, which is the same hot-key story as any
+# skewed join (salt or cap basket size upstream).
+# ---------------------------------------------------------------------------
+
+COOCCUR_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS support
+FROM pairs GROUP BY part_a, part_b
+HAVING COUNT(*) >= 3
+"""
+
+
+@register("q_cooccur_pairs", COOCCUR_ORACLE,
+          "market-basket co-occurrence: basket-keyed self-join (fan-"
+          "out bounded by basket size), support >= 3; A-priori L2")
+def q_cooccur_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (a.join(b, "l_orderkey")
+            .filter(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= 3))
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over each user's event stream:
+# (from_type → to_type) counts and row-normalized probabilities. The
+# sequencing window is PARTITIONED BY user_id (key-local sort inside a
+# hash partition — the sanctioned window shape); the normalizing
+# per-from totals come back via a tiny broadcast join, not a second
+# window. Probability = one integer→double divide, identical in both
+# engines; ROUND(…,6) for the hash gate.
+# ---------------------------------------------------------------------------
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+totals AS (
+  SELECT from_type, SUM(n) AS tot FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n,
+       ROUND(CAST(t.n AS DOUBLE) / tot.tot, 6) AS p
+FROM trans t JOIN totals tot ON t.from_type = tot.from_type
+"""
+
+
+@register("q_markov_transitions", MARKOV_ORACLE,
+          "first-order Markov transition matrix over per-user event "
+          "streams: key-partitioned LEAD window, broadcast-joined "
+          "row normalization")
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(F.col("event_type").alias("from_type"),
+                   F.lead("event_type").over(w).alias("to_type"))
+    trans = (seq.filter(F.col("to_type").isNotNull())
+             .groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (trans.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n").cast("double") / F.col("tot"), 6)
+                     .alias("p")))

@@ -75,11 +75,14 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = sh.agg(F.countDistinct("doc_id").alias("n_docs"))
     df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # the weighted postings feed THREE consumers (norms + both join
+    # sides); cut the shingle/df/join lineage once instead of 3x
     w = (sh.join(df_, "shingle")
          .crossJoin(F.broadcast(n))
          .filter(F.col("df") * MAX_DF_RATIO <= F.col("n_docs"))
          .select("doc_id", "shingle",
-                 (F.col("n_docs").cast("double") / F.col("df")).alias("idf")))
+                 (F.col("n_docs").cast("double") / F.col("df")).alias("idf"))
+         .localCheckpoint(eager=False))
 
     dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
     norms = (w.groupBy("doc_id")

@@ -276,3 +276,21 @@ def test_assign_kernel_plan_is_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_band_join_is_equi_join_not_nested_loop(spark):
+    """The eps-band join must plan as a hash equi-join on the bin key
+    (plus the exact residual filter) — never a nested-loop/cartesian
+    theta join, which is what Spark gives the naive BETWEEN form."""
+    plan = _plan(spark, "q_band_join_binned")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(bin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_skyline_never_sorts_globally(spark):
+    """Pareto skyline = per-partition prune + bounded merge: no range
+    partitioning (global sort) and no window anywhere."""
+    plan = _plan(spark, "q_skyline_pareto")
+    assert "rangepartitioning" not in plan
+    assert "Window" not in plan
