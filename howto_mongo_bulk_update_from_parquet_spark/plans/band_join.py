@@ -159,3 +159,99 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("from_type", "to_type", "n",
                     F.round(F.col("n").cast("double") / F.col("tot"), 6)
                      .alias("p")))
+
+
+# ---------------------------------------------------------------------------
+# User journey paths: each user's event sequence folded into an
+# ordered ENTRY-path string (first 3 steps; full paths are near-
+# unique, prefixes are where journeys cluster), then counted — the
+# product-analytics "top paths" view.
+# The ordered fold is collect_list(struct(ts, id, type))
+# → array_sort → join: ORDER-DETERMINISTIC because the sort key is the
+# full (ts, event_id) tuple, matching the oracle's string_agg ORDER BY
+# exactly. One shuffle on user_id (the fold), one on path (the count);
+# path length is bounded per user, so the array state is too.
+# ---------------------------------------------------------------------------
+
+USER_PATHS_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM paths GROUP BY path HAVING COUNT(*) >= 2
+"""
+
+
+@register("q_user_paths", USER_PATHS_ORACLE,
+          "top user journey entry paths (first 3 steps): ordered fold "
+          "(collect_list struct -> array_sort -> join) per user, "
+          "then path counts; support >= 2")
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    step = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    paths = (e.groupBy("user_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.slice(F.array_sort(F.collect_list(step)), 1, 3),
+                     lambda s: s["event_type"]),
+                 ">").alias("path")))
+    return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+            .filter(F.col("n_users") >= 2))
+
+
+# ---------------------------------------------------------------------------
+# Nested-document round trip — the reference's actual payload shape
+# (mongo upserts nest line items under the order; reference
+# src/func/mongo.py builds one document per key). Build the nested
+# doc with an ordered collect, then prove the flatten inverts it. The
+# nested column itself can't cross the value-hash gate (engines
+# stringify structs differently), so the output is the hash-safe
+# flattened view: per-order item count and the ordered item-key csv.
+# ---------------------------------------------------------------------------
+
+NEST_ROUNDTRIP_ORACLE = """
+WITH docs AS (
+  SELECT o.o_orderkey,
+         list(struct_pack(pk := l.l_partkey, ln := l.l_linenumber)
+              ORDER BY l.l_linenumber, l.l_partkey) AS items
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey
+),
+flat AS (
+  SELECT o_orderkey, unnest(items, recursive := true)
+  FROM docs
+)
+SELECT o_orderkey, COUNT(*) AS n_items,
+       string_agg(CAST(pk AS VARCHAR), ',' ORDER BY ln, pk) AS item_keys
+FROM flat GROUP BY o_orderkey
+"""
+
+
+@register("q_nest_roundtrip", NEST_ROUNDTRIP_ORACLE,
+          "nested-document build (ordered items array per order, the "
+          "mongo upsert payload shape; cf reference src/func/mongo.py "
+          "update construction) + flatten round-trip, hash-safe output")
+def q_nest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    item = F.struct(F.col("l_linenumber").alias("ln"),
+                    F.col("l_partkey").alias("pk"))
+    docs = (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.array_sort(F.collect_list(item)).alias("items")))
+    flat = docs.select("o_orderkey", F.explode("items").alias("it"))
+    return (flat.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.array_join(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("it.ln"), F.col("it.pk")))),
+                     lambda s: s["pk"].cast("string")), ",")
+                  .alias("item_keys")))
