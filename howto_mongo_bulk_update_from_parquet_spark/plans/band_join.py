@@ -42,6 +42,28 @@ FROM pairs GROUP BY status_a, status_b
 """
 
 
+def band_self_join(df: DataFrame, key: str, val: str,
+                   eps: float) -> DataFrame:
+    """All (a, b) row pairs with |a.val − b.val| ≤ eps, a.key < b.key,
+    via the 3-bin equi-join rewrite. Columns come back suffixed _a/_b
+    plus `gap`. Result is EXACTLY the theta join's."""
+    binned = df.withColumn("bin", F.floor(F.col(val) / eps))
+    others = [c for c in df.columns if c != key]
+    probe = binned.select(
+        F.col(key).alias("key_a"),
+        *[F.col(c).alias(f"{c}_a") for c in others],
+        F.explode(F.array(F.col("bin") - 1, F.col("bin"),
+                          F.col("bin") + 1)).alias("bin"))
+    build = binned.select(
+        F.col(key).alias("key_b"),
+        *[F.col(c).alias(f"{c}_b") for c in others], "bin")
+    gap = F.abs(F.col(f"{val}_a") - F.col(f"{val}_b"))
+    return (probe.join(build, "bin")
+            .filter((F.col("key_a") < F.col("key_b")) & (gap <= eps))
+            .withColumn("gap", gap)
+            .drop("bin"))
+
+
 @register("q_band_join_binned", BAND_JOIN_ORACLE,
           "|Δprice| <= eps self-join rewritten as a binned equi-join "
           "(3-bin probe + exact filter) — identical result to the "
@@ -49,20 +71,10 @@ FROM pairs GROUP BY status_a, status_b
 def q_band_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice")
-    binned = o.withColumn("bin", F.floor(F.col("o_totalprice") / EPS))
-    probe = binned.select(
-        F.col("o_orderkey").alias("key_a"),
-        F.col("o_orderstatus").alias("status_a"),
-        F.col("o_totalprice").alias("price_a"),
-        F.explode(F.array(F.col("bin") - 1, F.col("bin"),
-                          F.col("bin") + 1)).alias("bin"))
-    build = binned.select(
-        F.col("o_orderkey").alias("key_b"),
-        F.col("o_orderstatus").alias("status_b"),
-        F.col("o_totalprice").alias("price_b"), "bin")
-    gap = F.abs(F.col("price_a") - F.col("price_b"))
-    pairs = (probe.join(build, "bin")
-             .filter((F.col("key_a") < F.col("key_b")) & (gap <= EPS)))
+    pairs = (band_self_join(o, "o_orderkey", "o_totalprice", EPS)
+             .withColumnRenamed("o_orderstatus_a", "status_a")
+             .withColumnRenamed("o_orderstatus_b", "status_b"))
+    gap = F.col("gap")
     return (pairs.groupBy("status_a", "status_b")
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.round(F.sum(gap.cast("decimal(18,9)")).cast("double")

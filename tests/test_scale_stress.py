@@ -82,3 +82,50 @@ def test_heavy_hitters_and_checksum_at_10x(spark, big_corpus):
     b = {r.lang: (r.n_rows, r.checksum_sum, r.checksum_xor)
          for r in table_checksum(docs.repartition(97), ["lang"]).collect()}
     assert a == b
+
+
+def test_skyline_invariant_under_partitioning(spark):
+    """The two-stage skyline must return the SAME set no matter how
+    rows are distributed — the local-prune stage may never drop a
+    global survivor."""
+    from howto_mongo_bulk_update_from_parquet_spark.operators.skyline import skyline_2d
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pts = docs.select("doc_id", "n_chars",
+                      (F.col("doc_id") % 97).cast("double").alias("m2"))
+    ref = sorted((r.doc_id, r.n_chars, r.m2) for r in
+                 skyline_2d(pts.coalesce(1), "n_chars", "m2").collect())
+    for k in (7, 64):
+        got = sorted((r.doc_id, r.n_chars, r.m2) for r in
+                     skyline_2d(pts.repartition(k), "n_chars", "m2").collect())
+        assert got == ref, k
+
+
+def test_bloom_semi_join_equals_plain_semi_at_sf01(spark):
+    from howto_mongo_bulk_update_from_parquet_spark.operators.bloom import bloom_semi_join
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet") \
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    got = bloom_semi_join(li, o, "l_orderkey", "o_orderkey").count()
+    want = li.join(o.select(F.col("o_orderkey").alias("l_orderkey")),
+                   "l_orderkey", "left_semi").count()
+    assert got == want
+
+
+def test_band_join_equals_theta_join_on_subset(spark):
+    """The 3-bin rewrite must reproduce the naive theta join pair for
+    pair. The nested-loop reference is O(n²), so it runs on a 30k-row
+    subset (the rewrite itself runs at any scale)."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans.band_join import band_self_join
+    o = (spark.read.parquet(f"{SF}/orders.parquet")
+         .filter(F.col("o_orderkey") % 5 == 0)
+         .select("o_orderkey", "o_totalprice"))
+    eps = 5.0
+    got = band_self_join(o, "o_orderkey", "o_totalprice", eps)         .select("key_a", "key_b").collect()
+    a = o.select(F.col("o_orderkey").alias("ka"),
+                 F.col("o_totalprice").alias("pa"))
+    b = o.select(F.col("o_orderkey").alias("kb"),
+                 F.col("o_totalprice").alias("pb"))
+    want = a.join(b, (F.col("ka") < F.col("kb"))
+                  & (F.abs(F.col("pa") - F.col("pb")) <= eps))         .select("ka", "kb").collect()
+    assert sorted((r.key_a, r.key_b) for r in got) == \
+        sorted((r.ka, r.kb) for r in want)
