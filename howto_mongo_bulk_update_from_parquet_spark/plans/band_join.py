@@ -27,13 +27,30 @@ from .catalog import register
 
 EPS = 2.0  # dollars of o_totalprice
 
+# Oracle shape note: the single theta join would carry THREE
+# inequalities (two band bounds + the key tie-break), which defeats
+# DuckDB's IEJoin (exactly-two-inequality fast path) and degenerates
+# to a 277-second nested loop at sf0.1. The same pair set splits into
+# an IEJoin-friendly strict-value-order join (two inequalities) plus
+# an equal-value hash join with the key tie-break — still declarative,
+# no binning. The ENGINE-side pairing rule is key-ordered while the
+# oracle's is value-ordered; the aggregate is over the UNORDERED pair
+# in both (gap and the status pair are symmetric: status columns are
+# sorted below), so the results agree exactly.
 BAND_JOIN_ORACLE = f"""
 WITH pairs AS (
-  SELECT a.o_orderstatus AS status_a, b.o_orderstatus AS status_b,
-         ABS(a.o_totalprice - b.o_totalprice) AS gap
+  SELECT LEAST(a.o_orderstatus, b.o_orderstatus) AS status_a,
+         GREATEST(a.o_orderstatus, b.o_orderstatus) AS status_b,
+         b.o_totalprice - a.o_totalprice AS gap
   FROM orders a JOIN orders b
-    ON b.o_totalprice BETWEEN a.o_totalprice - {EPS}
-                          AND a.o_totalprice + {EPS}
+    ON b.o_totalprice > a.o_totalprice
+   AND b.o_totalprice <= a.o_totalprice + {EPS}
+  UNION ALL
+  SELECT LEAST(a.o_orderstatus, b.o_orderstatus),
+         GREATEST(a.o_orderstatus, b.o_orderstatus),
+         0.0
+  FROM orders a JOIN orders b
+    ON a.o_totalprice = b.o_totalprice
    AND a.o_orderkey < b.o_orderkey
 )
 SELECT status_a, status_b, COUNT(*) AS n_pairs,
@@ -71,9 +88,14 @@ def band_self_join(df: DataFrame, key: str, val: str,
 def q_band_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice")
+    # canonical (sorted) status pair, matching the oracle's
+    # LEAST/GREATEST — the engine pairs by key order, the oracle by
+    # value order, and only the unordered pair is common to both
     pairs = (band_self_join(o, "o_orderkey", "o_totalprice", EPS)
-             .withColumnRenamed("o_orderstatus_a", "status_a")
-             .withColumnRenamed("o_orderstatus_b", "status_b"))
+             .withColumn("status_a", F.least("o_orderstatus_a",
+                                             "o_orderstatus_b"))
+             .withColumn("status_b", F.greatest("o_orderstatus_a",
+                                                "o_orderstatus_b")))
     gap = F.col("gap")
     return (pairs.groupBy("status_a", "status_b")
             .agg(F.count(F.lit(1)).alias("n_pairs"),

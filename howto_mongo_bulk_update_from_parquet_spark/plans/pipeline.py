@@ -68,7 +68,7 @@ WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.5
           "computed ONLY on candidate pairs (never all-pairs)")
 def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, "doc_id", "text", 3)
+    sh = shingles(d, "doc_id", "text", 3).localCheckpoint(eager=False)  # feeds 4 branches: cut lineage once
     sig = minhash_signatures(sh, "doc_id", 16)
     cand = lsh_candidate_pairs(lsh_bands(sig, "doc_id", 4), "doc_id")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

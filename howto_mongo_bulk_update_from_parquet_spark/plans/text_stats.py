@@ -144,11 +144,15 @@ GROUP BY a.source, b.source, sa.n, sb.n
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import portable_hash64, shingles as mk_shingles
     d = load_table(spark, sf_dir, "documents")
+    # the hashed-shingle set feeds FOUR plan branches (sizes + both
+    # pair sides + the final joins) — cut the tokenize/hash/distinct
+    # lineage once; the set is vocabulary×sources-bounded
     sh = (mk_shingles(d.select(F.col("source").alias("doc_id"), "text"),
                       "doc_id", "text")
           .select(F.col("doc_id").alias("source"),
                   portable_hash64(F.col("shingle")).alias("h"))
-          .distinct())
+          .distinct()
+          .localCheckpoint(eager=False))
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("source").alias("source_a"), "h")
     b = sh.select(F.col("source").alias("source_b"), "h")
