@@ -190,6 +190,10 @@ def cmd_query(args: argparse.Namespace) -> int:
     # the reference's per-slice timing events, per-query here
     df = run_query_logged(spark, args.name, qs[args.name], args.sf_dir,
                           log=StructuredLog())
+    if args.cache_dir:
+        from .operators.result_cache import cached
+        df, hit = cached(df, args.cache_dir, spark)
+        print(f"result cache: {'HIT' if hit else 'MISS'} ({args.cache_dir})")
     if args.explain:
         df.explain("formatted")
     df.show(args.limit, truncate=False)
@@ -277,6 +281,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--explain", action="store_true")
+    q.add_argument("--cache-dir",
+                   help="content-addressed result cache: serve a "
+                        "logically-identical query from its "
+                        "materialized result until an input changes")
     q.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
