@@ -76,10 +76,31 @@ def might_contain(bits: list[int], key: Column, *, m_bits: int,
     return out
 
 
+BITS_PER_KEY = 14          # ≈1% fp at k=5
+_M_MIN, _M_MAX = 1 << 14, 1 << 24
+
+
+def auto_m_bits(n_keys: int) -> int:
+    """The sizing rule as code: next power of two ≥ 14 bits/key,
+    clamped to [2^14, 2^24] (2 KiB – 2 MiB of driver/task state)."""
+    want = max(1, n_keys) * BITS_PER_KEY
+    m = _M_MIN
+    while m < want and m < _M_MAX:
+        m <<= 1
+    return m
+
+
 def bloom_semi_join(probe: DataFrame, keys: DataFrame, probe_col: str,
-                    key_col: str, *, m_bits: int = 1 << 18,
+                    key_col: str, *, m_bits: int | None = None,
                     n_hashes: int = 5) -> DataFrame:
-    """EXACT semi join with a bloom prefilter on the probe scan."""
+    """EXACT semi join with a bloom prefilter on the probe scan.
+
+    m_bits=None auto-sizes from the build side's count — one cheap
+    count job on the SMALL side buys a filter sized to ~1% fp instead
+    of a guessed constant that degrades silently as the build grows.
+    """
+    if m_bits is None:
+        m_bits = auto_m_bits(keys.count())
     bits = build_bloom_bits(keys, key_col, m_bits=m_bits,
                             n_hashes=n_hashes)
     pre = probe.filter(might_contain(bits, F.col(probe_col),

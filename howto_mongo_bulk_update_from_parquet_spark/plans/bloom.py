@@ -38,7 +38,10 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
-    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    # fixed 2^18 (auto-sizing would pick 2^19 at sf0.1 for a fp-rate
+    # gain this exact-verified query doesn't need at literal cost)
+    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey",
+                           m_bits=1 << 18)
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
     return (hits.groupBy("l_returnflag")

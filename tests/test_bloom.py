@@ -47,3 +47,17 @@ def test_semi_join_exact_and_jvm_only(spark):
     # worker anywhere in the plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+def test_auto_sizing_follows_bits_per_key_rule(spark):
+    from howto_mongo_bulk_update_from_parquet_spark.operators.bloom import auto_m_bits
+    assert auto_m_bits(1000) == 1 << 14          # floor
+    assert auto_m_bits(30_000) == 1 << 19        # 14*30k = 420k -> 2^19
+    assert auto_m_bits(10**9) == 1 << 24         # cap
+    # auto-sized join stays exact
+    from howto_mongo_bulk_update_from_parquet_spark.operators.bloom import bloom_semi_join
+    from pyspark.sql import functions as F
+    probe = spark.range(0, 3000).withColumnRenamed("id", "k")
+    keys = spark.range(0, 3000, 7).withColumnRenamed("id", "kk")
+    got = bloom_semi_join(probe, keys, "k", "kk").count()
+    assert got == len(range(0, 3000, 7))
