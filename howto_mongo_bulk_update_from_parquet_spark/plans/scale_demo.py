@@ -244,3 +244,21 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_first_seen_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import stream_first_seen_ttl
     return stream_first_seen_ttl(spark, sf_dir)
+
+
+THRESHOLD_ALARM_ORACLE = """
+SELECT user_id, CAST(350000 AS BIGINT) AS threshold_cents
+FROM events WHERE value > 0
+GROUP BY user_id
+HAVING SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) >= 350000
+"""
+
+
+@register("q_stream_threshold_alarm", THRESHOLD_ALARM_ORACLE,
+          "stateful streaming budget alarm (applyInPandasWithState): "
+          "per-user integer-cents accumulator in keyed state, one "
+          "alarm row at first crossing — batching-order independent, "
+          "oracle = batch HAVING over the same cents")
+def q_stream_threshold_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import stream_threshold_alarm
+    return stream_threshold_alarm(spark, sf_dir)

@@ -149,3 +149,67 @@ def stream_first_seen_ttl(spark: SparkSession, sf_dir: str,
         return _run_to_memory(
             first_seen_ttl_query(events, ttl_minutes=ttl_minutes),
             "append", stage)
+
+
+# ---------------------------------------------------------------------------
+# Budget/threshold alarm: per-user running spend accumulates in keyed
+# state; the FIRST micro-batch in which it reaches the threshold emits
+# one alarm row, later batches stay silent. Unlike first-seen's
+# boolean, the state is a NUMERIC accumulator — the canonical
+# "metering" stateful shape (spend alerts, quota enforcement, rate
+# caps).
+#
+# Oracle-exactness across batch boundaries: spend is converted to
+# integer CENTS in Spark BEFORE the stateful exchange
+# (ROUND(value*100) cast long — never rounded inside the kernel, so
+# the half-up/half-even rounding-mode trap from the r5 advice can't
+# reappear here), and positive amounts sum order-independently — the
+# crossed-user SET is identical however the stream is batched, which
+# is exactly what the batch HAVING oracle states.
+# ---------------------------------------------------------------------------
+
+ALARM_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("threshold_cents", T.LongType()),
+])
+
+ALARM_STATE_SCHEMA = T.StructType([
+    T.StructField("cents", T.LongType()),
+    T.StructField("fired", T.BooleanType()),
+])
+
+
+def _make_threshold_alarm(threshold_cents: int):
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+        cents, fired = state.get if state.exists else (0, False)
+        if fired:
+            for _ in pdfs:
+                pass
+            return
+        for pdf in pdfs:
+            if len(pdf):
+                cents += int(pdf["cents"].sum())
+        if cents >= threshold_cents:
+            state.update((cents, True))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "threshold_cents": [threshold_cents]})
+        else:
+            state.update((cents, False))
+    return fold
+
+
+def stream_threshold_alarm(spark: SparkSession, sf_dir: str,
+                           threshold_cents: int = 350_000) -> DataFrame:
+    from .jobs import _run_to_memory, _stage_events_stream, scoped_state_partitions
+    events, stage = _stage_events_stream(spark, sf_dir)
+    spend = (events.filter(F.col("value") > 0)
+             .select("user_id",
+                     F.round(F.col("value") * 100, 0).cast("long")
+                      .alias("cents")))
+    out = (spend.groupBy("user_id")
+           .applyInPandasWithState(_make_threshold_alarm(threshold_cents),
+                                   ALARM_OUTPUT_SCHEMA, ALARM_STATE_SCHEMA,
+                                   "append", GroupStateTimeout.NoTimeout))
+    with scoped_state_partitions(spark, _python_state_width(spark)):
+        return _run_to_memory(out, "append", stage)

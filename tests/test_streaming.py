@@ -301,3 +301,44 @@ def test_first_seen_ttl_state_eviction(spark, tmp_path):
         per_user.setdefault(r.user_id, []).append(r.first_event_id)
     assert sorted(per_user[A]) == [10, 40]      # emitted twice: state was evicted
     assert per_user[B] == [20] and per_user[C] == [30]
+
+
+def test_threshold_alarm_fires_once_across_batches(spark, tmp_path):
+    """Keyed accumulator state must SURVIVE micro-batch boundaries:
+    user 1 crosses only with batch-2 spend (fires in batch 2), user 2
+    crosses inside batch 1 and must stay silent in batch 2."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from howto_mongo_bulk_update_from_parquet_spark.streaming.stateful import (
+        ALARM_OUTPUT_SCHEMA, ALARM_STATE_SCHEMA, _make_threshold_alarm)
+
+    src = f"{tmp_path}/src"
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    t0 = dt.datetime(2024, 1, 1)
+    # batch 1: user1 +6.00, user2 +12.00; batch 2: user1 +5.00, user2 +5.00
+    spark.createDataFrame(
+        [(1, t0, 1, "view", 6.0, "{}"), (2, t0, 2, "view", 12.0, "{}")],
+        schema).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [(3, t0, 1, "view", 5.0, "{}"), (4, t0, 2, "view", 5.0, "{}")],
+        schema).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{src}/b*"))
+    spend = stream.select("user_id",
+                          F.round(F.col("value") * 100, 0).cast("long")
+                           .alias("cents"))
+    out = (spend.groupBy("user_id")
+           .applyInPandasWithState(_make_threshold_alarm(1000),
+                                   ALARM_OUTPUT_SCHEMA, ALARM_STATE_SCHEMA,
+                                   "append", GroupStateTimeout.NoTimeout))
+    q = (out.writeStream.format("memory").queryName("alarm_mb")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from alarm_mb").collect()
+    # exactly one alarm per user: user2 from batch 1, user1 only after
+    # batch 2 pushed 600+500 over 1000
+    assert sorted(r.user_id for r in rows) == [1, 2]
