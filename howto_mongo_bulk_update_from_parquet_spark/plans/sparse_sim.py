@@ -107,3 +107,85 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("nrm").alias("nb")), "id_b")
             .filter(cos >= MIN_COSINE)
             .select("id_a", "id_b", F.round(cos, 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring — the search-side consumer of the inverted
+# index: score every document against a fixed term query and return
+# the top 10. Per-(doc, term) the score is the standard
+# Lucene-positive form  idf·tf/(tf + k1·(1−b+b·dl/avgdl))  with
+# idf = ln(1 + (N−df+0.5)/(df+0.5)); the single ln per term rounds to
+# 9 decimals and decimal-sums across the (≤3) query terms (the
+# token-entropy discipline), and the ranking is orderBy+limit —
+# TakeOrderedAndProject, per-partition heaps + driver merge, never a
+# global sort. Only postings for the QUERY terms ever join: the scan
+# filter on term keeps the join input at query-vocabulary size.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "window", "merge")
+BM25_K1, BM25_B = 1.2, 0.75
+
+_terms_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({_terms_sql}) GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * dl.dlen / s.avgdl)),
+           9) AS DECIMAL(20,9)) AS term_score
+  FROM tf
+  JOIN df ON tf.tok = df.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY SUM(term_score) DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("q_bm25_topk", BM25_ORACLE,
+          "BM25 top-10 retrieval for a fixed term query: postings "
+          "filtered to query vocabulary, round-9 decimal-summed term "
+          "scores, TakeOrderedAndProject ranking (no global sort)")
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    tf = (toks.filter(F.col("tok").isin(*BM25_TERMS))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf") + BM25_K1 * (1 - BM25_B
+             + BM25_B * F.col("dlen") / F.col("avgdl")))
+    term_score = (F.round(idf * F.col("tf") / denom, 9)
+                  .cast("decimal(20,9)"))
+    scored = (tf.join(F.broadcast(df_), "tok")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id", term_score.alias("term_score")))
+    agg = scored.groupBy("doc_id").agg(F.sum("term_score").alias("s"))
+    return (agg.orderBy(F.col("s").desc(), "doc_id").limit(10)
+            .select("doc_id", F.round(F.col("s").cast("double"), 6)
+                    .alias("bm25")))
