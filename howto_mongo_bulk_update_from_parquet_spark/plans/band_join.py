@@ -289,3 +289,77 @@ def q_nest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.struct(F.col("it.ln"), F.col("it.pk")))),
                      lambda s: s["pk"].cast("string")), ",")
                   .alias("item_keys")))
+
+
+# ---------------------------------------------------------------------------
+# 2-D proximity self-join (the spatial-join shape): all point pairs
+# within Euclidean eps, via GRID CELLS — floor(x/eps), floor(y/eps) —
+# and a 3x3 neighbor-cell probe, then the exact dist² ≤ eps² filter.
+# The 1-D band join's rewrite lifted one dimension up: candidates per
+# point are bounded by the 9-cell neighborhood's occupancy, the join
+# is an equi-join on the cell key, and no nested loop exists anywhere.
+# Coordinates derive deterministically from c_custkey by INTEGER
+# arithmetic (modular lattice / 10.0), so both engines start from
+# identical doubles and the boundary comparisons agree bit-for-bit.
+# The oracle uses the same IEJoin-friendly split as the 1-D oracle:
+# strict-x-order band join (two inequalities) + equal-x hash join.
+# ---------------------------------------------------------------------------
+
+GEO_EPS = 0.5
+
+GEO_NEIGHBORS_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS k,
+         ((c_custkey * 37) % 1000) / 10.0 AS x,
+         ((c_custkey * 91) % 1000) / 10.0 AS y
+  FROM customer
+),
+pairs AS (
+  SELECT LEAST(a.k, b.k) AS key_a, GREATEST(a.k, b.k) AS key_b,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b
+    ON b.x > a.x AND b.x <= a.x + {GEO_EPS}
+  WHERE ABS(a.y - b.y) <= {GEO_EPS}
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {GEO_EPS} * {GEO_EPS}
+  UNION ALL
+  SELECT a.k, b.k,
+         (a.y - b.y) * (a.y - b.y)
+  FROM pts a JOIN pts b
+    ON a.x = b.x AND a.k < b.k
+  WHERE ABS(a.y - b.y) <= {GEO_EPS}
+)
+SELECT key_a, key_b, ROUND(d2, 6) AS dist2 FROM pairs
+"""
+
+
+@register("q_geo_neighbors", GEO_NEIGHBORS_ORACLE,
+          "2-D proximity self-join: grid cells + 3x3 neighbor probe + "
+          "exact dist² filter — the spatial join as an equi-join, "
+          "no nested loop; derived lattice coordinates")
+def q_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("c_custkey") * 37 % 1000) / 10.0).alias("x"),
+        ((F.col("c_custkey") * 91 % 1000) / 10.0).alias("y"))
+    cells = pts.select(
+        "k", "x", "y",
+        F.floor(F.col("x") / GEO_EPS).alias("cx"),
+        F.floor(F.col("y") / GEO_EPS).alias("cy"))
+    probe = cells.select(
+        F.col("k").alias("key_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.array(*[F.struct(
+            (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("c")) \
+        .select("key_a", "xa", "ya", "c.cx", "c.cy")
+    build = cells.select(
+        F.col("k").alias("key_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), "cx", "cy")
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    return (probe.join(build, ["cx", "cy"])
+            .filter((F.col("key_a") < F.col("key_b"))
+                    & (d2 <= GEO_EPS * GEO_EPS))
+            .select("key_a", "key_b", F.round(d2, 6).alias("dist2")))
