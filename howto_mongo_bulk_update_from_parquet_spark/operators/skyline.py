@@ -48,17 +48,22 @@ def skyline_2d(df: DataFrame, m1: str, m2: str) -> DataFrame:
     """Exact global skyline of `df` maximizing columns (m1, m2)."""
     schema = df.schema
 
-    def local(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _skyline_kernel(pdf.drop(columns="__pid"), m1, m2)
+    def local(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _skyline_kernel(pdf, m1, m2)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         return _skyline_kernel(pdf.drop(columns="__g"), m1, m2)
 
-    # stage 1: per-partition prune (sound: local dominance is global)
-    pruned = (df.withColumn("__pid", F.spark_partition_id())
-              .groupBy("__pid").applyInPandas(local, schema))
+    # stage 1: per-BATCH prune via mapInPandas — ZERO exchange (a
+    # groupBy(spark_partition_id) formulation would hash-shuffle the
+    # whole table just to regroup rows where they already are; a
+    # point dominated within any subset is dominated globally, so
+    # pruning per Arrow batch is equally sound and stays on the scan)
+    pruned = df.mapInPandas(local, schema)
     # stage 2: exact skyline of the small frontier union. The single
-    # group is bounded by the summed per-partition frontiers, NOT the
+    # group is bounded by the summed per-batch frontiers, NOT the
     # table — this is the driver-merge step of every top-k-like op,
     # expressed executor-side.
     return (pruned.withColumn("__g", F.lit(0))

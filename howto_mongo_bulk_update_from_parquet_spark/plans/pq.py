@@ -193,8 +193,12 @@ def q_sq_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon = (F.col("mn") + (F.col("code") + 128) / F.lit(255.0)
              * (F.col("mx") - F.col("mn")))
     err = F.abs(F.col("x") - recon).cast("decimal(28,12)")
+    # n_vecs as "count of dim-1 rows", NOT countDistinct(vec_id):
+    # distinct forces an extra (label, vec_id) shuffle stage; every
+    # vector contributes exactly one dim=1 row, so the count is the
+    # same and the agg stays single-phase
     return (coded.groupBy("label")
-            .agg(F.countDistinct("vec_id").alias("n_vecs"),
+            .agg(F.count(F.when(F.col("dim") == 1, 1)).alias("n_vecs"),
                  F.sum(F.col("code") * F.col("dim")).alias("code_checksum"),
                  F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6)
                   .alias("mean_abs_err")))

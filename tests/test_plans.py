@@ -289,8 +289,13 @@ def test_band_join_is_equi_join_not_nested_loop(spark):
 
 
 def test_skyline_never_sorts_globally(spark):
-    """Pareto skyline = per-partition prune + bounded merge: no range
-    partitioning (global sort) and no window anywhere."""
+    """Pareto skyline = per-batch prune + bounded merge: stage 1 is
+    MapInPandas ON the scan (no exchange — the groupBy(partition_id)
+    formulation would shuffle the whole table to regroup rows where
+    they already sit), the only exchange carries the pruned frontier,
+    and there is no range partitioning (global sort) or window."""
     plan = _plan(spark, "q_skyline_pareto")
     assert "rangepartitioning" not in plan
     assert "Window" not in plan
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(__pid" not in plan
