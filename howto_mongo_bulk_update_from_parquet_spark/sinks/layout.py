@@ -18,7 +18,7 @@ against a naive write where every file spans the full key range.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.reconcile import zorder2
@@ -55,3 +55,43 @@ def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str,
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode("overwrite").parquet(path))
+
+
+def compact_small_files(spark: SparkSession, path: str,
+                        target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files of ~target size.
+
+    The 100 TB operational reality this addresses: streaming /
+    incremental writers leave thousands of KB-scale files per
+    partition, and scan throughput collapses under per-file open
+    costs (footer reads, S3 GETs) long before data volume matters.
+    Sizing from the ACTUAL byte total (not a guessed partition count)
+    keeps output files near the parquet sweet spot at any input
+    skew. The rewrite is atomic-by-rename: the new layout lands in a
+    temp dir and swaps in only after _SUCCESS.
+
+    Returns {"files_before", "files_after", "bytes"} for the caller's
+    telemetry.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [e for e in os.scandir(path)
+             if e.name.endswith(".parquet") or e.name.startswith("part-")]
+    total = sum(e.stat().st_size for e in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}.__compact_tmp"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError(f"compaction write incomplete: {tmp}")
+    old = f"{path}.__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len([e for e in os.scandir(path)
+                 if e.name.endswith(".parquet")])
+    return {"files_before": len(files), "files_after": after,
+            "bytes": total}
