@@ -103,3 +103,59 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_islands"),
                  F.sum(span).alias("covered_days"),
                  F.max(span).alias("widest_days")))
+
+
+# ---------------------------------------------------------------------------
+# Max concurrency (sweep line), the other half of interval algebra:
+# how many of a customer's 7-day order windows are open at once, at
+# the worst moment. Each interval contributes (+1 at start, −1 at
+# end+1 day); the running sum over the customer's event stream peaks
+# at the answer. Ordering (t, delta, ok) is fully deterministic and
+# sorts closes (−1) before opens (+1) at the same t, so back-to-back
+# intervals don't count as overlapping. Window remains PARTITIONED BY
+# custkey — a GLOBAL sweep line would be the banned global-ordered
+# window; per-key concurrency needs only the per-key sort.
+# ---------------------------------------------------------------------------
+
+MAX_CONCURRENCY_ORACLE = """
+WITH ev AS (
+  SELECT o_custkey AS custkey, o_orderkey AS ok,
+         CAST(o_orderdate AS DATE) AS t, 1 AS delta
+  FROM orders
+  UNION ALL
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) + 7, -1
+  FROM orders
+),
+run AS (
+  SELECT custkey,
+         SUM(delta) OVER (PARTITION BY custkey ORDER BY t, delta, ok
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS open_now
+  FROM ev
+)
+SELECT custkey, MAX(open_now) AS max_open
+FROM run GROUP BY custkey
+"""
+
+
+@register("q_max_concurrency", MAX_CONCURRENCY_ORACLE,
+          "per-customer max overlapping 7-day order windows via a "
+          "key-partitioned sweep line (+1/-1 events, running-sum "
+          "peak); closes sort before opens at equal time")
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    opens = o.select(F.col("o_custkey").alias("custkey"),
+                     F.col("o_orderkey").alias("ok"),
+                     F.to_date("o_orderdate").alias("t"),
+                     F.lit(1).alias("delta"))
+    closes = o.select(F.col("o_custkey").alias("custkey"),
+                      F.col("o_orderkey").alias("ok"),
+                      F.date_add(F.to_date("o_orderdate"), 7).alias("t"),
+                      F.lit(-1).alias("delta"))
+    ev = opens.unionAll(closes)
+    w = (Window.partitionBy("custkey").orderBy("t", "delta", "ok")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = ev.withColumn("open_now", F.sum("delta").over(w))
+    return (run.groupBy("custkey")
+            .agg(F.max("open_now").alias("max_open")))
