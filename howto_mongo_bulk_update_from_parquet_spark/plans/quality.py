@@ -461,3 +461,63 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(residual).alias("n_residual"),
                  F.sum(F.length("clean")).cast("long")
                   .alias("total_clean_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: per-group MAD (median absolute deviation)
+# z-scores — the heavy-tail-safe alternative to the mean/stddev
+# z-score (one contaminated decade of prices moves a mean; it barely
+# moves a median). Two passes: (1) per-group exact median (the
+# holistic percentile aggregate — per-group state, never a global
+# sort), broadcast back; (2) per-group exact median of |x − med|,
+# broadcast again; flag |x − med| > 3 · 1.4826 · MAD. All medians are
+# exact interpolating percentiles (Spark `percentile` ≡ DuckDB
+# `quantile_cont`), and the robust-z comparison is fixed IEEE
+# arithmetic over identical doubles, so the flagged SET matches the
+# oracle exactly.
+# ---------------------------------------------------------------------------
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+),
+mad AS (
+  SELECT l.l_returnflag,
+         quantile_cont(ABS(l.l_extendedprice - m.med), 0.5) AS mad
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+  GROUP BY l.l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(MAX(m.med), 6) AS med,
+       ROUND(MAX(d.mad), 6) AS mad,
+       COUNT(CASE WHEN ABS(l.l_extendedprice - m.med)
+                       > 3 * 1.4826 * d.mad THEN 1 END) AS n_outliers
+FROM lineitem l
+JOIN med m ON l.l_returnflag = m.l_returnflag
+JOIN mad d ON l.l_returnflag = d.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
+@register("q_mad_outliers", MAD_ORACLE,
+          "robust per-group outliers via MAD z-score: two exact-"
+          "median passes (grouped holistic percentile, broadcast "
+          "back), flag |x-med| > 3*1.4826*MAD")
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    med = (li.groupBy("l_returnflag")
+           .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("med")))
+    with_med = li.join(F.broadcast(med), "l_returnflag")
+    mad = (with_med.groupBy("l_returnflag")
+           .agg(F.expr("percentile(abs(l_extendedprice - med), 0.5)")
+                .alias("mad")))
+    dev = F.abs(F.col("l_extendedprice") - F.col("med"))
+    return (with_med.join(F.broadcast(mad), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.max("med"), 6).alias("med"),
+                 F.round(F.max("mad"), 6).alias("mad"),
+                 F.count(F.when(dev > 3 * 1.4826 * F.col("mad"), 1))
+                  .alias("n_outliers")))
