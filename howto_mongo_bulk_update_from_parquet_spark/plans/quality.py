@@ -521,3 +521,99 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("mad"), 6).alias("mad"),
                  F.count(F.when(dev > 3 * 1.4826 * F.col("mad"), 1))
                   .alias("n_outliers")))
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI): the monitoring gate every training-data
+# pipeline runs between a reference slice and a candidate slice.
+# Reference = events before Jan 20, candidate = after. The reference
+# slice's exact deciles (one holistic percentile aggregate → a 1-row
+# broadcast of 9 boundaries) bucket BOTH slices; PSI is
+# Σ (p_cand − p_ref)·ln(p_cand/p_ref) over the 10 buckets, where the
+# per-bucket proportions are exact counts over exact boundaries. One
+# ln per bucket, rounded to 9 decimals and decimal-summed (the
+# transcendental discipline); everything else is integer counting and
+# fixed IEEE division, so both engines produce identical bits.
+# ---------------------------------------------------------------------------
+
+DRIFT_ORACLE = """
+WITH ref AS (
+  SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-20'
+),
+cand AS (
+  SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+),
+bounds AS (
+  SELECT quantile_cont(value, 0.1) AS b1, quantile_cont(value, 0.2) AS b2,
+         quantile_cont(value, 0.3) AS b3, quantile_cont(value, 0.4) AS b4,
+         quantile_cont(value, 0.5) AS b5, quantile_cont(value, 0.6) AS b6,
+         quantile_cont(value, 0.7) AS b7, quantile_cont(value, 0.8) AS b8,
+         quantile_cont(value, 0.9) AS b9
+  FROM ref
+),
+bucketed AS (
+  SELECT 'ref' AS side, CASE
+      WHEN value <= b1 THEN 1 WHEN value <= b2 THEN 2 WHEN value <= b3 THEN 3
+      WHEN value <= b4 THEN 4 WHEN value <= b5 THEN 5 WHEN value <= b6 THEN 6
+      WHEN value <= b7 THEN 7 WHEN value <= b8 THEN 8 WHEN value <= b9 THEN 9
+      ELSE 10 END AS bucket
+  FROM ref CROSS JOIN bounds
+  UNION ALL
+  SELECT 'cand', CASE
+      WHEN value <= b1 THEN 1 WHEN value <= b2 THEN 2 WHEN value <= b3 THEN 3
+      WHEN value <= b4 THEN 4 WHEN value <= b5 THEN 5 WHEN value <= b6 THEN 6
+      WHEN value <= b7 THEN 7 WHEN value <= b8 THEN 8 WHEN value <= b9 THEN 9
+      ELSE 10 END
+  FROM cand CROSS JOIN bounds
+),
+props AS (
+  SELECT bucket,
+         CAST(COUNT(CASE WHEN side = 'ref' THEN 1 END) AS DOUBLE)
+           / (SELECT COUNT(*) FROM ref) AS p_ref,
+         CAST(COUNT(CASE WHEN side = 'cand' THEN 1 END) AS DOUBLE)
+           / (SELECT COUNT(*) FROM cand) AS p_cand
+  FROM bucketed GROUP BY bucket
+)
+SELECT bucket, ROUND(p_ref, 6) AS p_ref, ROUND(p_cand, 6) AS p_cand,
+       ROUND(CAST(CAST(ROUND((p_cand - p_ref) * ln(p_cand / p_ref), 9)
+                  AS DECIMAL(20,9)) AS DOUBLE), 6) AS psi_term
+FROM props
+"""
+
+
+@register("q_distribution_drift", DRIFT_ORACLE,
+          "PSI distribution drift between time slices: exact ref-"
+          "slice deciles as a 1-row broadcast bucket both slices; "
+          "per-bucket proportions + round-9 PSI terms")
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    ref = e.filter(F.col("ts") < cutoff).select("value")
+    cand = e.filter(~(F.col("ts") < cutoff)).select("value")
+    bounds = ref.agg(*[
+        F.expr(f"percentile(value, {q/10})").alias(f"b{q}")
+        for q in range(1, 10)])
+
+    def bucket():
+        c = F.when(F.col("value") <= F.col("b1"), 1)
+        for i in range(2, 10):
+            c = c.when(F.col("value") <= F.col(f"b{i}"), i)
+        return c.otherwise(10)
+
+    both = (ref.withColumn("side", F.lit("ref"))
+            .unionAll(cand.withColumn("side", F.lit("cand")))
+            .crossJoin(F.broadcast(bounds))
+            .select("side", bucket().alias("bucket")))
+    n_ref, n_cand = ref.count(), cand.count()
+    props = (both.groupBy("bucket")
+             .agg((F.count(F.when(F.col("side") == "ref", 1)).cast("double")
+                   / n_ref).alias("p_ref"),
+                  (F.count(F.when(F.col("side") == "cand", 1)).cast("double")
+                   / n_cand).alias("p_cand")))
+    psi = F.round((F.col("p_cand") - F.col("p_ref"))
+                  * F.log(F.col("p_cand") / F.col("p_ref")), 9) \
+        .cast("decimal(20,9)")
+    return props.select("bucket",
+                        F.round("p_ref", 6).alias("p_ref"),
+                        F.round("p_cand", 6).alias("p_cand"),
+                        F.round(psi.cast("double"), 6).alias("psi_term"))
