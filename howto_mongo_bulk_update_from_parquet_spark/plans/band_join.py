@@ -363,3 +363,96 @@ def q_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("key_a") < F.col("key_b"))
                     & (d2 <= GEO_EPS * GEO_EPS))
             .select("key_a", "key_b", F.round(d2, 6).alias("dist2")))
+
+
+# ---------------------------------------------------------------------------
+# Association rules (A-priori L2 → rules): for every supported part
+# pair, directed confidence P(B|A) = supp(AB)/supp(A) and lift
+# P(AB)/(P(A)·P(B)). Item supports come back to the pair table as a
+# tiny broadcast (the frequent-item list is support-thresholded, so
+# it shrinks as the corpus grows); the probability arithmetic is
+# integer counts through fixed IEEE division — bit-identical across
+# engines. Both rule directions emit from one pair row (no second
+# join).
+# ---------------------------------------------------------------------------
+
+ASSOC_RULES_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+item_supp AS (
+  SELECT l_partkey, COUNT(*) AS supp FROM items GROUP BY l_partkey
+),
+pair_supp AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS supp_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 3
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent,
+         supp_ab, sa.supp AS supp_a, sb.supp AS supp_b, n.n_baskets
+  FROM pair_supp
+  JOIN item_supp sa ON sa.l_partkey = part_a
+  JOIN item_supp sb ON sb.l_partkey = part_b
+  CROSS JOIN n
+  UNION ALL
+  SELECT part_b, part_a, supp_ab, sb.supp, sa.supp, n.n_baskets
+  FROM pair_supp
+  JOIN item_supp sa ON sa.l_partkey = part_a
+  JOIN item_supp sb ON sb.l_partkey = part_b
+  CROSS JOIN n
+)
+SELECT antecedent, consequent, supp_ab,
+       ROUND(CAST(supp_ab AS DOUBLE) / supp_a, 6) AS confidence,
+       ROUND(CAST(supp_ab AS DOUBLE) * n_baskets
+             / (CAST(supp_a AS DOUBLE) * supp_b), 6) AS lift
+FROM rules
+"""
+
+
+@register("q_assoc_rules", ASSOC_RULES_ORACLE,
+          "association rules from supported pairs: directed "
+          "confidence + lift via broadcast item supports; both "
+          "directions from one pair row")
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct() \
+        .localCheckpoint(eager=False)  # feeds baskets, supports, pairs
+    n_baskets = items.select("l_orderkey").distinct().count()
+    item_supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("supp"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair_supp = (a.join(b, "l_orderkey")
+                 .filter(F.col("part_a") < F.col("part_b"))
+                 .groupBy("part_a", "part_b")
+                 .agg(F.count(F.lit(1)).alias("supp_ab"))
+                 .filter(F.col("supp_ab") >= 3))
+    sa = item_supp.select(F.col("l_partkey").alias("part_a"),
+                          F.col("supp").alias("supp_a"))
+    sb = item_supp.select(F.col("l_partkey").alias("part_b"),
+                          F.col("supp").alias("supp_b"))
+    joined = (pair_supp.join(F.broadcast(sa), "part_a")
+              .join(F.broadcast(sb), "part_b"))
+    fwd = joined.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "supp_ab", F.col("supp_a").alias("s_ante"),
+        F.col("supp_b").alias("s_cons"))
+    rev = joined.select(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
+        "supp_ab", F.col("supp_b").alias("s_ante"),
+        F.col("supp_a").alias("s_cons"))
+    rules = fwd.unionAll(rev)
+    return rules.select(
+        "antecedent", "consequent", "supp_ab",
+        F.round(F.col("supp_ab").cast("double") / F.col("s_ante"), 6)
+         .alias("confidence"),
+        F.round(F.col("supp_ab").cast("double") * n_baskets
+                / (F.col("s_ante").cast("double") * F.col("s_cons")), 6)
+         .alias("lift"))
