@@ -224,3 +224,95 @@ def _install_triangles_oracle() -> None:
 
 
 _install_triangles_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Min-plus shortest paths (Bellman-Ford, 3 relaxation rounds) over
+# the undirected supplier↔customer shipment graph — the OTHER
+# iterative-graph family next to PageRank's sum-propagation: each
+# round is one edges⋈distances join + a groupBy(node) MIN, and MIN is
+# order-insensitive, so unlike float sums the rounds need no rounding
+# discipline at all: edge weights live as DECIMAL(12,2) (cast of the
+# 2-rounded price — value-deterministic) and path sums stay exact
+# decimals end-to-end. Sources: suppliers 1-3 at distance 0. The
+# oracle unrolls the identical three rounds as chained CTEs.
+#
+# Scale: per round one shuffle keyed on node; the distance vector is
+# a DataFrame (never driver state); fixed rounds keep lineage
+# shallow, exactly like the PageRank note above.
+# ---------------------------------------------------------------------------
+
+SSSP_ROUNDS = 3
+
+SSSP_ORACLE = """
+WITH e1 AS (
+  SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+         MIN(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst, w FROM e1
+  UNION ALL
+  SELECT dst, src, w FROM e1
+),
+d0 AS (
+  SELECT DISTINCT src AS node, CAST(0 AS DECIMAL(18,2)) AS d
+  FROM edges WHERE src IN ('s1', 's2', 's3')
+),
+d1 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d0
+    UNION ALL
+    SELECT e.dst AS node, CAST(x.d + e.w AS DECIMAL(18,2)) AS d
+    FROM d0 x JOIN edges e ON e.src = x.node
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d1
+    UNION ALL
+    SELECT e.dst, CAST(x.d + e.w AS DECIMAL(18,2))
+    FROM d1 x JOIN edges e ON e.src = x.node
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d2
+    UNION ALL
+    SELECT e.dst, CAST(x.d + e.w AS DECIMAL(18,2))
+    FROM d2 x JOIN edges e ON e.src = x.node
+  ) GROUP BY node
+)
+SELECT node, CAST(d AS DOUBLE) AS dist FROM d3
+"""
+
+
+@register("q_shortest_paths", SSSP_ORACLE,
+          "Bellman-Ford min-plus shortest paths, 3 relaxation rounds "
+          "over the undirected shipment graph: exact decimal path "
+          "sums, order-insensitive MIN per round; unrolled-CTE oracle")
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e1 = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .groupBy(F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                   F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"))
+          .agg(F.min(F.round("l_extendedprice", 2).cast("decimal(12,2)"))
+               .alias("w")))
+    edges = (e1.unionAll(e1.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"), "w"))
+             .localCheckpoint(eager=False))  # reused every round
+
+    dist = (edges.filter(F.col("src").isin("s1", "s2", "s3"))
+            .select(F.col("src").alias("node")).distinct()
+            .withColumn("d", F.lit(0).cast("decimal(18,2)")))
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (dist.join(edges, dist.node == edges.src)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("d") + F.col("w"))
+                           .cast("decimal(18,2)").alias("d")))
+        dist = (dist.unionAll(relaxed)
+                .groupBy("node").agg(F.min("d").alias("d"))
+                .localCheckpoint(eager=False))
+    return dist.select("node", F.col("d").cast("double").alias("dist"))
