@@ -159,3 +159,66 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = ev.withColumn("open_now", F.sum("delta").over(w))
     return (run.groupBy("custkey")
             .agg(F.max("open_now").alias("max_open")))
+
+
+# ---------------------------------------------------------------------------
+# Business-day lead time (order → ship): average count of non-weekend
+# days strictly after the order date up to and including the ship
+# date, per order priority. Day enumeration is an explicit
+# sequence+explode (exact by construction); the weekend test is where
+# the engines genuinely differ — Spark's dayofweek() is 1-based
+# Sunday=1, DuckDB's dayofweek() is 0-based Sunday=0 — so each side
+# uses ITS OWN constants for {Saturday, Sunday} (Spark 7/1, DuckDB
+# 6/0). The explode is ~30 rows per lineitem; a 100 TB deployment
+# would switch to the closed-form full-weeks formula and keep this
+# form as its oracle twin.
+# ---------------------------------------------------------------------------
+
+BUSINESS_DAYS_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(o.o_orderdate AS DATE) AS d0,
+         CAST(l.l_shipdate AS DATE) AS d1
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+),
+days AS (
+  SELECT priority, unnest(generate_series(d0 + 1, d1, INTERVAL 1 DAY)) AS d
+  FROM spans
+),
+biz AS (
+  SELECT priority,
+         COUNT(CASE WHEN dayofweek(d) NOT IN (6, 0) THEN 1 END) AS n_biz,
+         COUNT(*) AS n_days
+  FROM days GROUP BY priority
+)
+SELECT priority, n_biz, n_days,
+       ROUND(CAST(n_biz AS DOUBLE) / n_days, 6) AS biz_fraction
+FROM biz
+"""
+
+
+@register("q_business_days", BUSINESS_DAYS_ORACLE,
+          "business-day lead time per priority via day enumeration; "
+          "each engine uses its own dayofweek convention (Spark "
+          "1-based, DuckDB 0-based) for the weekend test")
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (o.join(li, li.l_orderkey == o.o_orderkey)
+             .select(F.col("o_orderpriority").alias("priority"),
+                     F.to_date("o_orderdate").alias("d0"),
+                     F.to_date("l_shipdate").alias("d1"))
+             .filter(F.col("d1") > F.col("d0")))
+    days = spans.select(
+        "priority",
+        F.explode(F.sequence(F.date_add("d0", 1), F.col("d1"))).alias("d"))
+    # Spark dayofweek: Sunday=1 ... Saturday=7
+    is_biz = ~F.dayofweek("d").isin(7, 1)
+    biz = (days.groupBy("priority")
+           .agg(F.count(F.when(is_biz, 1)).alias("n_biz"),
+                F.count(F.lit(1)).alias("n_days")))
+    return biz.select(
+        "priority", "n_biz", "n_days",
+        F.round(F.col("n_biz").cast("double") / F.col("n_days"), 6)
+         .alias("biz_fraction"))

@@ -617,3 +617,56 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("p_ref", 6).alias("p_ref"),
                         F.round("p_cand", 6).alias("p_cand"),
                         F.round(psi.cast("double"), 6).alias("psi_term"))
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns — the feature-
+# relevance screen (how much does knowing returnflag tell you about
+# linestatus): MI = Σ p(x,y)·ln(p(x,y)·N² / (c(x)·c(y)·N)). All
+# probabilities are exact integer counts over one grouped pass plus
+# two broadcast marginals; the single ln per cell follows the round-9
+# decimal discipline. Output per cell so the driver hash checks every
+# term, not just the scalar.
+# ---------------------------------------------------------------------------
+
+MUTUAL_INFO_ORACLE = """
+WITH joint AS (
+  SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS cxy
+  FROM lineitem GROUP BY 1, 2
+),
+mx AS (SELECT x, SUM(cxy) AS cx FROM joint GROUP BY x),
+my AS (SELECT y, SUM(cxy) AS cy FROM joint GROUP BY y),
+n AS (SELECT SUM(cxy) AS n FROM joint)
+SELECT j.x, j.y, j.cxy,
+       CAST(CAST(ROUND(
+         (CAST(j.cxy AS DOUBLE) / n.n)
+         * ln(CAST(j.cxy AS DOUBLE) * n.n
+              / (CAST(mx.cx AS DOUBLE) * my.cy)), 9)
+         AS DECIMAL(20,9)) AS DOUBLE) AS mi_term
+FROM joint j
+JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y CROSS JOIN n
+"""
+
+
+@register("q_mutual_information", MUTUAL_INFO_ORACLE,
+          "mutual information between returnflag and linestatus: one "
+          "joint-count pass + broadcast marginals, round-9 ln terms "
+          "emitted per cell")
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    joint = (li.groupBy(F.col("l_returnflag").alias("x"),
+                        F.col("l_linestatus").alias("y"))
+             .agg(F.count(F.lit(1)).alias("cxy"))
+             .localCheckpoint(eager=False))  # feeds marginals + result
+    mx = joint.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    n = joint.agg(F.sum("cxy").alias("n"))
+    term = F.round(
+        (F.col("cxy").cast("double") / F.col("n"))
+        * F.log(F.col("cxy").cast("double") * F.col("n")
+                / (F.col("cx").cast("double") * F.col("cy"))), 9) \
+        .cast("decimal(20,9)")
+    return (joint.join(F.broadcast(mx), "x").join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(n))
+            .select("x", "y", "cxy",
+                    term.cast("double").alias("mi_term")))
