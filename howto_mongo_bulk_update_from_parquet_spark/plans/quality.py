@@ -670,3 +670,65 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(n))
             .select("x", "y", "cxy",
                     term.cast("double").alias("mi_term")))
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of supplier account balances per nation — the
+# inequality/skew diagnostic (how concentrated is capacity within
+# each nation). Exact rank formula G = Σ(2i − n − 1)·x_i / (n²·μ)
+# over per-nation ascending ranks: the rank window is PARTITIONED BY
+# nation (bounded groups, never global), balances shift to be
+# non-negative per the standard min-shift convention, and the
+# rank-weighted sum crosses the agg as DECIMAL so partial order can't
+# move a bit. Degenerate all-equal groups define G = 0.
+# ---------------------------------------------------------------------------
+
+GINI_ORACLE = """
+WITH ranked AS (
+  SELECT s_nationkey,
+         s_acctbal - MIN(s_acctbal) OVER (PARTITION BY s_nationkey) AS x,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal, s_suppkey) AS i,
+         COUNT(*) OVER (PARTITION BY s_nationkey) AS n
+  FROM supplier
+),
+agg AS (
+  SELECT s_nationkey, MAX(n) AS n,
+         SUM(CAST((2 * i - n - 1) AS DECIMAL(18,2))
+             * CAST(ROUND(x, 2) AS DECIMAL(18,2))) AS num,
+         SUM(CAST(ROUND(x, 2) AS DECIMAL(18,2))) AS tot
+  FROM ranked GROUP BY s_nationkey
+)
+SELECT s_nationkey, n,
+       CASE WHEN CAST(tot AS DOUBLE) = 0 THEN 0.0
+            ELSE ROUND(CAST(num AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+       END AS gini
+FROM agg
+"""
+
+
+@register("q_gini_by_group", GINI_ORACLE,
+          "per-nation Gini of supplier balances: key-partitioned rank "
+          "window, min-shifted values, decimal rank-weighted sum")
+def q_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    s = load_table(spark, sf_dir, "supplier")
+    wp = Window.partitionBy("s_nationkey")
+    wr = wp.orderBy("s_acctbal", "s_suppkey")
+    ranked = s.select(
+        "s_nationkey",
+        (F.col("s_acctbal") - F.min("s_acctbal").over(wp)).alias("x"),
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    xd = F.round(F.col("x"), 2).cast("decimal(18,2)")
+    agg = (ranked.groupBy("s_nationkey")
+           .agg(F.max("n").alias("n"),
+                F.sum((2 * F.col("i") - F.col("n") - 1)
+                      .cast("decimal(18,2)") * xd).alias("num"),
+                F.sum(xd).alias("tot")))
+    gini = F.when(F.col("tot").cast("double") == 0, F.lit(0.0)) \
+        .otherwise(F.round(F.col("num").cast("double")
+                           / (F.col("n").cast("double")
+                              * F.col("tot").cast("double")), 6))
+    return agg.select("s_nationkey", "n", gini.alias("gini"))

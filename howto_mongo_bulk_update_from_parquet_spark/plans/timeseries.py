@@ -165,3 +165,72 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("user_id", "day",
                     F.col("v").isNull().alias("filled"),
                     interp.alias("v_interp"))
+
+
+# ---------------------------------------------------------------------------
+# Change-point scoring on the per-type daily series: for every day,
+# |mean(next 7 days) − mean(prev 7 days)| — the sliding two-sample
+# mean-shift score whose peaks localize level changes. Both frames
+# are RANGE windows over the day number (value-based, so missing days
+# shrink the window instead of sliding over phantom rows), partitioned
+# by event_type — never global. Daily sums cross as DECIMAL; the two
+# means and their difference are fixed IEEE ops over exact sums.
+# ---------------------------------------------------------------------------
+
+CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dnum,
+         SUM(CAST(value AS DECIMAL(18,6))) AS day_sum
+  FROM events GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT event_type, day,
+         SUM(day_sum) OVER w_prev AS s_prev,
+         COUNT(*) OVER w_prev AS n_prev,
+         SUM(day_sum) OVER w_next AS s_next,
+         COUNT(*) OVER w_next AS n_next
+  FROM daily
+  WINDOW w_prev AS (PARTITION BY event_type ORDER BY dnum
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING),
+         w_next AS (PARTITION BY event_type ORDER BY dnum
+                    RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING)
+)
+SELECT event_type, day, n_prev, n_next,
+       ROUND(ABS(CAST(s_next AS DOUBLE) / n_next
+                 - CAST(s_prev AS DOUBLE) / n_prev), 6) AS shift_score
+FROM scored
+WHERE n_prev >= 3 AND n_next >= 3
+"""
+
+
+@register("q_changepoint_score", CHANGEPOINT_ORACLE,
+          "two-sample mean-shift change-point score per day: RANGE "
+          "frames over day number (7 back / 7 forward), partitioned "
+          "by event_type; decimal daily sums, fixed-float means")
+def q_changepoint_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.to_date("ts").alias("day"),
+                       F.datediff(F.to_date("ts"),
+                                  F.lit("2024-01-01").cast("date"))
+                        .alias("dnum"))
+             .agg(F.sum(F.col("value").cast("decimal(18,6)"))
+                  .alias("day_sum")))
+    w_prev = (Window.partitionBy("event_type").orderBy("dnum")
+              .rangeBetween(-7, -1))
+    w_next = (Window.partitionBy("event_type").orderBy("dnum")
+              .rangeBetween(1, 7))
+    scored = daily.select(
+        "event_type", "day",
+        F.sum("day_sum").over(w_prev).alias("s_prev"),
+        F.count(F.lit(1)).over(w_prev).alias("n_prev"),
+        F.sum("day_sum").over(w_next).alias("s_next"),
+        F.count(F.lit(1)).over(w_next).alias("n_next"))
+    return (scored.filter((F.col("n_prev") >= 3) & (F.col("n_next") >= 3))
+            .select("event_type", "day", "n_prev", "n_next",
+                    F.round(F.abs(
+                        F.col("s_next").cast("double") / F.col("n_next")
+                        - F.col("s_prev").cast("double") / F.col("n_prev")),
+                        6).alias("shift_score")))
