@@ -222,3 +222,49 @@ def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", "n_biz", "n_days",
         F.round(F.col("n_biz").cast("double") / F.col("n_days"), 6)
          .alias("biz_fraction"))
+
+
+# ---------------------------------------------------------------------------
+# Running distinct count — "how many distinct event types has this
+# user touched as of each event". Neither engine supports
+# COUNT(DISTINCT) OVER a running frame; the portable form is the
+# first-occurrence flag (rank 1 within (user, type) by time) run-
+# summed over the user's timeline. Both windows are key-partitioned;
+# the tie order (ts, event_id) is total, so the running values match
+# row-for-row across engines.
+# ---------------------------------------------------------------------------
+
+RUNNING_DISTINCT_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_of_type
+  FROM events
+)
+SELECT user_id, event_id,
+       SUM(first_of_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS distinct_types_so_far
+FROM flagged
+"""
+
+
+@register("q_running_distinct", RUNNING_DISTINCT_ORACLE,
+          "running distinct event types per user: first-occurrence "
+          "flag (rank-1 within user+type) + key-partitioned running "
+          "sum — the portable COUNT(DISTINCT) OVER")
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    e = load_table(spark, sf_dir, "events")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "event_id", "ts",
+        F.when(F.row_number().over(w_type) == 1, 1).otherwise(0)
+         .alias("first_of_type"))
+    w_run = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return flagged.select(
+        "user_id", "event_id",
+        F.sum("first_of_type").over(w_run).alias("distinct_types_so_far"))
