@@ -300,3 +300,77 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("r.n_chars").alias("n_chars"),
                     (-F.col("r.nk")).alias("k"),
                     (F.col("pos") + 1).cast("long").alias("rnk")))
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder quota apportionment: split a fixed sampling
+# budget (1000 slots) across (source, lang) strata proportionally to
+# their document counts, with EXACT integer allocation — floors
+# first, then the leftover slots go to the largest fractional
+# remainders (ties by stratum key). The arithmetic is integer
+# multiply/divide (budget·count ÷ total, remainder = product mod
+# total) — no floats anywhere, so both engines agree trivially and
+# the allocations always sum to exactly the budget. The ranking
+# window orders the ~|strata| remainder rows, not data.
+# ---------------------------------------------------------------------------
+
+QUOTA_BUDGET = 1000
+
+QUOTA_ORACLE = f"""
+WITH strata AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+),
+tot AS (SELECT SUM(n) AS total FROM strata),
+base AS (
+  SELECT source, lang, n,
+         ({QUOTA_BUDGET} * n) // tot.total AS floor_q,
+         ({QUOTA_BUDGET} * n) % tot.total AS rem
+  FROM strata CROSS JOIN tot
+),
+leftover AS (
+  SELECT {QUOTA_BUDGET} - SUM(floor_q) AS k FROM base
+),
+ranked AS (
+  SELECT source, lang, n, floor_q,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source, lang) AS r
+  FROM base
+)
+SELECT source, lang, n,
+       floor_q + CASE WHEN r <= (SELECT k FROM leftover)
+                      THEN 1 ELSE 0 END AS quota
+FROM ranked
+"""
+
+
+@register("q_quota_allocation", QUOTA_ORACLE,
+          "largest-remainder apportionment of a 1000-slot sampling "
+          "budget across (source, lang) strata: pure integer "
+          "arithmetic, remainder-ranked leftovers, sums exactly to "
+          "the budget")
+def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = strata.agg(F.sum("n").alias("total"))
+    base = (strata.crossJoin(F.broadcast(tot))
+            .select("source", "lang", "n",
+                    F.floor(QUOTA_BUDGET * F.col("n") / F.col("total"))
+                     .cast("long").alias("floor_q"),
+                    ((QUOTA_BUDGET * F.col("n")) % F.col("total"))
+                    .alias("rem"))
+            .localCheckpoint(eager=False))  # feeds leftover + ranking
+    k = QUOTA_BUDGET - base.agg(F.sum("floor_q")).collect()[0][0]
+    # rank WITHOUT a global window (the repo bans unpartitioned
+    # windows even on small inputs): r = 1 + count of strata whose
+    # (rem desc, source, lang) tuple sorts earlier — an O(s²) join on
+    # the |strata| remainder rows (tens), never on data
+    key = F.struct((-F.col("rem")).alias("nr"), F.col("source"),
+                   F.col("lang"))
+    other = base.select(key.alias("k2"))
+    ranked = (base.withColumn("k1", key)
+              .join(F.broadcast(other), F.col("k2") < F.col("k1"), "left")
+              .groupBy("source", "lang", "n", "floor_q")
+              .agg((F.count("k2") + 1).alias("r")))
+    return ranked.select(
+        "source", "lang", "n",
+        (F.col("floor_q") + F.when(F.col("r") <= k, 1).otherwise(0))
+        .alias("quota"))

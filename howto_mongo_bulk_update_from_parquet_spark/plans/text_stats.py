@@ -237,3 +237,52 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 6)
                   .alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# Keyword-in-context (KWIC): every occurrence of a query term with a
+# ±3-token window — the inspection view a corpus-QA pass renders for
+# spot checks. Positions come from one posexplode; the context is an
+# array slice around the hit (no joins back — the token array rides
+# along), so the whole query is scan → explode → filter → slice.
+# Slice bounds clamp at the document edges identically in both
+# engines (explicit GREATEST/LEAST arithmetic, 1-based positions).
+# ---------------------------------------------------------------------------
+
+KWIC_TERM = "vector"
+
+KWIC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+hits AS (
+  SELECT doc_id, tk,
+         unnest(list_transform(range(1, len(tk) + 1),
+                               i -> CASE WHEN tk[i] = '{KWIC_TERM}'
+                                         THEN i END)) AS pos
+  FROM toks
+)
+SELECT doc_id, pos,
+       array_to_string(tk[GREATEST(1, pos - 3):LEAST(len(tk), pos + 3)],
+                       ' ') AS context
+FROM hits WHERE pos IS NOT NULL
+"""
+
+
+@register("q_kwic_context", KWIC_ORACLE,
+          "keyword-in-context: one posexplode finds term positions, "
+          "clamped array slices render the +-3-token window; "
+          "scan-local, no joins")
+def q_kwic_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    hits = (toks.select("doc_id", "tk",
+                        F.posexplode("tk").alias("pos0", "tok"))
+            .filter(F.col("tok") == KWIC_TERM)
+            .select("doc_id", "tk", (F.col("pos0") + 1).alias("pos")))
+    start = F.greatest(F.lit(1), F.col("pos") - 3)
+    stop = F.least(F.size("tk"), F.col("pos") + 3)
+    return hits.select(
+        "doc_id", "pos",
+        F.array_join(F.slice("tk", start, stop - start + 1), " ")
+         .alias("context"))
