@@ -374,3 +374,98 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "lang", "n",
         (F.col("floor_q") + F.when(F.col("r") <= k, 1).otherwise(0))
         .alias("quota"))
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative mining: for every verified near-dup pair (the
+# positives a contrastive embedding run trains on), attach 3
+# DETERMINISTIC negatives — candidate ids computed arithmetically
+# from the pair (never a random sample, so the dataset is
+# reproducible bit-for-bit), verified to exist, and anti-joined
+# against the duplicate-pair set so a true duplicate can't leak in as
+# a negative. No candidate explosion: 3 arithmetic probes per
+# positive, each an equi-join, not a cross join against the corpus.
+# ---------------------------------------------------------------------------
+
+NEGATIVES_PER_POS = 3
+
+CONTRASTIVE_ORACLE = """
+WITH pairs AS ({lsh_pairs}),
+probes AS (
+  SELECT p.id_a, p.id_b, j,
+         (p.id_a * 31 + p.id_b * 17 + j * 7919)
+           % (SELECT MAX(doc_id) + 1 FROM documents) AS neg_id
+  FROM pairs p CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+),
+valid AS (
+  SELECT pr.id_a, pr.id_b, pr.j, pr.neg_id
+  FROM probes pr
+  JOIN documents d ON d.doc_id = pr.neg_id
+  WHERE pr.neg_id <> pr.id_a AND pr.neg_id <> pr.id_b
+    AND NOT EXISTS (
+      SELECT 1 FROM pairs q
+      WHERE (q.id_a = LEAST(pr.id_a, pr.neg_id)
+             AND q.id_b = GREATEST(pr.id_a, pr.neg_id))
+         OR (q.id_a = LEAST(pr.id_b, pr.neg_id)
+             AND q.id_b = GREATEST(pr.id_b, pr.neg_id))
+    )
+)
+SELECT id_a, id_b, CAST(j AS BIGINT) AS j, neg_id FROM valid
+"""
+
+
+def _contrastive_oracle() -> str:
+    from .lsh import LSH_PAIRS_ORACLE
+    return CONTRASTIVE_ORACLE.format(lsh_pairs=LSH_PAIRS_ORACLE)
+
+
+@register("q_contrastive_negatives", None,  # oracle installed below
+          "deterministic contrastive negatives for LSH positive "
+          "pairs: arithmetic probe ids (reproducible, no RNG), "
+          "existence join, anti-join against the dup set")
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (lsh_bands, lsh_candidate_pairs,
+                                   minhash_signatures, shingles)
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles(d, "doc_id", "text", 3), "doc_id", 16)
+    pairs = (lsh_candidate_pairs(lsh_bands(sig, "doc_id", 4), "doc_id")
+             .localCheckpoint(eager=False))  # positives + 2 anti-joins
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    probes = (pairs.select(
+        "id_a", "id_b",
+        F.explode(F.array(*[F.lit(j) for j in range(NEGATIVES_PER_POS)]))
+         .alias("j"))
+        .withColumn("neg_id",
+                    (F.col("id_a") * 31 + F.col("id_b") * 17
+                     + F.col("j") * 7919) % max_id)
+        .filter((F.col("neg_id") != F.col("id_a"))
+                & (F.col("neg_id") != F.col("id_b"))))
+    exists = probes.join(d.select(F.col("doc_id").alias("neg_id")),
+                         "neg_id")
+    # a candidate negative that is actually a near-dup of EITHER side
+    # of the positive pair is excluded
+    dup_a = pairs.select(
+        F.least("id_a", "id_b").alias("x"),
+        F.greatest("id_a", "id_b").alias("y"))
+    no_dup_a = exists.join(
+        dup_a,
+        (F.least(exists.id_a, exists.neg_id) == dup_a.x)
+        & (F.greatest(exists.id_a, exists.neg_id) == dup_a.y),
+        "left_anti")
+    clean = no_dup_a.join(
+        dup_a,
+        (F.least(no_dup_a.id_b, no_dup_a.neg_id) == dup_a.x)
+        & (F.greatest(no_dup_a.id_b, no_dup_a.neg_id) == dup_a.y),
+        "left_anti")
+    return clean.select("id_a", "id_b", F.col("j").cast("long").alias("j"),
+                        "neg_id")
+
+
+def _install_contrastive_oracle() -> None:
+    from .catalog import CATALOG, Query
+    q = CATALOG["q_contrastive_negatives"]
+    CATALOG["q_contrastive_negatives"] = Query(
+        name=q.name, fn=q.fn, oracle=_contrastive_oracle(), doc=q.doc)
+
+
+_install_contrastive_oracle()

@@ -732,3 +732,56 @@ def q_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / (F.col("n").cast("double")
                               * F.col("tot").cast("double")), 6))
     return agg.select("s_nationkey", "n", gini.alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted median: the price point at which half the QUANTITY (not
+# half the rows) has traded, per returnflag — the holistic aggregate
+# procurement/pricing reports actually want. Classic two-window form:
+# per-group running quantity (key-partitioned, ordered by price with
+# a full tie-break) against half the group total; the weighted median
+# is the first value whose running weight reaches half. Integer
+# quantities make every comparison exact; "first crossing" is MIN
+# over qualifying prices — order-insensitive.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         CAST(l_quantity AS BIGINT) AS qty,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, MAX(tot) AS total_qty,
+       ROUND(MIN(CASE WHEN 2 * cum >= tot THEN price END), 6)
+         AS weighted_median_price
+FROM w GROUP BY l_returnflag
+"""
+
+
+@register("q_weighted_median", WEIGHTED_MEDIAN_ORACLE,
+          "quantity-weighted median price per returnflag: key-"
+          "partitioned running weight vs half total, first-crossing "
+          "MIN; exact integer weights")
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    w_run = (W.partitionBy("l_returnflag")
+             .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_tot = W.partitionBy("l_returnflag")
+    scored = li.select(
+        "l_returnflag", F.col("l_extendedprice").alias("price"),
+        F.sum(qty).over(w_run).alias("cum"),
+        F.sum(qty).over(w_tot).alias("tot"))
+    return (scored.groupBy("l_returnflag")
+            .agg(F.max("tot").alias("total_qty"),
+                 F.round(F.min(F.when(2 * F.col("cum") >= F.col("tot"),
+                                      F.col("price"))), 6)
+                  .alias("weighted_median_price")))
