@@ -162,16 +162,17 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Business-day lead time (order → ship): average count of non-weekend
-# days strictly after the order date up to and including the ship
-# date, per order priority. Day enumeration is an explicit
-# sequence+explode (exact by construction); the weekend test is where
-# the engines genuinely differ — Spark's dayofweek() is 1-based
-# Sunday=1, DuckDB's dayofweek() is 0-based Sunday=0 — so each side
-# uses ITS OWN constants for {Saturday, Sunday} (Spark 7/1, DuckDB
-# 6/0). The explode is ~30 rows per lineitem; a 100 TB deployment
-# would switch to the closed-form full-weeks formula and keep this
-# form as its oracle twin.
+# Business-day lead time (order → ship): count of non-weekend days
+# strictly after the order date up to and including the ship date,
+# per order priority — restricted to a 1-in-20 orderkey slice so the
+# oracle's day-by-day enumeration stays cheap. The two sides are
+# DELIBERATELY different algorithms: Spark computes the CLOSED FORM
+# (full-weeks × 5 + an unrolled partial-week tail over the ISO start
+# weekday — scan-local arithmetic, the shape a 100 TB run needs),
+# while DuckDB enumerates every day and tests each one. Each engine
+# also uses its own dayofweek convention (Spark Sunday=1, DuckDB
+# Sunday=0) normalized to ISO Monday=1 — the documented cross-engine
+# calendar gotcha, exercised on both sides of the gate.
 # ---------------------------------------------------------------------------
 
 BUSINESS_DAYS_ORACLE = """
@@ -181,6 +182,7 @@ WITH spans AS (
          CAST(l.l_shipdate AS DATE) AS d1
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
   WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+    AND o.o_orderkey % 20 = 0
 ),
 days AS (
   SELECT priority, unnest(generate_series(d0 + 1, d1, INTERVAL 1 DAY)) AS d
@@ -199,25 +201,35 @@ FROM biz
 
 
 @register("q_business_days", BUSINESS_DAYS_ORACLE,
-          "business-day lead time per priority via day enumeration; "
-          "each engine uses its own dayofweek convention (Spark "
-          "1-based, DuckDB 0-based) for the weekend test")
+          "business-day lead time per priority: Spark computes the "
+          "closed form (full weeks + unrolled partial-week tail on "
+          "the ISO start weekday), the oracle enumerates days — two "
+          "algorithms, two dayofweek conventions, one answer")
 def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    spans = (o.join(li, li.l_orderkey == o.o_orderkey)
+    spans = (o.filter(F.col("o_orderkey") % 20 == 0)
+             .join(li, li.l_orderkey == o.o_orderkey)
              .select(F.col("o_orderpriority").alias("priority"),
                      F.to_date("o_orderdate").alias("d0"),
                      F.to_date("l_shipdate").alias("d1"))
              .filter(F.col("d1") > F.col("d0")))
-    days = spans.select(
-        "priority",
-        F.explode(F.sequence(F.date_add("d0", 1), F.col("d1"))).alias("d"))
-    # Spark dayofweek: Sunday=1 ... Saturday=7
-    is_biz = ~F.dayofweek("d").isin(7, 1)
-    biz = (days.groupBy("priority")
-           .agg(F.count(F.when(is_biz, 1)).alias("n_biz"),
-                F.count(F.lit(1)).alias("n_days")))
+    # window [d0+1 .. d1]: n days starting at ISO weekday w of d0+1
+    n = F.datediff("d1", "d0")                       # = d1 - (d0+1) + 1
+    # Spark dayofweek: Sunday=1..Saturday=7 → ISO Monday=1..Sunday=7
+    w = (F.dayofweek(F.date_add("d0", 1)) + 5) % 7 + 1
+    r = n % 7
+    # business days in the partial tail: weekdays w..w+r-1 (mod),
+    # counting those with ISO index ≤ 5 — unrolled over i = 0..5
+    tail = sum(
+        F.when((F.lit(i) < r) & (((w - 1 + i) % 7) < 5), 1).otherwise(0)
+        for i in range(6))
+    n_biz_row = (n - r) / 7 * 5 + tail               # exact integers
+    biz = (spans.select("priority", n.alias("n_days_row"),
+                        n_biz_row.cast("long").alias("n_biz_row"))
+           .groupBy("priority")
+           .agg(F.sum("n_biz_row").alias("n_biz"),
+                F.sum("n_days_row").alias("n_days")))
     return biz.select(
         "priority", "n_biz", "n_days",
         F.round(F.col("n_biz").cast("double") / F.col("n_days"), 6)
