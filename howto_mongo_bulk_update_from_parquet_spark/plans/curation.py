@@ -469,3 +469,116 @@ def _install_contrastive_oracle() -> None:
 
 
 _install_contrastive_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Corpus card: the one-row dataset manifest a release ships with —
+# scale counts, language mix, length quantiles, exact-duplicate rate.
+# One pass over documents (every stat is an aggregate over the same
+# scan; the dup rate reuses the md5 exact-dup key), so the card costs
+# a single job however wide it grows. Exactness: counts are integers,
+# quantiles are the exact interpolating percentile, the top-language
+# share is an integer ratio through one IEEE divide.
+# ---------------------------------------------------------------------------
+
+CORPUS_CARD_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+),
+langs AS (
+  SELECT lang, COUNT(*) AS c FROM base GROUP BY lang
+),
+top_lang AS (
+  SELECT lang, c FROM langs ORDER BY c DESC, lang LIMIT 1
+)
+SELECT (SELECT COUNT(*) FROM base) AS n_docs,
+       (SELECT SUM(n_tokens) FROM base) AS n_tokens,
+       (SELECT COUNT(*) FROM langs) AS n_langs,
+       (SELECT lang FROM top_lang) AS top_lang,
+       ROUND((SELECT CAST(c AS DOUBLE) FROM top_lang)
+             / (SELECT COUNT(*) FROM base), 6) AS top_lang_share,
+       (SELECT quantile_cont(n_tokens, 0.5) FROM base) AS median_tokens,
+       (SELECT quantile_cont(n_chars, 0.9) FROM base) AS p90_chars,
+       (SELECT COUNT(*) - COUNT(DISTINCT h) FROM base) AS n_exact_dups
+"""
+
+
+@register("q_corpus_card", CORPUS_CARD_ORACLE,
+          "one-row dataset card: counts, language mix, exact length "
+          "quantiles, exact-dup rate — one aggregation pass over one "
+          "scan")
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("h")).localCheckpoint(eager=False)
+    langs = base.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    top = (langs.orderBy(F.col("c").desc(), "lang").limit(1)
+           .collect()[0])  # 1 row — the TakeOrderedAndProject scalar
+    card = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("median_tokens"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"))
+    n_langs = langs.count()
+    return card.select(
+        "n_docs", "n_tokens",
+        F.lit(n_langs).cast("long").alias("n_langs"),
+        F.lit(top.lang).alias("top_lang"),
+        F.round(F.lit(float(top.c)) / F.col("n_docs"), 6)
+         .alias("top_lang_share"),
+        "median_tokens", "p90_chars", "n_exact_dups")
+
+
+# ---------------------------------------------------------------------------
+# Literal-phrase decontamination scan — the complement of the shingle-
+# overlap decontaminator: eval-set PHRASES (exact substrings, e.g.
+# benchmark questions) swept across every document in one scan.
+# Membership is `locate`/`position` (no regex engine in the loop, no
+# cross-engine regex semantics risk); each phrase is one codegen
+# predicate on the same scan, so k phrases cost k comparisons per
+# row, not k passes. At real eval-set sizes the phrase list becomes a
+# broadcast join against an Aho-Corasick mapInPandas kernel — this is
+# the small-k exact form and the oracle for that path.
+# ---------------------------------------------------------------------------
+
+EVAL_PHRASES = (
+    "slow fast table value",
+    "window table table key",
+    "batch window spark order",
+)
+
+
+def _phrase_oracle() -> str:
+    cols = []
+    for i, ph in enumerate(EVAL_PHRASES):
+        cols.append(
+            f"COUNT(CASE WHEN position('{ph}' IN text) > 0 THEN 1 END)"
+            f" AS hits_{i}")
+    return ("SELECT COUNT(*) AS n_docs, " + ", ".join(cols)
+            + ", COUNT(CASE WHEN "
+            + " OR ".join(f"position('{p}' IN text) > 0"
+                          for p in EVAL_PHRASES)
+            + " THEN 1 END) AS contaminated FROM documents")
+
+
+@register("q_phrase_decontaminate", _phrase_oracle(),
+          "literal eval-phrase sweep: per-phrase and any-phrase "
+          "contaminated-doc counts via substring position tests on "
+          "ONE scan — no regex, no second pass")
+def q_phrase_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hit = [F.locate(ph, F.col("text")) > 0 for ph in EVAL_PHRASES]
+    any_hit = hit[0]
+    for h in hit[1:]:
+        any_hit = any_hit | h
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    aggs += [F.count(F.when(h, 1)).alias(f"hits_{i}")
+             for i, h in enumerate(hit)]
+    aggs.append(F.count(F.when(any_hit, 1)).alias("contaminated"))
+    return d.agg(*aggs)
