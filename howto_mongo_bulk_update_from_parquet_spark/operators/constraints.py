@@ -66,7 +66,14 @@ def audit(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
     aggs, names = [], []
     for c in constraints:
         if c.kind == "unique":
-            expr = (F.count(F.lit(1))
+            # extras among FULLY NON-NULL keys only: countDistinct
+            # skips rows with any null column, so the minuend must
+            # too — otherwise a single null-keyed row reads as a
+            # duplicate (null-key presence is not_null's job)
+            nn = F.col(c.cols[0]).isNotNull()
+            for x in c.cols[1:]:
+                nn = nn & F.col(x).isNotNull()
+            expr = (F.count(F.when(nn, 1))
                     - F.countDistinct(*[F.col(x) for x in c.cols]))
         elif c.kind == "fk":
             continue  # separate anti-join below

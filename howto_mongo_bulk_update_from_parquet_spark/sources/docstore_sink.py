@@ -75,6 +75,14 @@ class DocStoreWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         os.makedirs(self.path, exist_ok=True)
         members, total = [], 0
+        # append MERGES with the published manifest; overwrite starts
+        # fresh (earlier members stay on disk but drop out of the
+        # manifest, so the reader contract hides them)
+        prior = os.path.join(self.path, "_DOCSTORE_COMMITTED")
+        if not self.overwrite and os.path.exists(prior):
+            with open(prior) as fh:
+                old = json.load(fh)
+            members, total = list(old["members"]), old["n_rows"]
         for m in messages:
             final = os.path.join(self.path, os.path.basename(m.staged_path))
             os.rename(m.staged_path, final)

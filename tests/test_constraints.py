@@ -59,3 +59,21 @@ def test_row_local_checks_share_one_scan(spark, tmp_path):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     # 4 row-local constraints → ONE FileScan, one aggregation pass
     assert plan.count("FileScan") == 1, plan
+
+
+def test_unique_ignores_null_keys(spark):
+    """A null key is not_null's violation, never unique's: one null
+    row among distinct keys must NOT read as a duplicate."""
+    df = spark.createDataFrame([(1, "A", 1.0), (2, "A", 1.0),
+                                (None, "A", 1.0)],
+                               "k long, status string, price double")
+    rep = {r["constraint"]: r.n_violations
+           for r in C.audit(df, [C.unique("k")]).collect()}
+    assert rep["unique(k)"] == 0
+    # but a genuine duplicate still counts
+    df2 = spark.createDataFrame([(1, "A", 1.0), (1, "A", 1.0),
+                                 (None, "A", 1.0)],
+                                "k long, status string, price double")
+    rep2 = {r["constraint"]: r.n_violations
+            for r in C.audit(df2, [C.unique("k")]).collect()}
+    assert rep2["unique(k)"] == 1

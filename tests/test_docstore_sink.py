@@ -60,3 +60,13 @@ def test_manifest_counts_every_partition_once(ds, tmp_path):
     assert man["n_rows"] == 1000
     assert len(man["members"]) == 13
     assert len(set(man["members"])) == 13
+
+
+def test_second_append_merges_manifest(ds, tmp_path):
+    out = f"{tmp_path}/store"
+    for lo, hi in [(0, 100), (100, 250)]:
+        ds.range(lo, hi).select(F.col("id").alias("_id")) \
+            .repartition(3).write.format("docstore") \
+            .option("path", out).mode("append").save()
+    docs = read_committed(out)
+    assert sorted(d["_id"] for d in docs) == list(range(250))
