@@ -229,13 +229,19 @@ FROM paths GROUP BY path HAVING COUNT(*) >= 2
           "(collect_list struct -> array_sort -> join) per user, "
           "then path counts; support >= 2")
 def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
     e = load_table(spark, sf_dir, "events")
-    step = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
-    paths = (e.groupBy("user_id")
+    # rank-filter BEFORE the fold (the oracle's shape): the collect
+    # state is then <= 3 structs per user instead of the user's whole
+    # history — the difference between bounded and unbounded agg state
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    top3 = (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3))
+    step = F.struct(F.col("rn"), F.col("event_type"))
+    paths = (top3.groupBy("user_id")
              .agg(F.array_join(
-                 F.transform(
-                     F.slice(F.array_sort(F.collect_list(step)), 1, 3),
-                     lambda s: s["event_type"]),
+                 F.transform(F.array_sort(F.collect_list(step)),
+                             lambda s: s["event_type"]),
                  ">").alias("path")))
     return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
             .filter(F.col("n_users") >= 2))
