@@ -280,3 +280,53 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "user_id", "event_id",
         F.sum("first_of_type").over(w_run).alias("distinct_types_so_far"))
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: every purchase credits the user's most
+# recent PRIOR click — the carry-forward idiom (`last(..., ignore
+# nulls)` over an unbounded-preceding frame) that powers marketing
+# attribution, as-of enrichment, and forward-fill alike. The window
+# is key-partitioned per user with a total (ts, event_id) order; the
+# attributed value crosses the final aggregate as DECIMAL.
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_ORACLE = """
+WITH tl AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_id
+  FROM events
+)
+SELECT CASE WHEN last_click_id IS NULL THEN 'organic'
+            ELSE 'click_attributed' END AS bucket,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+FROM tl WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("q_last_touch_attribution", ATTRIBUTION_ORACLE,
+          "last-touch attribution: carry-forward last(click, ignore "
+          "nulls) over an unbounded-preceding frame per user; "
+          "purchases split organic vs click-attributed")
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    tl = e.withColumn(
+        "last_click_id",
+        F.last(F.when(F.col("event_type") == "click", F.col("event_id")),
+               ignorenulls=True).over(w))
+    bucket = F.when(F.col("last_click_id").isNull(), "organic") \
+        .otherwise("click_attributed")
+    return (tl.filter(F.col("event_type") == "purchase")
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("double").alias("attributed_value")))
