@@ -330,3 +330,58 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.sum(F.col("value").cast("decimal(18,6)"))
                   .cast("double").alias("attributed_value")))
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent rollup: each nation's revenue as a share of its
+# region — the hierarchical contribution report. Two grouped
+# aggregates (nation level, region level re-aggregated FROM the
+# nation level, never a second scan) joined back via broadcast; the
+# decimal revenue discipline keeps both levels and the ratio exact.
+# ---------------------------------------------------------------------------
+
+SHARE_OF_PARENT_ORACLE = """
+WITH nat AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+reg AS (SELECT region, SUM(rev) AS region_rev FROM nat GROUP BY region)
+SELECT n.region, n.nation,
+       CAST(n.rev AS DOUBLE) AS revenue,
+       ROUND(CAST(n.rev AS DOUBLE) / CAST(g.region_rev AS DOUBLE), 6)
+         AS share_of_region
+FROM nat n JOIN reg g ON n.region = g.region
+"""
+
+
+@register("q_share_of_parent", SHARE_OF_PARENT_ORACLE,
+          "hierarchical contribution: nation revenue share within "
+          "region — parent level re-aggregates the child level (one "
+          "scan), broadcast join back, exact decimal ratio")
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)"))
+    nat = (li.join(s, li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum(rev).alias("rev"))
+           .localCheckpoint(eager=False))  # feeds parent + result
+    reg = nat.groupBy("region").agg(F.sum("rev").alias("region_rev"))
+    return (nat.join(F.broadcast(reg), "region")
+            .select("region", "nation",
+                    F.col("rev").cast("double").alias("revenue"),
+                    F.round(F.col("rev").cast("double")
+                            / F.col("region_rev").cast("double"), 6)
+                     .alias("share_of_region")))
