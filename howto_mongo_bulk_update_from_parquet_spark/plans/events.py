@@ -166,6 +166,11 @@ GROUP BY o_orderpriority, decile
           "NTILE(10) price deciles per order-priority with per-bucket "
           "stats (partitioned window — no global sort)")
 def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE inherently ranks each partition in one task; partitioning
+    by the 5-value o_orderpriority therefore assumes group sizes that
+    fit a reducer (allowlisted in the tiny-key window sweep). For
+    decile BOUNDARIES at scale, use
+    operators.percentiles.exact_grouped_percentile instead."""
     o = load_table(spark, sf_dir, "orders")
     w = (Window.partitionBy("o_orderpriority")
          .orderBy("o_totalprice", "o_orderkey"))

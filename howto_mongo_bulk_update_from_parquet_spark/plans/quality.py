@@ -467,14 +467,17 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Robust outlier detection: per-group MAD (median absolute deviation)
 # z-scores — the heavy-tail-safe alternative to the mean/stddev
 # z-score (one contaminated decade of prices moves a mean; it barely
-# moves a median). Two passes: (1) per-group exact median (the
-# holistic percentile aggregate — per-group state, never a global
-# sort), broadcast back; (2) per-group exact median of |x − med|,
-# broadcast again; flag |x − med| > 3 · 1.4826 · MAD. All medians are
-# exact interpolating percentiles (Spark `percentile` ≡ DuckDB
-# `quantile_cont`), and the robust-z comparison is fixed IEEE
-# arithmetic over identical doubles, so the flagged SET matches the
-# oracle exactly.
+# moves a median). Two exact-median passes, each via
+# operators.percentiles.exact_grouped_percentile: approx-percentile
+# brackets + strict-below anchors + local refinement over bracket
+# rows only — per-task state is bounded by the bracket width
+# (~0.4% of a group), NOT the whole group, so the 3-value returnflag
+# key never concentrates a full sort on 3 tasks (the holistic
+# `percentile` aggregate it replaces did exactly that). The medians
+# are exact interpolating percentiles (≡ DuckDB `quantile_cont`,
+# same interpolation formula as Spark's own `percentile`), and the
+# robust-z comparison is fixed IEEE arithmetic over identical
+# doubles, so the flagged SET matches the oracle exactly.
 # ---------------------------------------------------------------------------
 
 MAD_ORACLE = """
@@ -503,16 +506,20 @@ GROUP BY l.l_returnflag
 
 @register("q_mad_outliers", MAD_ORACLE,
           "robust per-group outliers via MAD z-score: two exact-"
-          "median passes (grouped holistic percentile, broadcast "
-          "back), flag |x-med| > 3*1.4826*MAD")
+          "median passes (bracket-refined order statistics, bounded "
+          "per-task state), flag |x-med| > 3*1.4826*MAD")
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_grouped_percentile
     li = load_table(spark, sf_dir, "lineitem")
-    med = (li.groupBy("l_returnflag")
-           .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("med")))
+    med = exact_grouped_percentile(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", [0.5], out_cols=["med"])
     with_med = li.join(F.broadcast(med), "l_returnflag")
-    mad = (with_med.groupBy("l_returnflag")
-           .agg(F.expr("percentile(abs(l_extendedprice - med), 0.5)")
-                .alias("mad")))
+    dev_src = with_med.select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"))
+    mad = exact_grouped_percentile(dev_src, "l_returnflag", "adev",
+                                   [0.5], out_cols=["mad"])
     dev = F.abs(F.col("l_extendedprice") - F.col("med"))
     return (with_med.join(F.broadcast(mad), "l_returnflag")
             .groupBy("l_returnflag")
@@ -681,6 +688,14 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-negative per the standard min-shift convention, and the
 # rank-weighted sum crosses the agg as DECIMAL so partial order can't
 # move a bit. Degenerate all-equal groups define G = 0.
+#
+# GROUP-CARDINALITY ASSUMPTION: exact Gini inherently needs each
+# value's within-group rank, so each of the 25 nation partitions
+# sorts in one task — fine here because supplier is the DIMENSION-
+# side table (≈n/25 rows per reducer at any SF). Do not lift this
+# shape onto a fact table keyed by a handful of values; that is the
+# q_outlier_trim hazard. A fact-scale exact Gini would anchor ranks
+# with the bracket machinery in operators/percentiles.py.
 # ---------------------------------------------------------------------------
 
 GINI_ORACLE = """
@@ -737,12 +752,17 @@ def q_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Weighted median: the price point at which half the QUANTITY (not
 # half the rows) has traded, per returnflag — the holistic aggregate
-# procurement/pricing reports actually want. Classic two-window form:
-# per-group running quantity (key-partitioned, ordered by price with
-# a full tie-break) against half the group total; the weighted median
-# is the first value whose running weight reaches half. Integer
-# quantities make every comparison exact; "first crossing" is MIN
-# over qualifying prices — order-insensitive.
+# procurement/pricing reports actually want. The oracle states the
+# classic running-window form; the engine side refuses that plan (a
+# running window partitioned by the 3-value returnflag sorts the
+# whole table on 3 reducers) and instead uses
+# operators.percentiles.grouped_weighted_median: approx price-bucket
+# boundaries (tiny broadcast) → per-(group,bucket) exact weight sums
+# → running sum over ≤32 rows/group finds the crossing bucket → the
+# running-weight window runs over that ONE bucket's rows only.
+# Integer quantities make every comparison exact, and the crossing
+# VALUE is invariant to tie-break order among equal prices, so the
+# bucketed refinement reproduces the oracle bit-for-bit.
 # ---------------------------------------------------------------------------
 
 WEIGHTED_MEDIAN_ORACLE = """
@@ -757,7 +777,7 @@ WITH w AS (
            OVER (PARTITION BY l_returnflag) AS tot
   FROM lineitem
 )
-SELECT l_returnflag, MAX(tot) AS total_qty,
+SELECT l_returnflag, CAST(MAX(tot) AS BIGINT) AS total_qty,
        ROUND(MIN(CASE WHEN 2 * cum >= tot THEN price END), 6)
          AS weighted_median_price
 FROM w GROUP BY l_returnflag
@@ -765,23 +785,14 @@ FROM w GROUP BY l_returnflag
 
 
 @register("q_weighted_median", WEIGHTED_MEDIAN_ORACLE,
-          "quantity-weighted median price per returnflag: key-"
-          "partitioned running weight vs half total, first-crossing "
-          "MIN; exact integer weights")
+          "quantity-weighted median price per returnflag: bucketed "
+          "first-crossing refinement (bounded per-task state, no "
+          "whole-group running window); exact integer weights")
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..operators.percentiles import grouped_weighted_median
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("long")
-    w_run = (W.partitionBy("l_returnflag")
-             .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-             .rowsBetween(W.unboundedPreceding, W.currentRow))
-    w_tot = W.partitionBy("l_returnflag")
-    scored = li.select(
-        "l_returnflag", F.col("l_extendedprice").alias("price"),
-        F.sum(qty).over(w_run).alias("cum"),
-        F.sum(qty).over(w_tot).alias("tot"))
-    return (scored.groupBy("l_returnflag")
-            .agg(F.max("tot").alias("total_qty"),
-                 F.round(F.min(F.when(2 * F.col("cum") >= F.col("tot"),
-                                      F.col("price"))), 6)
-                  .alias("weighted_median_price")))
+    med = grouped_weighted_median(li, "l_returnflag", "l_extendedprice",
+                                  F.col("l_quantity"))
+    return med.select(
+        "l_returnflag", F.col("total_weight").alias("total_qty"),
+        F.round("weighted_median", 6).alias("weighted_median_price"))

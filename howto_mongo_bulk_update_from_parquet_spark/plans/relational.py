@@ -301,6 +301,11 @@ WHERE rn <= 3
 @register("q_window_topk", TOPK_ORACLE,
           "top-3 orders per priority via row_number window")
 def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-filter windows push the row_number through a per-group
+    sort: with the 5-value o_orderpriority key that is ~n/5 rows per
+    reducer (allowlisted in the tiny-key window sweep as the
+    canonical window-top-k demo). The scale-safe top-k-per-tiny-group
+    shape is q_weighted_sample's TakeOrderedAndProject form."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey"))

@@ -105,6 +105,12 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 @register("q_window_rank_dist", NTILE_ORACLE,
           "ranking-distribution windows: ntile/percent_rank/cume_dist/nth_value")
 def q_window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist/nth_value are definitionally whole-
+    partition functions; the 3-value o_orderstatus key makes each
+    partition ~n/3 rows in one task (allowlisted in the tiny-key
+    window sweep — this query demos the function family, not a scale
+    pattern; distribution POSITIONS at scale come from
+    exact_grouped_percentile)."""
     from pyspark.sql.window import Window
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")

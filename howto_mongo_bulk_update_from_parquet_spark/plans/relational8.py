@@ -87,6 +87,11 @@ FROM (
           "deterministic stratified sample: 50 docs per language by "
           "id-hash order (reproducible, unlike rand())")
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning by the 3-value lang key sorts ~n/3 rows per
+    reducer (allowlisted in the tiny-key window sweep): with k=50 per
+    stratum the window form is the clearest oracle-exact statement.
+    At scale, per-stratum top-k wants the per-partition-heap shape
+    (q_weighted_sample) or a rank-bracket refinement."""
     d = _t(spark, sf_dir, "documents")
     w = (Window.partitionBy("lang")
          .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
