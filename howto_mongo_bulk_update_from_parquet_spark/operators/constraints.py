@@ -82,11 +82,17 @@ def audit(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
         aggs.append(expr.cast("long").alias(c.name))
         names.append(c.name)
 
-    row = df.agg(*aggs)
-    pairs = F.array(*[F.struct(F.lit(n).alias("constraint"),
-                               F.col(n).alias("n_violations"))
-                      for n in names])
-    report = (row.select(F.explode(pairs).alias("x")).select("x.*"))
+    if names:
+        row = df.agg(*aggs)
+        pairs = F.array(*[F.struct(F.lit(n).alias("constraint"),
+                                   F.col(n).alias("n_violations"))
+                          for n in names])
+        report = (row.select(F.explode(pairs).alias("x")).select("x.*"))
+    else:
+        # fk-only audits: F.array() of zero structs can't star-expand,
+        # so seed an empty report with the right schema instead
+        report = df.sparkSession.createDataFrame(
+            [], "constraint string, n_violations long")
 
     for c in constraints:
         if c.kind != "fk":

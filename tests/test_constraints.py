@@ -77,3 +77,16 @@ def test_unique_ignores_null_keys(spark):
     rep2 = {r["constraint"]: r.n_violations
             for r in C.audit(df2, [C.unique("k")]).collect()}
     assert rep2["unique(k)"] == 1
+
+
+def test_fk_only_audit_produces_report(spark):
+    """audit() with ONLY fk constraints used to die star-expanding an
+    empty struct array (reachable from `cli audit --fk ...` alone) —
+    it must produce the fk rows on an empty seed report instead."""
+    from howto_mongo_bulk_update_from_parquet_spark.operators import constraints as C
+    fact = spark.createDataFrame([(1,), (2,), (9,)], "k int")
+    dim = spark.createDataFrame([(1,), (2,)], "d int")
+    rep = C.audit(fact, [C.foreign_key("k", dim, "d")]).collect()
+    assert len(rep) == 1
+    assert rep[0].constraint == "fk(k)"
+    assert rep[0].n_violations == 1 and not rep[0].passed

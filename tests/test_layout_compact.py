@@ -48,3 +48,51 @@ def test_corrupt_file_skipped_with_ignore_conf(spark, tmp_path):
         assert n == 1000          # corrupt member skipped, rest intact
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+
+
+def test_partitioned_dataset_is_refused(spark, tmp_path):
+    """Hive-layout input must be rejected, not silently flattened
+    (which would break partition pruning for every downstream reader
+    and size the rewrite from 0 bytes)."""
+    import pytest
+    path = f"{tmp_path}/t"
+    (spark.range(1000).select("id", (F.col("id") % 3).alias("k"))
+     .write.partitionBy("k").parquet(path))
+    with pytest.raises(ValueError, match="partitioned dataset"):
+        compact_small_files(spark, path)
+    # untouched
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_recover_compaction_mid_swap(spark, tmp_path):
+    """Simulate a crash between the two renames: path missing, both
+    copies beside it. Recovery must restore the complete compacted
+    copy and clean up."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.layout import (
+        recover_compaction)
+    path = f"{tmp_path}/t"
+    df = spark.range(5000).select("id", (F.col("id") % 7).alias("v"))
+    df.repartition(10).write.parquet(path)
+    want = _checksum(spark.read.parquet(path))
+    # fabricate the mid-swap state
+    df.repartition(2).write.parquet(f"{path}.__compact_tmp")
+    os.rename(path, f"{path}.__compact_old")
+    assert recover_compaction(path) == "tmp"
+    assert _checksum(spark.read.parquet(path)) == want
+    assert not os.path.exists(f"{path}.__compact_old")
+    # idempotent when healthy
+    assert recover_compaction(path) is None
+
+
+def test_recover_compaction_incomplete_tmp_restores_original(spark, tmp_path):
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.layout import (
+        recover_compaction)
+    path = f"{tmp_path}/t"
+    df = spark.range(500).select("id", (F.col("id") % 7).alias("v"))
+    df.write.parquet(path)
+    want = _checksum(spark.read.parquet(path))
+    os.makedirs(f"{path}.__compact_tmp")      # no _SUCCESS: incomplete
+    os.rename(path, f"{path}.__compact_old")
+    assert recover_compaction(path) == "old"
+    assert _checksum(spark.read.parquet(path)) == want
+    assert not os.path.exists(f"{path}.__compact_tmp")

@@ -84,3 +84,35 @@ def test_cli_query_cache_miss_then_hit(spark, tmp_path, capsys):
     assert "result cache: MISS" in capsys.readouterr().out
     assert main(argv) == 0
     assert "result cache: HIT" in capsys.readouterr().out
+
+
+def test_distinct_literals_get_distinct_keys(spark, tmp_path):
+    """Literals containing '#<digits>' must survive into the key: a
+    regex that strips exprId-style tokens wholesale would fingerprint
+    filters on 'tag#1' and 'tag#2' identically and serve the wrong
+    cached result (the r6 advice finding)."""
+    src = f"{tmp_path}/src"
+    spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("tag#"), (F.col("id") % 3).cast("string"))
+         .alias("tag")).write.mode("overwrite").parquet(src)
+    q1 = spark.read.parquet(src).filter(F.col("tag") == "tag#1")
+    q2 = spark.read.parquet(src).filter(F.col("tag") == "tag#2")
+    assert plan_fingerprint(q1) != plan_fingerprint(q2)
+    cdir = f"{tmp_path}/cache"
+    r1, _ = cached(q1, cdir)
+    r2, _ = cached(q2, cdir)
+    assert {r.tag for r in r1.collect()} == {"tag#1"}
+    assert {r.tag for r in r2.collect()} == {"tag#2"}
+
+
+def test_remote_scheme_is_rejected(spark, tmp_path):
+    """Non-local inputs can't be versioned via os.stat — the cache
+    must refuse them loudly instead of keying on the bare path (which
+    would never invalidate)."""
+    import pytest
+    src = f"{tmp_path}/src"
+    _write(spark, src)
+    q = spark.read.parquet(src).agg(F.sum("v").alias("s"))
+    with pytest.raises(ValueError, match="local filesystems only"):
+        cached(q, "s3a://bucket/cache")
