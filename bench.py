@@ -11,19 +11,108 @@ single-node columnar engine is the concrete yardstick for the "within
 and `over_2x` lists the queries above budget (streaming queries carry
 the engine's micro-batch/state-store fixed cost and are expected
 there; `no_oracle`/unmeasurable entries are excluded).
+
+Layout (r7): the driver's fixtures are SINGLE-file/single-row-group
+parquet, which caps every scan at one core by layout — BENCH_NOTES
+measured the identical plan 11× faster on a 32-file copy.
+`SPARK_GRAFT_LAYOUT=multifile32` stages a 32-file copy of each table
+once (mtime-keyed, excluded from timings, TIMESTAMP_MICROS pinned)
+and runs BOTH engines against it; the committed BENCH_MULTIFILE.json
+records that mode's full detail each round. The DEFAULT stays the raw
+single-file fixture so BENCH_r{N}.json remains comparable across
+rounds and against the recorded baseline ratios — the measured
+asymmetry (BENCH_NOTES r7): the multi-file layout speeds DuckDB's
+5-100 ms scan-bound oracles ~2× while Spark's totals are dominated by
+the ~0.3-0.5 s/query scheduler floor, so flipping the headline would
+inflate the aggregate ratio without any query getting slower.
+
+Noise sentinel (r7): this host suffers CPU-steal spikes that have
+swung same-commit totals 1.5-2× between runs. DuckDB runs in-process
+on the same box, so its per-oracle mean is a co-measured probe: the
+printed line carries `noise` = observed-mean / calibrated-mean, and
+`noisy: true` when it exceeds 1.5× — a self-describing flag that the
+artifact was taken on a degraded box (rerun, or compare per-query
+ratios rather than totals).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
+import shutil
 import sys
 import time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+SMALL_DIMS = {"region", "nation"}          # stay single-file when staged
+
+# Calibrated DuckDB per-oracle mean at sf0.1 on an idle box, PER
+# LAYOUT (recalibrate when the catalog's query mix shifts materially:
+# value = duck_total / n_oracles from a quiet-box BENCH_FULL.json —
+# r7 calibration: single 47.8 s / 188 oracles; multifile 21.3 s / 189).
+DUCK_REF_MEAN_SEC = {"single": 0.254, "multifile32": 0.113}
+NOISE_THRESHOLD = 1.5
+
+
+def stage_multifile(spark, sf_dir: str, n_files: int = 32) -> str:
+    """One-time 32-file restaging of the fixture tables, keyed on the
+    sources' (size, mtime_ns) so regeneration re-stages. Values pass
+    through load_table (same ns→µs events handling as every query),
+    so the staged copy is semantically identical to what the engine
+    reads from the raw fixture."""
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
+
+    ident = {}
+    for t in TABLES:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        ident[t] = [st.st_size, st.st_mtime_ns]
+    key = hashlib.sha256(
+        json.dumps(ident, sort_keys=True).encode()).hexdigest()[:12]
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_layout")
+    dest = os.path.join(
+        base, f"{os.path.basename(sf_dir.rstrip('/'))}-{n_files}f-{key}")
+    if os.path.exists(os.path.join(dest, "_STAGED")):
+        return dest
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # INT96 (the legacy default on some sessions) reads back as ns in
+    # pyarrow and would misroute events through the raw-int64 path —
+    # pin the staged copy to plain TIMESTAMP_MICROS
+    prev_tt = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        for t in TABLES:
+            n = 1 if t in SMALL_DIMS else n_files
+            (load_table(spark, sf_dir, t).repartition(n)
+             .write.mode("overwrite")
+             .parquet(os.path.join(tmp, f"{t}.parquet")))
+    finally:
+        if prev_tt is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
+    with open(os.path.join(tmp, "_STAGED"), "w") as fh:
+        fh.write(key)
+    try:
+        os.rename(tmp, dest)
+    except OSError:                       # concurrent stager won
+        shutil.rmtree(tmp, ignore_errors=True)
+    # stale generations of THIS sf_dir (older fixture versions);
+    # other SFs' staged copies stay
+    prefix = f"{os.path.basename(sf_dir.rstrip('/'))}-{n_files}f-"
+    for e in os.scandir(base):
+        if (e.is_dir() and e.name.startswith(prefix)
+                and e.name != os.path.basename(dest)):
+            shutil.rmtree(e.path, ignore_errors=True)
+    return dest
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    layout = os.environ.get("SPARK_GRAFT_LAYOUT", "single")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -33,6 +122,12 @@ def main() -> None:
 
     spark = get_spark("bench")
     queries = all_queries()
+
+    stage_sec = 0.0
+    if layout == "multifile32":
+        t0 = time.perf_counter()
+        sf_dir = stage_multifile(spark, sf_dir)
+        stage_sec = round(time.perf_counter() - t0, 3)
 
     # warm the JVM/session + file-listing caches so fixed startup cost
     # isn't charged to whichever query happens to run first
@@ -69,10 +164,11 @@ def main() -> None:
     # --- DuckDB oracle timings: the single-node yardstick ---------------
     import duckdb
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{src}')")
     duck: dict[str, float] = {}
     for name, q in CATALOG.items():
         if q.oracle is None:
@@ -90,11 +186,15 @@ def main() -> None:
     slowest = {n: round(v, 2)
                for n, v in sorted(timings.items(), key=lambda kv: -kv[1])[:10]}
 
+    duck_total = round(sum(duck.values()), 3)
+    ref_mean = DUCK_REF_MEAN_SEC.get(layout, DUCK_REF_MEAN_SEC["single"])
+    noise = round((duck_total / max(len(duck), 1)) / ref_mean, 2)
+
     # Full per-query detail goes to disk; the printed line stays compact.
     # The driver's log-tail capture window is 2,000 chars — a line longer
     # than that is truncated mid-JSON and recorded as parsed:null — so the
     # printed summary carries only totals + the slowest-10 (~0.7 KB) and
-    # the complete 104-query timing/oracle detail lives in BENCH_FULL.json.
+    # the complete per-query timing/oracle detail lives in BENCH_FULL.json.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as fh:
         json.dump({
@@ -105,8 +205,12 @@ def main() -> None:
             "duck": duck,
             "ratio": ratio,
             "over_2x": over_2x,
-            "duck_total": round(sum(duck.values()), 3),
+            "duck_total": duck_total,
             "sf": sf,
+            "layout": layout,
+            "stage_sec": stage_sec,
+            "noise": noise,
+            "noisy": noise > NOISE_THRESHOLD,
         }, fh, indent=1, sort_keys=True)
 
     line = json.dumps({
@@ -117,8 +221,11 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": sum(1 for v in timings.values() if v < 0),
-        "duck_total": round(sum(duck.values()), 3),
+        "duck_total": duck_total,
         "n_over_2x": len(over_2x),
+        "layout": layout,
+        "noise": noise,
+        "noisy": noise > NOISE_THRESHOLD,
     }, separators=(",", ":"))
     assert len(line) <= 1900, f"bench summary line too long: {len(line)}"
     print(line)

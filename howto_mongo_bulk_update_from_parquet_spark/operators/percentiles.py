@@ -83,7 +83,10 @@ def exact_grouped_percentile(df: DataFrame, group_col: str,
                 F.floor(pos).alias(f"rk_lo_{i}"),
                 F.ceil(pos).alias(f"rk_hi_{i}"),
                 pos.alias(f"pos_{i}")]
-    nb = stats.select(*sel)
+    # nb/below are n_groups-row frames consumed by several broadcast
+    # builds — checkpoint cuts the lineage so the GK sketch and the
+    # anchor scan each run ONCE, not once per downstream job
+    nb = stats.select(*sel).localCheckpoint(eager=False)
     j = src.join(F.broadcast(nb), group_col)
 
     # pass 2: strict-below anchors (0 on the whole-group fallback path)
@@ -91,7 +94,8 @@ def exact_grouped_percentile(df: DataFrame, group_col: str,
         F.sum(F.when((v < F.col(f"br_lo_{i}")) & ~F.col("small"), 1)
               .otherwise(0)).alias(f"n_lt_{i}")
         for i in range(len(probs))]
-    below = j.groupBy(group_col).agg(*anchor_aggs)
+    below = j.groupBy(group_col).agg(*anchor_aggs) \
+        .localCheckpoint(eager=False)
 
     # pass 3: per prob, rank only bracket rows; global 0-indexed rank
     # = (local row_number - 1) + strict-below anchor. The window
@@ -127,7 +131,7 @@ def exact_grouped_percentile(df: DataFrame, group_col: str,
 
 def grouped_weighted_median(df: DataFrame, group_col: str,
                             value_col: str, weight_col,
-                            n_buckets: int = 32) -> DataFrame:
+                            n_buckets: int = 16) -> DataFrame:
     """Weighted median per group: the smallest value v such that the
     cumulative weight of rows with value ≤ v reaches half the group
     total — computed with per-task state bounded by one approx-
@@ -151,10 +155,15 @@ def grouped_weighted_median(df: DataFrame, group_col: str,
     v = F.col(value_col)
     src = df.select(group_col, value_col, w.alias("__w"))
 
+    # boundary precision does NOT affect correctness (anchors come
+    # from exact per-bucket weight sums; boundaries only balance the
+    # buckets), so a cheap low-accuracy sketch suffices — accuracy
+    # 10000 here cost ~3x the whole query at sf0.1
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    stats = src.groupBy(group_col).agg(
+    stats = (src.groupBy(group_col).agg(
         F.sum("__w").alias("tot"),
-        F.percentile_approx(v, qs, _GK_ACCURACY).alias("bnd"))
+        F.percentile_approx(v, qs, 500).alias("bnd"))
+        .localCheckpoint(eager=False))   # n_groups rows, reused 3×
     j = src.join(F.broadcast(stats), group_col)
 
     # bucket id: number of boundaries strictly below the value —
@@ -176,15 +185,19 @@ def grouped_weighted_median(df: DataFrame, group_col: str,
                 .groupBy(group_col)
                 .agg(F.min_by(F.struct("__b", "run", "wb", "tot"),
                               "__b").alias("c"))
-                .select(group_col, F.col("c.__b").alias("__b"),
+                .select(group_col, F.col("c.__b").alias("__bs"),
                         (F.col("c.run") - F.col("c.wb")).alias("anchor"),
-                        F.col("c.tot").alias("tot")))
+                        F.col("c.tot").alias("__t"))
+                .localCheckpoint(eager=False))
 
-    # refine inside the crossing bucket only
-    ref = (j.withColumn("__b", bucket)
-           .join(F.broadcast(crossing.select(group_col, "__b", "anchor",
-                                             F.col("tot").alias("__t"))),
-                 [group_col, "__b"]))
+    # refine inside the crossing bucket only. The broadcast join is on
+    # the plain group column with the bucket match as a FILTER — a
+    # hash join keyed on the unrolled bucket expression made janino
+    # compile the probe stage for ~8 s (one-time, but charged to every
+    # fresh session); the filter form generates a fraction of the code
+    # for the identical row set.
+    ref = (j.join(F.broadcast(crossing), group_col)
+           .filter(bucket == F.col("__bs")))
     wloc = (Window.partitionBy(group_col).orderBy(value_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.col("anchor") + F.sum("__w").over(wloc)

@@ -58,10 +58,20 @@ def events_ts_is_nanos(path: str) -> bool:
     key = (path, mtime)
     got = _TS_NANOS_CACHE.get(key)
     if got is None:
+        import glob
         import pyarrow as pa
         import pyarrow.parquet as pq
+        probe = path
+        if os.path.isdir(path):
+            # directory dataset (e.g. the bench's 32-file staged copy):
+            # every member shares one writer/unit, probe the first part
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                _TS_NANOS_CACHE[key] = False
+                return False
+            probe = parts[0]
         try:
-            fld = pq.ParquetFile(path).schema_arrow.field("ts")
+            fld = pq.ParquetFile(probe).schema_arrow.field("ts")
         except (FileNotFoundError, KeyError):
             got = False  # raced-away file / no ts field: native read
         else:

@@ -101,7 +101,7 @@ def _open_events_stream(spark: SparkSession, stage: str) -> DataFrame:
     ns→µs division; TIMESTAMP(MICROS) → native read). Same detection
     as the batch loader (sources/parquet.py::events_ts_is_nanos)."""
     from ..sources.parquet import events_ts_is_nanos
-    if events_ts_is_nanos(os.path.join(stage, "events.parquet")):
+    if events_ts_is_nanos(stage):   # dir-aware: probes first member
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (spark.readStream.schema(_RAW_EVENTS).parquet(stage)
                 .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
@@ -110,13 +110,22 @@ def _open_events_stream(spark: SparkSession, stage: str) -> DataFrame:
 
 
 def _stage_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
-    """Stage events.parquet into its own dir and open it as a stream."""
+    """Stage events.parquet into its own dir and open it as a stream.
+
+    The source may be a single file (raw fixture) or a directory
+    dataset (the bench's multi-file staged copy): members are
+    FLATTENED into the stream dir — the file stream source does not
+    recurse into subdirectories."""
+    import glob
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stage = os.path.join(tempfile.gettempdir(),
                          f"howto_mongo_bulk_update_from_parquet_spark_stream_{uuid.uuid4().hex[:8]}")
     os.makedirs(stage, exist_ok=True)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(stage, "events.parquet"))
+    src = os.path.join(sf_dir, "events.parquet")
+    members = (sorted(glob.glob(os.path.join(src, "*.parquet")))
+               if os.path.isdir(src) else [src])
+    for i, p in enumerate(members):
+        shutil.copy(p, os.path.join(stage, f"events_{i:05d}.parquet"))
     return _open_events_stream(spark, stage), stage
 
 
@@ -221,9 +230,11 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     its first occurrence (here both deliveries land in one availableNow
     batch; redeliveries beyond the delay are a dead-letter concern,
     not a state-size concern)."""
+    import glob
     events, stage = _stage_events_stream(spark, sf_dir)
-    shutil.copy(os.path.join(stage, "events.parquet"),
-                os.path.join(stage, "events_redelivered.parquet"))
+    for p in sorted(glob.glob(os.path.join(stage, "events_*.parquet"))):
+        shutil.copy(p, os.path.join(
+            stage, f"redelivered_{os.path.basename(p)}"))
     deduped = (events.withWatermark("ts", "10 minutes")
                .dropDuplicatesWithinWatermark(["event_id"])
                .select("event_id", "ts", "user_id", "event_type", "value"))

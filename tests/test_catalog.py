@@ -39,82 +39,69 @@ def test_docstrings_present():
 
 
 def test_head50_spans_every_capability():
-    """The correctness harness attests a bounded prefix (cap 50) of the
-    registration order, so the first 50 names must cover every SURVEY
-    §2.2 category and LLM-pipeline operator — pin both the ordering
-    mechanism and the category spread. (The head ROTATES between
-    rounds: queries already driver-attested in CORRECTNESS_r*.json may
-    yield their slot to unattested ones in the same category — e.g.
-    q_simhash and q_stream_first_seen_ttl, attested r3, moved to the
-    selfcheck-covered tail in r4.)"""
+    """The correctness harness attests a bounded prefix (cap 50) of
+    the registration order. The r7 head is 50 of the 55 oracle-
+    bearing queries that had never had a driver-attested CORRECTNESS
+    row after six rounds (the r6 verdict's top priority) — pin the
+    ordering mechanism, the all-never-attested property, and the
+    §2.2 category spread within it."""
+    import json
+    import os
     from howto_mongo_bulk_update_from_parquet_spark.plans.catalog import _HEAD
     names = list(all_queries())
     assert names[:50] == list(_HEAD)
     assert len(set(_HEAD)) == 50
     head = set(_HEAD)
-    # r6 map: the never-attested 26 rotated in wholesale, so several
-    # capabilities are now represented by their formerly-tail query
+    # every head slot goes to a query with NO green row in any prior
+    # round's driver artifact (the attestation-debt priority)
+    attested = set()
+    for i in range(1, 7):
+        p = f"/root/repo/CORRECTNESS_r{i:02d}.json"
+        if os.path.exists(p):
+            with open(p) as fh:
+                for k, v in json.load(fh).items():
+                    if v.get("rows_match"):
+                        attested.add(k)
+    already = sorted(head & attested)
+    assert already == [], f"head slots wasted on attested queries: {already}"
+    # §2.2 category spread: one exemplar per capability family
     required = {
-        "scan_agg": "q1_pricing_summary",
-        "filter_project": "q_filter_project",
-        "merge_sink": "q_merge_upsert",
-        "generator": "q_generate",
-        "joins": "q_tpch_q7_volume",
-        "left_join_agg": "q_tpch_q13_order_dist",
-        "scalar_subquery": "q_tpch_q15_top_supplier",
-        "correlated_window": "q_tpch_q17_small_quantity",
-        "semi_anti": "q_in_not_in",
-        "lateral": "q_lateral_topk",
-        "asof": "q_asof_join",
-        "aggregation": "q_grouping_id",
-        "having": "q_having",
-        "skew": "q_skew_salted_join",
-        "winsorize": "q_winsorize_bounds",
-        "window_frames": "q_window_range_frame",
-        "window_rank": "q_window_rank_dist",
-        "window_value": "q_window_value_funcs",
-        "distinct_on": "q_distinct_on",
-        "sort_limit": "q_orderby_limit",
-        "weighted_sampling": "q_weighted_sample",
-        "set_ops": "q_setops",
-        "null_funcs": "q_null_funcs",
-        "string_normalize": "q_string_normalize",
-        "tokenize": "q_token_regex",
-        "events_funnel": "q_event_funnel",
-        "events_window": "q_event_sliding",
-        "retention": "q_retention_cohorts",
-        "dedup_signatures": "q_minhash_signatures",
-        "vector_lsh": "q_rhp_lsh_buckets",
-        "dedup_cluster": "q_dedup_clusters",
-        "ivf": "q_ann_ivf_search",
-        "semantic_dedup": "q_semdedup",
-        "corpus_pipeline": "q_doc_packing",
-        "mixture_sampling": "q_mixture_sample",
-        "decontamination": "q_decontaminate",
-        "timeseries": "q_time_resample",
-        "udtf": "q_udtf_bigrams",
-        "dynamic_partition_pruning": "q_dpp_partition_pruned_join",
-        "bucketed_join": "q_bucketed_colocated_join",
-        "multimodal": "q_multimodal_meta",
-        "feature_extract": "q_feature_extract",
-        "streaming_state": "q_stream_first_seen",
-        "streaming_dedup": "q_stream_dedup",
-        "scd2": "q_scd2_history",
-        "cdc": "q_cdc_diff",
-        "profiling": "q_profile_approx",
-        "source_overlap": "q_source_overlap",
+        "scans_ingest": "q_jsonl_ingest",
+        "scans_custom_source": "q_fixedwidth_ingest",
+        "scans_schema_evolution": "q_schema_evolution_read",
+        "scans_variant": "q_variant_shred",
+        "sinks_reconcile": "q_table_checksum",
+        "sinks_layout": "q_zorder_layout",
+        "aggregation": "q_incremental_rollup",
+        "joins_runtime_filter": "q_bloom_semi_join",
+        "joins_band": "q_band_join_binned",
+        "joins_temporal": "q_scd2_pointintime",
+        "windows_sequences": "q_gaps_islands",
+        "quality_constraints": "q_constraint_audit",
+        "quality_robust_stats": "q_mad_outliers",
+        "quality_drift": "q_distribution_drift",
+        "text_retrieval": "q_bm25_topk",
+        "text_sketch": "q_heavy_hitters",
+        "text_tokenizer": "q_bpe_merges",
+        "dedup": "q_edit_distance_pairs",
+        "decontamination": "q_phrase_decontaminate",
+        "similarity": "q_sparse_cosine_pairs",
+        "vectors_quantization": "q_sq_int8_quantize",
+        "streaming_stateful": "q_stream_threshold_alarm",
+        "streaming_enrich": "q_stream_static_enrich",
+        "udf_arrow": "q_arrow_batch_norms",
+        "graph": "q_pagerank",
+        "curation": "q_quota_allocation",
+        "timeseries": "q_time_interpolate",
+        "pii": "q_pii_scrub",
     }
     for cap, q in required.items():
         assert q in head, f"capability {cap} not in attested head-50 ({q})"
-    # every head query must actually exist and (bar rows-only ops)
-    # carry an oracle
+    # every head query must carry an oracle (the r7 head deliberately
+    # excludes the 4 rows-only-by-design sketch queries — a head slot
+    # would only record the weaker rows-only check)
     oracles = all_oracles()
-    # rows-only by design (HLL sketches have no deterministic SQL
-    # twin; accuracy is pytest-pinned instead): the driver records
-    # the weaker rows-only check for these, knowingly
-    rows_only_ok = {"q_profile_approx"}
-    missing_oracle = [n for n in _HEAD
-                      if n not in oracles and n not in rows_only_ok]
+    missing_oracle = [n for n in _HEAD if n not in oracles]
     assert missing_oracle == [], f"head queries without oracle: {missing_oracle}"
 
 

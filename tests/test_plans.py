@@ -374,10 +374,16 @@ def test_catalog_wide_no_undocumented_tiny_key_windows(spark):
 def test_mad_outliers_has_no_holistic_percentile(spark):
     """q_mad_outliers must compute its medians via the bracket-refine
     operator — never the holistic `percentile` ObjectHashAggregate,
-    which buffers each returnflag group's full value set in one task."""
+    which buffers each returnflag group's full value set in one task.
+    (The bracket stats subtree is behind a localCheckpoint, so the
+    final plan text can't show percentile_approx — the operative pins
+    are `percentile(` absent and every window partition bounded.)"""
+    from howto_mongo_bulk_update_from_parquet_spark.plans import all_queries
     plan = _plan(spark, "q_mad_outliers")
     assert "percentile(" not in plan          # approx form is percentile_approx(
-    assert "percentile_approx(" in plan       # brackets present
+    assert "ObjectHashAggregate" not in plan  # no holistic agg state
+    df = all_queries()["q_mad_outliers"](spark, SF)
+    assert _tiny_key_window_hazards(df, _TINY_KEYS) == []
 
 
 def test_weighted_median_windows_are_bounded(spark):
@@ -387,4 +393,5 @@ def test_weighted_median_windows_are_bounded(spark):
     from howto_mongo_bulk_update_from_parquet_spark.plans import all_queries
     df = all_queries()["q_weighted_median"](spark, SF)
     assert _tiny_key_window_hazards(df, _TINY_KEYS) == []
-    assert "percentile_approx(" in _plan(spark, "q_weighted_median")
+    plan = _plan(spark, "q_weighted_median")
+    assert "ObjectHashAggregate" not in plan
