@@ -200,6 +200,39 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_plan_audit(args: argparse.Namespace) -> int:
+    """Mechanical scale-hazard audit of catalog queries' plans: the
+    pinned test-suite sweep (unpartitioned windows, tiny-key windows,
+    cartesians, row-Python), runnable pre-ship on any query. Exit 1
+    when an undocumented hazard is found."""
+    from .operators.plan_audit import DOCUMENTED_TINY_WINDOWS, plan_hazards
+    from .plans import all_queries
+    qs = all_queries()
+    names = args.name or sorted(n for n in qs
+                                if not n.startswith("q_stream_"))
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
+        return 2
+    spark = get_spark("plan-audit")
+    n_flagged = 0
+    for name in names:
+        probs = plan_hazards(qs[name](spark, args.sf_dir))
+        documented = name in DOCUMENTED_TINY_WINDOWS
+        if probs and not documented:
+            n_flagged += 1
+            for p in probs:
+                print(f"{name}: {p}")
+        elif probs:
+            for p in probs:
+                print(f"{name}: [documented-inherent] {p}")
+        elif args.verbose:
+            print(f"{name}: clean")
+    print(f"{len(names)} plans audited, {n_flagged} flagged "
+          f"(documented-inherent windows excluded)")
+    return 1 if n_flagged else 0
+
+
 def _bounded_int(lo: int, hi: int | None = None):
     """argparse type mirroring the reference CLI's click.IntRange
     validation (/root/reference/src/cli/mongo_update.py:17-43 bounds
@@ -273,6 +306,16 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--range", action="append", metavar="COL=LO,HI")
     a.add_argument("--fk", action="append", metavar="COL=DIMPATH:DIMCOL")
     a.set_defaults(fn=cmd_audit)
+
+    pa = sub.add_parser("plan-audit",
+                        help="mechanical scale-hazard audit of query "
+                             "plans (windows/cartesians/row-Python)")
+    pa.add_argument("--name", action="append",
+                    help="query name (repeatable; default: all batch "
+                         "queries)")
+    pa.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pa.add_argument("--verbose", action="store_true")
+    pa.set_defaults(fn=cmd_plan_audit)
 
     q = sub.add_parser("query", help="run a catalog query")
     q.add_argument("--list", action="store_true",

@@ -131,3 +131,102 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit(3).alias("rnd"), "pair",
                      F.lit(None).cast("string").alias("merged"), "cnt"))
     return chosen.unionByName(final)
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE — the other half of the tokenizer surface: apply the
+# trained merge list to the corpus and measure the per-language token
+# economy. Encoding happens at VOCABULARY level (|V| rows get the
+# merge chain; the corpus joins on the word), the same fast-BPE
+# factoring as training — the corpus is never string-rewritten. The
+# merge list is re-derived exactly as q_bpe_merges derives it (two
+# 1-row driver argmaxes), so the query is self-contained and the
+# oracle unrolls the identical chain.
+# ---------------------------------------------------------------------------
+
+BPE_ENCODE_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+), wf AS (
+  SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w
+), s0 AS (
+  SELECT w, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, freq FROM wf
+), pc0 AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(string_split(sym, ' '))),
+                 i -> string_split(sym, ' ')[i] || ' ' ||
+                      string_split(sym, ' ')[i+1])) AS pair
+    FROM s0) GROUP BY pair
+), b0 AS (
+  SELECT pair FROM pc0 ORDER BY cnt DESC, pair LIMIT 1
+), s1 AS (
+  SELECT w, trim(replace(' ' || sym || ' ',
+                      ' ' || (SELECT pair FROM b0) || ' ',
+                      ' ' || replace((SELECT pair FROM b0), ' ', '') || ' '))
+           AS sym, freq
+  FROM s0
+), pc1 AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(string_split(sym, ' '))),
+                 i -> string_split(sym, ' ')[i] || ' ' ||
+                      string_split(sym, ' ')[i+1])) AS pair
+    FROM s1) GROUP BY pair
+), b1 AS (
+  SELECT pair FROM pc1 ORDER BY cnt DESC, pair LIMIT 1
+), enc AS (
+  SELECT w, len(string_split(trim(replace(' ' || sym || ' ',
+                      ' ' || (SELECT pair FROM b1) || ' ',
+                      ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ')),
+                ' ')) AS n_tok
+  FROM s1
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(words.w)) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(e.n_tok) AS DOUBLE) / COUNT(*), 6)
+         AS tokens_per_word
+FROM words JOIN enc e USING (w)
+WHERE words.w <> ''
+GROUP BY lang
+"""
+
+
+@register("q_bpe_encode", BPE_ENCODE_ORACLE,
+          "BPE encoding pass: apply the trained merge chain at "
+          "vocabulary level, join the corpus on the word, report "
+          "per-language token economy (tokens/words/chars)")
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the tokenizer surface (training = q_bpe_merges,
+    reference tokenization parity = SURVEY §2 text ops): the corpus
+    is touched twice (word extraction, final join) and both merge
+    applications run over |V| vocabulary rows — at 100 TB the encode
+    cost is the broadcast-joinable vocabulary table, never a
+    per-document Python loop."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select("doc_id", "lang",
+                      F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.col("w") != ""))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    sym = wf.select(
+        "w", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"),
+        "freq")
+
+    for _rnd in (1, 2):
+        best = (_pair_counts(sym.select("sym", "freq"))
+                .orderBy(F.desc("cnt"), "pair")
+                .limit(1).collect()[0])  # 1-row driver state per round
+        merged = best.pair.replace(" ", "")
+        new_sym = F.trim(F.replace(
+            F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+            F.lit(f" {best.pair} "), F.lit(f" {merged} ")))
+        sym = sym.select("w", new_sym.alias("sym"), "freq")
+
+    enc = sym.select("w", F.size(F.split("sym", " ")).alias("n_tok"))
+    return (words.join(enc, "w")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.sum(F.length("w")).cast("long").alias("n_chars"),
+                 F.round(F.sum("n_tok").cast("double")
+                         / F.count(F.lit(1)), 6).alias("tokens_per_word")))

@@ -796,3 +796,43 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.select(
         "l_returnflag", F.col("total_weight").alias("total_qty"),
         F.round("weighted_median", 6).alias("weighted_median_price"))
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped quartiles — the direct catalog exposure of
+# operators/percentiles.py::exact_grouped_percentile's multi-prob
+# path (q_mad_outliers uses it twice at p=0.5; this query proves the
+# general [0.25, 0.5, 0.75] form against DuckDB's quantile_cont).
+# Each cut is an exact interpolating order statistic computed from an
+# approx bracket + strict-below anchor + refinement over bracket rows
+# only — per-task state is ~0.4% of a group, so the 5-value
+# o_orderpriority key never concentrates a full sort. Both engines
+# round to 6 decimals: the interpolation arithmetic
+# ((hi-pos)·v_lo + (pos-lo)·v_hi vs DuckDB's v_lo + frac·(v_hi-v_lo))
+# can differ in the last ulp.
+# ---------------------------------------------------------------------------
+
+EXACT_DECILES_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS q2,
+       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("q_exact_quartiles", EXACT_DECILES_ORACLE,
+          "exact interpolating quartiles per order priority via the "
+          "bracket-refine operator (multi-prob path): bounded "
+          "per-task state, no holistic percentile aggregate")
+def q_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_grouped_percentile
+    o = load_table(spark, sf_dir, "orders")
+    cuts = exact_grouped_percentile(
+        o.select("o_orderpriority", "o_totalprice"),
+        "o_orderpriority", "o_totalprice", [0.25, 0.5, 0.75],
+        out_cols=["q1", "q2", "q3"])
+    return cuts.select("o_orderpriority",
+                       F.round("q1", 6).alias("q1"),
+                       F.round("q2", 6).alias("q2"),
+                       F.round("q3", 6).alias("q3"))

@@ -286,3 +286,68 @@ def q_kwic_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos",
         F.array_join(F.slice("tk", start, stop - start + 1), " ")
          .alias("context"))
+
+
+# ---------------------------------------------------------------------------
+# Per-document unigram entropy — the information-density quality
+# signal (low-entropy docs are boilerplate/repetition; the Shannon
+# complement of q_repetition_ratio's n-gram dup ratio). Per doc:
+# H = Σ (c/n)·log2(n/c) over its word distribution. Transcendental
+# discipline: each term rounds to 9 decimals and crosses the agg as
+# DECIMAL(20,9), so partial-aggregation order can't move a bit and
+# both engines' log2 evaluate on identical doubles. The per-doc
+# groupBy keys on doc_id (high cardinality — shuffles distribute
+# evenly at any scale).
+# ---------------------------------------------------------------------------
+
+DOC_ENTROPY_ORACLE = """
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT doc_id, lang, w, COUNT(*) AS c FROM words WHERE w <> ''
+  GROUP BY doc_id, lang, w
+), tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY doc_id
+), terms AS (
+  SELECT wc.doc_id, wc.lang,
+         CAST(ROUND((CAST(c AS DOUBLE) / n)
+                    * log2(CAST(n AS DOUBLE) / c), 9)
+              AS DECIMAL(20,9)) AS t
+  FROM wc JOIN tot ON wc.doc_id = tot.doc_id
+), dh AS (
+  SELECT doc_id, lang, SUM(t) AS h FROM terms GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(MIN(h) AS DOUBLE), 6) AS min_entropy,
+       ROUND(CAST(MAX(h) AS DOUBLE), 6) AS max_entropy,
+       ROUND(CAST(SUM(h) AS DOUBLE) / COUNT(*), 6) AS avg_entropy
+FROM dh GROUP BY lang
+"""
+
+
+@register("q_doc_entropy", DOC_ENTROPY_ORACLE,
+          "per-document unigram Shannon entropy, aggregated per "
+          "language (min/max/avg): round-9 decimal-summed log2 terms, "
+          "doc_id-keyed shuffles only")
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (d.select("doc_id", "lang",
+                      F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.col("w") != ""))
+    wc = (words.groupBy("doc_id", "lang", "w")
+          .agg(F.count(F.lit(1)).alias("c")))
+    tot = wc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log2(F.col("n").cast("double") / F.col("c")), 9) \
+        .cast("decimal(20,9)")
+    dh = (wc.join(tot, "doc_id")
+          .groupBy("doc_id", "lang")
+          .agg(F.sum(term).alias("h")))
+    return (dh.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.min("h").cast("double"), 6).alias("min_entropy"),
+                 F.round(F.max("h").cast("double"), 6).alias("max_entropy"),
+                 F.round(F.sum("h").cast("double") / F.count(F.lit(1)), 6)
+                  .alias("avg_entropy")))

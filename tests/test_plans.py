@@ -301,58 +301,15 @@ def test_skyline_never_sorts_globally(spark):
     assert "hashpartitioning(__pid" not in plan
 
 
-def _tiny_key_window_hazards(df, tiny_cols):
-    """Walk the optimized plan: Window nodes whose partition spec is
-    ENTIRELY pinned-tiny-cardinality columns and whose subtree holds
-    no cardinality bound (Aggregate / Join / GlobalLimit) sort
-    table-scale data on a handful of reducers — the 3-reducer hazard
-    documented on q_outlier_trim. A composite key with one
-    high-cardinality column is fine; a bracket/bucket refinement
-    window is fine (its input is a Join against the bracket bounds)."""
-    def walk(node):
-        yield node
-        ch = node.children()
-        for i in range(ch.size()):
-            yield from walk(ch.apply(i))
-
-    out = []
-    for n in walk(df._jdf.queryExecution().optimizedPlan()):
-        if n.getClass().getSimpleName() != "Window":
-            continue
-        ps = n.partitionSpec()
-        cols = [ps.apply(i).toString().split("#")[0]
-                for i in range(ps.size())]
-        if not cols or not all(c in tiny_cols for c in cols):
-            continue
-        bounded = any(
-            sub.getClass().getSimpleName() in ("Aggregate", "Join",
-                                               "GlobalLimit")
-            for i in range(n.children().size())
-            for sub in walk(n.children().apply(i)))
-        if not bounded:
-            out.append(",".join(cols))
-    return out
-
-
-# Fixture columns with pinned tiny cardinality: a full-table window
-# partitioned by ONLY these keys concentrates the sort on ≤ a handful
-# of reducers regardless of data volume.
-_TINY_KEYS = ("l_returnflag", "l_linestatus", "o_orderpriority",
-              "o_orderstatus", "event_type", "lang")
-
-# Queries whose SEMANTICS inherently need a per-tiny-group total order
-# (greedy packing cumsum, ntile, per-status rank demos, the documented
-# rank-exact oracle twin). Each docstring states the group-cardinality
-# assumption; anything NOT in this map that grows a tiny-key window
-# fails the sweep.
-_DOCUMENTED_TINY_WINDOWS = {
-    "q_doc_packing": ["lang"],
-    "q_ntile_buckets": ["o_orderpriority"],
-    "q_outlier_trim": ["l_returnflag", "l_returnflag"],
-    "q_stratified_sample": ["lang"],
-    "q_window_rank_dist": ["o_orderstatus"],
-    "q_window_topk": ["o_orderpriority"],
-}
+# The hazard detector and the documented-inherent allowlist live in the
+# PACKAGE (operators/plan_audit.py, also behind the `plan-audit` CLI
+# subcommand) — the tests import them so CI and the user tool can't
+# drift apart.
+from howto_mongo_bulk_update_from_parquet_spark.operators.plan_audit import (  # noqa: E402
+    DEFAULT_TINY_KEYS as _TINY_KEYS,
+    DOCUMENTED_TINY_WINDOWS as _DOCUMENTED_TINY_WINDOWS,
+    tiny_key_window_hazards as _tiny_key_window_hazards,
+)
 
 
 def test_catalog_wide_no_undocumented_tiny_key_windows(spark):

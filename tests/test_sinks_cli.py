@@ -253,3 +253,17 @@ def test_cli_audit_pass_and_fail(spark, tmp_path, capsys):
     assert "FAIL (1)" in out      # one 'B' row, one price 9.0 row
     # no constraints at all is a usage error
     assert main(["audit", "--path", fact]) == 2
+
+
+def test_cli_plan_audit_clean_and_documented(spark, capsys):
+    """plan-audit exits 0 on clean queries, reports documented-
+    inherent windows without failing, and the detector import is the
+    same object the sweep test pins."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    rc = main(["plan-audit", "--name", "q_mad_outliers",
+               "--name", "q_window_topk",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "documented-inherent" in out
+    assert "0 flagged" in out
