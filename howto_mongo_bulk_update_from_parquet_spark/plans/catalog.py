@@ -170,6 +170,7 @@ def _load() -> None:
     from . import sketches  # noqa: F401
     from . import sparse_sim  # noqa: F401
     from . import band_join  # noqa: F401
+    from . import sql_surface  # noqa: F401
     missing = [n for n in _HEAD if n not in CATALOG]
     if missing:
         raise RuntimeError(f"catalog head names not registered: {missing}")

@@ -199,3 +199,23 @@ GROUP BY 1, 2
 def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_static_enrich
     return stream_static_enrich(spark, sf_dir)
+
+
+# foreachBatch partials are additive, so the re-aggregated sink equals
+# the global GROUP BY regardless of micro-batch splits — full oracle.
+STREAM_FOREACH_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
+@register("q_stream_foreach_upsert", STREAM_FOREACH_ORACLE,
+          "Structured Streaming foreachBatch sink: per-batch additive "
+          "partial aggregates written through the batch writer, "
+          "re-aggregated to the exact global GROUP BY (integer cents)")
+def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import stream_foreach_batch_upsert
+    return stream_foreach_batch_upsert(spark, sf_dir)

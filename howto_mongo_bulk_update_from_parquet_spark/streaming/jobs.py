@@ -95,18 +95,26 @@ _RAW_EVENTS = T.StructType([
 ])
 
 
-def _open_events_stream(spark: SparkSession, stage: str) -> DataFrame:
+def _open_events_stream(spark: SparkSession, stage: str,
+                        **reader_options) -> DataFrame:
     """Open a staged events dir as a stream, handling both `ts` units
     the fixture has shipped (TIMESTAMP(NANOS) → raw-int64 read + exact
     ns→µs division; TIMESTAMP(MICROS) → native read). Same detection
-    as the batch loader (sources/parquet.py::events_ts_is_nanos)."""
+    as the batch loader (sources/parquet.py::events_ts_is_nanos).
+    Extra reader options (e.g. maxFilesPerTrigger) pass through."""
     from ..sources.parquet import events_ts_is_nanos
     if events_ts_is_nanos(stage):   # dir-aware: probes first member
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (spark.readStream.schema(_RAW_EVENTS).parquet(stage)
+        reader = spark.readStream.schema(_RAW_EVENTS)
+        for k, v in reader_options.items():
+            reader = reader.option(k, v)
+        return (reader.parquet(stage)
                 .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
     from ..schemas import TESTDATA_SCHEMAS
-    return spark.readStream.schema(TESTDATA_SCHEMAS["events"]).parquet(stage)
+    reader = spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(stage)
 
 
 def _stage_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
@@ -326,3 +334,54 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _run_to_memory(agg, "append", stage)
     return out.select(F.col("w.start").alias("window_start"), "c_mktsegment",
                       "n_events", "sum_value")
+
+
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink integration: each micro-batch flows RAW into
+    the batch writer, which aggregates THAT batch and appends the
+    per-batch partial to the sink (the pattern that connects
+    Structured Streaming to any batch-only sink — keyed tables, JDBC,
+    Mongo). Aggregating inside foreachBatch — not upstream — is the
+    load-bearing choice: a streaming groupBy in update mode would
+    emit CUMULATIVE per-key state each batch, and appending cumulative
+    rows double-counts across batches. Per-batch partials are ADDITIVE
+    (count + integer-cents sum), so the final re-aggregation over the
+    sink equals the global batch GROUP BY no matter how the engine
+    split the micro-batches — the oracle checks exactly that, and
+    maxFilesPerTrigger=1 forces one batch per staged file so the
+    multi-batch path actually runs (32 batches under the bench's
+    multifile layout). Cents are computed JVM-side before the write,
+    so no rounding ever happens in the sink."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import glob
+    stage = os.path.join(tempfile.gettempdir(),
+                         f"howto_mongo_bulk_update_from_parquet_spark_stream_{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    members = (sorted(glob.glob(os.path.join(src, "*.parquet")))
+               if os.path.isdir(src) else [src])
+    for i, p in enumerate(members):
+        shutil.copy(p, os.path.join(stage, f"events_{i:05d}.parquet"))
+    events = _open_events_stream(spark, stage, maxFilesPerTrigger=1)
+
+    sink = os.path.join(stage, "__fb_sink")
+    cents = F.round(F.col("value") * 100).cast("long")
+    raw = events.select("user_id", cents.alias("cents"))
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        (batch_df.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+         .write.mode("append").parquet(sink))
+
+    q = (raw.writeStream.foreachBatch(write_batch)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        out = (spark.read.parquet(sink)
+               .groupBy("user_id")
+               .agg(F.sum("n").cast("long").alias("n_events"),
+                    F.sum("c").cast("long").alias("total_cents"))
+               .localCheckpoint())   # materialize before the stage dies
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out

@@ -342,3 +342,29 @@ def test_threshold_alarm_fires_once_across_batches(spark, tmp_path):
     # exactly one alarm per user: user2 from batch 1, user1 only after
     # batch 2 pushed 600+500 over 1000
     assert sorted(r.user_id for r in rows) == [1, 2]
+
+
+def test_foreach_batch_partials_are_additive_across_batches(spark, tmp_path):
+    """foreachBatch aggregates INSIDE the batch writer (per-batch
+    partials, additive) — an upstream streaming groupBy in update
+    mode would emit cumulative state and double-count on append.
+    Three source files + maxFilesPerTrigger=1 force three micro-
+    batches; the re-aggregated sink must equal the batch GROUP BY."""
+    import pyspark.sql.functions as F
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
+    from howto_mongo_bulk_update_from_parquet_spark.streaming.jobs import (
+        stream_foreach_batch_upsert)
+    src_dir = f"{tmp_path}/sf"
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    (ev.repartition(3).write.mode("overwrite")
+     .option("parquet.outputTimestampType", "TIMESTAMP_MICROS")
+     .parquet(f"{src_dir}/events.parquet"))
+    out = stream_foreach_batch_upsert(spark, src_dir)
+    got = {r.user_id: (r.n_events, r.total_cents) for r in out.collect()}
+    cents = F.round(F.col("value") * 100).cast("long")
+    want = {r.user_id: (r.n, r.c)
+            for r in (load_table(spark, src_dir, "events")
+                      .groupBy("user_id")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum(cents).alias("c")).collect())}
+    assert got == want and len(got) > 0
