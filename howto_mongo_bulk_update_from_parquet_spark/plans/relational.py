@@ -574,3 +574,21 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("k").alias("sum_k"),
                  F.min("k").alias("min_k"),
                  F.max("k").alias("max_k")))
+
+
+@register("q_grouped_topk", TOPK_ORACLE,
+          "top-3 orders per priority via the scale-safe two-stage "
+          "prune (operators/topk.py): per-batch local top-k with zero "
+          "exchange, bounded per-group re-rank — no window, no "
+          "per-group full sort; same oracle as q_window_topk")
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-free twin q_window_topk's docstring points to: the
+    identical result through mapInPandas batch pruning + a bounded
+    applyInPandas re-rank, so the 5-value priority key never
+    concentrates a ~n/5-row sort on one reducer."""
+    from ..operators.topk import grouped_topk
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderpriority", "o_orderkey",
+                 F.col("o_totalprice").cast("double").alias("o_totalprice")))
+    return grouped_topk(o, ["o_orderpriority"], "o_totalprice", 3,
+                        tie_cols=["o_orderkey"])
