@@ -59,12 +59,19 @@ def exact_grouped_percentile(df: DataFrame, group_col: str,
     bit-matching Spark's ``percentile``: position = (n-1)·p,
     value = (ceil(pos)-pos)·v[floor(pos)] + (pos-floor(pos))·v[ceil(pos)]
     over the ascending 0-indexed order statistics.
+
+    NULL values are ignored (matching Spark's ``percentile``, DuckDB's
+    ``quantile_cont``, and ``percentile_approx``): they are filtered
+    before n is counted, so the target position, the strict-below
+    anchors, and the refinement ranks all agree with the built-ins. A
+    group whose values are all NULL disappears from the output (the
+    built-ins would return NULL for it).
     """
     if out_cols is None:
         out_cols = [f"p_{str(p).replace('.', '_')}" for p in probs]
     assert len(out_cols) == len(probs)
     v = F.col(value_col)
-    src = df.select(group_col, value_col)
+    src = df.select(group_col, value_col).filter(v.isNotNull())
 
     # pass 1: per-group n + a value bracket around every requested prob
     flat = []

@@ -64,6 +64,12 @@ def plan_fingerprint(df: DataFrame) -> str:
     plan = (df._jdf.queryExecution().optimizedPlan()
             .canonicalized().toString())
     h = hashlib.sha256(plan.encode())
+    # Canonicalization rewrites Alias to its child, so two queries
+    # differing ONLY in output column names share a canonical plan —
+    # and with swapped aliases the cache would serve wrongly-labeled
+    # columns. The requesting query's output names (in order) are
+    # part of the result's identity, so mix them into the key.
+    h.update(("|cols|" + "|".join(df.columns)).encode())
     for f in sorted(df.inputFiles()):
         p = _local_path(f, "input file")
         st = os.stat(p)      # missing input = real error, propagate

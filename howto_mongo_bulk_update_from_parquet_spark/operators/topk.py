@@ -34,19 +34,22 @@ def grouped_topk(df: DataFrame, group_cols: list[str], order_col: str,
                  rank_col: str = "rn") -> DataFrame:
     """Top-k rows per group by order_col (desc by default), with a
     1-based `rank_col` — equivalent to the row_number window filter,
-    without any per-group full sort."""
+    without any per-group full sort. Like the window idiom, ALL of
+    df's columns survive (payload included) and a NULL group key is
+    its own ranked partition (pandas `dropna=False`; Spark's groupBy
+    keeps null keys natively)."""
     tie_cols = tie_cols or []
     sort_cols = [order_col] + tie_cols
     # ties ascend so (order desc, id asc) matches the window idiom
     sort_asc = [ascending] + [True] * len(tie_cols)
-    cols = list(dict.fromkeys(group_cols + sort_cols))
-    src = df.select(*cols)
+    src = df
 
     def local(batches):
         for pdf in batches:
             if len(pdf):
                 yield (pdf.sort_values(sort_cols, ascending=sort_asc)
-                       .groupby(group_cols, sort=False).head(k))
+                       .groupby(group_cols, sort=False, dropna=False)
+                       .head(k))
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         out = (pdf.sort_values(sort_cols, ascending=sort_asc)

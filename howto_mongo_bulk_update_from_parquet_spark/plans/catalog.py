@@ -58,71 +58,47 @@ _LOADED = False
 # full oracle coverage via selfcheck.py (SELFCHECK_FULL.json); the
 # round notes list the rotation.
 _HEAD: tuple[str, ...] = (
-    # --- ROUND-7 ROTATION: the r6 verdict's top priority — 59 of 193
-    # queries (all round-6 additions) have never had a driver-attested
-    # CORRECTNESS row, a debt larger than one 50-slot head. This head
-    # is therefore 50 of the 55 ORACLE-BEARING never-attested queries
-    # (the 4 rows-only-by-design sketches — q_profile_approx,
-    # q_approx_stats, q_hll_distinct, q_pca_project — stay in the
-    # tail: a head slot would record only the weaker rows-only check
-    # while their accuracy contracts are pytest-pinned). Everything
-    # attested r1–r6 yields its slot wholesale; category spread is
-    # preserved because the r6 tail itself spans every §2.2 category.
-    # Deferred to r8 (selfcheck-green now, machinery covered by an
-    # in-head relative): q_csv_ingest (jsonl/xml cover PERMISSIVE
-    # ingest), q_running_distinct / q_max_concurrency (window
-    # machinery ≈ q_gaps_islands), q_share_of_parent (rollup ≈
-    # q_incremental_rollup), q_business_days (date arithmetic ≈
-    # q_time_interpolate). q_mad_outliers and q_weighted_median were
-    # REWRITTEN this round (bracket-refined percentiles) and attest
-    # their new implementations here. ---
-    # scans/sources: interchange trio minus csv, custom Python
-    # DataSource, schema evolution, VARIANT shredding
-    "q_jsonl_ingest", "q_xml_ingest", "q_fixedwidth_ingest",
-    "q_schema_evolution_read", "q_variant_shred",
-    # sinks/layout: reconciliation checksum, z-order clustering audit
-    "q_table_checksum", "q_zorder_layout",
-    # aggregation: incremental rollup merge, single-pass Pearson
-    # matrix, grouped OLS from moment sums
-    "q_incremental_rollup", "q_correlation_matrix", "q_regression_ols",
-    # joins: runtime bloom semi-join, eps-band binned join, 2-D grid
-    # proximity join, per-row temporal AS OF (point-in-time)
-    "q_bloom_semi_join", "q_band_join_binned", "q_geo_neighbors",
-    "q_scd2_pointintime",
-    # windows/sequences: interval merge, carry-forward attribution,
-    # RANGE-frame changepoint score
-    "q_gaps_islands", "q_last_touch_attribution", "q_changepoint_score",
-    # data quality: constraint audit, bracket-refined MAD + weighted
-    # median (r7 rewrites), PSI drift, MI, per-group Gini, PII scrub
-    "q_constraint_audit", "q_mad_outliers", "q_weighted_median",
-    "q_distribution_drift", "q_mutual_information", "q_gini_by_group",
-    "q_pii_scrub",
-    # text/corpus: BM25, Misra-Gries heavy hitters, KWIC, bigram LM,
-    # corpus card, BPE merge training
-    "q_bm25_topk", "q_heavy_hitters", "q_kwic_context",
-    "q_bigram_lm_score", "q_corpus_card", "q_bpe_merges",
-    # dedup/decontamination: blocked edit-distance near-dup,
-    # literal-phrase decontamination
-    "q_edit_distance_pairs", "q_phrase_decontaminate",
-    # similarity/vectors: int8 scalar quantization, inverted-index
-    # TF-IDF cosine, contrastive negative mining
-    "q_sq_int8_quantize", "q_sparse_cosine_pairs",
-    "q_contrastive_negatives",
-    # streaming: stream-static broadcast enrich, stateful threshold
-    # alarm (cross-batch keyed state)
-    "q_stream_static_enrich", "q_stream_threshold_alarm",
-    # Arrow extension surface: mapInArrow, applyInArrow
-    "q_arrow_batch_norms", "q_arrow_grouped_stats",
-    # graph analytics: PageRank, Bellman-Ford, triangle count
-    "q_pagerank", "q_shortest_paths", "q_triangle_count",
-    # curation/sequences: largest-remainder quotas, Pareto skyline,
-    # session paths, Markov transitions, co-occurrence, assoc rules,
-    # nested roundtrip
-    "q_quota_allocation", "q_skyline_pareto", "q_user_paths",
-    "q_markov_transitions", "q_cooccur_pairs", "q_assoc_rules",
-    "q_nest_roundtrip",
-    # timeseries: linear gap interpolation
-    "q_time_interpolate",
+    # --- ROUND-8 ROTATION (the r7 verdict's item 5): finish paying the
+    # attestation debt, then start the freshness cycle.
+    #   (a) 16 slots: every oracle-bearing query that has never had a
+    #       driver-attested green row after seven rounds — the four r7
+    #       hash-fails (HUGEINT oracle dtype, CAST ... AS BIGINT fixed
+    #       this round), the five r7-deferred, and the seven
+    #       post-attestation r7 additions.
+    #   (b) 1 slot: q_fixedwidth_ingest — attested green r7, but the
+    #       reader was REWRITTEN this round (Arrow RecordBatch
+    #       vectorized path) and must re-attest its new implementation.
+    #   (c) 33 slots: least-recently-attested (all last green in
+    #       rounds 2–3), sorted (round, name) — keeps every
+    #       attestation ≤ ~5 rounds stale as the cycle continues.
+    # The 4 rows-only-by-design sketches (q_profile_approx,
+    # q_approx_stats, q_hll_distinct, q_pca_project) stay in the tail:
+    # a head slot would record only the weaker rows-only check while
+    # their accuracy contracts are pytest-pinned. ---
+    # (a) never-attested: the four re-fixed r7 reds
+    "q_gaps_islands", "q_corpus_card", "q_sq_int8_quantize",
+    "q_quota_allocation",
+    # (a) never-attested: the five r7-deferred
+    "q_csv_ingest", "q_running_distinct", "q_max_concurrency",
+    "q_share_of_parent", "q_business_days",
+    # (a) never-attested: the seven post-attestation r7 additions
+    "q_bpe_encode", "q_exact_quartiles", "q_doc_entropy",
+    "q_grouped_topk", "q_recursive_calendar", "q_sql_scalar_function",
+    "q_stream_foreach_upsert",
+    # (b) re-attest the rewritten Arrow-batch reader
+    "q_fixedwidth_ingest",
+    # (c) least-recently-attested fill (last green r2)
+    "q_ann_ivf_assign", "q_case_agg", "q_cube", "q_date_arith",
+    "q_date_funcs", "q_dedup_exact", "q_embedding_neardup",
+    "q_event_tumbling", "q_fingerprint", "q_join_left",
+    "q_label_centroids", "q_map_funcs", "q_math_funcs",
+    "q_ngram_jaccard", "q_percentiles", "q_pivot", "q_sessionize",
+    "q_sql_api", "q_stats_moments", "q_subqueries", "q_token_stats",
+    "q_union", "q_unpivot", "q_window_lag", "q_word_freq",
+    # (c) least-recently-attested fill (last green r3)
+    "q_dataset_split", "q_dedup_keep_one", "q_doc_chunking",
+    "q_frame_sample", "q_join_range", "q_lang_id", "q_quality_score",
+    "q_resize_plan",
 )
 
 

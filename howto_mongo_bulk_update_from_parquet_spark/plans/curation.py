@@ -320,7 +320,7 @@ QUOTA_ORACLE = f"""
 WITH strata AS (
   SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
 ),
-tot AS (SELECT SUM(n) AS total FROM strata),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM strata),
 base AS (
   SELECT source, lang, n,
          ({QUOTA_BUDGET} * n) // tot.total AS floor_q,
@@ -495,7 +495,7 @@ top_lang AS (
   SELECT lang, c FROM langs ORDER BY c DESC, lang LIMIT 1
 )
 SELECT (SELECT COUNT(*) FROM base) AS n_docs,
-       (SELECT SUM(n_tokens) FROM base) AS n_tokens,
+       (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM base) AS n_tokens,
        (SELECT COUNT(*) FROM langs) AS n_langs,
        (SELECT lang FROM top_lang) AS top_lang,
        ROUND((SELECT CAST(c AS DOUBLE) FROM top_lang)

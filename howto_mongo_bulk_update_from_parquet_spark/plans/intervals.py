@@ -55,7 +55,8 @@ islands AS (
 )
 SELECT custkey,
        COUNT(*) AS n_islands,
-       SUM(date_diff('day', island_start, island_end) + 1) AS covered_days,
+       CAST(SUM(date_diff('day', island_start, island_end) + 1)
+            AS BIGINT) AS covered_days,
        MAX(date_diff('day', island_start, island_end) + 1) AS widest_days
 FROM islands
 GROUP BY custkey
@@ -134,7 +135,7 @@ run AS (
                                AND CURRENT ROW) AS open_now
   FROM ev
 )
-SELECT custkey, MAX(open_now) AS max_open
+SELECT custkey, CAST(MAX(open_now) AS BIGINT) AS max_open
 FROM run GROUP BY custkey
 """
 
@@ -255,10 +256,11 @@ WITH flagged AS (
   FROM events
 )
 SELECT user_id, event_id,
-       SUM(first_of_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) AS distinct_types_so_far
+       CAST(SUM(first_of_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+            AS BIGINT) AS distinct_types_so_far
 FROM flagged
 """
 

@@ -162,7 +162,7 @@ coded AS (
 )
 SELECT label,
        COUNT(DISTINCT vec_id) AS n_vecs,
-       SUM(code * dim) AS code_checksum,
+       CAST(SUM(code * dim) AS BIGINT) AS code_checksum,
        ROUND(CAST(SUM(CAST(ABS(x - (mn + (code + 128) / 255.0 * (mx - mn)))
                            AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
          AS mean_abs_err

@@ -86,50 +86,80 @@ class FixedWidthReader(DataSourceReader):
                        if fn.endswith(".txt"))
         return [_FilePartition(os.path.join(self._path, fn)) for fn in files]
 
+    # Characters per Arrow batch (readlines hint). Bounds executor
+    # memory per yield while amortizing vectorized-kernel dispatch:
+    # ~8 MB of line text per batch — far under task memory, far over
+    # kernel overhead.
+    _BATCH_CHARS = 1 << 23
+
     def read(self, partition: _FilePartition):
+        """Vectorized Arrow-batch parse (Spark 4 Python DataSources
+        may yield ``pyarrow.RecordBatch``es instead of tuples — one
+        Arrow exchange per batch, no per-row Python objects):
+
+        - slice every field for the whole batch with
+          ``utf8_slice_codeunits`` (codepoint-correct, so multi-byte
+          UTF-8 never shears a column boundary),
+        - strip ONLY the ASCII-space pad character (`write_fixedwidth`
+          pads with `rpad(_, " ")`; a bare ``.rstrip()`` would eat
+          Unicode whitespace like NBSP and NULL out a real value),
+        - blank slot → NULL, then one vectorized cast per column,
+        - pushed filters become boolean masks applied BEFORE the
+          batch leaves the reader (nulls compare to false, matching
+          the row-path semantics where any filtered column being NULL
+          drops the row).
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         fields = self._schema.fields
         offsets = []
         pos = 0
         for w in self._widths:
             offsets.append((pos, pos + w))
             pos += w
-        casts = []
+        arrow_types = []
         for f in fields:
             if isinstance(f.dataType, LongType):
-                casts.append(int)
+                arrow_types.append(pa.int64())
             elif isinstance(f.dataType, DoubleType):
-                casts.append(float)
+                arrow_types.append(pa.float64())
             else:
-                casts.append(str)
+                arrow_types.append(pa.string())
         idx = {f.name: i for i, f in enumerate(fields)}
         checks = [(type(flt).__name__, idx[flt.attribute[0]],
                    getattr(flt, "value", None)) for flt in self._filters]
+        cmp_fn = {"EqualTo": pc.equal, "GreaterThan": pc.greater,
+                  "GreaterThanOrEqual": pc.greater_equal,
+                  "LessThan": pc.less, "LessThanOrEqual": pc.less_equal}
+
         with open(partition.filepath, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.rstrip("\n")
-                row = []
-                for (a, b), cast in zip(offsets, casts):
-                    raw = line[a:b].rstrip()
-                    row.append(cast(raw) if raw else None)
-                ok = True
+            while True:
+                lines = [ln.rstrip("\n")
+                         for ln in fh.readlines(self._BATCH_CHARS)]
+                if not lines:
+                    break
+                raw = pa.array(lines, type=pa.string())
+                cols = []
+                for (a, b), typ in zip(offsets, arrow_types):
+                    sl = pc.utf8_rtrim(
+                        pc.utf8_slice_codeunits(raw, start=a, stop=b),
+                        characters=" ")
+                    sl = pc.if_else(pc.equal(sl, ""),
+                                    pa.scalar(None, type=pa.string()), sl)
+                    cols.append(sl if typ == pa.string()
+                                else pc.cast(sl, typ))
+                mask = None
                 for kind, i, value in checks:
-                    v = row[i]
-                    if v is None:
-                        ok = False
-                    elif kind == "EqualTo" and not v == value:
-                        ok = False
-                    elif kind == "GreaterThan" and not v > value:
-                        ok = False
-                    elif kind == "GreaterThanOrEqual" and not v >= value:
-                        ok = False
-                    elif kind == "LessThan" and not v < value:
-                        ok = False
-                    elif kind == "LessThanOrEqual" and not v <= value:
-                        ok = False
-                    if not ok:
-                        break
-                if ok:
-                    yield tuple(row)
+                    m = pc.is_valid(cols[i])
+                    if kind in cmp_fn:
+                        m = pc.and_kleene(m, pc.fill_null(
+                            cmp_fn[kind](cols[i], value), False))
+                    mask = m if mask is None else pc.and_(mask, m)
+                if mask is not None:
+                    cols = [pc.filter(c, mask) for c in cols]
+                yield pa.RecordBatch.from_arrays(
+                    cols, names=[f.name for f in fields])
 
 
 def register_fixedwidth(spark: SparkSession) -> None:

@@ -44,6 +44,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(s) == len(d):
         for c in s.columns:
             sv, dv = s[c], d[c]
+            # Dtype parity, faithful to the driver's value-hash: the
+            # driver tolerates int-WIDTH and datetime-UNIT differences
+            # but hashes int64 and float64 columns differently, so a
+            # DuckDB HUGEINT sum (→ float64 in pandas) against a Spark
+            # bigint is a driver hash-fail even when every value is
+            # numerically identical. Flag integer-vs-float here so the
+            # local gate catches what the value compare below cannot.
+            sk, dk = sv.dtype.kind, dv.dtype.kind
+            int_kinds, float_kinds = set("iu"), set("f")
+            if ((sk in int_kinds and dk in float_kinds)
+                    or (sk in float_kinds and dk in int_kinds)):
+                problems.append(
+                    f"col {c}: dtype kind mismatch spark={sv.dtype}"
+                    f" duck={dv.dtype} (int vs float hashes differently"
+                    f" in the driver gate — CAST the oracle)")
             try:
                 if sv.dtype.kind == "f" or dv.dtype.kind == "f":
                     import numpy as np

@@ -40,67 +40,48 @@ def test_docstrings_present():
 
 def test_head50_spans_every_capability():
     """The correctness harness attests a bounded prefix (cap 50) of
-    the registration order. The r7 head is 50 of the 55 oracle-
-    bearing queries that had never had a driver-attested CORRECTNESS
-    row after six rounds (the r6 verdict's top priority) — pin the
-    ordering mechanism, the all-never-attested property, and the
-    §2.2 category spread within it."""
+    the registration order. The r8 head (the r7 verdict's item 5)
+    finishes the attestation debt and starts the freshness cycle:
+    (a) all 16 oracle-bearing never-attested queries, (b) the
+    rewritten fixed-width reader re-attests, (c) 33 least-recently-
+    attested slots, all last green in rounds 2-3. Pin each property
+    mechanically against the committed driver artifacts."""
     import json
     import os
     from howto_mongo_bulk_update_from_parquet_spark.plans.catalog import _HEAD
     names = list(all_queries())
     assert names[:50] == list(_HEAD)
     assert len(set(_HEAD)) == 50
-    head = set(_HEAD)
-    # every head slot goes to a query with NO green row in any prior
-    # round's driver artifact (the attestation-debt priority)
-    attested = set()
-    for i in range(1, 7):
+
+    last_green = {}
+    for i in range(1, 8):
         p = f"/root/repo/CORRECTNESS_r{i:02d}.json"
-        if os.path.exists(p):
-            with open(p) as fh:
-                for k, v in json.load(fh).items():
-                    if v.get("rows_match"):
-                        attested.add(k)
-    already = sorted(head & attested)
-    assert already == [], f"head slots wasted on attested queries: {already}"
-    # §2.2 category spread: one exemplar per capability family
-    required = {
-        "scans_ingest": "q_jsonl_ingest",
-        "scans_custom_source": "q_fixedwidth_ingest",
-        "scans_schema_evolution": "q_schema_evolution_read",
-        "scans_variant": "q_variant_shred",
-        "sinks_reconcile": "q_table_checksum",
-        "sinks_layout": "q_zorder_layout",
-        "aggregation": "q_incremental_rollup",
-        "joins_runtime_filter": "q_bloom_semi_join",
-        "joins_band": "q_band_join_binned",
-        "joins_temporal": "q_scd2_pointintime",
-        "windows_sequences": "q_gaps_islands",
-        "quality_constraints": "q_constraint_audit",
-        "quality_robust_stats": "q_mad_outliers",
-        "quality_drift": "q_distribution_drift",
-        "text_retrieval": "q_bm25_topk",
-        "text_sketch": "q_heavy_hitters",
-        "text_tokenizer": "q_bpe_merges",
-        "dedup": "q_edit_distance_pairs",
-        "decontamination": "q_phrase_decontaminate",
-        "similarity": "q_sparse_cosine_pairs",
-        "vectors_quantization": "q_sq_int8_quantize",
-        "streaming_stateful": "q_stream_threshold_alarm",
-        "streaming_enrich": "q_stream_static_enrich",
-        "udf_arrow": "q_arrow_batch_norms",
-        "graph": "q_pagerank",
-        "curation": "q_quota_allocation",
-        "timeseries": "q_time_interpolate",
-        "pii": "q_pii_scrub",
-    }
-    for cap, q in required.items():
-        assert q in head, f"capability {cap} not in attested head-50 ({q})"
-    # every head query must carry an oracle (the r7 head deliberately
-    # excludes the 4 rows-only-by-design sketch queries — a head slot
-    # would only record the weaker rows-only check)
+        if not os.path.exists(p):
+            continue
+        with open(p) as fh:
+            for k, v in json.load(fh).items():
+                if (v.get("rows_match") and v.get("schema_match", True)
+                        and v.get("hash_match", True) and not v.get("err")):
+                    last_green[k] = max(last_green.get(k, 0), i)
+
+    head = set(_HEAD)
+    # (a) every oracle-bearing query with NO green driver row in
+    # rounds 1-7 must hold a head slot (the debt is finished)
     oracles = all_oracles()
+    rows_only_sketches = {"q_profile_approx", "q_approx_stats",
+                          "q_hll_distinct", "q_pca_project"}
+    never = {n for n in names if n not in last_green} - rows_only_sketches
+    missing_debt = sorted(n for n in never if n in oracles and n not in head)
+    assert missing_debt == [], f"never-attested queries left out: {missing_debt}"
+    # (b) the reader rewritten this round re-attests
+    assert "q_fixedwidth_ingest" in head
+    # (c) every remaining slot goes to a least-recently-attested query
+    # (nothing fresher than round 3 may occupy a fill slot)
+    fill = head - never - {"q_fixedwidth_ingest"}
+    too_fresh = sorted(n for n in fill if last_green.get(n, 99) > 3)
+    assert too_fresh == [], f"fill slots wasted on fresh attestations: {too_fresh}"
+    # every head query must carry an oracle (rows-only sketches would
+    # record only the weaker rows-only check from a head slot)
     missing_oracle = [n for n in _HEAD if n not in oracles]
     assert missing_oracle == [], f"head queries without oracle: {missing_oracle}"
 
@@ -120,3 +101,25 @@ def test_every_oracle_plans_in_duckdb():
             con.execute(f"EXPLAIN {sql}")
         except Exception as exc:  # noqa: BLE001
             raise AssertionError(f"oracle for {name} fails to plan: {exc}")
+
+
+def test_selfcheck_compare_is_dtype_faithful():
+    """The driver's value-hash distinguishes int64 from float64 —
+    r7's four red rows were DuckDB HUGEINT sums surfacing as float64
+    against Spark bigints with identical values. selfcheck.compare
+    must flag that (driver-faithful) while still tolerating int-width
+    differences (the driver demonstrably does)."""
+    import pandas as pd
+    import selfcheck
+
+    ints = pd.DataFrame({"k": [1, 2], "v": pd.array([10, 20], dtype="int64")})
+    floats = pd.DataFrame({"k": [1, 2], "v": pd.array([10.0, 20.0],
+                                                     dtype="float64")})
+    narrow = pd.DataFrame({"k": [1, 2], "v": pd.array([10, 20], dtype="int32")})
+
+    assert any("dtype kind mismatch" in p
+               for p in selfcheck.compare("x", ints, floats))
+    assert any("dtype kind mismatch" in p
+               for p in selfcheck.compare("x", floats, ints))
+    assert selfcheck.compare("x", ints, narrow) == []
+    assert selfcheck.compare("x", ints, ints.copy()) == []

@@ -167,7 +167,10 @@ def test_fixedwidth_roundtrip_property(spark, tmp_path):
         back = (spark.read.format("fixedwidth")
                 .schema("k long, s string, v double")
                 .option("widths", "10,8,24").load(d))
-        assert sorted(map(tuple, back.collect())) == sorted(rows)
+        # None-safe sort key: plain tuple sort raises on None vs str.
+        key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        assert sorted(map(tuple, back.collect()), key=key) \
+            == sorted(rows, key=key)
 
     register_fixedwidth(spark)
     check()

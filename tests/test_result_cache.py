@@ -116,3 +116,28 @@ def test_remote_scheme_is_rejected(spark, tmp_path):
     q = spark.read.parquet(src).agg(F.sum("v").alias("s"))
     with pytest.raises(ValueError, match="local filesystems only"):
         cached(q, "s3a://bucket/cache")
+
+
+def test_alias_only_difference_gets_distinct_keys(spark, tmp_path):
+    """Canonicalization drops Alias names; the key must not (ADVICE
+    r7): `select v AS a` and `select v AS b` differ only in output
+    labels, and with swapped aliases a shared slot would serve
+    wrongly-labeled data."""
+    import pyspark.sql.functions as F
+    src = str(tmp_path / "src")
+    spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v")) \
+        .write.parquet(src)
+    base = spark.read.parquet(src)
+    a = base.select(F.col("v").alias("a"))
+    b = base.select(F.col("v").alias("b"))
+    assert plan_fingerprint(a) != plan_fingerprint(b)
+
+    swapped1 = base.select(F.col("v").alias("b"), F.col("id").alias("a"))
+    swapped2 = base.select(F.col("v").alias("a"), F.col("id").alias("b"))
+    assert plan_fingerprint(swapped1) != plan_fingerprint(swapped2)
+
+    cache = str(tmp_path / "cache")
+    got_a, hit_a = cached(a, cache)
+    got_b, hit_b = cached(b, cache)
+    assert not hit_a and not hit_b
+    assert got_a.columns == ["a"] and got_b.columns == ["b"]
