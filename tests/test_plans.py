@@ -352,3 +352,63 @@ def test_weighted_median_windows_are_bounded(spark):
     assert _tiny_key_window_hazards(df, _TINY_KEYS) == []
     plan = _plan(spark, "q_weighted_median")
     assert "ObjectHashAggregate" not in plan
+
+
+def test_python_datasource_readers_yield_arrow_batches(spark, tmp_path):
+    """The catalog-wide row-Python sweep inspects physical plans, but a
+    Python DataSource's parse loop lives BELOW its BatchScan node where
+    no plan string shows it (the r7 verdict's blind spot: the
+    fixed-width reader was a per-line Python loop the sweep could not
+    see). Two guards:
+    - statically, every batch DataSourceReader in the sources package
+      must implement an Arrow-batch `read` (yield pyarrow.RecordBatch),
+      so a future reader can't reintroduce per-row tuples unnoticed;
+    - dynamically, FixedWidthReader.read must actually yield
+      RecordBatches with the declared schema and pushed-filter masks
+      applied.
+    """
+    import importlib
+    import inspect
+    import pkgutil
+
+    import pyarrow as pa
+    from pyspark.sql.datasource import DataSourceReader
+
+    from howto_mongo_bulk_update_from_parquet_spark import sources as sources_pkg
+
+    readers = []
+    for m in pkgutil.iter_modules(sources_pkg.__path__):
+        mod = importlib.import_module(f"{sources_pkg.__name__}.{m.name}")
+        for _, cls in inspect.getmembers(mod, inspect.isclass):
+            if (issubclass(cls, DataSourceReader)
+                    and cls is not DataSourceReader
+                    and cls.__module__ == mod.__name__):
+                readers.append(cls)
+    assert readers, "sweep found no batch DataSourceReader classes"
+    non_arrow = [c.__name__ for c in readers
+                 if "RecordBatch" not in inspect.getsource(c.read)]
+    assert non_arrow == [], (
+        f"batch Python DataSource readers without an Arrow-batch read "
+        f"path (per-row tuples are the banned slow path): {non_arrow}")
+
+    # dynamic: run the fixed-width reader's read() directly
+    from pyspark.sql.datasource import GreaterThan
+    from pyspark.sql.types import StructType
+
+    from howto_mongo_bulk_update_from_parquet_spark.sources.fixedwidth import (
+        FixedWidthReader, _FilePartition)
+
+    d = tmp_path / "fw"
+    d.mkdir()
+    (d / "part-0.txt").write_text("a   1   1.5 \nbb  22  2.5 \nc   3   3.5 \n")
+    schema = StructType.fromDDL("s string, k long, v double")
+
+    class Opts(dict):
+        pass
+
+    rdr = FixedWidthReader(schema, Opts(path=str(d), widths="4,4,4"))
+    list(rdr.pushFilters([GreaterThan(("k",), 1)]))
+    batches = list(rdr.read(_FilePartition(str(d / "part-0.txt"))))
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    got = pa.Table.from_batches(batches).to_pydict()
+    assert got == {"s": ["bb", "c"], "k": [22, 3], "v": [2.5, 3.5]}
