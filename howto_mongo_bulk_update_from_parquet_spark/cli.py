@@ -9,6 +9,15 @@ catalog-query runner.
     python -m howto_mongo_bulk_update_from_parquet_spark.cli reconcile --path /tmp/data --table /tmp/keyed
     python -m howto_mongo_bulk_update_from_parquet_spark.cli query --name q1_pricing_summary --sf-dir /root/testdata/sf0.001
 
+Reusable scale-safe operators are user-reachable on ANY parquet (not
+just catalog tables) via `topk` and `percentile` — the window-free
+grouped top-k and the bracket-refined exact grouped percentiles:
+
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli topk --path /root/testdata/sf0.001/orders.parquet \
+        --group o_orderpriority --order o_totalprice --k 3 --tie o_orderkey
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli percentile --path /root/testdata/sf0.001/orders.parquet \
+        --group o_orderpriority --value o_totalprice --probs 0.5,0.9
+
 The reference's --batch-size / --concurrent-tasks knobs become
 --n-partitions (write parallelism = partitions × executor slots).
 """
@@ -200,6 +209,41 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_topk(args: argparse.Namespace) -> int:
+    """Grouped top-k over arbitrary parquet via operators/topk.py —
+    the two-stage prune (per-batch local top-k, bounded re-rank), so a
+    handful of group values over a huge fact table never concentrates
+    a full per-group sort on one reducer the way the row_number
+    window idiom does."""
+    from .operators.topk import grouped_topk
+    spark = get_spark("topk")
+    df = spark.read.parquet(args.path)
+    out = grouped_topk(df, args.group.split(","), args.order, args.k,
+                       tie_cols=args.tie.split(",") if args.tie else None,
+                       ascending=args.ascending)
+    out.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_percentile(args: argparse.Namespace) -> int:
+    """Exact grouped percentiles over arbitrary parquet via
+    operators/percentiles.py — GK bracket + strict-below anchor +
+    bracket-only refinement window: exact results (bit-matching
+    Spark's holistic `percentile`) with bounded per-task state at any
+    group size. NULL values are ignored, like the built-ins."""
+    from .operators.percentiles import exact_grouped_percentile
+    spark = get_spark("percentile")
+    df = spark.read.parquet(args.path)
+    probs = [float(p) for p in args.probs.split(",")]
+    bad = [p for p in probs if not 0.0 <= p <= 1.0]
+    if bad:
+        print(f"probs outside [0,1]: {bad}", file=sys.stderr)
+        return 2
+    out = exact_grouped_percentile(df, args.group, args.value, probs)
+    out.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_plan_audit(args: argparse.Namespace) -> int:
     """Mechanical scale-hazard audit of catalog queries' plans: the
     pinned test-suite sweep (unpartitioned windows, tiny-key windows,
@@ -329,6 +373,34 @@ def main(argv: list[str] | None = None) -> int:
                         "logically-identical query from its "
                         "materialized result until an input changes")
     q.set_defaults(fn=cmd_query)
+
+    tk = sub.add_parser(
+        "topk", help="grouped top-k over any parquet (window-free "
+                     "two-stage prune, operators/topk.py)")
+    tk.add_argument("--path", required=True, help="parquet file or dir")
+    tk.add_argument("--group", required=True,
+                    help="comma-separated group columns")
+    tk.add_argument("--order", required=True, help="ranking column")
+    tk.add_argument("--k", type=_bounded_int(1, 1_000_000), default=3)
+    tk.add_argument("--tie", help="comma-separated tie-break columns "
+                                  "(make the order total for "
+                                  "deterministic ranks)")
+    tk.add_argument("--ascending", action="store_true",
+                    help="rank smallest first (default: largest)")
+    tk.add_argument("--limit", type=int, default=20)
+    tk.set_defaults(fn=cmd_topk)
+
+    pc = sub.add_parser(
+        "percentile", help="exact grouped percentiles over any parquet "
+                           "(bracket-refined, bounded state, "
+                           "operators/percentiles.py)")
+    pc.add_argument("--path", required=True, help="parquet file or dir")
+    pc.add_argument("--group", required=True, help="group column")
+    pc.add_argument("--value", required=True, help="value column")
+    pc.add_argument("--probs", default="0.5",
+                    help="comma-separated probabilities in [0,1]")
+    pc.add_argument("--limit", type=int, default=20)
+    pc.set_defaults(fn=cmd_percentile)
 
     args = ap.parse_args(argv)
     return args.fn(args)
