@@ -147,6 +147,7 @@ def _load() -> None:
     from . import sparse_sim  # noqa: F401
     from . import band_join  # noqa: F401
     from . import sql_surface  # noqa: F401
+    from . import relational11  # noqa: F401
     missing = [n for n in _HEAD if n not in CATALOG]
     if missing:
         raise RuntimeError(f"catalog head names not registered: {missing}")
