@@ -138,14 +138,18 @@ def main() -> None:
         pass
     # pre-stage the one-time layout materializations (partitioned /
     # bucketed / jsonl / csv copies, written once per fixture
-    # generation): their timed slots should measure the QUERY, not the
-    # layout step a real deployment amortizes across every run
+    # generation) AND run each staged query once: their timed slots
+    # should measure the QUERY, not the layout step or the one-time
+    # session warm-up (Python DataSource worker fork, Arrow codepath
+    # JIT) a real deployment amortizes across every run — the same
+    # class of cost the q1 warm-up above removes for the JVM side.
     for staged in ["q_dpp_partition_pruned_join", "q_bucketed_colocated_join",
                    "q_jsonl_ingest", "q_csv_ingest", "q_xml_ingest",
                    "q_fixedwidth_ingest",
                    "q_schema_evolution_read"]:
         try:
-            queries[staged](spark, sf_dir)
+            queries[staged](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass
 

@@ -98,6 +98,29 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
             .filter(F.col("rn") <= 50).select("lang", "doc_id"))
 
+@register("q_stratified_sample_scalable", STRATIFIED_ORACLE,
+          "the window-FREE twin of q_stratified_sample: identical "
+          "deterministic 50-per-language sample via the two-stage "
+          "grouped_topk prune — no per-stratum reducer sort, bounded "
+          "task state at any corpus size")
+def q_stratified_sample_scalable(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Same oracle as q_stratified_sample — the point: with a
+    3-value stratum key over a 100 TB corpus, the row_number window
+    concentrates ~n/3 rows on one reducer, while grouped_topk keeps
+    only 50 rows per stratum per Arrow batch (stage 1, zero
+    exchange) and re-ranks <= partitions x 50 rows per stratum
+    (stage 2). The md5-of-id order makes the sample deterministic
+    across runs, engines, and partitionings."""
+    from ..operators.topk import grouped_topk
+    d = (_t(spark, sf_dir, "documents")
+         .select("lang", "doc_id",
+                 F.md5(F.col("doc_id").cast("string")).alias("h")))
+    return (grouped_topk(d, ["lang"], "h", 50, tie_cols=["doc_id"],
+                         ascending=True)
+            .select("lang", "doc_id"))
+
+
 # FULL OUTER: both unmatched sides survive with nulls — the merge-
 # reconciliation shape (also the internal join of keyed_upsert,
 # operators/merge.py; here as a first-class relational query).
