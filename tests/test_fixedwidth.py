@@ -174,3 +174,30 @@ def test_fixedwidth_roundtrip_property(spark, tmp_path):
 
     register_fixedwidth(spark)
     check()
+
+
+def test_fixedwidth_reader_chunks_large_files(spark, tmp_path, monkeypatch):
+    """The Arrow read path batches by a readlines character hint; a
+    file bigger than one hint must arrive as MULTIPLE RecordBatches
+    that concatenate to exactly the file's rows (no dropped/dup lines
+    at chunk boundaries)."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructType
+
+    from howto_mongo_bulk_update_from_parquet_spark.sources.fixedwidth import (
+        FixedWidthReader, _FilePartition)
+
+    d = tmp_path / "fw"
+    d.mkdir()
+    n = 500
+    lines = "".join(f"{i:<6}{i * 3:<6}\n" for i in range(n))
+    (d / "part-0.txt").write_text(lines)
+    schema = StructType.fromDDL("a long, b long")
+    monkeypatch.setattr(FixedWidthReader, "_BATCH_CHARS", 256)
+    rdr = FixedWidthReader(schema, {"path": str(d), "widths": "6,6"})
+    batches = list(rdr.read(_FilePartition(str(d / "part-0.txt"))))
+    assert len(batches) > 5           # genuinely chunked
+    t = pa.Table.from_batches(batches)
+    assert t.num_rows == n
+    assert t.column("a").to_pylist() == list(range(n))
+    assert t.column("b").to_pylist() == [i * 3 for i in range(n)]
