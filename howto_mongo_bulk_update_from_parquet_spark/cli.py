@@ -249,9 +249,17 @@ def cmd_plan_audit(args: argparse.Namespace) -> int:
     pinned test-suite sweep (unpartitioned windows, tiny-key windows,
     cartesians, row-Python), runnable pre-ship on any query. Exit 1
     when an undocumented hazard is found."""
-    from .operators.plan_audit import DOCUMENTED_TINY_WINDOWS, plan_hazards
+    from .operators.plan_audit import (DOCUMENTED_TINY_WINDOWS,
+                                       non_arrow_datasource_readers,
+                                       plan_hazards)
     from .plans import all_queries
     qs = all_queries()
+    # repo-level check first: a per-row Python DataSource parse loop
+    # hides BELOW its BatchScan node where no plan string shows it
+    bad_readers = non_arrow_datasource_readers()
+    for cls in bad_readers:
+        print(f"datasource {cls}: read() has no Arrow-batch path "
+              "(per-row tuples below BatchScan)")
     names = args.name or sorted(n for n in qs
                                 if not n.startswith("q_stream_"))
     unknown = [n for n in names if n not in qs]
@@ -272,6 +280,7 @@ def cmd_plan_audit(args: argparse.Namespace) -> int:
                 print(f"{name}: [documented-inherent] {p}")
         elif args.verbose:
             print(f"{name}: clean")
+    n_flagged += len(bad_readers)
     print(f"{len(names)} plans audited, {n_flagged} flagged "
           f"(documented-inherent windows excluded)")
     return 1 if n_flagged else 0

@@ -83,6 +83,35 @@ def tiny_key_window_hazards(df: DataFrame,
     return out
 
 
+def non_arrow_datasource_readers() -> list[str]:
+    """Batch Python DataSource readers in this package whose ``read``
+    lacks an Arrow-batch path (no ``RecordBatch`` yield) — the hazard
+    the plan sweeps above CANNOT see: a per-row Python parse loop
+    lives BELOW its BatchScan node, where no plan string shows it
+    (the r7 q_fixedwidth_ingest regression). Returns class names;
+    empty list = clean. Static by design: it audits code, not a
+    running plan, so `plan-audit` flags a non-Arrow reader before any
+    query is built on it."""
+    import importlib
+    import inspect
+    import pkgutil
+
+    from pyspark.sql.datasource import DataSourceReader
+
+    from .. import sources as sources_pkg
+
+    out = []
+    for m in pkgutil.iter_modules(sources_pkg.__path__):
+        mod = importlib.import_module(f"{sources_pkg.__name__}.{m.name}")
+        for _, cls in inspect.getmembers(mod, inspect.isclass):
+            if (issubclass(cls, DataSourceReader)
+                    and cls is not DataSourceReader
+                    and cls.__module__ == mod.__name__
+                    and "RecordBatch" not in inspect.getsource(cls.read)):
+                out.append(cls.__name__)
+    return sorted(out)
+
+
 def plan_hazards(df: DataFrame,
                  tiny_cols=DEFAULT_TINY_KEYS) -> list[str]:
     """All four hazard classes for one DataFrame's plan, as

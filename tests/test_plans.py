@@ -367,26 +367,14 @@ def test_python_datasource_readers_yield_arrow_batches(spark, tmp_path):
       RecordBatches with the declared schema and pushed-filter masks
       applied.
     """
-    import importlib
-    import inspect
-    import pkgutil
-
     import pyarrow as pa
-    from pyspark.sql.datasource import DataSourceReader
 
-    from howto_mongo_bulk_update_from_parquet_spark import sources as sources_pkg
+    from howto_mongo_bulk_update_from_parquet_spark.operators.plan_audit import (
+        non_arrow_datasource_readers)
 
-    readers = []
-    for m in pkgutil.iter_modules(sources_pkg.__path__):
-        mod = importlib.import_module(f"{sources_pkg.__name__}.{m.name}")
-        for _, cls in inspect.getmembers(mod, inspect.isclass):
-            if (issubclass(cls, DataSourceReader)
-                    and cls is not DataSourceReader
-                    and cls.__module__ == mod.__name__):
-                readers.append(cls)
-    assert readers, "sweep found no batch DataSourceReader classes"
-    non_arrow = [c.__name__ for c in readers
-                 if "RecordBatch" not in inspect.getsource(c.read)]
+    # the detector is shared with the plan-audit CLI so they can't
+    # drift (same promise as the other hazard classes)
+    non_arrow = non_arrow_datasource_readers()
     assert non_arrow == [], (
         f"batch Python DataSource readers without an Arrow-batch read "
         f"path (per-row tuples are the banned slow path): {non_arrow}")
