@@ -234,12 +234,7 @@ def cmd_percentile(args: argparse.Namespace) -> int:
     from .operators.percentiles import exact_grouped_percentile
     spark = get_spark("percentile")
     df = spark.read.parquet(args.path)
-    probs = [float(p) for p in args.probs.split(",")]
-    bad = [p for p in probs if not 0.0 <= p <= 1.0]
-    if bad:
-        print(f"probs outside [0,1]: {bad}", file=sys.stderr)
-        return 2
-    out = exact_grouped_percentile(df, args.group, args.value, probs)
+    out = exact_grouped_percentile(df, args.group, args.value, args.probs)
     out.show(args.limit, truncate=False)
     return 0
 
@@ -280,10 +275,14 @@ def cmd_plan_audit(args: argparse.Namespace) -> int:
                 print(f"{name}: [documented-inherent] {p}")
         elif args.verbose:
             print(f"{name}: clean")
-    n_flagged += len(bad_readers)
     print(f"{len(names)} plans audited, {n_flagged} flagged "
           f"(documented-inherent windows excluded)")
-    return 1 if n_flagged else 0
+    if bad_readers:
+        # repo-level finding, reported on its own line so a targeted
+        # --name audit doesn't attribute it to the audited plan
+        print(f"{len(bad_readers)} datasource reader(s) without an "
+              f"Arrow-batch read path")
+    return 1 if (n_flagged or bad_readers) else 0
 
 
 def _bounded_int(lo: int, hi: int | None = None):
@@ -302,10 +301,19 @@ def _bounded_int(lo: int, hi: int | None = None):
 
 
 def _fraction(s: str) -> float:
-    v = float(s)
+    try:
+        v = float(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"{s!r} is not a number")
     if not 0.0 <= v <= 1.0:
         raise argparse.ArgumentTypeError(f"{v} is not a fraction in [0, 1]")
     return v
+
+
+def _fraction_list(s: str) -> list[float]:
+    """Comma-separated fractions, each validated like _fraction —
+    parse-time usage errors (exit 2), never a runtime traceback."""
+    return [_fraction(p) for p in s.split(",")]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -406,7 +414,7 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--path", required=True, help="parquet file or dir")
     pc.add_argument("--group", required=True, help="group column")
     pc.add_argument("--value", required=True, help="value column")
-    pc.add_argument("--probs", default="0.5",
+    pc.add_argument("--probs", type=_fraction_list, default=[0.5],
                     help="comma-separated probabilities in [0,1]")
     pc.add_argument("--limit", type=int, default=20)
     pc.set_defaults(fn=cmd_percentile)

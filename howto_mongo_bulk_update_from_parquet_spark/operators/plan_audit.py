@@ -92,13 +92,28 @@ def non_arrow_datasource_readers() -> list[str]:
     empty list = clean. Static by design: it audits code, not a
     running plan, so `plan-audit` flags a non-Arrow reader before any
     query is built on it."""
+    import ast
     import importlib
     import inspect
     import pkgutil
+    import textwrap
 
     from pyspark.sql.datasource import DataSourceReader
 
     from .. import sources as sources_pkg
+
+    def _mentions_recordbatch_in_code(fn) -> bool:
+        # AST walk, not substring: a docstring or comment saying
+        # "RecordBatch" must not satisfy the detector (that is exactly
+        # how the guarded regression would sneak back in). Only a
+        # Name/Attribute node — actual code — counts.
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and node.attr == "RecordBatch":
+                return True
+            if isinstance(node, ast.Name) and node.id == "RecordBatch":
+                return True
+        return False
 
     out = []
     for m in pkgutil.iter_modules(sources_pkg.__path__):
@@ -107,7 +122,7 @@ def non_arrow_datasource_readers() -> list[str]:
             if (issubclass(cls, DataSourceReader)
                     and cls is not DataSourceReader
                     and cls.__module__ == mod.__name__
-                    and "RecordBatch" not in inspect.getsource(cls.read)):
+                    and not _mentions_recordbatch_in_code(cls.read)):
                 out.append(cls.__name__)
     return sorted(out)
 

@@ -69,7 +69,9 @@ def plan_fingerprint(df: DataFrame) -> str:
     # and with swapped aliases the cache would serve wrongly-labeled
     # columns. The requesting query's output names (in order) are
     # part of the result's identity, so mix them into the key.
-    h.update(("|cols|" + "|".join(df.columns)).encode())
+    # repr() is an unambiguous encoding: a plain "|".join would let
+    # ['a|b', 'c'] collide with ['a', 'b|c'].
+    h.update(("|cols|" + repr(df.columns)).encode())
     for f in sorted(df.inputFiles()):
         p = _local_path(f, "input file")
         st = os.stat(p)      # missing input = real error, propagate

@@ -39,21 +39,31 @@ def grouped_topk(df: DataFrame, group_cols: list[str], order_col: str,
     its own ranked partition (pandas `dropna=False`; Spark's groupBy
     keeps null keys natively)."""
     tie_cols = tie_cols or []
-    sort_cols = [order_col] + tie_cols
-    # ties ascend so (order desc, id asc) matches the window idiom
-    sort_asc = [ascending] + [True] * len(tie_cols)
     src = df
+
+    def _sort(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Spark's window order: ASC is NULLS FIRST, DESC is NULLS
+        LAST — pandas puts NaN last regardless, so order NULLs need
+        an explicit na_position. Ties always ascend (NULLS FIRST),
+        which can differ from the order column's null placement, so
+        sort ties first and re-sort stably on the order column."""
+        if tie_cols:
+            pdf = pdf.sort_values(tie_cols, ascending=True,
+                                  na_position="first", kind="mergesort")
+        return pdf.sort_values(
+            order_col, ascending=ascending,
+            na_position="first" if ascending else "last",
+            kind="mergesort")
 
     def local(batches):
         for pdf in batches:
             if len(pdf):
-                yield (pdf.sort_values(sort_cols, ascending=sort_asc)
+                yield (_sort(pdf)
                        .groupby(group_cols, sort=False, dropna=False)
                        .head(k))
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = (pdf.sort_values(sort_cols, ascending=sort_asc)
-               .head(k).reset_index(drop=True))
+        out = _sort(pdf).head(k).reset_index(drop=True)
         out[rank_col] = range(1, len(out) + 1)
         return out
 

@@ -201,3 +201,24 @@ def test_fixedwidth_reader_chunks_large_files(spark, tmp_path, monkeypatch):
     assert t.num_rows == n
     assert t.column("a").to_pylist() == list(range(n))
     assert t.column("b").to_pylist() == [i * 3 for i in range(n)]
+
+
+def test_fixedwidth_reads_crlf_files(spark, tmp_path):
+    """CRLF (and lone-CR) line endings are translated by text-mode
+    universal newlines before the parser sees them — pin that a
+    Windows/FTP-written file round-trips with no stray carriage
+    returns in the last column."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructType
+
+    from howto_mongo_bulk_update_from_parquet_spark.sources.fixedwidth import (
+        FixedWidthReader, _FilePartition)
+
+    d = tmp_path / "crlf"
+    d.mkdir()
+    (d / "part-0.txt").write_bytes(b"abc   1     \r\nxy    22    \r\n")
+    schema = StructType.fromDDL("s string, k long")
+    rdr = FixedWidthReader(schema, {"path": str(d), "widths": "6,6"})
+    t = pa.Table.from_batches(
+        list(rdr.read(_FilePartition(str(d / "part-0.txt")))))
+    assert t.to_pydict() == {"s": ["abc", "xy"], "k": [1, 22]}

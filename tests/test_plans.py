@@ -400,3 +400,39 @@ def test_python_datasource_readers_yield_arrow_batches(spark, tmp_path):
     assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
     got = pa.Table.from_batches(batches).to_pydict()
     assert got == {"s": ["bb", "c"], "k": [22, 3], "v": [2.5, 3.5]}
+
+
+def test_arrow_path_detector_ignores_docstrings():
+    """A reader whose read() only MENTIONS RecordBatch in its
+    docstring must still be flagged — the substring version of this
+    detector would have let the exact r7 per-row regression ship with
+    its new docstring intact."""
+    import ast
+    import inspect
+    import textwrap
+
+    from howto_mongo_bulk_update_from_parquet_spark.operators.plan_audit import (
+        non_arrow_datasource_readers)
+
+    # the real catalog readers are clean
+    assert non_arrow_datasource_readers() == []
+
+    # simulate the regression: docstring mentions, body is per-row
+    src = textwrap.dedent('''
+        def read(self, partition):
+            """Yields pyarrow.RecordBatch per file (it does not)."""
+            for line in open(partition.filepath):
+                yield tuple(line.split())
+    ''')
+    tree = ast.parse(src)
+    mentions = any((isinstance(n, ast.Attribute) and n.attr == "RecordBatch")
+                   or (isinstance(n, ast.Name) and n.id == "RecordBatch")
+                   for n in ast.walk(tree))
+    assert not mentions  # the AST walk sees no RecordBatch in CODE
+    # and the current real reader is detected through actual code
+    from howto_mongo_bulk_update_from_parquet_spark.sources.fixedwidth import (
+        FixedWidthReader)
+    real = ast.parse(textwrap.dedent(inspect.getsource(FixedWidthReader.read)))
+    assert any((isinstance(n, ast.Attribute) and n.attr == "RecordBatch")
+               or (isinstance(n, ast.Name) and n.id == "RecordBatch")
+               for n in ast.walk(real))

@@ -304,9 +304,16 @@ def test_cli_percentile_on_arbitrary_parquet(spark, capsys):
 
 
 def test_cli_percentile_rejects_bad_probs(capsys):
+    """Both out-of-range and non-numeric probs die at argparse time
+    (usage error, exit 2) — never a runtime traceback."""
+    import pytest
     from howto_mongo_bulk_update_from_parquet_spark.cli import main
-    rc = main(["percentile", "--path",
-               "/root/testdata/sf0.001/orders.parquet",
-               "--group", "o_orderpriority", "--value", "o_totalprice",
-               "--probs", "1.5"])
-    assert rc == 2
+    for probs in ["1.5", "0.5,abc"]:
+        with pytest.raises(SystemExit) as e:
+            main(["percentile", "--path",
+                  "/root/testdata/sf0.001/orders.parquet",
+                  "--group", "o_orderpriority", "--value", "o_totalprice",
+                  "--probs", probs])
+        assert e.value.code == 2
+        err = capsys.readouterr().err
+        assert "fraction" in err or "not a number" in err

@@ -71,3 +71,23 @@ def test_exact_grouped_percentile_ignores_nulls_large_group(spark):
     g = {r.g: (r.p25, r.p95) for r in got.collect()}
     b = {r.g: (r.p25, r.p95) for r in builtin.collect()}
     assert g == b
+
+
+def test_grouped_topk_null_order_values_match_window(spark):
+    """Spark windows place NULL order values FIRST under ASC and LAST
+    under DESC; pandas puts NaN last regardless — the operator must
+    inject na_position so both directions match the window idiom."""
+    rows = [("a", 1, None), ("a", 2, 5.0), ("a", 3, 1.0), ("a", 4, None),
+            ("b", 5, 2.0), ("b", 6, None)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    for ascending in (True, False):
+        got = grouped_topk(df, ["g"], "v", 2, tie_cols=["id"],
+                           ascending=ascending)
+        direction = F.col("v").asc() if ascending else F.col("v").desc()
+        w = Window.partitionBy("g").orderBy(direction, F.col("id").asc())
+        want = (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 2))
+        key = lambda r: (r["g"], r["id"])  # noqa: E731
+        g = sorted([r.asDict() for r in got.collect()], key=key)
+        x = sorted([r.asDict() for r in want.collect()], key=key)
+        assert g == x, f"ascending={ascending}"
