@@ -50,7 +50,13 @@ def _recompute(vals: DataFrame, assign: DataFrame) -> DataFrame:
     """Per-(centroid, pos) exact decimal mean → double."""
     return (vals.join(assign, "vec_id")
             .groupBy("cid", "pos")
-            .agg((F.sum(F.col("vd").cast("decimal(18,9)")).cast("double")
+            # ROUND before the decimal cast: a float32-widened double
+            # can land exactly on a 0.5e-9 tie, where Spark's cast
+            # rounds HALF_UP but DuckDB's HALF_EVEN (the
+            # q_label_centroids sf0.1 lesson); ROUND is half-away-
+            # from-zero in both engines.
+            .agg((F.sum(F.round(F.col("vd"), 9).cast("decimal(18,9)"))
+                  .cast("double")
                   / F.count(F.lit(1))).alias("cd")))
 
 
@@ -80,7 +86,8 @@ assign0 AS (
 ),
 cents1 AS (
   SELECT a.cid, v.pos,
-         CAST(SUM(CAST(v.vd AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cd
+         CAST(SUM(CAST(ROUND(v.vd, 9) AS DECIMAL(18,9))) AS DOUBLE)
+           / COUNT(*) AS cd
   FROM vals v JOIN assign0 a ON v.vec_id = a.vec_id
   GROUP BY a.cid, v.pos
 ),

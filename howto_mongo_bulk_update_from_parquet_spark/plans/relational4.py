@@ -83,7 +83,8 @@ WITH pos AS (
 ),
 cmean AS (
   SELECT label, pos,
-         CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cval
+         CAST(SUM(CAST(ROUND(CAST(embedding[pos] AS DOUBLE), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cval
   FROM pos GROUP BY label, pos
 ),
 cent AS (
@@ -137,7 +138,10 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trained coarse quantizer: exact per-label mean per dimension
     cmean = (e.select("label", F.posexplode("embedding").alias("pos0", "val"))
               .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-              .agg((F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+              # ROUND before decimal cast — HALF_UP/HALF_EVEN tie
+              # parity (see plans/similarity.py q_label_centroids)
+              .agg((F.sum(F.round(F.col("val").cast("double"), 9)
+                          .cast("decimal(18,9)")).cast("double")
                     / F.count(F.lit(1))).alias("cval")))
     by_label: dict[int, dict[int, float]] = {}
     for r in cmean.collect():

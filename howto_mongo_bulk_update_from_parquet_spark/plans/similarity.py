@@ -111,7 +111,9 @@ WITH pos AS (
   FROM embeddings
 )
 SELECT label, pos,
-       CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_val
+       CAST(SUM(CAST(ROUND(CAST(embedding[pos] AS DOUBLE), 9)
+                     AS DECIMAL(18,9))) AS DOUBLE)
+         / COUNT(*) AS centroid_val
 FROM pos
 GROUP BY label, pos
 """
@@ -124,9 +126,16 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.select("label", F.posexplode("embedding").alias("pos0", "val"))
              .select("label", (F.col("pos0") + 1).cast("long").alias("pos"), "val")
              .groupBy("label", "pos")
-             # float→double first: the two engines round float→decimal
-             # differently, but double→decimal identically
-             .agg((F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+             # float→double first (the engines round float→decimal
+             # differently), then ROUND to 9 decimals BEFORE the
+             # decimal cast on BOTH sides: a float32 widened to double
+             # can land exactly on a 0.5e-9 tie, where Spark's
+             # double→decimal cast rounds HALF_UP but DuckDB's rounds
+             # HALF_EVEN (hit at sf0.1, label 8 dim 59). ROUND is
+             # half-away-from-zero in both engines, so the tie breaks
+             # identically and the decimal sum stays order-free exact.
+             .agg((F.sum(F.round(F.col("val").cast("double"), 9)
+                         .cast("decimal(18,9)")).cast("double")
                    / F.count(F.lit(1))).alias("centroid_val")))
 
 
