@@ -436,3 +436,32 @@ def test_arrow_path_detector_ignores_docstrings():
     assert any((isinstance(n, ast.Attribute) and n.attr == "RecordBatch")
                or (isinstance(n, ast.Name) and n.id == "RecordBatch")
                for n in ast.walk(real))
+
+
+def test_tpch_battery4_plan_shapes(spark):
+    """Battery IV scale postures: dims broadcast, fact scanned once,
+    no cartesian anywhere; Q21's exists/not-exists collapse must keep
+    a single lineitem scan (the plan-level proof of the one-fact-scan
+    claim in its docstring)."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans import all_queries
+    qs = all_queries()
+    for name in ["q_tpch_q2_min_cost_supplier", "q_tpch_q9_profit",
+                 "q_tpch_q11_value_concentration",
+                 "q_tpch_q12_latency_priority",
+                 "q_tpch_q16_supplier_counts", "q_tpch_q20_excess_stock",
+                 "q_tpch_q21_waiting_supplier"]:
+        df = qs[name](spark, SF)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in phys, name
+        assert "BatchEvalPython" not in phys, name
+    # Q9: all three dims (part, supplier, nation) broadcast
+    plan = _plan(spark, "q_tpch_q9_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # Q21: one scan of lineitem feeds pair + per_order (checkpoint
+    # cut), so the fact file appears in at most one scan node
+    df21 = qs["q_tpch_q21_waiting_supplier"](spark, SF)
+    phys21 = df21._jdf.queryExecution().executedPlan().toString()
+    assert phys21.count("lineitem.parquet") <= 1
+    # Q16: the denylist is a broadcast anti join, not a per-row subquery
+    plan16 = _plan(spark, "q_tpch_q16_supplier_counts")
+    assert "BroadcastHashJoin" in plan16 and "LeftAnti" in plan16
