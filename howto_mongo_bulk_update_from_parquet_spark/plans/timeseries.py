@@ -234,3 +234,111 @@ def q_changepoint_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("s_next").cast("double") / F.col("n_next")
                         - F.col("s_prev").cast("double") / F.col("n_prev")),
                         6).alias("shift_score")))
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-decayed moving average (EWMA-style smoothing), the
+# classic time-series feature a recursive definition makes hard to
+# distribute: dma_t = sum_j w_j * x_{t-j} / sum_j w_j over the last K
+# observations, w_j = alpha * (1 - alpha)^j. Truncating at K lags IS
+# the defined semantics (w_15 ~ 0.003 at alpha=0.25), which turns the
+# unbounded recursion into a BOUNDED per-row expression: K lag()
+# columns over a key-partitioned window — no sequential state, no
+# iteration, identical shape at any history length.
+#
+# Exactness — the hard-won version: a first draft multiplied doubles
+# and ROUND(x, 9)-ed each term, and the engines split on EXACT ties
+# (a 2-decimal value times a dyadic weight can land precisely on
+# 0.5e-9, where Spark's round is HALF_UP but DuckDB's nearbyint is
+# HALF_EVEN). This version has NO double rounding anywhere: the
+# 2-decimal values cast exactly to DECIMAL(12,2) (fixture invariant,
+# asserted by the oracle gate at all SFs), weights are exact
+# 9-decimal literals, each term is an EXACT decimal product
+# (scale 11), and the fold is a BALANCED pairwise tree so Spark's
+# decimal-precision growth stays at 24+log2(K)=28 digits instead of
+# the 38-digit overflow a left fold reaches. Early rows (fewer than K
+# lags) normalize by the sum of present weights (adjusted-EWMA
+# convention). The final decimal->double casts and one division are
+# bit-identical in both engines.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25
+EWMA_K = 16
+_EWMA_W = [round(EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j, 9)
+           for j in range(EWMA_K)]
+
+
+def _tree_sum(parts: list):
+    """Balanced pairwise fold (works for str SQL snippets and Spark
+    Columns alike): depth log2(n), so decimal precision grows by
+    +log2(n) digits, not +n."""
+    while len(parts) > 1:
+        nxt = []
+        for i in range(0, len(parts) - 1, 2):
+            a, b = parts[i], parts[i + 1]
+            nxt.append(f"({a} + {b})" if isinstance(a, str) else (a + b))
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n         ".join(
+        f"LAG(v, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" AS v_{j}" for j in range(1, EWMA_K))
+    terms = _tree_sum([
+        f"CASE WHEN v_{j} IS NULL THEN CAST(0 AS DECIMAL(24,11)) "
+        f"ELSE v_{j} * CAST({w!r} AS DECIMAL(11,9)) END"
+        for j, w in enumerate(_EWMA_W)])
+    wsum = _tree_sum([
+        f"CASE WHEN v_{j} IS NULL THEN CAST(0 AS DECIMAL(11,9)) "
+        f"ELSE CAST({w!r} AS DECIMAL(11,9)) END"
+        for j, w in enumerate(_EWMA_W)])
+    return f"""
+WITH src AS (
+  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+lagged AS (
+  SELECT user_id, event_id, v AS v_0,
+         {lags}
+  FROM src
+)
+SELECT user_id, event_id,
+       CAST({terms} AS DOUBLE)
+         / CAST({wsum} AS DOUBLE) AS dma
+FROM lagged
+"""
+
+
+@register("q_ewma_smoothing", _ewma_oracle(),
+          "exponentially-decayed moving average per user (alpha=0.25, "
+          "K=16 lags): the recursive EWMA made distributable as a "
+          "bounded lag-window expression, weight-adjusted at series "
+          "start, exact-decimal balanced-tree fold")
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("user_id", "event_id", "ts",
+                 F.col("value").cast("decimal(12,2)").alias("v")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "user_id", "event_id",
+        F.col("v").alias("v_0"),
+        *[F.lag("v", j).over(w).alias(f"v_{j}")
+          for j in range(1, EWMA_K)])
+    term_zero = F.lit(0).cast("decimal(24,11)")
+    w_zero = F.lit(0).cast("decimal(11,9)")
+    terms = _tree_sum([
+        F.when(F.col(f"v_{j}").isNull(), term_zero)
+         .otherwise(F.col(f"v_{j}")
+                    * F.lit(wj).cast("decimal(11,9)"))
+        for j, wj in enumerate(_EWMA_W)])
+    wsum = _tree_sum([
+        F.when(F.col(f"v_{j}").isNull(), w_zero)
+         .otherwise(F.lit(wj).cast("decimal(11,9)"))
+        for j, wj in enumerate(_EWMA_W)])
+    return lagged.select(
+        "user_id", "event_id",
+        (terms.cast("double") / wsum.cast("double")).alias("dma"))
