@@ -91,3 +91,35 @@ def test_grouped_topk_null_order_values_match_window(spark):
         g = sorted([r.asDict() for r in got.collect()], key=key)
         x = sorted([r.asDict() for r in want.collect()], key=key)
         assert g == x, f"ascending={ascending}"
+
+
+def test_grouped_topk_property_matches_window(spark):
+    """Hypothesis: over random small frames (null groups, null order
+    values, heavy ties, both directions, k in 1..4), grouped_topk's
+    row set equals the row_number window filter exactly."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    rows = st.lists(
+        st.tuples(st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+                  st.integers(0, 10**6),
+                  st.one_of(st.none(),
+                            st.sampled_from([0.0, 1.5, 2.5, -3.0, 7.25]))),
+        min_size=1, max_size=30, unique_by=lambda t: t[1])
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(rows=rows, k=st.integers(1, 4), asc=st.booleans())
+    def check(rows, k, asc):
+        df = spark.createDataFrame(rows, "g string, id long, v double")
+        got = grouped_topk(df, ["g"], "v", k, tie_cols=["id"],
+                           ascending=asc)
+        direction = F.col("v").asc() if asc else F.col("v").desc()
+        w = Window.partitionBy("g").orderBy(direction, F.col("id").asc())
+        want = (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k))
+        key = lambda r: r["id"]  # noqa: E731
+        g = sorted([r.asDict() for r in got.collect()], key=key)
+        x = sorted([r.asDict() for r in want.collect()], key=key)
+        assert g == x
+
+    check()
