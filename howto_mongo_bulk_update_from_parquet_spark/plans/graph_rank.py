@@ -93,7 +93,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cache())  # reused 1 + N_ITER times; edge list ≪ fact table
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select("dst")).distinct().cache())
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+              .cache())   # reused every iteration — one aggregation, not N
     n_nodes = nodes.count()  # driver scalar, like the oracle's (SELECT n)
 
     pr = nodes.select("node", F.round(F.lit(1.0) / n_nodes, 9).alias("pr"))
@@ -109,7 +110,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("node",
                       F.round(F.lit(base) + DAMPING
                               * F.coalesce(F.col("acc").cast("double"),
-                                           F.lit(0.0)), 9).alias("pr")))
+                                           F.lit(0.0)), 9).alias("pr"))
+              # cut the unrolled lineage each round (the
+              # connected-components / q_shortest_paths idiom): local
+              # timings are noise-level either way at 3 iterations,
+              # but at real scale a deep iterative lineage is a
+              # replan/stack-depth hazard that grows with rounds
+              .localCheckpoint(eager=False))
     return pr.select("node", F.col("pr").alias("pagerank"))
 
 
