@@ -209,6 +209,37 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delete(args: argparse.Namespace) -> int:
+    """Row deletes against the keyed table — the DELETE half of MERGE
+    (the reference's upsert-only pipeline can never remove a
+    document). `--tombstone` appends an LSM tombstone delta
+    (O(deleted keys) write, purged at compaction); the default
+    rewrites the base as a new version (atomic flip, time travel
+    keeps history)."""
+    from pyspark.sql import functions as F
+
+    from .sinks.keyed_table import (append_delete_delta,
+                                    delete_from_keyed_table)
+    if not args.keys and not args.keys_path:
+        print("delete requires --keys or --keys-path", file=sys.stderr)
+        return 2
+    spark = get_spark("delete")
+    if args.keys_path:
+        keys = spark.read.parquet(args.keys_path).select(args.key)
+    else:
+        vals = [(v,) for v in args.keys.split(",")]
+        keys = (spark.createDataFrame(vals, f"{args.key} string")
+                .select(F.col(args.key).cast(args.key_type)))
+    if args.tombstone:
+        v = append_delete_delta(spark, keys, path=args.table, key=args.key)
+        print(f"tombstone delta_{v:05d} appended to {args.table}")
+        return 0
+    _, n = delete_from_keyed_table(spark, keys, path=args.table,
+                                   key=args.key, return_counts=True)
+    print(f"deleted {n} row(s) from {args.table}")
+    return 0
+
+
 def cmd_topk(args: argparse.Namespace) -> int:
     """Grouped top-k over arbitrary parquet via operators/topk.py —
     the two-stage prune (per-batch local top-k, bounded re-rank), so a
@@ -390,6 +421,20 @@ def main(argv: list[str] | None = None) -> int:
                         "logically-identical query from its "
                         "materialized result until an input changes")
     q.set_defaults(fn=cmd_query)
+
+    dl = sub.add_parser(
+        "delete", help="delete rows from a keyed table by key "
+                       "(versioned rewrite, or --tombstone LSM delta)")
+    dl.add_argument("--table", required=True, help="keyed table path")
+    dl.add_argument("--key", default=PIPELINE_KEY)
+    dl.add_argument("--keys", help="comma-separated key values")
+    dl.add_argument("--keys-path", help="parquet of keys (overrides --keys)")
+    dl.add_argument("--key-type", default="string",
+                    help="cast for --keys values (e.g. long)")
+    dl.add_argument("--tombstone", action="store_true",
+                    help="append an LSM tombstone delta instead of "
+                         "rewriting the base")
+    dl.set_defaults(fn=cmd_delete)
 
     tk = sub.add_parser(
         "topk", help="grouped top-k over any parquet (window-free "

@@ -303,6 +303,7 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
     allv = parts[0]
     for p in parts[1:]:
         allv = allv.unionByName(p, allowMissingColumns=True)
+    allv = _apply_tombstones(allv, key)
     cols = [c for c in allv.columns if c not in (key, "__v")]
     w = Window.partitionBy(key).orderBy(F.col("__v").desc())
     # full-partition frame: the default ORDER BY frame ends at the
@@ -336,3 +337,73 @@ def compact(spark: SparkSession, path: str, key: str,
         hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
     hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
     return spark.read.parquet(_base_dir(path, new_version))
+
+
+# --- deletes (the DELETE half of MERGE; absent from the reference,
+# whose upsert-only pipeline can never remove a document) ------------
+
+_TOMBSTONE = "__deleted"
+
+
+def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
+                            path: str, key: str,
+                            retain_versions: int = 2,
+                            return_counts: bool = False):
+    """Delete every row of the keyed table whose key appears in
+    `keys` (a 1-column DataFrame or any frame carrying `key`), as a
+    NEW table version: anti-join the current base, single write into
+    `base_v{N+1}`, atomic manifest flip — the same commit protocol
+    (and the same two concurrent-writer fences) as the upsert path,
+    so a racing upsert round cannot be silently dropped. Time travel
+    to version N still shows the deleted rows.
+
+    Returns the post-delete table, or ``(df, n_deleted)`` with
+    ``return_counts``."""
+    version = current_base_version(spark, path)
+    if version:
+        target = spark.read.parquet(_base_dir(path, version))
+    elif _legacy_root_has_data(spark, path):
+        target = spark.read.parquet(path)
+    else:
+        raise FileNotFoundError(f"no keyed table at {path}")
+    del_keys = (keys.select(F.col(key)).filter(F.col(key).isNotNull())
+                .distinct())
+    remaining = target.join(del_keys, key, "left_anti")
+    new_version = version + 1
+    _write_claiming_base(spark, remaining, path, new_version)
+    _commit_version(spark, path, new_version, retain_versions)
+    result = spark.read.parquet(_base_dir(path, new_version))
+    if return_counts:
+        n_deleted = target.count() - result.count()
+        return result, n_deleted
+    return result
+
+
+def append_delete_delta(spark: SparkSession, keys: DataFrame, *,
+                        path: str, key: str) -> int:
+    """LSM delete: append a TOMBSTONE delta instead of rewriting the
+    base — one tiny write, O(deleted keys), the path a high-frequency
+    pipeline takes between compactions. `read_merged` hides
+    tombstoned keys and `compact` purges them physically."""
+    src = (keys.select(F.col(key)).filter(F.col(key).isNotNull())
+           .distinct().withColumn(_TOMBSTONE, F.lit(True)))
+    version = (_delta_versions(spark, path) or [0])[-1] + 1
+    src.write.mode("overwrite").parquet(hfs.join(path, f"delta_{version:05d}"))
+    return version
+
+
+def _apply_tombstones(allv: DataFrame, key: str) -> DataFrame:
+    """History cut: rows at or below a key's NEWEST tombstone version
+    are dropped BEFORE the null-skip merge, so a later re-insert of a
+    deleted key starts from a clean slate — older column values must
+    not resurrect through the first(ignorenulls) lookback. Keys whose
+    newest row is the tombstone itself disappear entirely."""
+    if _TOMBSTONE not in allv.columns:
+        return allv
+    w_full = (Window.partitionBy(key)
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    tv = F.max(F.when(F.col(_TOMBSTONE), F.col("__v"))).over(w_full)
+    return (allv.withColumn("__tv", tv)
+            .filter(F.col("__tv").isNull() | (F.col("__v") > F.col("__tv")))
+            .drop("__tv", _TOMBSTONE))

@@ -1,0 +1,99 @@
+"""Row deletes for the keyed table — the DELETE half of MERGE the
+upsert-only reference can never express. Two paths mirror the two
+write paths: a versioned anti-join rewrite (atomic flip, time travel
+keeps history) and LSM tombstone deltas (O(deleted) writes,
+history-cutting merge-on-read, physical purge at compaction)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+    append_delete_delta, append_delta, compact, current_base_version,
+    delete_from_keyed_table, read_keyed_table, read_merged,
+    upsert_into_keyed_table)
+
+
+def _src(spark, rows, schema="k long, a string, b double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_versioned_delete_rewrites_and_keeps_history(spark, tmp_path):
+    p = str(tmp_path / "t")
+    upsert_into_keyed_table(
+        spark, _src(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)]),
+        path=p, key="k", updated_at_col=None, retain_versions=3)
+    v_before = current_base_version(spark, p)
+    out, n = delete_from_keyed_table(
+        spark, spark.createDataFrame([(2,), (3,), (99,), (None,)], "k long"),
+        path=p, key="k", retain_versions=3, return_counts=True)
+    assert n == 2
+    assert sorted(r.k for r in out.collect()) == [1]
+    assert current_base_version(spark, p) == v_before + 1
+    # time travel: the pre-delete version still shows all three rows
+    old = read_keyed_table(spark, p, version=v_before)
+    assert sorted(r.k for r in old.collect()) == [1, 2, 3]
+    # a later upsert reinserts cleanly on top of the delete
+    upsert_into_keyed_table(spark, _src(spark, [(2, "y2", None)]),
+                            path=p, key="k", updated_at_col=None,
+                            retain_versions=3)
+    now = {r.k: (r.a, r.b) for r in read_keyed_table(spark, p).collect()}
+    assert now == {1: ("x", 1.0), 2: ("y2", None)}
+
+
+def test_versioned_delete_requires_existing_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        delete_from_keyed_table(
+            spark, spark.createDataFrame([(1,)], "k long"),
+            path=str(tmp_path / "missing"), key="k")
+
+
+def test_lsm_tombstone_hides_and_cuts_history(spark, tmp_path):
+    p = str(tmp_path / "lsm")
+    append_delta(spark, _src(spark, [(1, "x", 1.0), (2, "y", 2.0)]),
+                 path=p, key="k")
+    append_delta(spark, _src(spark, [(2, None, 22.0)]), path=p, key="k")
+    # pre-delete: null-skip keeps a='y' from the older version
+    m = {r.k: (r.a, r.b) for r in read_merged(spark, p, "k").collect()}
+    assert m == {1: ("x", 1.0), 2: ("y", 22.0)}
+
+    append_delete_delta(spark, spark.createDataFrame([(2,)], "k long"),
+                        path=p, key="k")
+    m = {r.k: (r.a, r.b) for r in read_merged(spark, p, "k").collect()}
+    assert m == {1: ("x", 1.0)}
+
+    # re-insert AFTER the tombstone: pre-delete values must NOT
+    # resurrect through the null-skip lookback — b stays NULL
+    append_delta(spark, _src(spark, [(2, "fresh", None)]), path=p, key="k")
+    m = {r.k: (r.a, r.b) for r in read_merged(spark, p, "k").collect()}
+    assert m == {1: ("x", 1.0), 2: ("fresh", None)}
+
+
+def test_compact_purges_tombstoned_keys_physically(spark, tmp_path):
+    p = str(tmp_path / "lsm2")
+    append_delta(spark, _src(spark, [(1, "x", 1.0), (2, "y", 2.0),
+                                     (3, "z", 3.0)]), path=p, key="k")
+    append_delete_delta(spark, spark.createDataFrame([(3,)], "k long"),
+                        path=p, key="k")
+    compacted = compact(spark, p, "k")
+    assert sorted(r.k for r in compacted.collect()) == [1, 2]
+    assert "__deleted" not in compacted.columns
+    assert "__v" not in compacted.columns
+    # post-compaction reads agree and further rounds work
+    assert sorted(r.k for r in read_merged(spark, p, "k").collect()) == [1, 2]
+    append_delta(spark, _src(spark, [(3, "back", 33.0)]), path=p, key="k")
+    m = {r.k: (r.a, r.b) for r in read_merged(spark, p, "k").collect()}
+    assert m[3] == ("back", 33.0)
+
+
+def test_cli_delete_roundtrip(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    p = str(tmp_path / "clitab")
+    upsert_into_keyed_table(
+        spark, _src(spark, [(1, "x", 1.0), (2, "y", 2.0)]),
+        path=p, key="k", updated_at_col=None)
+    rc = main(["delete", "--table", p, "--key", "k",
+               "--keys", "2,99", "--key-type", "long"])
+    assert rc == 0
+    assert "deleted 1 row(s)" in capsys.readouterr().out
+    assert sorted(r.k for r in read_keyed_table(spark, p).collect()) == [1]
+    assert main(["delete", "--table", p, "--key", "k"]) == 2
