@@ -436,3 +436,65 @@ def q_fixedwidth_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_custs"),
                  F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
                   .cast("double").alias("total_bal")))
+
+
+# MERGE with a DELETE branch — the op-typed changefeed shape (CDC
+# consumers emit upserts AND deletes in one batch): rows flagged 'D'
+# remove their key, rows flagged 'U' upsert with the null-skip rule.
+# The keyed-table sinks carry the physical forms (versioned anti-join
+# rewrite / LSM tombstones, tests/test_keyed_delete.py); this query
+# proves the LOGICAL semantics against a SQL oracle. Delete wins over
+# any same-batch upsert of the same key (tombstone-newest semantics).
+MERGE_DELETE_ORACLE = """
+WITH src AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+         CASE WHEN o_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders GROUP BY o_custkey
+), tgt AS (
+  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS segment
+  FROM customer
+), ups AS (
+  SELECT c_custkey, bal,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE 'UPDATED' END AS segment
+  FROM src WHERE op = 'U'
+), dels AS (
+  SELECT c_custkey FROM src WHERE op = 'D'
+)
+SELECT m.c_custkey, m.bal, m.segment
+FROM (
+  SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+         COALESCE(s.bal, t.bal) AS bal,
+         COALESCE(s.segment, t.segment) AS segment
+  FROM tgt t FULL OUTER JOIN ups s ON t.c_custkey = s.c_custkey
+) m
+WHERE m.c_custkey NOT IN (SELECT c_custkey FROM dels)
+"""
+
+
+@register("q_merge_upsert_delete", MERGE_DELETE_ORACLE,
+          "op-typed changefeed MERGE: one batch of 'U' upserts "
+          "(null-skip) and 'D' deletes applied together — deletes "
+          "anti-join after the upsert merge, so a same-batch delete "
+          "wins over its own key's upsert")
+def q_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    target = customer.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_mktsegment").alias("segment"))
+    src = (orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+           .agg(F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("bal"))
+           .withColumn("op", F.when(F.col("c_custkey") % 7 == 0, "D")
+                              .otherwise(F.lit("U"))))
+    ups = (src.filter(F.col("op") == "U")
+           .select("c_custkey", "bal",
+                   F.when(F.col("c_custkey") % 3 == 0, None)
+                    .otherwise(F.lit("UPDATED")).alias("segment")))
+    dels = src.filter(F.col("op") == "D").select("c_custkey")
+    merged = keyed_upsert(target, ups, key="c_custkey",
+                          payload=["bal", "segment"], updated_at_col=None)
+    # no broadcast hint: the delete set scales with the data (1/7 of
+    # keys) — AQE broadcasts while it fits and degrades past that
+    return merged.join(dels, "c_custkey", "left_anti")
