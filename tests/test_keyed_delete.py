@@ -97,3 +97,66 @@ def test_cli_delete_roundtrip(spark, tmp_path, capsys):
     assert "deleted 1 row(s)" in capsys.readouterr().out
     assert sorted(r.k for r in read_keyed_table(spark, p).collect()) == [1]
     assert main(["delete", "--table", p, "--key", "k"]) == 2
+
+
+def test_lsm_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based property test: random interleavings of upsert
+    deltas, tombstone deltas, and compactions must always read back
+    exactly what a dict model of the semantics predicts (newest wins,
+    per-column null-skip, tombstone cuts history, compaction is
+    invisible to readers)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    keys = st.integers(0, 5)
+    upsert_rows = st.lists(
+        st.tuples(keys,
+                  st.one_of(st.none(), st.sampled_from(["p", "q", "r"])),
+                  st.one_of(st.none(), st.sampled_from([1.0, 2.5, -3.0]))),
+        min_size=1, max_size=4, unique_by=lambda t: t[0])
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("upsert"), upsert_rows),
+            st.tuples(st.just("delete"), st.lists(keys, min_size=1,
+                                                  max_size=3)),
+            st.tuples(st.just("compact"), st.just(None))),
+        min_size=1, max_size=7)
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(ops=ops)
+    def check(ops):
+        counter[0] += 1
+        p = str(tmp_path / f"mod{counter[0]}")
+        model: dict[int, dict[str, object]] = {}
+        wrote = False
+        for kind, arg in ops:
+            if kind == "upsert":
+                append_delta(spark, _src(spark, arg), path=p, key="k")
+                wrote = True
+                for k, a, b in arg:
+                    row = model.setdefault(k, {"a": None, "b": None})
+                    if a is not None:
+                        row["a"] = a
+                    if b is not None:
+                        row["b"] = b
+            elif kind == "delete":
+                if not wrote:
+                    continue   # tombstone into an empty table: skip
+                append_delete_delta(
+                    spark, spark.createDataFrame([(k,) for k in arg],
+                                                 "k long"),
+                    path=p, key="k")
+                for k in arg:
+                    model.pop(k, None)
+            elif kind == "compact" and wrote:
+                compact(spark, p, "k")
+        if not wrote:
+            return
+        got = {r.k: (r.a, r.b)
+               for r in read_merged(spark, p, "k").collect()}
+        want = {k: (v["a"], v["b"]) for k, v in model.items()}
+        assert got == want, ops
+
+    check()
