@@ -160,3 +160,33 @@ def test_lsm_random_op_sequences_match_model(spark, tmp_path):
         assert got == want, ops
 
     check()
+
+
+def test_delete_inherits_concurrent_writer_fences(spark, tmp_path, monkeypatch):
+    """delete_from_keyed_table shares the upsert path's commit
+    protocol: a delete racing a committed upsert round must raise
+    ConcurrentWriteError instead of silently erasing the winner's
+    commit, and retrying against the true version succeeds."""
+    import pytest
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import keyed_table as kt
+
+    p = str(tmp_path / "race")
+    upsert_into_keyed_table(spark, _src(spark, [(1, "x", 1.0)]),
+                            path=p, key="k", updated_at_col=None)   # v1
+    upsert_into_keyed_table(spark, _src(spark, [(2, "y", 2.0)]),
+                            path=p, key="k", updated_at_col=None)   # v2
+    real = kt.current_base_version
+    monkeypatch.setattr(kt, "current_base_version", lambda *_: 1)
+    with pytest.raises(kt.ConcurrentWriteError):
+        delete_from_keyed_table(
+            spark, spark.createDataFrame([(1,)], "k long"),
+            path=p, key="k")
+    monkeypatch.undo()
+    assert kt.current_base_version is real
+    # winner intact; retry succeeds against the true version
+    assert sorted(r.k for r in read_keyed_table(spark, p).collect()) == [1, 2]
+    out, n = delete_from_keyed_table(
+        spark, spark.createDataFrame([(1,)], "k long"),
+        path=p, key="k", return_counts=True)
+    assert n == 1 and sorted(r.k for r in out.collect()) == [2]
