@@ -190,3 +190,24 @@ def test_delete_inherits_concurrent_writer_fences(spark, tmp_path, monkeypatch):
         spark, spark.createDataFrame([(1,)], "k long"),
         path=p, key="k", return_counts=True)
     assert n == 1 and sorted(r.k for r in out.collect()) == [2]
+
+
+def test_cdc_diff_classifies_versioned_delete(spark, tmp_path):
+    """Time travel + diff_snapshots turn a delete round into a CDC
+    'deleted' event — the changefeed a downstream consumer replays."""
+    from howto_mongo_bulk_update_from_parquet_spark.operators.diff import diff_snapshots
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        current_base_version)
+
+    p = str(tmp_path / "cdc")
+    upsert_into_keyed_table(
+        spark, _src(spark, [(1, "x", 1.0), (2, "y", 2.0)]),
+        path=p, key="k", updated_at_col=None, retain_versions=3)
+    delete_from_keyed_table(spark, spark.createDataFrame([(2,)], "k long"),
+                            path=p, key="k", retain_versions=3)
+    v = current_base_version(spark, p)
+    old = read_keyed_table(spark, p, version=v - 1)
+    new = read_keyed_table(spark, p, version=v)
+    d = {r.k: r.change for r in
+         diff_snapshots(old, new, "k").collect()}
+    assert d == {2: "deleted"}
