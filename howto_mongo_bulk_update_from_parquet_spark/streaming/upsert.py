@@ -41,3 +41,42 @@ def stream_upsert_parquet(spark: SparkSession, source_dir: str, *,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def stream_apply_changefeed(spark: SparkSession, source_dir: str, *,
+                            schema: T.StructType, table_path: str,
+                            key: str, op_col: str, checkpoint: str) -> None:
+    """Consume an op-typed changefeed stream ('U' upserts / 'D'
+    deletes, the q_merge_upsert_delete shape) into the LSM keyed
+    table: each micro-batch appends one upsert delta for its 'U' rows
+    and one tombstone delta for its 'D' rows — O(batch) writes, no
+    base rewrite; compact on a schedule.
+
+    The tombstone delta is appended AFTER the upsert delta, so within
+    one batch a delete of a key wins over that key's own upsert
+    (matching the batch MERGE semantics). A checkpoint-replayed batch
+    appends byte-identical deltas at higher versions; newest-wins
+    merge-on-read makes the table state idempotent under replay."""
+    from ..sinks.keyed_table import append_delete_delta, append_delta
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+        sess = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            ups = batch_df.filter(F.col(op_col) == "U").drop(op_col)
+            if ups.limit(1).count():
+                append_delta(sess, ups, path=table_path, key=key)
+            dels = (batch_df.filter(F.col(op_col) == "D")
+                    .select(key))
+            if dels.limit(1).count():
+                append_delete_delta(sess, dels, path=table_path, key=key)
+        finally:
+            batch_df.unpersist()
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -211,3 +211,43 @@ def test_cdc_diff_classifies_versioned_delete(spark, tmp_path):
     d = {r.k: r.change for r in
          diff_snapshots(old, new, "k").collect()}
     assert d == {2: "deleted"}
+
+
+def test_stream_changefeed_applies_upserts_and_deletes(spark, tmp_path):
+    """End-to-end op-typed changefeed through Structured Streaming:
+    micro-batches route 'U' rows to upsert deltas and 'D' rows to
+    tombstone deltas; the merged table equals the batch MERGE model,
+    including delete-wins within a batch and clean re-insert after."""
+    from pyspark.sql import types as T
+
+    from howto_mongo_bulk_update_from_parquet_spark.streaming.upsert import (
+        stream_apply_changefeed)
+
+    land = str(tmp_path / "land")
+    table = str(tmp_path / "tab")
+    ck = str(tmp_path / "ck")
+    schema = T.StructType.fromDDL("k long, a string, op string")
+
+    def emit(rows):
+        # append into the FLAT landing dir — the file stream does not
+        # descend into per-batch subdirectories
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(land)
+
+    # batch 1: inserts + a same-batch upsert/delete collision on k=3
+    emit([(1, "x", "U"), (2, "y", "U"), (3, "z", "U"), (3, None, "D")])
+    stream_apply_changefeed(spark, land, schema=schema, table_path=table,
+                            key="k", op_col="op", checkpoint=ck)
+    m = {r.k: r.a for r in read_merged(spark, table, "k").collect()}
+    assert m == {1: "x", 2: "y"}
+
+    # batch 2: delete k=1, re-insert k=3 fresh
+    emit([(1, None, "D"), (3, "z2", "U")])
+    stream_apply_changefeed(spark, land, schema=schema, table_path=table,
+                            key="k", op_col="op", checkpoint=ck)
+    m = {r.k: r.a for r in read_merged(spark, table, "k").collect()}
+    assert m == {2: "y", 3: "z2"}
+
+    # compaction preserves the state and purges tombstones
+    compacted = compact(spark, table, "k")
+    assert {r.k: r.a for r in compacted.collect()} == {2: "y", 3: "z2"}
