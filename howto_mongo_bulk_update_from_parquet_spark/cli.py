@@ -7,6 +7,9 @@ catalog-query runner.
     python -m howto_mongo_bulk_update_from_parquet_spark.cli upsert --path /tmp/data --mongo-uri mongodb://... \
         --database db --collection coll --key _id
     python -m howto_mongo_bulk_update_from_parquet_spark.cli reconcile --path /tmp/data --table /tmp/keyed
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli delete --table /tmp/keyed --keys id-1,id-2 [--tombstone]
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli upsert --path /tmp/more --table /tmp/keyed --lsm
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli compact --table /tmp/keyed
     python -m howto_mongo_bulk_update_from_parquet_spark.cli query --name q1_pricing_summary --sf-dir /root/testdata/sf0.001
 
 Reusable scale-safe operators are user-reachable on ANY parquet (not
@@ -74,6 +77,11 @@ def cmd_upsert(args: argparse.Namespace) -> int:
                                      permissive=args.permissive)
         print(f"upserted into mongodb {cfg.database}.{cfg.collection} "
               f"(failed_partitions={result['n_failed_partitions']})")
+    elif args.lsm:
+        from .sinks.keyed_table import append_delta
+        v = append_delta(spark, src, path=args.table, key=cfg.key)
+        print(f"keyed table {args.table}: appended delta_{v:05d} "
+              f"(merge-on-read; run `compact` on a schedule)")
     else:
         from .observability import StructuredLog
         from .sinks.keyed_table import upsert_into_keyed_table
@@ -206,6 +214,18 @@ def cmd_query(args: argparse.Namespace) -> int:
     if args.explain:
         df.explain("formatted")
     df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Fold the LSM keyed table's base + deltas into one new versioned
+    base (single write + atomic manifest flip) and drop the deltas —
+    the scheduled half of the `upsert --lsm` / `delete --tombstone`
+    write paths. Tombstoned keys are purged physically here."""
+    from .sinks.keyed_table import compact
+    spark = get_spark("compact")
+    out = compact(spark, args.table, args.key, n_files=args.n_files)
+    print(f"compacted {args.table}: {out.count()} rows")
     return 0
 
 
@@ -373,6 +393,10 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--key", help=f"merge key (default {PIPELINE_KEY})")
     u.add_argument("--n-partitions", type=_bounded_int(1, 100_000),
                    help="write parallelism (replaces --concurrent-tasks)")
+    u.add_argument("--lsm", action="store_true",
+                   help="append a merge-on-read delta to the keyed "
+                        "table instead of rewriting the base "
+                        "(pair with the `compact` subcommand)")
     u.add_argument("--permissive", action="store_true",
                    help="log-and-continue on bulk-write errors "
                         "(reference error ladder) instead of fail-fast")
@@ -421,6 +445,14 @@ def main(argv: list[str] | None = None) -> int:
                         "logically-identical query from its "
                         "materialized result until an input changes")
     q.set_defaults(fn=cmd_query)
+
+    cp = sub.add_parser(
+        "compact", help="fold the keyed table's deltas into a new "
+                        "versioned base and purge tombstones")
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--key", default=PIPELINE_KEY)
+    cp.add_argument("--n-files", type=_bounded_int(1, 100_000))
+    cp.set_defaults(fn=cmd_compact)
 
     dl = sub.add_parser(
         "delete", help="delete rows from a keyed table by key "

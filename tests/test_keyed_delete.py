@@ -251,3 +251,25 @@ def test_stream_changefeed_applies_upserts_and_deletes(spark, tmp_path):
     # compaction preserves the state and purges tombstones
     compacted = compact(spark, table, "k")
     assert {r.k: r.a for r in compacted.collect()} == {2: "y", 3: "z2"}
+
+
+def test_cli_lsm_upsert_delete_compact_cycle(spark, tmp_path, capsys):
+    """The full LSM lifecycle through the CLI: `upsert --lsm` appends
+    deltas, `delete --tombstone` appends tombstones, `compact` folds
+    and purges — the high-frequency pipeline a cron would run."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    src1 = str(tmp_path / "s1")
+    table = str(tmp_path / "t")
+    assert main(["generate", "--path", src1, "--n-rows", "100",
+                 "--n-files", "2"]) == 0
+    assert main(["upsert", "--path", src1, "--table", table,
+                 "--lsm"]) == 0
+    assert "appended delta_00001" in capsys.readouterr().out
+    assert read_merged(spark, table, "_id").count() == 100
+    assert main(["delete", "--table", table, "--keys", "id-000000000000",
+                 "--tombstone"]) == 0
+    assert "tombstone delta_00002" in capsys.readouterr().out
+    assert read_merged(spark, table, "_id").count() == 99
+    assert main(["compact", "--table", table]) == 0
+    assert "99 rows" in capsys.readouterr().out
+    assert read_keyed_table(spark, table).count() == 99
