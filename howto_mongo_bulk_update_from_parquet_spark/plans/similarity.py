@@ -168,3 +168,65 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1)
                   .select("vec_id", F.col("c_id").alias("assigned_centroid"), "cos_sim"))
+
+
+# Cluster-balanced (diversity) sampling — the curation step after
+# clustering: draw an equal quota from every region of embedding
+# space so the sample is diverse instead of mode-dominated (the
+# SemDeDup/cluster-sampling recipe for training data). Assignment
+# reuses the IVF coarse quantizer above; the per-cluster draw is
+# deterministic (md5-of-id order, reproducible across runs, engines,
+# partitionings) and WINDOW-FREE on the Spark side via grouped_topk,
+# so a skewed cluster never concentrates a full sort on one reducer.
+CLUSTER_SAMPLE_K = 20
+
+CLUSTER_SAMPLE_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+assign AS (
+  SELECT vec_id, c_id AS cluster
+  FROM (
+    SELECT v.vec_id, cent.c_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(v.ev, cent.cv), 6) DESC,
+                                       cent.c_id) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
+)
+SELECT cluster, vec_id
+FROM (
+  SELECT cluster, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+  FROM assign
+) WHERE srn <= {CLUSTER_SAMPLE_K}
+"""
+
+
+@register("q_cluster_balanced_sample", CLUSTER_SAMPLE_ORACLE,
+          "diversity sampling: IVF-assign every embedding to its "
+          "nearest centroid, then a deterministic md5-order quota of "
+          "20 per cluster via the window-free grouped_topk prune — "
+          "equal coverage of embedding-space regions")
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import grouped_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (e.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("c_id"),
+                    _as_double("embedding").alias("cv")))
+    v = e.select("vec_id", _as_double("embedding").alias("ev"))
+    scored = (v.join(F.broadcast(cent))
+              .select("vec_id", "c_id",
+                      F.round(cosine(F.col("ev"), F.col("cv")), 6)
+                       .alias("cos_sim")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                             F.col("c_id"))
+    assign = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("vec_id", F.col("c_id").alias("cluster")))
+    pick = assign.select(
+        "cluster", "vec_id",
+        F.md5(F.col("vec_id").cast("string")).alias("h"))
+    return (grouped_topk(pick, ["cluster"], "h", CLUSTER_SAMPLE_K,
+                         tie_cols=["vec_id"], ascending=True)
+            .select("cluster", "vec_id"))

@@ -78,7 +78,7 @@ def test_head50_spans_every_capability():
                     if getattr(CATALOG[n].fn, "__module__", "")
                     == relational11.__name__}
     r8_additions |= {"q_stratified_sample_scalable", "q_ewma_smoothing",
-                     "q_merge_upsert_delete"}
+                     "q_merge_upsert_delete", "q_cluster_balanced_sample"}
     never = ({n for n in names if n not in last_green}
              - rows_only_sketches - r8_additions)
     missing_debt = sorted(n for n in never if n in oracles and n not in head)
