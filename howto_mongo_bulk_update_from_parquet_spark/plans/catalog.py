@@ -45,61 +45,15 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
-# Curated registration head: the correctness harness attests a bounded
-# prefix of the registered queries (observed cap: 50), so the first 50
-# names must span EVERY capability — each SURVEY §2.2 category, each
-# §2.1 reference operator with an oracle-able twin, and each
-# LLM-pipeline operator (dedup/LSH, similarity/ANN, text, UDF surface,
-# multimodal, streaming, SCD2/CDC, data quality). The head ROTATES
-# between rounds: queries attested by a previous round's driver run
-# (CORRECTNESS_r*.json) yield their slot — within the same capability
-# category — to queries that are new or changed this round, so every
-# query eventually gets an externally-attested run. Tail queries keep
-# full oracle coverage via selfcheck.py (SELFCHECK_FULL.json); the
-# round notes list the rotation.
-_HEAD: tuple[str, ...] = (
-    # --- ROUND-8 ROTATION (the r7 verdict's item 5): finish paying the
-    # attestation debt, then start the freshness cycle.
-    #   (a) 16 slots: every oracle-bearing query that has never had a
-    #       driver-attested green row after seven rounds — the four r7
-    #       hash-fails (HUGEINT oracle dtype, CAST ... AS BIGINT fixed
-    #       this round), the five r7-deferred, and the seven
-    #       post-attestation r7 additions.
-    #   (b) 1 slot: q_fixedwidth_ingest — attested green r7, but the
-    #       reader was REWRITTEN this round (Arrow RecordBatch
-    #       vectorized path) and must re-attest its new implementation.
-    #   (c) 33 slots: least-recently-attested (all last green in
-    #       rounds 2–3), sorted (round, name) — keeps every
-    #       attestation ≤ ~5 rounds stale as the cycle continues.
-    # The 4 rows-only-by-design sketches (q_profile_approx,
-    # q_approx_stats, q_hll_distinct, q_pca_project) stay in the tail:
-    # a head slot would record only the weaker rows-only check while
-    # their accuracy contracts are pytest-pinned. ---
-    # (a) never-attested: the four re-fixed r7 reds
-    "q_gaps_islands", "q_corpus_card", "q_sq_int8_quantize",
-    "q_quota_allocation",
-    # (a) never-attested: the five r7-deferred
-    "q_csv_ingest", "q_running_distinct", "q_max_concurrency",
-    "q_share_of_parent", "q_business_days",
-    # (a) never-attested: the seven post-attestation r7 additions
-    "q_bpe_encode", "q_exact_quartiles", "q_doc_entropy",
-    "q_grouped_topk", "q_recursive_calendar", "q_sql_scalar_function",
-    "q_stream_foreach_upsert",
-    # (b) re-attest the rewritten Arrow-batch reader
-    "q_fixedwidth_ingest",
-    # (c) least-recently-attested fill (last green r2)
-    "q_ann_ivf_assign", "q_case_agg", "q_cube", "q_date_arith",
-    "q_date_funcs", "q_dedup_exact", "q_embedding_neardup",
-    "q_event_tumbling", "q_fingerprint", "q_join_left",
-    "q_label_centroids", "q_map_funcs", "q_math_funcs",
-    "q_ngram_jaccard", "q_percentiles", "q_pivot", "q_sessionize",
-    "q_sql_api", "q_stats_moments", "q_subqueries", "q_token_stats",
-    "q_union", "q_unpivot", "q_window_lag", "q_word_freq",
-    # (c) least-recently-attested fill (last green r3)
-    "q_dataset_split", "q_dedup_keep_one", "q_doc_chunking",
-    "q_frame_sample", "q_join_range", "q_lang_id", "q_quality_score",
-    "q_resize_plan",
-)
+# Registration head: the correctness harness attests a bounded prefix
+# of the registered queries (observed cap: 50), so the first 50 names
+# must rotate through the catalog so every query eventually gets an
+# externally-attested run. Rounds 1-8 hand-curated the rotation; it is
+# now DERIVED (r8 verdict item 3) from the committed driver artifacts
+# by `rotation.expected_head`: never-attested first, then
+# changed-this-round re-attests (`rotation.FORCE_REATTEST`), then
+# least-recently-attested fill. Tail queries keep full oracle coverage
+# via selfcheck.py (SELFCHECK_FULL.json).
 
 
 def _load() -> None:
@@ -148,10 +102,15 @@ def _load() -> None:
     from . import band_join  # noqa: F401
     from . import sql_surface  # noqa: F401
     from . import relational11  # noqa: F401
-    missing = [n for n in _HEAD if n not in CATALOG]
+    from .rotation import expected_head, last_green_by_query
+    head = expected_head(
+        list(CATALOG),
+        {n for n, q in CATALOG.items() if q.oracle is not None},
+        last_green_by_query())
+    missing = [n for n in head if n not in CATALOG]
     if missing:
         raise RuntimeError(f"catalog head names not registered: {missing}")
-    ordered = {n: CATALOG[n] for n in _HEAD}
+    ordered = {n: CATALOG[n] for n in head}
     ordered.update((n, q) for n, q in CATALOG.items() if n not in ordered)
     CATALOG.clear()
     CATALOG.update(ordered)

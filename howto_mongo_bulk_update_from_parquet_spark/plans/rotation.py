@@ -1,0 +1,96 @@
+"""Mechanical attestation-head rotation.
+
+The correctness harness attests a bounded prefix of the registered
+queries (observed cap: 50). Rounds 1-8 hand-curated that prefix; the
+r8 verdict (item 3) asked for the rotation to be DERIVED so it cannot
+silently drift from the policy. This module is that single source of
+truth — `catalog._load()` orders the registry with it, the repo-root
+`attestation_report.py` prints it, and `tests/test_catalog.py`
+re-checks the derivation against the committed driver artifacts.
+
+Policy (unchanged since r8, now mechanical):
+  1. every oracle-bearing query with NO green driver row in any
+     committed `CORRECTNESS_r*.json` takes a mandatory head slot
+     (new queries land here automatically and attest first-try);
+  2. queries whose implementation changed this round re-attest
+     (`FORCE_REATTEST` — the one judgment call a script cannot make,
+     kept as an explicit, review-able constant);
+  3. remaining slots go least-recently-attested first, sorted by
+     (last-green round, name) so every attestation stays fresh;
+  4. rows-only-by-design sketches stay in the tail — a head slot
+     would record only the weaker rows-only check while their
+     accuracy contracts are pytest-pinned.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+HEAD_SIZE = 50
+
+# Sketch queries whose oracle is deliberately absent (accuracy
+# contracts are pytest-pinned instead); they never take head slots.
+ROWS_ONLY = frozenset({
+    "q_profile_approx", "q_approx_stats", "q_hll_distinct",
+    "q_pca_project",
+})
+
+# Queries whose IMPLEMENTATION changed this round and therefore must
+# re-attest even though a previous round's driver run was green.
+# Reviewed each round; round 9: the fixed-width reader gained
+# both-side pad trimming for numeric columns (ADVICE r8).
+FORCE_REATTEST: tuple[str, ...] = (
+    "q_fixedwidth_ingest",
+)
+
+
+def _artifact_dir() -> str:
+    """Repo root (two levels above this package) when it holds
+    committed CORRECTNESS artifacts; else the process cwd (the
+    driver runs from the repo checkout). Inside a worker-shipped
+    package zip neither exists — the head order is driver-side
+    only, so an empty result is harmless there."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        return here
+    return os.getcwd()
+
+
+def last_green_by_query(artifact_dir: str | None = None) -> dict[str, int]:
+    """Most recent round in which the driver attested each query green
+    (rows + schema + value-hash all matching, no error)."""
+    root = artifact_dir or _artifact_dir()
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+            with open(f) as fh:
+                rows = json.load(fh)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for q, v in rows.items():
+            if (isinstance(v, dict) and v.get("rows_match")
+                    and v.get("schema_match", True)
+                    and v.get("hash_match", True) and not v.get("err")):
+                last[q] = max(last.get(q, 0), rnd)
+    return last
+
+
+def expected_head(names: list[str], oracle_names: set[str] | dict,
+                  last_green: dict[str, int], *,
+                  force: tuple[str, ...] = FORCE_REATTEST,
+                  head_size: int = HEAD_SIZE) -> list[str]:
+    """The head prefix the policy above mandates, given the catalog
+    (`names`, registration order), which queries carry oracles, and
+    the per-query last-green map from the committed artifacts."""
+    eligible = [n for n in names if n in oracle_names and n not in ROWS_ONLY]
+    never = [n for n in eligible if n not in last_green]
+    head: list[str] = list(dict.fromkeys(
+        never + [f for f in force if f in eligible]))
+    fill = sorted((n for n in eligible if n in last_green and n not in head),
+                  key=lambda n: (last_green[n], n))
+    head += fill[:max(head_size - len(head), 0)]
+    return head[:head_size]

@@ -38,61 +38,51 @@ def test_docstrings_present():
         assert q.doc, f"{q.name} missing doc"
 
 
-def test_head50_spans_every_capability():
+def test_head50_is_the_derived_rotation():
     """The correctness harness attests a bounded prefix (cap 50) of
-    the registration order. The r8 head (the r7 verdict's item 5)
-    finishes the attestation debt and starts the freshness cycle:
-    (a) all 16 oracle-bearing never-attested queries, (b) the
-    rewritten fixed-width reader re-attests, (c) 33 least-recently-
-    attested slots, all last green in rounds 2-3. Pin each property
-    mechanically against the committed driver artifacts."""
-    import json
-    import os
-    from howto_mongo_bulk_update_from_parquet_spark.plans.catalog import _HEAD
+    the registration order. Since round 9 (the r8 verdict's item 3)
+    the rotation is DERIVED from the committed driver artifacts by
+    plans/rotation.py rather than hand-curated — this test re-derives
+    it independently and checks the policy invariants, so a drifted
+    catalog order or a policy regression fails loudly."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans.rotation import (
+        FORCE_REATTEST, HEAD_SIZE, ROWS_ONLY, expected_head,
+        last_green_by_query)
+
     names = list(all_queries())
-    assert names[:50] == list(_HEAD)
-    assert len(set(_HEAD)) == 50
-
-    last_green = {}
-    for i in range(1, 8):
-        p = f"/root/repo/CORRECTNESS_r{i:02d}.json"
-        if not os.path.exists(p):
-            continue
-        with open(p) as fh:
-            for k, v in json.load(fh).items():
-                if (v.get("rows_match") and v.get("schema_match", True)
-                        and v.get("hash_match", True) and not v.get("err")):
-                    last_green[k] = max(last_green.get(k, 0), i)
-
-    head = set(_HEAD)
-    # (a) every oracle-bearing query with NO green driver row in
-    # rounds 1-7 must hold a head slot (the debt is finished)
     oracles = all_oracles()
-    rows_only_sketches = {"q_profile_approx", "q_approx_stats",
-                          "q_hll_distinct", "q_pca_project"}
-    # queries ADDED this round (after the r8 head froze) are tail
-    # additions by design — selfcheck-attested now, head-rotated next
-    # round, exactly like the r7 post-attestation additions were
-    from howto_mongo_bulk_update_from_parquet_spark.plans import relational11
-    r8_additions = {n for n in names
-                    if getattr(CATALOG[n].fn, "__module__", "")
-                    == relational11.__name__}
-    r8_additions |= {"q_stratified_sample_scalable", "q_ewma_smoothing",
-                     "q_merge_upsert_delete", "q_cluster_balanced_sample"}
-    never = ({n for n in names if n not in last_green}
-             - rows_only_sketches - r8_additions)
-    missing_debt = sorted(n for n in never if n in oracles and n not in head)
+    last_green = last_green_by_query("/root/repo")
+    assert last_green, "no committed CORRECTNESS artifacts found"
+
+    head = expected_head(names, oracles, last_green)
+    assert names[:len(head)] == head, "catalog order != derived rotation"
+    assert len(head) == len(set(head)) == HEAD_SIZE
+
+    hset = set(head)
+    # (a) every oracle-bearing query with NO green driver row must
+    # hold a head slot (new queries attest first-try)
+    never = {n for n in names
+             if n not in last_green and n in oracles and n not in ROWS_ONLY}
+    missing_debt = sorted(never - hset)
     assert missing_debt == [], f"never-attested queries left out: {missing_debt}"
-    # (b) the reader rewritten this round re-attests
-    assert "q_fixedwidth_ingest" in head
-    # (c) every remaining slot goes to a least-recently-attested query
-    # (nothing fresher than round 3 may occupy a fill slot)
-    fill = head - never - {"q_fixedwidth_ingest"}
-    too_fresh = sorted(n for n in fill if last_green.get(n, 99) > 3)
-    assert too_fresh == [], f"fill slots wasted on fresh attestations: {too_fresh}"
-    # every head query must carry an oracle (rows-only sketches would
-    # record only the weaker rows-only check from a head slot)
-    missing_oracle = [n for n in _HEAD if n not in oracles]
+    # (b) changed-this-round queries re-attest
+    missing_force = [n for n in FORCE_REATTEST
+                     if n in oracles and n not in hset]
+    assert missing_force == [], f"forced re-attests left out: {missing_force}"
+    # (c) every remaining slot goes least-recently-attested first: no
+    # fill entry may be fresher than an excluded older attestation
+    fill = hset - never - set(FORCE_REATTEST)
+    excluded = [n for n in names
+                if n in oracles and n in last_green and n not in hset]
+    if fill and excluded:
+        newest_fill = max(last_green[n] for n in fill)
+        oldest_excluded = min(last_green[n] for n in excluded)
+        assert newest_fill <= oldest_excluded, (
+            f"fill slot fresher (r{newest_fill}) than an excluded "
+            f"attestation (r{oldest_excluded})")
+    # rows-only sketches stay in the tail; every head query has an oracle
+    assert not (hset & ROWS_ONLY)
+    missing_oracle = [n for n in head if n not in oracles]
     assert missing_oracle == [], f"head queries without oracle: {missing_oracle}"
 
 
