@@ -239,7 +239,8 @@ def cmd_delete(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
     from .sinks.keyed_table import (append_delete_delta,
-                                    delete_from_keyed_table)
+                                    delete_from_keyed_table,
+                                    table_key_dtype)
     if not args.keys and not args.keys_path:
         print("delete requires --keys or --keys-path", file=sys.stderr)
         return 2
@@ -250,6 +251,17 @@ def cmd_delete(args: argparse.Namespace) -> int:
         vals = [(v,) for v in args.keys.split(",")]
         keys = (spark.createDataFrame(vals, f"{args.key} string")
                 .select(F.col(args.key).cast(args.key_type)))
+    # refuse a mistyped key batch before it lands: a string tombstone
+    # on a long-keyed table would make every later read_merged fail at
+    # type resolution until the delta is removed by hand (ADVICE r8)
+    table_dtype = table_key_dtype(spark, args.table, args.key)
+    if table_dtype is not None \
+            and keys.schema[args.key].dataType != table_dtype:
+        print(f"key type mismatch: table '{args.table}' keys '{args.key}' "
+              f"as {table_dtype.simpleString()}, but the delete batch is "
+              f"{keys.schema[args.key].dataType.simpleString()} — pass "
+              f"--key-type {table_dtype.simpleString()}", file=sys.stderr)
+        return 2
     if args.tombstone:
         v = append_delete_delta(spark, keys, path=args.table, key=args.key)
         print(f"tombstone delta_{v:05d} appended to {args.table}")

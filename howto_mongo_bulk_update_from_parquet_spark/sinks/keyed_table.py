@@ -265,15 +265,40 @@ def _delta_versions(spark: SparkSession, path: str) -> list[int]:
                   if (m := _DELTA_RE.match(d)))
 
 
+def _append_delta_claiming(spark: SparkSession, src: DataFrame,
+                           path: str, max_retries: int = 64) -> int:
+    """Write `src` as the next `delta_{N}` directory, CLAIMING the
+    version: two concurrent appenders (a CLI tombstone racing a
+    streaming changefeed batch, or a scheduled compact) can list the
+    same newest version and pick the same N — `errorifexists` makes
+    the loser fail the write instead of silently clobbering the
+    winner's delta (ADVICE r8), and it retries with the next number.
+    Incomplete directories (no _SUCCESS — a writer died mid-job) are
+    cleared and re-claimed, matching `_write_claiming_base`."""
+    from pyspark.errors import AnalysisException
+    version = (_delta_versions(spark, path) or [0])[-1] + 1
+    for _ in range(max_retries):
+        dst = hfs.join(path, f"delta_{version:05d}")
+        if hfs.exists(spark, dst) and not hfs.exists(
+                spark, hfs.join(dst, "_SUCCESS")):
+            hfs.delete(spark, dst)
+        try:
+            src.write.mode("errorifexists").parquet(dst)
+            return version
+        except AnalysisException:
+            version += 1               # a concurrent appender won this slot
+    raise ConcurrentWriteError(
+        f"could not claim a delta version under {path} after "
+        f"{max_retries} attempts (concurrent appenders)")
+
+
 def append_delta(spark: SparkSession, source: DataFrame, *, path: str,
                  key: str, dedup_order_by: list[str] | None = None) -> int:
     """Append one upsert round as a delta file set (no base rewrite).
     Returns the delta version number. The source is normalized first
     (null-key drop + latest-per-key, reference notes 3/5)."""
     src = prepare_source(source, key, dedup_order_by)
-    version = (_delta_versions(spark, path) or [0])[-1] + 1
-    src.write.mode("overwrite").parquet(hfs.join(path, f"delta_{version:05d}"))
-    return version
+    return _append_delta_claiming(spark, src, path)
 
 
 def _lsm_base(spark: SparkSession, path: str) -> DataFrame | None:
@@ -357,10 +382,24 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
     so a racing upsert round cannot be silently dropped. Time travel
     to version N still shows the deleted rows.
 
+    Mixed-path safety (ADVICE r8): a table carrying un-compacted LSM
+    deltas cannot be deleted-from by anti-joining the base alone —
+    keys living only in deltas would survive, and existing deltas
+    (``__v >= 1``) would re-apply over the new base (``__v = 0``) in
+    `read_merged`, silently resurrecting the deleted rows. When deltas
+    are pending, the delete therefore folds them first (the merged
+    view feeds the anti-join — an implicit compaction) and removes the
+    folded delta files after the commit, exactly as `compact` does.
+
     Returns the post-delete table, or ``(df, n_deleted)`` with
     ``return_counts``."""
     version = current_base_version(spark, path)
-    if version:
+    pending = _delta_versions(spark, path)
+    if pending:
+        # fold base + deltas (tombstones applied) so the anti-join
+        # sees every live key and no delta outlives the new base
+        target = read_merged(spark, path, key)
+    elif version:
         target = spark.read.parquet(_base_dir(path, version))
     elif _legacy_root_has_data(spark, path):
         target = spark.read.parquet(path)
@@ -373,8 +412,12 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
     _write_claiming_base(spark, remaining, path, new_version)
     _commit_version(spark, path, new_version, retain_versions)
     result = spark.read.parquet(_base_dir(path, new_version))
+    n_deleted = (target.count() - result.count()) if return_counts else None
+    # remove folded deltas only AFTER the count: `target` is a lazy
+    # merge-on-read plan that still scans the delta files
+    for v in pending:
+        hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
     if return_counts:
-        n_deleted = target.count() - result.count()
         return result, n_deleted
     return result
 
@@ -387,9 +430,30 @@ def append_delete_delta(spark: SparkSession, keys: DataFrame, *,
     tombstoned keys and `compact` purges them physically."""
     src = (keys.select(F.col(key)).filter(F.col(key).isNotNull())
            .distinct().withColumn(_TOMBSTONE, F.lit(True)))
-    version = (_delta_versions(spark, path) or [0])[-1] + 1
-    src.write.mode("overwrite").parquet(hfs.join(path, f"delta_{version:05d}"))
-    return version
+    return _append_delta_claiming(spark, src, path)
+
+
+def table_key_dtype(spark: SparkSession, path: str, key: str):
+    """Declared Spark DataType of `key` in the table's current schema
+    — committed base first, else the newest pending delta, else the
+    legacy root layout; None when no table exists (first write defines
+    the type). Lets callers refuse a mistyped key batch BEFORE an
+    unreadable delta lands (ADVICE r8: a string-typed tombstone on a
+    long-keyed table breaks every subsequent `read_merged` at the
+    unionByName type-resolution step)."""
+    version = current_base_version(spark, path)
+    if version:
+        schema = spark.read.parquet(_base_dir(path, version)).schema
+    else:
+        deltas = _delta_versions(spark, path)
+        if deltas:
+            schema = spark.read.parquet(
+                hfs.join(path, f"delta_{deltas[-1]:05d}")).schema
+        elif _legacy_root_has_data(spark, path):
+            schema = spark.read.parquet(path).schema
+        else:
+            return None
+    return schema[key].dataType if key in schema.names else None
 
 
 def _apply_tombstones(allv: DataFrame, key: str) -> DataFrame:

@@ -142,9 +142,17 @@ class FixedWidthReader(DataSourceReader):
                 raw = pa.array(lines, type=pa.string())
                 cols = []
                 for (a, b), typ in zip(offsets, arrow_types):
-                    sl = pc.utf8_rtrim(
-                        pc.utf8_slice_codeunits(raw, start=a, stop=b),
-                        characters=" ")
+                    sl = pc.utf8_slice_codeunits(raw, start=a, stop=b)
+                    if typ == pa.string():
+                        # strings: rtrim only, preserving left padding
+                        # as data (left-aligned convention)
+                        sl = pc.utf8_rtrim(sl, characters=" ")
+                    else:
+                        # numerics: trim BOTH sides — right-aligned
+                        # fields (leading spaces, the mainframe
+                        # convention) must cast like the row path's
+                        # int(raw)/float(raw) did
+                        sl = pc.utf8_trim(sl, characters=" ")
                     sl = pc.if_else(pc.equal(sl, ""),
                                     pa.scalar(None, type=pa.string()), sl)
                     cols.append(sl if typ == pa.string()

@@ -222,3 +222,27 @@ def test_fixedwidth_reads_crlf_files(spark, tmp_path):
     t = pa.Table.from_batches(
         list(rdr.read(_FilePartition(str(d / "part-0.txt")))))
     assert t.to_pydict() == {"s": ["abc", "xy"], "k": [1, 22]}
+
+
+def test_fixedwidth_right_aligned_numerics(spark, tmp_path):
+    """ADVICE r8: right-aligned numeric fields (leading spaces — the
+    mainframe convention for externally-produced files) must cast like
+    the row path's int(raw)/float(raw) did; string columns keep their
+    left padding as data (left-aligned convention)."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructType
+
+    from howto_mongo_bulk_update_from_parquet_spark.sources.fixedwidth import (
+        FixedWidthReader, _FilePartition)
+
+    d = tmp_path / "ra"
+    d.mkdir()
+    line1 = "  ab" + "    42" + "      1.5"
+    line2 = " cd " + "     7" + "        2"
+    (d / "part-0.txt").write_text(line1 + "\n" + line2 + "\n")
+    schema = StructType.fromDDL("s string, k long, v double")
+    rdr = FixedWidthReader(schema, {"path": str(d), "widths": "4,6,9"})
+    t = pa.Table.from_batches(
+        list(rdr.read(_FilePartition(str(d / "part-0.txt")))))
+    assert t.to_pydict() == {"s": ["  ab", " cd"],
+                             "k": [42, 7], "v": [1.5, 2.0]}

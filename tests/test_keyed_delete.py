@@ -273,3 +273,73 @@ def test_cli_lsm_upsert_delete_compact_cycle(spark, tmp_path, capsys):
     assert main(["compact", "--table", table]) == 0
     assert "99 rows" in capsys.readouterr().out
     assert read_keyed_table(spark, table).count() == 99
+
+
+def test_versioned_delete_folds_pending_deltas(spark, tmp_path):
+    """ADVICE r8 (medium): a versioned delete on a table with pending
+    LSM deltas must fold them first — a key living only in a delta has
+    to die, and no surviving delta (__v >= 1) may re-apply over the new
+    base (__v = 0) in read_merged and resurrect deleted rows."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import \
+        _delta_versions
+    p = str(tmp_path / "mix")
+    upsert_into_keyed_table(
+        spark, _src(spark, [(1, "x", 1.0), (2, "y", 2.0)]),
+        path=p, key="k", updated_at_col=None)
+    # pending delta: update key 1 (null-skip on b), insert key 3
+    append_delta(spark, _src(spark, [(1, "x2", None), (3, "z", 3.0)]),
+                 path=p, key="k")
+    out, n = delete_from_keyed_table(
+        spark, spark.createDataFrame([(2,), (3,)], "k long"),
+        path=p, key="k", return_counts=True)
+    assert n == 2                       # key 2 (base) AND key 3 (delta-only)
+    assert _delta_versions(spark, p) == []   # folded, nothing re-applies
+    live = {r.k: (r.a, r.b) for r in out.collect()}
+    assert live == {1: ("x2", 1.0)}     # delta update survived the fold
+    assert {r.k: (r.a, r.b) for r in read_merged(spark, p, "k").collect()} \
+        == live
+    assert {r.k: (r.a, r.b) for r in read_keyed_table(spark, p).collect()} \
+        == live
+
+
+def test_append_delta_claims_version_against_stale_listing(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r8: two concurrent appenders computing the same next
+    delta version must not clobber — the loser's errorifexists write
+    fails and it retries with the next number, both deltas surviving."""
+    import howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table as kt
+    p = str(tmp_path / "race")
+    upsert_into_keyed_table(spark, _src(spark, [(1, "x", 1.0)]),
+                            path=p, key="k", updated_at_col=None)
+    v1 = append_delta(spark, _src(spark, [(5, "a", None)]), path=p, key="k")
+    # the "loser": its directory listing is stale (taken before v1
+    # landed), so it claims the same version number
+    monkeypatch.setattr(kt, "_delta_versions", lambda s, path: [])
+    v2 = append_delta(spark, _src(spark, [(6, "b", None)]), path=p, key="k")
+    monkeypatch.undo()
+    assert (v1, v2) == (1, 2)
+    merged = {r.k: r.a for r in read_merged(spark, p, "k").collect()}
+    assert merged == {1: "x", 5: "a", 6: "b"}   # neither round lost
+
+
+def test_cli_delete_key_type_guard(spark, tmp_path, capsys):
+    """ADVICE r8: a mistyped --keys batch (default --key-type string on
+    a long-keyed table) must exit 2 BEFORE any delta/base write — an
+    untyped tombstone would make every later read_merged fail at type
+    resolution until the delta directory is removed by hand."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    p = str(tmp_path / "typed")
+    upsert_into_keyed_table(spark, _src(spark, [(1, "x", 1.0)]),
+                            path=p, key="k", updated_at_col=None)
+    rc = main(["delete", "--table", p, "--key", "k", "--keys", "1",
+               "--tombstone"])
+    assert rc == 2
+    assert "key type mismatch" in capsys.readouterr().err
+    assert read_merged(spark, p, "k").count() == 1   # nothing landed
+    # versioned path takes the same guard
+    assert main(["delete", "--table", p, "--key", "k", "--keys", "1"]) == 2
+    # correctly-typed batch applies
+    rc = main(["delete", "--table", p, "--key", "k", "--keys", "1",
+               "--key-type", "long", "--tombstone"])
+    assert rc == 0
+    assert read_merged(spark, p, "k").count() == 0
