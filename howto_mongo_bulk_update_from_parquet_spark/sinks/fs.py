@@ -113,6 +113,22 @@ def rename_no_clobber(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(p_src, p_dst))
 
 
+def newest_mtime(spark: SparkSession, path: str) -> int | None:
+    """Newest modification time (epoch millis) across `path` itself and
+    its direct children; None when the path is absent. Claim-staleness
+    checks use the children too because a writer mid-job touches task
+    files inside the directory more recently than the directory entry
+    itself (and object stores report no useful mtime for the synthetic
+    directory at all)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return None
+    newest = fs.getFileStatus(p).getModificationTime()
+    for st in fs.listStatus(p):
+        newest = max(newest, st.getModificationTime())
+    return int(newest)
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Contents of a small text file, or None if absent."""
     fs, p = _fs_path(spark, path)

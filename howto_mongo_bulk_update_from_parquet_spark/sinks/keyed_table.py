@@ -74,6 +74,45 @@ class ConcurrentWriteError(RuntimeError):
     (picking up the winner's commit) and retry the upsert."""
 
 
+# How long a version directory without _SUCCESS must sit untouched
+# before a claimer may treat it as dead-writer debris and clear it.
+# Fresher than this, the directory is presumed to belong to a LIVE
+# writer mid-job (ADVICE r9: deleting it would clobber an in-flight
+# round) and the claimer must treat the slot as occupied instead.
+STALE_CLAIM_GRACE_MS = 15 * 60 * 1000
+
+
+def _claim_is_stale(spark: SparkSession, dst: str,
+                    grace_ms: int = STALE_CLAIM_GRACE_MS) -> bool:
+    """True when an existing no-_SUCCESS directory is demonstrably a
+    dead writer's debris: nothing in it (the dir entry or any task
+    file) has been touched for `grace_ms`. A live writer's job keeps
+    the newest-child mtime current, so it never looks stale."""
+    import time
+    newest = hfs.newest_mtime(spark, dst)
+    if newest is None:
+        return True                      # vanished — nothing to clear
+    return (time.time() * 1000 - newest) > grace_ms
+
+
+def _is_path_exists_error(exc: BaseException) -> bool:
+    """Java-side 'target already exists' failures that escape the
+    pre-write AnalysisException check: when two writers pass the
+    exists-check near-simultaneously, the loser fails at task/job
+    commit with FileAlreadyExistsException surfaced through
+    Py4JJavaError/SparkException (ADVICE r9) — the same clean-conflict
+    signal, so claimers retry instead of crashing."""
+    seen = set()
+    cur: BaseException | None = exc
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        msg = str(cur)
+        if "FileAlreadyExistsException" in msg or "already exists" in msg:
+            return True
+        cur = cur.__cause__ or cur.__context__
+    return False
+
+
 def _base_dir(path: str, version: int) -> str:
     return hfs.join(path, f"base_v{version:05d}")
 
@@ -149,8 +188,39 @@ def read_keyed_table(spark: SparkSession, path: str,
     raise FileNotFoundError(f"no keyed table at {path}")
 
 
+def table_meta(spark: SparkSession, path: str) -> dict[str, str]:
+    """Key=value metadata recorded in the newest committed manifest
+    (lines after the version line): `folded_through` (the delta version
+    up to which deltas are already folded into the base — readers
+    ignore deltas at or below it, making post-compaction delta-file
+    deletion pure GC instead of a correctness fence), and the base
+    bucketing spec (`buckets`/`bucket_key`). Empty for legacy tables."""
+    versions = _manifest_versions(spark, path)
+    if not versions:
+        return {}
+    txt = hfs.read_text(spark, hfs.join(path, _manifest_name(versions[-1])))
+    meta: dict[str, str] = {}
+    for line in (txt or "").splitlines()[1:]:
+        k, sep, v = line.partition("=")
+        if sep:
+            meta[k.strip()] = v.strip()
+    return meta
+
+
+def folded_through(spark: SparkSession, path: str) -> int:
+    """Highest delta version already folded into the committed base
+    (0 = none). `read_merged` ignores deltas at or below this; new
+    delta claims start above it so version numbers stay monotonic
+    across compactions."""
+    try:
+        return int(table_meta(spark, path).get("folded_through", 0))
+    except ValueError:
+        return 0
+
+
 def _commit_version(spark: SparkSession, path: str, version: int,
-                    retain_versions: int = 2) -> None:
+                    retain_versions: int = 2,
+                    meta: dict[str, str] | None = None) -> None:
     """Publish `_CURRENT.v{version}` (temp write + rename-no-clobber),
     raising `ConcurrentWriteError` if a pointer at or past `version`
     already landed, then retire older pointers and superseded bases
@@ -166,7 +236,10 @@ def _commit_version(spark: SparkSession, path: str, version: int,
             f"this round (target {version}) was writing; its merge was "
             f"based on a stale snapshot — re-read and retry")
     tmp = hfs.join(path, _manifest_name(version) + ".tmp")
-    hfs.write_text(spark, tmp, str(version))
+    body = str(version)
+    for k in sorted(meta or {}):
+        body += f"\n{k}={meta[k]}"
+    hfs.write_text(spark, tmp, body)
     if not hfs.rename_no_clobber(spark, tmp,
                                  hfs.join(path, _manifest_name(version))):
         hfs.delete(spark, tmp, recursive=False)
@@ -193,11 +266,16 @@ def _write_claiming_base(spark: SparkSession, df: DataFrame, path: str,
     COMPLETE competing write (has _SUCCESS) means another writer that
     read the same snapshot already produced this version → clean
     conflict before a byte of its data is touched. An incomplete dir
-    is debris from a writer that died mid-job (crash-safety test
-    covers readers ignoring it) and is cleared. The write itself uses
-    Spark's default error-if-exists mode, so even a claim→write race
-    with a near-simultaneous writer fails loudly instead of
-    interleaving two jobs' files in one directory."""
+    is cleared only when demonstrably STALE (untouched past the grace
+    window — a writer that died mid-job); a fresh one is presumed to
+    be a live concurrent writer mid-write and raises the same clean
+    conflict rather than clobbering its task files (ADVICE r9). The
+    write itself uses Spark's error-if-exists mode, so even a
+    claim→write race with a near-simultaneous writer fails loudly
+    instead of interleaving two jobs' files in one directory — and a
+    Java-side FileAlreadyExistsException at job commit (both writers
+    passed the pre-check) maps to the same ConcurrentWriteError
+    instead of crashing as a raw Py4JJavaError."""
     from pyspark.errors import AnalysisException
     dst = _base_dir(path, version)
     if hfs.exists(spark, dst):
@@ -205,6 +283,10 @@ def _write_claiming_base(spark: SparkSession, df: DataFrame, path: str,
             raise ConcurrentWriteError(
                 f"{dst} already written by a concurrent round that read "
                 f"the same base snapshot — re-read and retry")
+        if not _claim_is_stale(spark, dst):
+            raise ConcurrentWriteError(
+                f"{dst} is being written by a concurrent round right now "
+                f"(incomplete but recently touched) — re-read and retry")
         hfs.delete(spark, dst)
     try:
         df.write.mode("errorifexists").parquet(dst)
@@ -212,6 +294,13 @@ def _write_claiming_base(spark: SparkSession, df: DataFrame, path: str,
         raise ConcurrentWriteError(
             f"{dst} appeared during this round's write (concurrent "
             f"writer) — re-read and retry") from exc
+    except Exception as exc:
+        if _is_path_exists_error(exc):
+            raise ConcurrentWriteError(
+                f"{dst} appeared during this round's write (concurrent "
+                f"writer, detected at job commit) — re-read and retry"
+            ) from exc
+        raise
 
 
 def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
@@ -250,7 +339,11 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     out = merged.repartition(n_files) if n_files else merged
     new_version = version + 1
     _write_claiming_base(spark, out, path, new_version)
-    _commit_version(spark, path, new_version, retain_versions)
+    # carry the manifest metadata (folded_through watermark, bucketing
+    # spec) forward — dropping it would resurrect folded-but-not-yet-
+    # GC'd deltas for every reader
+    _commit_version(spark, path, new_version, retain_versions,
+                    meta=table_meta(spark, path))
     result = spark.read.parquet(_base_dir(path, new_version))
     if return_counts:
         return result, obs.get
@@ -273,20 +366,41 @@ def _append_delta_claiming(spark: SparkSession, src: DataFrame,
     same newest version and pick the same N — `errorifexists` makes
     the loser fail the write instead of silently clobbering the
     winner's delta (ADVICE r8), and it retries with the next number.
-    Incomplete directories (no _SUCCESS — a writer died mid-job) are
-    cleared and re-claimed, matching `_write_claiming_base`."""
+    A Java-side FileAlreadyExistsException at job commit (both
+    appenders passed the pre-check) retries the same way (ADVICE r9).
+
+    An existing directory WITHOUT _SUCCESS is treated as OCCUPIED —
+    presumed to be a live appender mid-write — and the claim bumps to
+    the next number; only when it has sat untouched past the staleness
+    grace window (a writer that died mid-job) is it cleared and the
+    slot re-claimed (ADVICE r9: deleting a fresh one would corrupt the
+    in-flight job).
+
+    Numbering starts above BOTH the newest existing delta and the
+    committed `folded_through` watermark, so delta versions stay
+    monotonic across compactions (a re-used number at or below the
+    watermark would be invisibly skipped by every reader)."""
     from pyspark.errors import AnalysisException
-    version = (_delta_versions(spark, path) or [0])[-1] + 1
+    version = max((_delta_versions(spark, path) or [0])[-1],
+                  folded_through(spark, path)) + 1
     for _ in range(max_retries):
         dst = hfs.join(path, f"delta_{version:05d}")
         if hfs.exists(spark, dst) and not hfs.exists(
                 spark, hfs.join(dst, "_SUCCESS")):
+            if not _claim_is_stale(spark, dst):
+                version += 1            # live appender mid-write — skip
+                continue
             hfs.delete(spark, dst)
         try:
             src.write.mode("errorifexists").parquet(dst)
             return version
         except AnalysisException:
             version += 1               # a concurrent appender won this slot
+        except Exception as exc:
+            if _is_path_exists_error(exc):
+                version += 1           # lost the race at job commit
+            else:
+                raise
     raise ConcurrentWriteError(
         f"could not claim a delta version under {path} after "
         f"{max_retries} attempts (concurrent appenders)")
@@ -308,19 +422,79 @@ def _lsm_base(spark: SparkSession, path: str) -> DataFrame | None:
     legacy = hfs.join(path, _LEGACY_BASE)
     if hfs.exists(spark, legacy):
         return spark.read.parquet(legacy)
+    # round-1 layout: plain parquet files directly at the table root
+    # (ADVICE r9: omitting them made delete/compact on a legacy table
+    # with pending deltas silently drop the base rows — the fold missed
+    # them and _commit_version's migrate-away then deleted the files).
+    # Read the root files EXPLICITLY so the delta_*/base_v* child dirs
+    # never leak into the scan.
+    root_files = [hfs.join(path, f) for f in hfs.listdir(spark, path)
+                  if f.endswith(".parquet")]
+    if root_files:
+        return spark.read.parquet(*root_files)
     return None
 
 
+def _complete_deltas(spark: SparkSession, path: str) -> list[int]:
+    """Committed (has _SUCCESS) delta versions above the folded-through
+    watermark — the set a reader may apply. Folded deltas (at or below
+    the watermark) are already inside the base: applying them again
+    before their files are GC'd would transiently resurrect deleted
+    rows (r9 verdict #3). Incomplete ones belong to a writer mid-job."""
+    floor = folded_through(spark, path)
+    return [v for v in _delta_versions(spark, path) if v > floor
+            and hfs.exists(spark,
+                           hfs.join(path, f"delta_{v:05d}", "_SUCCESS"))]
+
+
+def _foldable_deltas(spark: SparkSession, path: str,
+                     gc_stale: bool = False) -> list[int]:
+    """The contiguous complete RUN of pending deltas a fold may safely
+    absorb: stop at the first claimed-but-incomplete slot — a live
+    appender may still complete it, and a watermark past its number
+    would make every reader skip it forever.
+
+    With `gc_stale` (the fold paths), an incomplete slot whose files
+    sat untouched past the staleness grace window is dead-writer
+    debris: it is deleted and the run continues — otherwise abandoned
+    debris below committed deltas would block compaction forever."""
+    floor = folded_through(spark, path)
+    pending = [v for v in _delta_versions(spark, path) if v > floor]
+    run: list[int] = []
+    for v in pending:
+        d = hfs.join(path, f"delta_{v:05d}")
+        if not hfs.exists(spark, hfs.join(d, "_SUCCESS")):
+            if gc_stale and _claim_is_stale(spark, d):
+                hfs.delete(spark, d)
+                continue
+            break
+        run.append(v)
+    return run
+
+
 def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
-    """Merge-on-read view: base (version 0) + all deltas, newest
-    version wins per key with per-column null-skip — `first(col,
-    ignorenulls)` in descending version order reproduces the upsert
-    chain exactly."""
+    """Merge-on-read view: base (version 0) + all committed unfolded
+    deltas, newest version wins per key with per-column null-skip —
+    `first(col, ignorenulls)` in descending version order reproduces
+    the upsert chain exactly. Deltas at or below the manifest's
+    `folded_through` watermark are already inside the base and are
+    ignored, so a reader racing a compaction (between the base flip
+    and the delta-file GC) never sees a delta re-applied over its own
+    folded result."""
+    return _read_merged_through(spark, path, key,
+                                _complete_deltas(spark, path))
+
+
+def _read_merged_through(spark: SparkSession, path: str, key: str,
+                         deltas: list[int]) -> DataFrame:
+    """`read_merged` over an EXPLICIT delta set — the fold paths use it
+    to absorb only the contiguous complete run when later deltas exist
+    beyond an in-flight slot."""
     parts = []
     base = _lsm_base(spark, path)
     if base is not None:
         parts.append(base.withColumn("__v", F.lit(0)))
-    for v in _delta_versions(spark, path):
+    for v in deltas:
         parts.append(spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
                      .withColumn("__v", F.lit(v)))
     if not parts:
@@ -345,20 +519,33 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
 def compact(spark: SparkSession, path: str, key: str,
             n_files: int | None = None,
             retain_versions: int = 2) -> DataFrame:
-    """Fold base + all deltas into a new versioned base (ONE write +
-    atomic manifest flip), then remove the deltas; superseded bases
-    past `retain_versions` (default: current + previous, for readers
-    in flight) are dropped. Readers between the flip and delta removal
-    see a delta re-applied over its own compacted result — harmless
-    because the merge is idempotent (same winner per key)."""
-    merged = read_merged(spark, path, key)
+    """Fold base + committed deltas into a new versioned base (ONE
+    write + atomic manifest flip) whose manifest records the
+    `folded_through` watermark, then remove the folded delta files —
+    pure GC: readers between the flip and the removal already ignore
+    deltas at or below the watermark, so they never see a delta
+    re-applied over its own compacted result (r9 verdict #3).
+    Superseded bases past `retain_versions` (default: current +
+    previous, for readers in flight) are dropped.
+
+    Only the contiguous complete run of pending deltas is folded: a
+    claimed-but-incomplete slot (live appender mid-write) stops the
+    run, and every delta beyond it — complete or not — is left in
+    place above the watermark for the next compaction."""
+    fold = _foldable_deltas(spark, path, gc_stale=True)
+    # fold only the run — deltas beyond an in-flight slot are masked so
+    # the new base contains nothing the watermark doesn't cover
+    merged = _read_merged_through(spark, path, key, fold)
     if n_files:
         merged = merged.repartition(n_files)
     old_version = current_base_version(spark, path)
     new_version = old_version + 1
+    meta = dict(table_meta(spark, path))
+    if fold:
+        meta["folded_through"] = str(fold[-1])
     _write_claiming_base(spark, merged, path, new_version)
-    _commit_version(spark, path, new_version, retain_versions)
-    for v in _delta_versions(spark, path):
+    _commit_version(spark, path, new_version, retain_versions, meta=meta)
+    for v in fold:
         hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
     hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
     return spark.read.parquet(_base_dir(path, new_version))
@@ -394,28 +581,47 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
     Returns the post-delete table, or ``(df, n_deleted)`` with
     ``return_counts``."""
     version = current_base_version(spark, path)
-    pending = _delta_versions(spark, path)
-    if pending:
+    fold = _foldable_deltas(spark, path, gc_stale=True)
+    pending = _complete_deltas(spark, path)
+    meta = dict(table_meta(spark, path))
+    if pending and fold != pending:
+        # committed deltas sit beyond a claimed-but-incomplete slot: an
+        # appender is mid-flight. Folding past the gap would orphan its
+        # delta below the watermark; folding only the run would leave
+        # later deltas to re-apply over the delete (resurrect). Refuse
+        # cleanly — delete is a rewrite anyway, so waiting out the
+        # in-flight append loses nothing.
+        raise ConcurrentWriteError(
+            f"{path} has committed deltas beyond an in-flight append "
+            f"(foldable run {fold} vs committed {pending}) — retry the "
+            f"delete after the appender finishes or times out")
+    if fold:
         # fold base + deltas (tombstones applied) so the anti-join
         # sees every live key and no delta outlives the new base
-        target = read_merged(spark, path, key)
-    elif version:
-        target = spark.read.parquet(_base_dir(path, version))
-    elif _legacy_root_has_data(spark, path):
-        target = spark.read.parquet(path)
+        target = _read_merged_through(spark, path, key, fold)
+        meta["folded_through"] = str(fold[-1])
     else:
-        raise FileNotFoundError(f"no keyed table at {path}")
+        # _lsm_base resolves every base layout: versioned, legacy
+        # `base/`, and round-1 root parquet files (ADVICE r9: the root
+        # files must feed the rewrite — _commit_version migrates them
+        # away after the commit)
+        target = _lsm_base(spark, path)
+        if target is None:
+            raise FileNotFoundError(f"no keyed table at {path}")
     del_keys = (keys.select(F.col(key)).filter(F.col(key).isNotNull())
                 .distinct())
     remaining = target.join(del_keys, key, "left_anti")
     new_version = version + 1
     _write_claiming_base(spark, remaining, path, new_version)
-    _commit_version(spark, path, new_version, retain_versions)
+    # count BEFORE the commit: _commit_version migrates away a legacy
+    # root layout's files, which `target` may still lazily scan
+    n_before = target.count() if return_counts else None
+    _commit_version(spark, path, new_version, retain_versions, meta=meta)
     result = spark.read.parquet(_base_dir(path, new_version))
-    n_deleted = (target.count() - result.count()) if return_counts else None
-    # remove folded deltas only AFTER the count: `target` is a lazy
-    # merge-on-read plan that still scans the delta files
-    for v in pending:
+    n_deleted = (n_before - result.count()) if return_counts else None
+    # folded delta files are pure GC now: the committed watermark makes
+    # every reader ignore them even before the deletion lands
+    for v in fold:
         hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
     if return_counts:
         return result, n_deleted

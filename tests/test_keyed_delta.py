@@ -51,7 +51,10 @@ def test_compact_preserves_content_and_removes_deltas(spark, tmp_path):
     compacted = compact(spark, path, "_id")
     assert _rows(compacted) == before
     assert not [d for d in os.listdir(path) if d.startswith("delta_")]
-    # next round continues from version 1 again
+    # delta numbering is MONOTONIC across compactions: the manifest's
+    # folded_through watermark covers version 1 forever, so the next
+    # append must claim 2 — a re-used number at or below the watermark
+    # would be invisibly skipped by every reader
     assert append_delta(spark, spark.createDataFrame([("c", 3.0)], "_id string, v double"),
-                        path=path, key="_id") == 1
+                        path=path, key="_id") == 2
     assert set(_rows(read_merged(spark, path, "_id"))) == {"a", "b", "c"}

@@ -1,0 +1,197 @@
+"""Round-10 keyed-table hardening: the folded-through watermark (a
+reader racing a fold never sees folded deltas re-applied), live-claim
+protection (an incomplete-but-fresh directory is occupied, not debris),
+the legacy root-layout LSM fold, and Java-side exists-error mapping."""
+
+import os
+import shutil
+import time
+
+import pytest
+
+from howto_mongo_bulk_update_from_parquet_spark.sinks import fs as hfs
+from howto_mongo_bulk_update_from_parquet_spark.sinks import keyed_table as kt
+from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+    ConcurrentWriteError, append_delta, append_delete_delta, compact,
+    delete_from_keyed_table, folded_through, read_merged,
+    upsert_into_keyed_table)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _age(path, seconds=3600):
+    """Backdate a directory and everything in it (make a claim stale)."""
+    stamp = time.time() - seconds
+    for root, dirs, files in os.walk(path):
+        for n in [root, *[os.path.join(root, f) for f in files]]:
+            os.utime(n, (stamp, stamp))
+    os.utime(path, (stamp, stamp))
+
+
+def test_reader_between_fold_commit_and_delta_gc(spark, tmp_path):
+    """r9 verdict #3: a read_merged between the fold's base commit and
+    the delta-file deletion must see the post-delete row set — the
+    manifest's folded_through watermark makes the lingering delta
+    files invisible, so their deletion is pure GC."""
+    p = str(tmp_path / "wm")
+    upsert_into_keyed_table(spark, _df(spark, [(1, "a"), (2, "b")]),
+                            path=p, key="k", updated_at_col=None)
+    append_delta(spark, _df(spark, [(3, "c")]), path=p, key="k")
+    saved = str(tmp_path / "saved_delta")
+    shutil.copytree(os.path.join(p, "delta_00001"), saved)
+    out = delete_from_keyed_table(
+        spark, spark.createDataFrame([(3,)], "k long"), path=p, key="k")
+    assert {r.k for r in out.collect()} == {1, 2}
+    # simulate the race: the folded delta's files still on disk when a
+    # reader arrives (GC hasn't run / raced the commit)
+    shutil.copytree(saved, os.path.join(p, "delta_00001"))
+    assert folded_through(spark, p) == 1
+    assert {r.k for r in read_merged(spark, p, "k").collect()} == {1, 2}
+    # same for compact: fold an upsert delta, resurrect its files,
+    # reader still sees only the folded state (no double-apply)
+    append_delta(spark, _df(spark, [(2, "b2")]), path=p, key="k")
+    saved2 = str(tmp_path / "saved_delta2")
+    shutil.copytree(os.path.join(p, "delta_00002"), saved2)
+    compact(spark, p, "k")
+    assert folded_through(spark, p) == 2
+    shutil.copytree(saved2, os.path.join(p, "delta_00002"))
+    got = {r.k: r.v for r in read_merged(spark, p, "k").collect()}
+    assert got == {1: "a", 2: "b2"}
+    # and new appends claim ABOVE the watermark even after GC
+    assert append_delta(spark, _df(spark, [(4, "d")]), path=p, key="k") == 3
+
+
+def test_tombstone_watermark_survives_upsert_commit(spark, tmp_path):
+    """An upsert round must carry the folded_through watermark forward
+    in its own manifest — dropping it would resurrect folded-but-not-
+    yet-GC'd tombstoned rows for every reader."""
+    p = str(tmp_path / "carry")
+    upsert_into_keyed_table(spark, _df(spark, [(1, "a"), (2, "b")]),
+                            path=p, key="k", updated_at_col=None)
+    append_delete_delta(spark, spark.createDataFrame([(2,)], "k long"),
+                        path=p, key="k")
+    compact(spark, p, "k")
+    assert folded_through(spark, p) == 1
+    upsert_into_keyed_table(spark, _df(spark, [(5, "e")]),
+                            path=p, key="k", updated_at_col=None)
+    assert folded_through(spark, p) == 1
+
+
+def test_fresh_incomplete_delta_dir_is_occupied_not_clobbered(spark, tmp_path):
+    """ADVICE r9: a delta dir without _SUCCESS may belong to a LIVE
+    appender mid-write — the claimer must bump to the next number, not
+    delete it. Once it is stale (untouched past the grace window) it
+    is dead-writer debris and the slot is re-claimed."""
+    p = str(tmp_path / "live")
+    upsert_into_keyed_table(spark, _df(spark, [(1, "a")]),
+                            path=p, key="k", updated_at_col=None)
+    inflight = os.path.join(p, "delta_00001")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-live.parquet"), "wb") as fh:
+        fh.write(b"mid-write task file")
+    v = append_delta(spark, _df(spark, [(2, "b")]), path=p, key="k")
+    assert v == 2                                    # bumped past the slot
+    assert os.path.exists(os.path.join(inflight, "part-live.parquet"))
+    # while fresh, the debris also blocks compaction's fold run (the
+    # appender may still complete slot 1)
+    compact(spark, p, "k")
+    assert folded_through(spark, p) == 0
+    assert os.path.exists(inflight)
+    # aged past the grace window → dead-writer debris: the next fold
+    # GCs it and the run continues through the committed delta
+    _age(inflight)
+    compact(spark, p, "k")
+    assert not os.path.exists(inflight)
+    assert folded_through(spark, p) == 2
+    assert {r.k for r in read_merged(spark, p, "k").collect()} == {1, 2}
+
+
+def test_fresh_incomplete_base_dir_raises_clean_conflict(spark, tmp_path):
+    """Same rule on the versioned-base path: a fresh incomplete
+    base_v{N+1} is a concurrent writer → ConcurrentWriteError (no
+    version bump exists for bases); stale → cleared and claimed."""
+    p = str(tmp_path / "basewrite")
+    upsert_into_keyed_table(spark, _df(spark, [(1, "a")]),
+                            path=p, key="k", updated_at_col=None)
+    inflight = os.path.join(p, "base_v00002")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-live.parquet"), "wb") as fh:
+        fh.write(b"mid-write task file")
+    with pytest.raises(ConcurrentWriteError, match="recently touched"):
+        upsert_into_keyed_table(spark, _df(spark, [(2, "b")]),
+                                path=p, key="k", updated_at_col=None)
+    _age(inflight)
+    out = upsert_into_keyed_table(spark, _df(spark, [(2, "b")]),
+                                  path=p, key="k", updated_at_col=None)
+    assert {r.k for r in out.collect()} == {1, 2}
+
+
+def test_legacy_root_layout_delete_with_pending_deltas(spark, tmp_path):
+    """ADVICE r9: a round-1 layout (plain parquet at the table root)
+    with pending LSM deltas — the fold must absorb the root files so
+    the migrate-away after the commit cannot lose the base rows."""
+    p = str(tmp_path / "legacy")
+    _df(spark, [(1, "a"), (2, "b"), (3, "c")]).write.parquet(p)
+    append_delta(spark, _df(spark, [(4, "d"), (1, "a2")]), path=p, key="k")
+    out, n = delete_from_keyed_table(
+        spark, spark.createDataFrame([(2,)], "k long"),
+        path=p, key="k", return_counts=True)
+    assert n == 1
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a2", 3: "c", 4: "d"}          # base rows survived
+    assert {r.k: r.v for r in read_merged(spark, p, "k").collect()} == got
+    # root files migrated away, table now versioned
+    assert not [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+
+def test_legacy_root_layout_compact_with_pending_deltas(spark, tmp_path):
+    p = str(tmp_path / "legacy2")
+    _df(spark, [(1, "a"), (2, "b")]).write.parquet(p)
+    append_delta(spark, _df(spark, [(3, "c")]), path=p, key="k")
+    out = compact(spark, p, "k")
+    assert {r.k for r in out.collect()} == {1, 2, 3}
+    assert not [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+
+def test_fold_stops_at_inflight_gap(spark, tmp_path):
+    """A claimed-but-incomplete slot between committed deltas: compact
+    folds only the contiguous complete run (a watermark past the gap
+    would hide the in-flight delta forever); delete refuses cleanly
+    (folding only the run would let the later delta re-apply over the
+    anti-join — the resurrect bug again)."""
+    p = str(tmp_path / "gap")
+    upsert_into_keyed_table(spark, _df(spark, [(1, "a")]),
+                            path=p, key="k", updated_at_col=None)
+    append_delta(spark, _df(spark, [(2, "b")]), path=p, key="k")   # v1
+    os.makedirs(os.path.join(p, "delta_00002"))                    # in-flight
+    with open(os.path.join(p, "delta_00002", "part-live.parquet"), "wb") as fh:
+        fh.write(b"mid-write")
+    v3 = append_delta(spark, _df(spark, [(3, "c")]), path=p, key="k")
+    assert v3 == 3
+    # reader applies every COMMITTED delta (1 and 3), skips in-flight 2
+    assert {r.k for r in read_merged(spark, p, "k").collect()} == {1, 2, 3}
+    with pytest.raises(ConcurrentWriteError, match="in-flight append"):
+        delete_from_keyed_table(
+            spark, spark.createDataFrame([(1,)], "k long"), path=p, key="k")
+    compact(spark, p, "k")
+    assert folded_through(spark, p) == 1             # run stopped at the gap
+    assert sorted(d for d in os.listdir(p) if d.startswith("delta_")) == \
+        ["delta_00002", "delta_00003"]               # both left in place
+    assert {r.k for r in read_merged(spark, p, "k").collect()} == {1, 2, 3}
+
+
+def test_is_path_exists_error_detection():
+    """ADVICE r9: the Java-side job-commit failure (two writers passed
+    the pre-check) must be recognized through the Py4J wrapper so the
+    claimer retries instead of crashing."""
+    java_style = RuntimeError(
+        "An error occurred while calling o123.parquet.\n"
+        ": org.apache.hadoop.fs.FileAlreadyExistsException: "
+        "/t/delta_00004 already exists")
+    assert kt._is_path_exists_error(java_style)
+    wrapped = RuntimeError("job aborted")
+    wrapped.__cause__ = java_style
+    assert kt._is_path_exists_error(wrapped)
+    assert not kt._is_path_exists_error(RuntimeError("executor lost"))
