@@ -254,6 +254,11 @@ def _commit_version(spark: SparkSession, path: str, version: int,
         m = _BASE_RE.match(d)
         if m and int(m.group(1)) not in keep:
             hfs.delete(spark, hfs.join(path, d))
+            # retire the external bucketed-table catalog entry with its
+            # directory (external: DROP never touches data files — the
+            # files are already gone anyway)
+            spark.sql("DROP TABLE IF EXISTS "
+                      + _bucket_table_ident(path, int(m.group(1))))
     # migrate-away: files of a pre-versioned (round-1) table at root
     for f in hfs.listdir(spark, path):
         if f.endswith(".parquet") or f == "_SUCCESS":
@@ -303,6 +308,112 @@ def _write_claiming_base(spark: SparkSession, df: DataFrame, path: str,
         raise
 
 
+def _bucket_table_ident(path: str, version: int) -> str:
+    """Deterministic catalog name for the external bucketed table over
+    `base_v{version}` — derived from the table path so any session can
+    re-register it (the default catalog is in-memory per process; the
+    bucket spec would otherwise be lost between sessions)."""
+    import hashlib
+    digest = hashlib.md5(path.encode("utf-8")).hexdigest()[:10]
+    return f"keyed_{digest}_v{version:05d}"
+
+
+def _read_base_bucketed(spark: SparkSession, path: str, version: int,
+                        key: str, buckets: int) -> DataFrame:
+    """The committed base read WITH its bucket metadata attached: the
+    scan's output partitioning (hashpartitioning(key, buckets)) then
+    satisfies the merge join's distribution, so repeated upsert rounds
+    never re-shuffle the full table — the single biggest avoidable
+    cost at 100 TB (r9 verdict item 3). Registers the external table
+    in this session's catalog on first use; plain `spark.read.parquet`
+    readers keep working (bucket files are ordinary parquet)."""
+    name = _bucket_table_ident(path, version)
+    base = _base_dir(path, version)
+    if not spark.catalog.tableExists(name):
+        ddl = spark.read.parquet(base)._jdf.schema().toDDL()
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+            f"INTO {buckets} BUCKETS LOCATION '{base}'")
+    return spark.table(name)
+
+
+def _write_claiming_base_bucketed(spark: SparkSession, df: DataFrame,
+                                  path: str, version: int,
+                                  key: str, buckets: int) -> None:
+    """`_write_claiming_base`, bucketed: same claim fences, but the
+    data lands via the bucketed writer (external table + explicit
+    path) so each file carries its bucket id. No extra shuffle: the
+    merge join's output is already hash-partitioned on the key with
+    the same Murmur3 function the bucketed writer uses, so each task
+    emits (almost always) exactly one bucket's file."""
+    from pyspark.errors import AnalysisException
+    dst = _base_dir(path, version)
+    if hfs.exists(spark, dst):
+        if hfs.exists(spark, hfs.join(dst, "_SUCCESS")):
+            raise ConcurrentWriteError(
+                f"{dst} already written by a concurrent round that read "
+                f"the same base snapshot — re-read and retry")
+        if not _claim_is_stale(spark, dst):
+            raise ConcurrentWriteError(
+                f"{dst} is being written by a concurrent round right now "
+                f"(incomplete but recently touched) — re-read and retry")
+        hfs.delete(spark, dst)
+    name = _bucket_table_ident(path, version)
+    # a failed prior attempt may have left a catalog entry (external —
+    # dropping it never touches data files)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        (df.write.format("parquet")
+           .bucketBy(buckets, key).sortBy(key)
+           .option("path", dst).saveAsTable(name))
+    except AnalysisException as exc:
+        raise ConcurrentWriteError(
+            f"{dst} appeared during this round's write (concurrent "
+            f"writer) — re-read and retry") from exc
+    except Exception as exc:
+        if _is_path_exists_error(exc):
+            raise ConcurrentWriteError(
+                f"{dst} appeared during this round's write (concurrent "
+                f"writer, detected at job commit) — re-read and retry"
+            ) from exc
+        raise
+
+
+def _resolve_buckets(meta: dict[str, str], key: str,
+                     buckets: int | None) -> int:
+    """Effective bucket count for the NEXT base: an explicit `buckets`
+    wins (0 = un-bucket the table); otherwise inherit the current
+    base's spec, which only applies when its bucket key matches the
+    merge key."""
+    if buckets is not None:
+        return buckets
+    if meta.get("bucket_key") == key:
+        try:
+            return int(meta.get("buckets", 0))
+        except ValueError:
+            return 0
+    return 0
+
+
+def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
+                         version: int, key: str, eff_buckets: int,
+                         meta: dict[str, str]) -> dict[str, str]:
+    """Route to the bucketed or plain claiming writer and keep the
+    manifest's bucket spec truthful for the base being written."""
+    meta = dict(meta)
+    if eff_buckets:
+        _write_claiming_base_bucketed(spark, df, path, version,
+                                      key, eff_buckets)
+        meta["buckets"] = str(eff_buckets)
+        meta["bucket_key"] = key
+    else:
+        _write_claiming_base(spark, df, path, version)
+        meta.pop("buckets", None)
+        meta.pop("bucket_key", None)
+    return meta
+
+
 def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             path: str, key: str,
                             payload: list[str] | None = None,
@@ -310,7 +421,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             updated_at_col: str | None = "updatedAt",
                             n_files: int | None = None,
                             retain_versions: int = 2,
-                            return_counts: bool = False):
+                            return_counts: bool = False,
+                            buckets: int | None = None):
     """MERGE `source` into the keyed parquet table at `path` (created on
     first write). Returns the post-merge table DataFrame, or
     ``(df, counts)`` with the reference-style write-result counts
@@ -318,11 +430,25 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
 
     One write per round: the merged table lands in `base_v{N+1}` while
     the merge streams out of `base_v{N}` (different directories — no
-    overwrite race), then the `_CURRENT` manifest flips."""
+    overwrite race), then the `_CURRENT` manifest flips.
+
+    `buckets=N` writes the base bucketed on the merge key (recorded in
+    the manifest and inherited by every later round until an explicit
+    `buckets=0`): the next round's merge then reads the base through
+    its bucket metadata and the full-outer join needs NO exchange on
+    the base side — only the (typically small) source shuffles. At
+    100 TB this turns every upsert round from two full-table shuffles
+    into zero."""
     from pyspark.sql import Observation
     schema_cols = source.columns if payload is None else [key, *payload]
     version = current_base_version(spark, path)
-    if version:
+    meta = dict(table_meta(spark, path))
+    eff_buckets = _resolve_buckets(meta, key, buckets)
+    cur_buckets = (int(meta.get("buckets", 0))
+                   if meta.get("bucket_key") == key else 0)
+    if version and cur_buckets:
+        target = _read_base_bucketed(spark, path, version, key, cur_buckets)
+    elif version:
         target = spark.read.parquet(_base_dir(path, version))
     elif _legacy_root_has_data(spark, path):
         target = spark.read.parquet(path)
@@ -336,14 +462,17 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                           dedup_order_by=dedup_order_by,
                           updated_at_col=updated_at_col,
                           observation=obs)
-    out = merged.repartition(n_files) if n_files else merged
+    # bucketed writes split files by bucket id themselves — an n_files
+    # repartition would only multiply the file count
+    out = merged.repartition(n_files) if (n_files and not eff_buckets) \
+        else merged
     new_version = version + 1
-    _write_claiming_base(spark, out, path, new_version)
-    # carry the manifest metadata (folded_through watermark, bucketing
-    # spec) forward — dropping it would resurrect folded-but-not-yet-
-    # GC'd deltas for every reader
-    _commit_version(spark, path, new_version, retain_versions,
-                    meta=table_meta(spark, path))
+    # the manifest metadata (folded_through watermark, bucket spec) is
+    # carried forward — dropping the watermark would resurrect
+    # folded-but-not-yet-GC'd deltas for every reader
+    meta = _write_base_and_meta(spark, out, path, new_version,
+                                key, eff_buckets, meta)
+    _commit_version(spark, path, new_version, retain_versions, meta=meta)
     result = spark.read.parquet(_base_dir(path, new_version))
     if return_counts:
         return result, obs.get
@@ -543,7 +672,9 @@ def compact(spark: SparkSession, path: str, key: str,
     meta = dict(table_meta(spark, path))
     if fold:
         meta["folded_through"] = str(fold[-1])
-    _write_claiming_base(spark, merged, path, new_version)
+    # a bucketed table stays bucketed through compaction
+    meta = _write_base_and_meta(spark, merged, path, new_version, key,
+                                _resolve_buckets(meta, key, None), meta)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     for v in fold:
         hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
@@ -601,18 +732,27 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
         target = _read_merged_through(spark, path, key, fold)
         meta["folded_through"] = str(fold[-1])
     else:
-        # _lsm_base resolves every base layout: versioned, legacy
-        # `base/`, and round-1 root parquet files (ADVICE r9: the root
-        # files must feed the rewrite — _commit_version migrates them
-        # away after the commit)
-        target = _lsm_base(spark, path)
+        cur_buckets = (int(meta.get("buckets", 0))
+                       if meta.get("bucket_key") == key else 0)
+        if version and cur_buckets:
+            # bucketed base: the anti-join needs no exchange on it
+            target = _read_base_bucketed(spark, path, version, key,
+                                         cur_buckets)
+        else:
+            # _lsm_base resolves every base layout: versioned, legacy
+            # `base/`, and round-1 root parquet files (ADVICE r9: the
+            # root files must feed the rewrite — _commit_version
+            # migrates them away after the commit)
+            target = _lsm_base(spark, path)
         if target is None:
             raise FileNotFoundError(f"no keyed table at {path}")
     del_keys = (keys.select(F.col(key)).filter(F.col(key).isNotNull())
                 .distinct())
     remaining = target.join(del_keys, key, "left_anti")
     new_version = version + 1
-    _write_claiming_base(spark, remaining, path, new_version)
+    # a bucketed table stays bucketed through a delete rewrite
+    meta = _write_base_and_meta(spark, remaining, path, new_version, key,
+                                _resolve_buckets(meta, key, None), meta)
     # count BEFORE the commit: _commit_version migrates away a legacy
     # root layout's files, which `target` may still lazily scan
     n_before = target.count() if return_counts else None
