@@ -257,10 +257,16 @@ def cmd_delete(args: argparse.Namespace) -> int:
     table_dtype = table_key_dtype(spark, args.table, args.key)
     if table_dtype is not None \
             and keys.schema[args.key].dataType != table_dtype:
+        # --key-type only casts inline --keys values; a mistyped
+        # --keys-path batch needs its parquet column fixed (ADVICE r9)
+        hint = (f"fix the '{args.key}' column of {args.keys_path} (cast "
+                f"it to {table_dtype.simpleString()} when writing the "
+                f"key batch)" if args.keys_path
+                else f"pass --key-type {table_dtype.simpleString()}")
         print(f"key type mismatch: table '{args.table}' keys '{args.key}' "
               f"as {table_dtype.simpleString()}, but the delete batch is "
-              f"{keys.schema[args.key].dataType.simpleString()} — pass "
-              f"--key-type {table_dtype.simpleString()}", file=sys.stderr)
+              f"{keys.schema[args.key].dataType.simpleString()} — {hint}",
+              file=sys.stderr)
         return 2
     if args.tombstone:
         v = append_delete_delta(spark, keys, path=args.table, key=args.key)
@@ -269,6 +275,44 @@ def cmd_delete(args: argparse.Namespace) -> int:
     _, n = delete_from_keyed_table(spark, keys, path=args.table,
                                    key=args.key, return_counts=True)
     print(f"deleted {n} row(s) from {args.table}")
+    return 0
+
+
+def cmd_changefeed(args: argparse.Namespace) -> int:
+    """Drain an op-typed parquet changefeed ('U' upserts / 'D' deletes
+    in --op-col) into the LSM keyed table: one availableNow streaming
+    run appends O(batch) upsert + tombstone deltas per micro-batch (no
+    base rewrite — `compact` folds them on a schedule). Checkpointed:
+    re-running after new files arrive processes only the new ones."""
+    from .sinks.keyed_table import table_key_dtype
+    from .streaming.upsert import stream_apply_changefeed
+    spark = get_spark("changefeed")
+    try:
+        schema = spark.read.parquet(args.source).schema
+    except Exception as exc:
+        print(f"cannot read changefeed source {args.source}: {exc}",
+              file=sys.stderr)
+        return 2
+    for col, what in ((args.key, "key"), (args.op_col, "op")):
+        if col not in schema.names:
+            print(f"changefeed source {args.source} has no {what} column "
+                  f"'{col}' (columns: {', '.join(schema.names)})",
+                  file=sys.stderr)
+            return 2
+    # same guard as `delete`: a mistyped key batch would poison every
+    # later read_merged at the unionByName type-resolution step
+    table_dtype = table_key_dtype(spark, args.table, args.key)
+    if table_dtype is not None \
+            and schema[args.key].dataType != table_dtype:
+        print(f"key type mismatch: table '{args.table}' keys '{args.key}' "
+              f"as {table_dtype.simpleString()}, but the changefeed "
+              f"carries {schema[args.key].dataType.simpleString()} — fix "
+              f"the feed's '{args.key}' column", file=sys.stderr)
+        return 2
+    stream_apply_changefeed(spark, args.source, schema=schema,
+                            table_path=args.table, key=args.key,
+                            op_col=args.op_col, checkpoint=args.checkpoint)
+    print(f"changefeed {args.source} applied to {args.table}")
     return 0
 
 
@@ -479,6 +523,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="append an LSM tombstone delta instead of "
                          "rewriting the base")
     dl.set_defaults(fn=cmd_delete)
+
+    cf = sub.add_parser(
+        "changefeed", help="drain an op-typed parquet changefeed "
+                           "('U'/'D' rows) into the LSM keyed table as "
+                           "upsert + tombstone deltas (checkpointed)")
+    cf.add_argument("--source", required=True,
+                    help="changefeed landing directory (parquet)")
+    cf.add_argument("--table", required=True, help="keyed table path")
+    cf.add_argument("--key", default=PIPELINE_KEY)
+    cf.add_argument("--op-col", default="op",
+                    help="column carrying 'U' (upsert) / 'D' (delete)")
+    cf.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (reuse across runs "
+                         "to process only newly-arrived files)")
+    cf.set_defaults(fn=cmd_changefeed)
 
     tk = sub.add_parser(
         "topk", help="grouped top-k over any parquet (window-free "

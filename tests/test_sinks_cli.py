@@ -317,3 +317,54 @@ def test_cli_percentile_rejects_bad_probs(capsys):
         assert e.value.code == 2
         err = capsys.readouterr().err
         assert "fraction" in err or "not a number" in err
+
+
+def test_cli_changefeed_two_rounds_then_compact(spark, tmp_path, capsys):
+    """r9 verdict item 8: the `changefeed` subcommand drains an
+    op-typed parquet feed into the LSM keyed table across two
+    checkpointed rounds (second run processes only new files), then
+    `compact` folds the deltas and purges the tombstones."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        read_merged, upsert_into_keyed_table)
+    table = str(tmp_path / "cf_table")
+    feed = str(tmp_path / "cf_feed")
+    ckpt = str(tmp_path / "cf_ckpt")
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "k long, v string"),
+        path=table, key="k", updated_at_col=None)
+    # round 1: two upserts
+    spark.createDataFrame([(2, "b2", "U"), (3, "c", "U")],
+                          "k long, v string, op string") \
+        .write.mode("append").parquet(feed)
+    rc = main(["changefeed", "--source", feed, "--table", table,
+               "--key", "k", "--checkpoint", ckpt])
+    assert rc == 0
+    got = {r.k: r.v for r in read_merged(spark, table, "k").collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    # round 2: new files only (checkpoint skips round 1's) — an upsert
+    # and a delete
+    spark.createDataFrame([(4, "d", "U"), (1, None, "D")],
+                          "k long, v string, op string") \
+        .write.mode("append").parquet(feed)
+    rc = main(["changefeed", "--source", feed, "--table", table,
+               "--key", "k", "--checkpoint", ckpt])
+    assert rc == 0
+    got = {r.k: r.v for r in read_merged(spark, table, "k").collect()}
+    assert got == {2: "b2", 3: "c", 4: "d"}
+    # compaction folds everything into one base and purges tombstones
+    rc = main(["compact", "--table", table, "--key", "k"])
+    assert rc == 0
+    assert not [d for d in os.listdir(table) if d.startswith("delta_")]
+    got = {r.k: r.v for r in read_merged(spark, table, "k").collect()}
+    assert got == {2: "b2", 3: "c", 4: "d"}
+    # guard: a mistyped feed is refused before any delta lands
+    feed2 = str(tmp_path / "cf_feed_bad")
+    spark.createDataFrame([("9", "x", "U")], "k string, v string, op string") \
+        .write.parquet(feed2)
+    rc = main(["changefeed", "--source", feed2, "--table", table,
+               "--key", "k", "--checkpoint", str(tmp_path / "ck2")])
+    assert rc == 2
+    assert "key type mismatch" in capsys.readouterr().err
+    assert not [d for d in os.listdir(table) if d.startswith("delta_")]
