@@ -37,13 +37,26 @@ ROWS_ONLY = frozenset({
     "q_pca_project",
 })
 
+# The artifact set the rotation derives from is PINNED to the rounds
+# whose CORRECTNESS files are committed (reviewed per round, ADVICE
+# r9): an uncommitted artifact appearing mid-round — or a deploy
+# missing artifacts — must not silently shift the head order away
+# from what the committed repo state mandates.
+ATTESTED_THROUGH = 9
+
 # Queries whose IMPLEMENTATION changed this round and therefore must
 # re-attest even though a previous round's driver run was green.
-# Reviewed each round; round 9: the fixed-width reader gained
-# both-side pad trimming for numeric columns (ADVICE r8).
-FORCE_REATTEST: tuple[str, ...] = (
-    "q_fixedwidth_ingest",
-)
+# Reviewed each round — and MECHANICALLY GUARDED since round 10:
+# tests/test_rotation_guard.py derives the queries whose package-
+# internal import closure intersects the round's diff and fails the
+# suite if any is missing here. Round 10's diff (keyed-table
+# watermark/bucketing in sinks/, the changefeed CLI) touches no
+# catalog query's closure — the catalog expresses the merge semantics
+# through operators/merge.py (unchanged); sinks/keyed_table.py is the
+# CLI/streaming write surface, covered by its own pytest suite — so
+# the force list is empty and every fill slot goes to the
+# least-recently-attested queries.
+FORCE_REATTEST: tuple[str, ...] = ()
 
 
 def _artifact_dir() -> str:
@@ -61,7 +74,9 @@ def _artifact_dir() -> str:
 
 def last_green_by_query(artifact_dir: str | None = None) -> dict[str, int]:
     """Most recent round in which the driver attested each query green
-    (rows + schema + value-hash all matching, no error)."""
+    (rows + schema + value-hash all matching, no error). Only rounds up
+    to the pinned `ATTESTED_THROUGH` count — an uncommitted artifact
+    from the in-progress round must not shift the head mid-round."""
     root = artifact_dir or _artifact_dir()
     last: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -71,11 +86,19 @@ def last_green_by_query(artifact_dir: str | None = None) -> dict[str, int]:
                 rows = json.load(fh)
         except (ValueError, OSError, json.JSONDecodeError):
             continue
+        if rnd > ATTESTED_THROUGH:
+            continue
         for q, v in rows.items():
             if (isinstance(v, dict) and v.get("rows_match")
                     and v.get("schema_match", True)
                     and v.get("hash_match", True) and not v.get("err")):
                 last[q] = max(last.get(q, 0), rnd)
+    if not last:
+        import logging
+        logging.getLogger(__name__).warning(
+            "rotation: no committed CORRECTNESS artifacts found under %s "
+            "— the derived head will treat EVERY query as never-attested "
+            "(deploys without artifacts get a different order)", root)
     return last
 
 
