@@ -33,6 +33,21 @@ printed line carries `noise` = observed-mean / calibrated-mean, and
 `noisy: true` when it exceeds 1.5× — a self-describing flag that the
 artifact was taken on a degraded box (rerun, or compare per-query
 ratios rather than totals).
+
+Spark-side sentinel + auto-re-measure (r10, closing the r8/r9 verdict
+item): the DuckDB probe runs single-threaded in-process and has missed
+steal spikes that hit only the 32-thread Spark phase — BENCH_r08/r09
+committed phantom per-query regressions under `noisy: false`. Two
+fixes: (1) a fixed Spark calibration job (hash-agg over a generated
+range, no I/O) is timed before and after the catalog pass;
+`spark_noise` = best observed / calibrated steady, and `noisy` now
+raises on EITHER probe. (2) Any query whose timed slot moved >2× in
+either direction vs the prior committed BENCH_FULL.json (same layout,
+same sf, absolute slot ≥ 1 s) is automatically re-run under the
+BENCH_NOTES 4-repeat protocol before the artifact is written; the
+recorded slot is the steady state (min of the 4 — work is
+deterministic, so spikes only ever inflate), and `remeasured` keeps
+every repeat so the adjudication is in the artifact itself.
 """
 
 from __future__ import annotations
@@ -55,6 +70,45 @@ SMALL_DIMS = {"region", "nation"}          # stay single-file when staged
 # r7 calibration: single 47.8 s / 188 oracles; multifile 21.3 s / 189).
 DUCK_REF_MEAN_SEC = {"single": 0.254, "multifile32": 0.113}
 NOISE_THRESHOLD = 1.5
+
+# Calibrated steady time of the Spark-side probe (below) on an idle
+# box — min over repeated runs, local[32] (r10 calibration: [0.213,
+# 0.165, 0.129, 0.127, 0.121] after the one-time codegen warm-up).
+# Recalibrate alongside DUCK_REF_MEAN_SEC.
+SPARK_PROBE_REF_SEC = 0.13
+# Re-measure movers: >2x vs the prior committed artifact, >=1 s slot.
+REMEASURE_FACTOR = 2.0
+REMEASURE_MIN_SEC = 1.0
+REMEASURE_REPEATS = 3          # +1 first-pass measurement = 4 total
+REMEASURE_CAP = 15             # bound the extra wall-clock per run
+
+
+def spark_probe(spark) -> float:
+    """Fixed CPU-bound Spark job (no I/O, no Python workers): hash-agg
+    over a generated 20M range across 32 partitions. Its wall-clock
+    moves with exactly the executor-side CPU steal the DuckDB probe
+    can't see."""
+    t0 = time.perf_counter()
+    spark.range(0, 20_000_000, 1, 32).selectExpr(
+        "sum(hash(id)) AS h", "count(1) AS n").collect()
+    return time.perf_counter() - t0
+
+
+def prior_artifact(layout: str, sf) -> dict[str, float]:
+    """Per-query slots from the committed BENCH_FULL.json of the prior
+    round, used as the re-measure reference — only when layout and sf
+    match (cross-layout slots aren't comparable)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FULL.json")
+    try:
+        with open(path) as fh:
+            prior = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if prior.get("layout") != layout or prior.get("sf") != sf:
+        return {}
+    return {n: v for n, v in prior.get("queries", {}).items()
+            if isinstance(v, (int, float)) and v > 0}
 
 
 def stage_multifile(spark, sf_dir: str, n_files: int = 32) -> str:
@@ -153,6 +207,13 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    # read the prior round's per-query detail BEFORE this run
+    # overwrites the file
+    prior = prior_artifact(layout, sf)
+
+    spark_probe(spark)                # untimed: one-time codegen warm-up
+    probe_runs = [round(spark_probe(spark), 3)]   # pre-pass calibration
+
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name, fn in queries.items():
@@ -164,6 +225,41 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_total0, 3)
+
+    probe_runs.append(round(spark_probe(spark), 3))  # post-pass
+
+    # --- auto-re-measure movers (4-repeat protocol, r10) ----------------
+    def _is_mover(name: str) -> bool:
+        cur, ref = timings.get(name, -1.0), prior.get(name, 0.0)
+        if cur <= 0 or ref <= 0 or max(cur, ref) < REMEASURE_MIN_SEC:
+            return False
+        return cur / ref > REMEASURE_FACTOR or ref / cur > REMEASURE_FACTOR
+    movers = sorted((n for n in timings if _is_mover(n)),
+                    key=lambda n: -abs(timings[n] - prior[n]))
+    if len(movers) > REMEASURE_CAP:
+        print(f"bench: {len(movers)} movers exceed the re-measure cap "
+              f"({REMEASURE_CAP}); largest absolute movers re-measured, "
+              f"dropped: {movers[REMEASURE_CAP:]}", file=sys.stderr)
+    remeasured: dict[str, dict] = {}
+    for name in movers[:REMEASURE_CAP]:
+        repeats = [timings[name]]
+        for _ in range(REMEASURE_REPEATS):
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+            except Exception:  # noqa: BLE001
+                break
+            repeats.append(round(time.perf_counter() - t0, 3))
+        steady = min(repeats)
+        remeasured[name] = {"prior": prior[name], "first": timings[name],
+                            "repeats": repeats, "steady": steady}
+        timings[name] = steady           # record the steady state
+    if remeasured:
+        # the re-measured steady values replace the noisy first-pass
+        # slots in the total as well, so totals stay comparable
+        total = round(total - sum(r["first"] - r["steady"]
+                                  for r in remeasured.values()), 3)
 
     # --- DuckDB oracle timings: the single-node yardstick ---------------
     import duckdb
@@ -193,6 +289,11 @@ def main() -> None:
     duck_total = round(sum(duck.values()), 3)
     ref_mean = DUCK_REF_MEAN_SEC.get(layout, DUCK_REF_MEAN_SEC["single"])
     noise = round((duck_total / max(len(duck), 1)) / ref_mean, 2)
+    # Spark-side steal probe: the best (least-disturbed) observation
+    # vs the calibrated steady — a degraded 32-thread phase shows here
+    # even when the single-threaded DuckDB probe stayed clean
+    spark_noise = round(min(probe_runs) / SPARK_PROBE_REF_SEC, 2)
+    noisy = noise > NOISE_THRESHOLD or spark_noise > NOISE_THRESHOLD
 
     # Full per-query detail goes to disk; the printed line stays compact.
     # The driver's log-tail capture window is 2,000 chars — a line longer
@@ -214,7 +315,10 @@ def main() -> None:
             "layout": layout,
             "stage_sec": stage_sec,
             "noise": noise,
-            "noisy": noise > NOISE_THRESHOLD,
+            "spark_noise": spark_noise,
+            "probe_runs": probe_runs,
+            "remeasured": remeasured,
+            "noisy": noisy,
         }, fh, indent=1, sort_keys=True)
 
     line = json.dumps({
@@ -229,7 +333,9 @@ def main() -> None:
         "n_over_2x": len(over_2x),
         "layout": layout,
         "noise": noise,
-        "noisy": noise > NOISE_THRESHOLD,
+        "spark_noise": spark_noise,
+        "n_remeasured": len(remeasured),
+        "noisy": noisy,
     }, separators=(",", ":"))
     assert len(line) <= 1900, f"bench summary line too long: {len(line)}"
     print(line)
