@@ -91,7 +91,8 @@ def cmd_upsert(args: argparse.Namespace) -> int:
             out, counts = upsert_into_keyed_table(spark, src, path=args.table,
                                                   key=cfg.key,
                                                   n_files=cfg.n_partitions,
-                                                  return_counts=True)
+                                                  return_counts=True,
+                                                  buckets=args.buckets)
             # every post-merge row is exactly one of matched / upserted /
             # untouched, so the total comes free from the merge's own
             # Observation — no second scan of the written table
@@ -449,6 +450,11 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--key", help=f"merge key (default {PIPELINE_KEY})")
     u.add_argument("--n-partitions", type=_bounded_int(1, 100_000),
                    help="write parallelism (replaces --concurrent-tasks)")
+    u.add_argument("--buckets", type=_bounded_int(0, 100_000),
+                   help="write the keyed-table base bucketed on the "
+                        "merge key (inherited by later rounds; 0 "
+                        "un-buckets) — repeated upsert rounds then "
+                        "merge with no exchange on the base side")
     u.add_argument("--lsm", action="store_true",
                    help="append a merge-on-read delta to the keyed "
                         "table instead of rewriting the base "

@@ -91,3 +91,21 @@ def test_bucketing_survives_compact_and_delete(spark, tmp_path):
     assert {r.k for r in out.collect()} == {2, 3}
     assert table_meta(spark, p)["buckets"] == "4"
     assert {r.k for r in read_merged(spark, p, "k").collect()} == {2, 3}
+
+
+def test_cli_upsert_buckets_flag(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    from howto_mongo_bulk_update_from_parquet_spark.sources.generate import (
+        generate_pipeline_data)
+    data = str(tmp_path / "src")
+    table = str(tmp_path / "cli_bkt")
+    generate_pipeline_data(spark, 200, seed=3).write.parquet(data)
+    assert main(["upsert", "--path", data, "--table", table,
+                 "--buckets", "4"]) == 0
+    meta = table_meta(spark, table)
+    assert meta["buckets"] == "4" and meta["bucket_key"] == "_id"
+    assert any("_0000" in f for f in _bucket_files(table, 1))
+    # second round inherits without the flag
+    assert main(["upsert", "--path", data, "--table", table]) == 0
+    assert table_meta(spark, table)["buckets"] == "4"
+    assert read_keyed_table(spark, table).count() == 200
