@@ -438,7 +438,12 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     its bucket metadata and the full-outer join needs NO exchange on
     the base side — only the (typically small) source shuffles. At
     100 TB this turns every upsert round from two full-table shuffles
-    into zero."""
+    into zero. SIZE THE BUCKET COUNT >= the job's shuffle parallelism
+    (`spark.sql.shuffle.partitions`): Catalyst keeps a bucketed scan
+    only when it already satisfies the join's distribution — with
+    fewer buckets than shuffle partitions it re-shuffles the base UP
+    to the larger width and the bucketing buys nothing (plan-pinned in
+    tests/test_keyed_bucketed.py)."""
     from pyspark.sql import Observation
     schema_cols = source.columns if payload is None else [key, *payload]
     version = current_base_version(spark, path)

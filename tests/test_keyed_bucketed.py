@@ -51,30 +51,43 @@ def test_bucketed_merge_plan_has_no_base_exchange(spark, tmp_path):
     selected buckets. Two consecutive rounds are checked so the
     property holds from bucketed base to bucketed base."""
     p = str(tmp_path / "plan")
-    upsert_into_keyed_table(spark, _df(spark, [(1, "a"), (2, "b")]),
-                            path=p, key="k", updated_at_col=None, buckets=8)
-    for rnd in (2, 3):
-        version = current_base_version(spark, p)
-        assert version == rnd - 1
-        target = kt._read_base_bucketed(spark, p, version, "k", 8)
-        merged = keyed_upsert(target, _df(spark, [(rnd, "x")]), "k",
-                              updated_at_col=None)
-        plan = merged._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
-        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
-        # the base is the join's FIRST child: its subtree lines carry
-        # the ':' tree prefix — none of them may be an Exchange (the
-        # bucketed scan already satisfies the join distribution);
-        # every Exchange in the plan belongs to the source subtree
-        base_subtree = [ln for ln in plan.splitlines()
-                        if ln.lstrip().startswith(":")]
-        assert any("Bucketed: true" in ln for ln in base_subtree)
-        assert not any("Exchange" in ln for ln in base_subtree)
-        # and the real write-path round produces the same content as
-        # the reference merge semantics
-        out = upsert_into_keyed_table(spark, _df(spark, [(rnd, "x")]),
-                                      path=p, key="k", updated_at_col=None)
-        assert {r.k for r in out.collect()} == set(range(1, rnd + 1))
+    # sizing rule under test AND documented on upsert_into_keyed_table:
+    # the planner keeps the bucketed scan only while the bucket count
+    # is >= the join's shuffle parallelism — with fewer buckets it
+    # re-shuffles the base UP and the bucketing buys nothing. Pin the
+    # session parallelism to the bucket count (tests elsewhere in the
+    # suite legitimately run with other values).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        upsert_into_keyed_table(spark, _df(spark, [(1, "a"), (2, "b")]),
+                                path=p, key="k", updated_at_col=None,
+                                buckets=8)
+        for rnd in (2, 3):
+            version = current_base_version(spark, p)
+            assert version == rnd - 1
+            target = kt._read_base_bucketed(spark, p, version, "k", 8)
+            merged = keyed_upsert(target, _df(spark, [(rnd, "x")]), "k",
+                                  updated_at_col=None)
+            plan = merged._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+            # the base is the join's FIRST child: its subtree lines carry
+            # the ':' tree prefix — none of them may be an Exchange (the
+            # bucketed scan already satisfies the join distribution);
+            # every Exchange in the plan belongs to the source subtree
+            base_subtree = [ln for ln in plan.splitlines()
+                            if ln.lstrip().startswith(":")]
+            assert any("Bucketed: true" in ln for ln in base_subtree)
+            assert not any("Exchange" in ln for ln in base_subtree)
+            # and the real write-path round produces the same content as
+            # the reference merge semantics
+            out = upsert_into_keyed_table(spark, _df(spark, [(rnd, "x")]),
+                                          path=p, key="k",
+                                          updated_at_col=None)
+            assert {r.k for r in out.collect()} == set(range(1, rnd + 1))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_bucketing_survives_compact_and_delete(spark, tmp_path):
