@@ -95,11 +95,14 @@ def spark_probe(spark) -> float:
 
 
 def prior_artifact(layout: str, sf) -> dict[str, float]:
-    """Per-query slots from the committed BENCH_FULL.json of the prior
-    round, used as the re-measure reference — only when layout and sf
-    match (cross-layout slots aren't comparable)."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_FULL.json")
+    """Per-query slots from the committed artifact of the prior round
+    (per layout: BENCH_FULL.json for the default single-file run,
+    BENCH_MULTIFILE.json for the multifile experiment), used as the
+    re-measure reference — only when layout and sf match (cross-layout
+    slots aren't comparable)."""
+    fname = ("BENCH_MULTIFILE.json" if layout == "multifile32"
+             else "BENCH_FULL.json")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     try:
         with open(path) as fh:
             prior = json.load(fh)
