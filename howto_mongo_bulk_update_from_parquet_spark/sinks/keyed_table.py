@@ -430,7 +430,10 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
 
     One write per round: the merged table lands in `base_v{N+1}` while
     the merge streams out of `base_v{N}` (different directories — no
-    overwrite race), then the `_CURRENT` manifest flips.
+    overwrite race), then the `_CURRENT` manifest flips. Pending LSM
+    deltas are folded into the merge target first (r10, same class as
+    the r8 delete fix): left unfolded they would re-apply over the new
+    base in `read_merged` and win over this newer upsert round.
 
     `buckets=N` writes the base bucketed on the merge key (recorded in
     the manifest and inherited by every later round until an explicit
@@ -451,7 +454,21 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     eff_buckets = _resolve_buckets(meta, key, buckets)
     cur_buckets = (int(meta.get("buckets", 0))
                    if meta.get("bucket_key") == key else 0)
-    if version and cur_buckets:
+    # mixed-path safety (same class as the r8 delete bug): a table
+    # carrying un-compacted LSM deltas must fold them into the merge
+    # target — otherwise the pending deltas re-apply over the NEW base
+    # in read_merged and win over this (newer) upsert round.
+    fold = _foldable_deltas(spark, path, gc_stale=True)
+    pending = _complete_deltas(spark, path)
+    if pending and fold != pending:
+        raise ConcurrentWriteError(
+            f"{path} has committed deltas beyond an in-flight append "
+            f"(foldable run {fold} vs committed {pending}) — retry the "
+            f"upsert after the appender finishes or times out")
+    if fold:
+        target = _read_merged_through(spark, path, key, fold)
+        meta["folded_through"] = str(fold[-1])
+    elif version and cur_buckets:
         target = _read_base_bucketed(spark, path, version, key, cur_buckets)
     elif version:
         target = spark.read.parquet(_base_dir(path, version))
@@ -478,6 +495,9 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     meta = _write_base_and_meta(spark, out, path, new_version,
                                 key, eff_buckets, meta)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
+    # folded delta files are pure GC under the committed watermark
+    for v in fold:
+        hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
     result = spark.read.parquet(_base_dir(path, new_version))
     if return_counts:
         return result, obs.get

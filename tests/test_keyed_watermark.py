@@ -195,3 +195,35 @@ def test_is_path_exists_error_detection():
     wrapped.__cause__ = java_style
     assert kt._is_path_exists_error(wrapped)
     assert not kt._is_path_exists_error(RuntimeError("executor lost"))
+
+
+def test_upsert_folds_pending_deltas(spark, tmp_path):
+    """r10, same class as the r8 delete bug: a versioned upsert on a
+    table with pending LSM deltas must fold them — unfolded, the
+    deltas would re-apply over the NEW base and win over this newer
+    round. The fold also records the watermark, so resurrected delta
+    files stay invisible."""
+    p = str(tmp_path / "upfold")
+    upsert_into_keyed_table(spark, _df(spark, [(1, "a"), (2, "b")]),
+                            path=p, key="k", updated_at_col=None)
+    append_delta(spark, _df(spark, [(2, "b_delta"), (3, "c")]),
+                 path=p, key="k")
+    # the upsert round is NEWER than the delta and must win on key 2
+    out = upsert_into_keyed_table(spark, _df(spark, [(2, "b_up"), (4, "d")]),
+                                  path=p, key="k", updated_at_col=None)
+    want = {1: "a", 2: "b_up", 3: "c", 4: "d"}
+    assert {r.k: r.v for r in out.collect()} == want
+    assert {r.k: r.v for r in read_merged(spark, p, "k").collect()} == want
+    assert folded_through(spark, p) == 1
+    assert not [d for d in os.listdir(p) if d.startswith("delta_")]
+    # an in-flight gap refuses cleanly, same as delete
+    append_delta(spark, _df(spark, [(5, "e")]), path=p, key="k")   # v2
+    os.makedirs(os.path.join(p, "delta_00002"), exist_ok=True)
+    # v2 exists committed; claim 3 as in-flight debris then commit 4
+    os.makedirs(os.path.join(p, "delta_00003"))
+    with open(os.path.join(p, "delta_00003", "part-live.parquet"), "wb") as fh:
+        fh.write(b"mid-write")
+    append_delta(spark, _df(spark, [(6, "f")]), path=p, key="k")   # v4
+    with pytest.raises(ConcurrentWriteError, match="in-flight append"):
+        upsert_into_keyed_table(spark, _df(spark, [(7, "g")]),
+                                path=p, key="k", updated_at_col=None)
