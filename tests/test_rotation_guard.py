@@ -144,3 +144,22 @@ def test_changed_queries_are_force_listed_or_never_attested():
         f"implementation changed this round but neither never-attested "
         f"nor in rotation.FORCE_REATTEST: {sorted(stale)} — add them to "
         f"FORCE_REATTEST (plans/rotation.py) so they re-attest")
+
+
+def test_attested_through_matches_committed_artifacts():
+    """ATTESTED_THROUGH pins which CORRECTNESS rounds the rotation
+    derives from (ADVICE r9: uncommitted artifacts must not shift the
+    head). The pin is itself a per-round manual constant — this guard
+    makes forgetting the bump fail the suite: it must equal the
+    highest round whose artifact is COMMITTED (git-tracked), which is
+    exactly the set a fresh checkout would see."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans.rotation import (
+        ATTESTED_THROUGH)
+    tracked = _git("ls-files", "CORRECTNESS_r*.json").split()
+    rounds = [int(f.split("_r")[1].split(".")[0]) for f in tracked]
+    assert rounds, "no committed CORRECTNESS artifacts tracked by git"
+    assert ATTESTED_THROUGH == max(rounds), (
+        f"rotation.ATTESTED_THROUGH={ATTESTED_THROUGH} but the newest "
+        f"COMMITTED artifact is round {max(rounds)} — bump the constant "
+        f"(and review FORCE_REATTEST) now that the round's artifacts "
+        f"are committed")
