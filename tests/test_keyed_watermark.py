@@ -227,3 +227,101 @@ def test_upsert_folds_pending_deltas(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError, match="in-flight append"):
         upsert_into_keyed_table(spark, _df(spark, [(7, "g")]),
                                 path=p, key="k", updated_at_col=None)
+
+
+def test_mixed_path_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based property test over BOTH write paths: random
+    interleavings of LSM upsert deltas, tombstone deltas, compactions,
+    versioned fold-upserts, and versioned fold-deletes must always
+    read back exactly what a dict model predicts (newest wins,
+    per-column null-skip, tombstone cuts history, folds + the
+    watermark invisible to readers). This is the r8/r9/r10 bug class —
+    every one of those bugs was a mixed-path interaction."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    keys = st.integers(0, 5)
+    rows = st.lists(
+        st.tuples(keys,
+                  st.one_of(st.none(), st.sampled_from(["p", "q", "r"])),
+                  st.one_of(st.none(), st.sampled_from([1.0, 2.5, -3.0]))),
+        min_size=1, max_size=4, unique_by=lambda t: t[0])
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("lsm_upsert"), rows),
+            st.tuples(st.just("tombstone"), st.lists(keys, min_size=1,
+                                                     max_size=3)),
+            st.tuples(st.just("compact"), st.just(None)),
+            st.tuples(st.just("v_upsert"), rows),
+            st.tuples(st.just("v_delete"), st.lists(keys, min_size=1,
+                                                    max_size=3))),
+        min_size=2, max_size=7)
+
+    def _src(rows_):
+        return spark.createDataFrame(rows_, "k long, a string, b double")
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(ops=ops)
+    def check(ops):
+        counter[0] += 1
+        p = str(tmp_path / f"mix{counter[0]}")
+        model: dict[int, dict[str, object]] = {}
+        wrote = False
+
+        def apply_merge(rows_):
+            for k, a, b in rows_:
+                row = model.setdefault(k, {"a": None, "b": None})
+                if a is not None:
+                    row["a"] = a
+                if b is not None:
+                    row["b"] = b
+
+        for kind, arg in ops:
+            if kind == "lsm_upsert":
+                append_delta(spark, _src(arg), path=p, key="k")
+                wrote = True
+                apply_merge(arg)
+            elif kind == "v_upsert":
+                upsert_into_keyed_table(spark, _src(arg), path=p, key="k",
+                                        updated_at_col=None)
+                wrote = True
+                apply_merge(arg)
+            elif kind == "tombstone":
+                if not wrote:
+                    continue
+                append_delete_delta(
+                    spark, spark.createDataFrame([(k,) for k in arg],
+                                                 "k long"),
+                    path=p, key="k")
+                for k in arg:
+                    model.pop(k, None)
+            elif kind == "v_delete":
+                if not wrote:
+                    continue
+                delete_from_keyed_table(
+                    spark, spark.createDataFrame([(k,) for k in arg],
+                                                 "k long"),
+                    path=p, key="k")
+                for k in arg:
+                    model.pop(k, None)
+            elif kind == "compact" and wrote:
+                compact(spark, p, "k")
+        if not wrote:
+            return
+        got = {r.k: (r.a, r.b)
+               for r in read_merged(spark, p, "k").collect()}
+        want = {k: (v["a"], v["b"]) for k, v in model.items()}
+        assert got == want, ops
+        # after a fold (no pending deltas), the committed snapshot IS
+        # the merged view
+        if not [d for d in os.listdir(p) if d.startswith("delta_")]:
+            from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+                read_keyed_table)
+            snap = {r.k: (r.a, r.b)
+                    for r in read_keyed_table(spark, p)
+                    .select("k", "a", "b").collect()}
+            assert snap == want, ops
+
+    check()
