@@ -64,6 +64,15 @@ def cmd_upsert(args: argparse.Namespace) -> int:
     # must not silently redirect writes when the user typed --table.
     use_mongo = bool(args.mongo_uri) or (bool(cfg.mongo_uri)
                                          and not args.table)
+    if args.buckets is not None and (use_mongo or args.lsm):
+        # silently ignoring the flag would leave the user believing the
+        # table is bucketed while every round keeps paying the base
+        # shuffle the flag exists to eliminate
+        print("--buckets only applies to the versioned keyed-table base "
+              "(not --lsm delta appends or the Mongo sink); run a "
+              "plain `upsert --table ... --buckets N` round (or "
+              "`compact`) to bucket the base", file=sys.stderr)
+        return 2
     spark = get_spark("upsert")
     src = spark.read.schema(PIPELINE_SCHEMA).parquet(args.path)
     if cfg.n_partitions:
@@ -225,7 +234,8 @@ def cmd_compact(args: argparse.Namespace) -> int:
     write paths. Tombstoned keys are purged physically here."""
     from .sinks.keyed_table import compact
     spark = get_spark("compact")
-    out = compact(spark, args.table, args.key, n_files=args.n_files)
+    out = compact(spark, args.table, args.key, n_files=args.n_files,
+                  buckets=args.buckets)
     print(f"compacted {args.table}: {out.count()} rows")
     return 0
 
@@ -514,6 +524,9 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--table", required=True)
     cp.add_argument("--key", default=PIPELINE_KEY)
     cp.add_argument("--n-files", type=_bounded_int(1, 100_000))
+    cp.add_argument("--buckets", type=_bounded_int(0, 100_000),
+                    help="(re-)bucket the folded base on the key "
+                         "(inherited afterwards; 0 un-buckets)")
     cp.set_defaults(fn=cmd_compact)
 
     dl = sub.add_parser(

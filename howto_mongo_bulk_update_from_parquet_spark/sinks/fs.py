@@ -113,20 +113,47 @@ def rename_no_clobber(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(p_src, p_dst))
 
 
-def newest_mtime(spark: SparkSession, path: str) -> int | None:
-    """Newest modification time (epoch millis) across `path` itself and
-    its direct children; None when the path is absent. Claim-staleness
-    checks use the children too because a writer mid-job touches task
-    files inside the directory more recently than the directory entry
-    itself (and object stores report no useful mtime for the synthetic
-    directory at all)."""
+def newest_mtime(spark: SparkSession, path: str,
+                 max_entries: int = 100_000) -> int | None:
+    """Newest modification time (epoch millis) across `path` itself,
+    its direct children, and every file under it RECURSIVELY; None
+    when the path is absent. Claim-staleness checks need the deep
+    scan: Spark's in-flight writes touch files several levels down
+    (`_temporary/0/_temporary/attempt_*/part-*`) while the directory
+    entry itself — and even its direct children — may stay untouched
+    for the whole task phase, so a shallow check would misread a live
+    long-running job as dead-writer debris. `max_entries` bounds the
+    metadata scan; hitting it returns the newest seen so far (erring
+    toward 'fresh', i.e. toward NOT clobbering)."""
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
         return None
     newest = fs.getFileStatus(p).getModificationTime()
-    for st in fs.listStatus(p):
+    for st in fs.listStatus(p):          # direct children incl. empty dirs
         newest = max(newest, st.getModificationTime())
+    it = fs.listFiles(p, True)           # every file, all depths
+    seen = 0
+    while it.hasNext() and seen < max_entries:
+        newest = max(newest, it.next().getModificationTime())
+        seen += 1
     return int(newest)
+
+
+def probe_now_ms(spark: SparkSession, dir_path: str) -> int:
+    """The FILESYSTEM's idea of 'now' (epoch millis): write a probe
+    file next to the data, read its mtime, delete it. Staleness checks
+    compare this against other mtimes from the same filesystem, so a
+    skewed driver clock can neither shrink nor invert a grace window
+    (driver-local time.time() vs a namenode/object-store clock can
+    differ by minutes)."""
+    import uuid
+    probe = join(dir_path, f".__mtime_probe_{uuid.uuid4().hex[:12]}")
+    write_text(spark, probe, "")
+    try:
+        fs, p = _fs_path(spark, probe)
+        return int(fs.getFileStatus(p).getModificationTime())
+    finally:
+        delete(spark, probe, recursive=False)
 
 
 def read_text(spark: SparkSession, path: str) -> str | None:

@@ -85,14 +85,23 @@ STALE_CLAIM_GRACE_MS = 15 * 60 * 1000
 def _claim_is_stale(spark: SparkSession, dst: str,
                     grace_ms: int = STALE_CLAIM_GRACE_MS) -> bool:
     """True when an existing no-_SUCCESS directory is demonstrably a
-    dead writer's debris: nothing in it (the dir entry or any task
-    file) has been touched for `grace_ms`. A live writer's job keeps
-    the newest-child mtime current, so it never looks stale."""
-    import time
+    dead writer's debris: nothing in it (the dir entry, any child, or
+    any file at ANY depth — Spark's task phase writes only under
+    `_temporary/...`) has been touched for `grace_ms`. 'Now' comes
+    from the filesystem itself (a probe file's mtime), so driver clock
+    skew against the storage clock cannot shrink or invert the window.
+    A live writer's job keeps some task file's mtime current, so it
+    never looks stale."""
     newest = hfs.newest_mtime(spark, dst)
     if newest is None:
         return True                      # vanished — nothing to clear
-    return (time.time() * 1000 - newest) > grace_ms
+    parent = dst.rstrip("/").rsplit("/", 1)[0]
+    try:
+        now_ms = hfs.probe_now_ms(spark, parent)
+    except Exception:                    # probe unwritable: fall back
+        import time
+        now_ms = int(time.time() * 1000)
+    return (now_ms - newest) > grace_ms
 
 
 def _is_path_exists_error(exc: BaseException) -> bool:
@@ -101,15 +110,18 @@ def _is_path_exists_error(exc: BaseException) -> bool:
     exists-check near-simultaneously, the loser fails at task/job
     commit with FileAlreadyExistsException surfaced through
     Py4JJavaError/SparkException (ADVICE r9) — the same clean-conflict
-    signal, so claimers retry instead of crashing."""
+    signal, so claimers retry instead of crashing. Matches the
+    SPECIFIC exception class name only (never a generic 'already
+    exists' substring, which also appears in unrelated catalog and
+    metastore messages) and follows explicit causes only — an
+    implicit __context__ chain can drag in unrelated exceptions."""
     seen = set()
     cur: BaseException | None = exc
     while cur is not None and id(cur) not in seen:
         seen.add(id(cur))
-        msg = str(cur)
-        if "FileAlreadyExistsException" in msg or "already exists" in msg:
+        if "FileAlreadyExistsException" in str(cur):
             return True
-        cur = cur.__cause__ or cur.__context__
+        cur = cur.__cause__
     return False
 
 
@@ -188,23 +200,51 @@ def read_keyed_table(spark: SparkSession, path: str,
     raise FileNotFoundError(f"no keyed table at {path}")
 
 
+def _current_manifest(spark: SparkSession, path: str,
+                      retries: int = 3) -> tuple[int, dict[str, str]]:
+    """(base version, metadata) of the newest committed manifest,
+    resolved from ONE pointer so a reader never pairs a new base with
+    a stale watermark (or vice versa). `_commit_version` retires old
+    pointers right after publishing, so the content read can find its
+    file already deleted — re-list and retry rather than silently
+    returning empty metadata (which would collapse the watermark to 0
+    and resurrect folded deltas). Returns (0, {}) for legacy tables
+    with no versioned pointer."""
+    for _ in range(max(retries, 1)):
+        versions = _manifest_versions(spark, path)
+        if not versions:
+            return 0, {}
+        txt = hfs.read_text(spark,
+                            hfs.join(path, _manifest_name(versions[-1])))
+        if txt is None:
+            continue                     # retired mid-read — re-list
+        meta: dict[str, str] = {}
+        for line in txt.splitlines()[1:]:
+            k, sep, v = line.partition("=")
+            if sep:
+                meta[k.strip()] = v.strip()
+        return versions[-1], meta
+    # every retry raced a retirement: take the freshest listing and
+    # surface the (metadata-less) pointer rather than hiding the table
+    versions = _manifest_versions(spark, path)
+    return (versions[-1], {}) if versions else (0, {})
+
+
 def table_meta(spark: SparkSession, path: str) -> dict[str, str]:
     """Key=value metadata recorded in the newest committed manifest
     (lines after the version line): `folded_through` (the delta version
     up to which deltas are already folded into the base — readers
-    ignore deltas at or below it, making post-compaction delta-file
-    deletion pure GC instead of a correctness fence), and the base
-    bucketing spec (`buckets`/`bucket_key`). Empty for legacy tables."""
-    versions = _manifest_versions(spark, path)
-    if not versions:
-        return {}
-    txt = hfs.read_text(spark, hfs.join(path, _manifest_name(versions[-1])))
-    meta: dict[str, str] = {}
-    for line in (txt or "").splitlines()[1:]:
-        k, sep, v = line.partition("=")
-        if sep:
-            meta[k.strip()] = v.strip()
-    return meta
+    ignore deltas at or below it, making post-fold delta-file removal
+    pure GC instead of a correctness fence), and the base bucketing
+    spec (`buckets`/`bucket_key`). Empty for legacy tables."""
+    return _current_manifest(spark, path)[1]
+
+
+def _meta_floor(meta: dict[str, str]) -> int:
+    try:
+        return int(meta.get("folded_through", 0))
+    except ValueError:
+        return 0
 
 
 def folded_through(spark: SparkSession, path: str) -> int:
@@ -212,10 +252,7 @@ def folded_through(spark: SparkSession, path: str) -> int:
     (0 = none). `read_merged` ignores deltas at or below this; new
     delta claims start above it so version numbers stay monotonic
     across compactions."""
-    try:
-        return int(table_meta(spark, path).get("folded_through", 0))
-    except ValueError:
-        return 0
+    return _meta_floor(table_meta(spark, path))
 
 
 def _commit_version(spark: SparkSession, path: str, version: int,
@@ -281,7 +318,16 @@ def _write_claiming_base(spark: SparkSession, df: DataFrame, path: str,
     Java-side FileAlreadyExistsException at job commit (both writers
     passed the pre-check) maps to the same ConcurrentWriteError
     instead of crashing as a raw Py4JJavaError."""
-    from pyspark.errors import AnalysisException
+    dst = _claim_base_slot(spark, path, version)
+    _run_claimed_write(
+        dst, lambda: df.write.mode("errorifexists").parquet(dst))
+
+
+def _claim_base_slot(spark: SparkSession, path: str, version: int) -> str:
+    """The claim fence both base writers share: a COMPLETE competing
+    dir is a clean conflict, a fresh incomplete one is a live writer
+    (also a conflict — never clobbered), a stale incomplete one is
+    dead-writer debris and is cleared."""
     dst = _base_dir(path, version)
     if hfs.exists(spark, dst):
         if hfs.exists(spark, hfs.join(dst, "_SUCCESS")):
@@ -293,8 +339,17 @@ def _write_claiming_base(spark: SparkSession, df: DataFrame, path: str,
                 f"{dst} is being written by a concurrent round right now "
                 f"(incomplete but recently touched) — re-read and retry")
         hfs.delete(spark, dst)
+    return dst
+
+
+def _run_claimed_write(dst: str, write) -> None:
+    """Execute a claimed write, mapping both conflict signals — the
+    pre-write AnalysisException and the Java-side
+    FileAlreadyExistsException at job commit — to ConcurrentWriteError
+    so every racing writer loses cleanly."""
+    from pyspark.errors import AnalysisException
     try:
-        df.write.mode("errorifexists").parquet(dst)
+        write()
     except AnalysisException as exc:
         raise ConcurrentWriteError(
             f"{dst} appeared during this round's write (concurrent "
@@ -347,37 +402,15 @@ def _write_claiming_base_bucketed(spark: SparkSession, df: DataFrame,
     merge join's output is already hash-partitioned on the key with
     the same Murmur3 function the bucketed writer uses, so each task
     emits (almost always) exactly one bucket's file."""
-    from pyspark.errors import AnalysisException
-    dst = _base_dir(path, version)
-    if hfs.exists(spark, dst):
-        if hfs.exists(spark, hfs.join(dst, "_SUCCESS")):
-            raise ConcurrentWriteError(
-                f"{dst} already written by a concurrent round that read "
-                f"the same base snapshot — re-read and retry")
-        if not _claim_is_stale(spark, dst):
-            raise ConcurrentWriteError(
-                f"{dst} is being written by a concurrent round right now "
-                f"(incomplete but recently touched) — re-read and retry")
-        hfs.delete(spark, dst)
+    dst = _claim_base_slot(spark, path, version)
     name = _bucket_table_ident(path, version)
     # a failed prior attempt may have left a catalog entry (external —
     # dropping it never touches data files)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    try:
-        (df.write.format("parquet")
-           .bucketBy(buckets, key).sortBy(key)
-           .option("path", dst).saveAsTable(name))
-    except AnalysisException as exc:
-        raise ConcurrentWriteError(
-            f"{dst} appeared during this round's write (concurrent "
-            f"writer) — re-read and retry") from exc
-    except Exception as exc:
-        if _is_path_exists_error(exc):
-            raise ConcurrentWriteError(
-                f"{dst} appeared during this round's write (concurrent "
-                f"writer, detected at job commit) — re-read and retry"
-            ) from exc
-        raise
+    _run_claimed_write(
+        dst, lambda: (df.write.format("parquet")
+                      .bucketBy(buckets, key).sortBy(key)
+                      .option("path", dst).saveAsTable(name)))
 
 
 def _resolve_buckets(meta: dict[str, str], key: str,
@@ -449,24 +482,29 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     tests/test_keyed_bucketed.py)."""
     from pyspark.sql import Observation
     schema_cols = source.columns if payload is None else [key, *payload]
-    version = current_base_version(spark, path)
-    meta = dict(table_meta(spark, path))
+    # ONE manifest resolution for the whole round: version, watermark
+    # and bucket spec must be a consistent snapshot
+    version, committed_meta = _current_manifest(spark, path)
+    meta = dict(committed_meta)
+    if not version:
+        version = current_base_version(spark, path)   # legacy pointers
+    old_floor = _meta_floor(meta)
     eff_buckets = _resolve_buckets(meta, key, buckets)
-    cur_buckets = (int(meta.get("buckets", 0))
-                   if meta.get("bucket_key") == key else 0)
+    cur_buckets = _resolve_buckets(meta, key, None)
     # mixed-path safety (same class as the r8 delete bug): a table
     # carrying un-compacted LSM deltas must fold them into the merge
     # target — otherwise the pending deltas re-apply over the NEW base
     # in read_merged and win over this (newer) upsert round.
-    fold = _foldable_deltas(spark, path, gc_stale=True)
-    pending = _complete_deltas(spark, path)
+    fold = _foldable_deltas(spark, path, gc_stale=True, floor=old_floor)
+    pending = _complete_deltas(spark, path, floor=old_floor)
     if pending and fold != pending:
         raise ConcurrentWriteError(
             f"{path} has committed deltas beyond an in-flight append "
             f"(foldable run {fold} vs committed {pending}) — retry the "
             f"upsert after the appender finishes or times out")
     if fold:
-        target = _read_merged_through(spark, path, key, fold)
+        target = _read_merged_through(spark, path, key, fold,
+                                      base_version=version or None)
         meta["folded_through"] = str(fold[-1])
     elif version and cur_buckets:
         target = _read_base_bucketed(spark, path, version, key, cur_buckets)
@@ -495,13 +533,25 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     meta = _write_base_and_meta(spark, out, path, new_version,
                                 key, eff_buckets, meta)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
-    # folded delta files are pure GC under the committed watermark
-    for v in fold:
-        hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
+    _gc_folded_deltas(spark, path, old_floor)
     result = spark.read.parquet(_base_dir(path, new_version))
     if return_counts:
         return result, obs.get
     return result
+
+
+def _gc_folded_deltas(spark: SparkSession, path: str, up_to: int) -> None:
+    """Remove delta files folded at or before the PREVIOUS commit's
+    watermark (`up_to` = the floor read at the start of the committing
+    operation). The freshly-folded run keeps its files for one more
+    commit — the same one-commit retention superseded bases get via
+    `retain_versions` — so an in-flight reader that resolved the
+    pre-fold manifest can finish scanning them; any reader still
+    referencing deltas at or below the PREVIOUS floor resolved two
+    commits ago."""
+    for v in _delta_versions(spark, path):
+        if v <= up_to:
+            hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
 
 
 # --- log-structured base + delta ---------------------------------------
@@ -513,7 +563,8 @@ def _delta_versions(spark: SparkSession, path: str) -> list[int]:
 
 
 def _append_delta_claiming(spark: SparkSession, src: DataFrame,
-                           path: str, max_retries: int = 64) -> int:
+                           path: str, max_retries: int = 64,
+                           floor: int | None = None) -> int:
     """Write `src` as the next `delta_{N}` directory, CLAIMING the
     version: two concurrent appenders (a CLI tombstone racing a
     streaming changefeed batch, or a scheduled compact) can list the
@@ -535,8 +586,9 @@ def _append_delta_claiming(spark: SparkSession, src: DataFrame,
     monotonic across compactions (a re-used number at or below the
     watermark would be invisibly skipped by every reader)."""
     from pyspark.errors import AnalysisException
-    version = max((_delta_versions(spark, path) or [0])[-1],
-                  folded_through(spark, path)) + 1
+    if floor is None:
+        floor = folded_through(spark, path)
+    version = max((_delta_versions(spark, path) or [0])[-1], floor) + 1
     for _ in range(max_retries):
         dst = hfs.join(path, f"delta_{version:05d}")
         if hfs.exists(spark, dst) and not hfs.exists(
@@ -589,20 +641,26 @@ def _lsm_base(spark: SparkSession, path: str) -> DataFrame | None:
     return None
 
 
-def _complete_deltas(spark: SparkSession, path: str) -> list[int]:
+def _complete_deltas(spark: SparkSession, path: str,
+                     floor: int | None = None) -> list[int]:
     """Committed (has _SUCCESS) delta versions above the folded-through
     watermark — the set a reader may apply. Folded deltas (at or below
     the watermark) are already inside the base: applying them again
     before their files are GC'd would transiently resurrect deleted
-    rows (r9 verdict #3). Incomplete ones belong to a writer mid-job."""
-    floor = folded_through(spark, path)
+    rows (r9 verdict #3). Incomplete ones belong to a writer mid-job.
+    Pass `floor` when the caller already resolved the manifest — both
+    to save the metadata round-trip and so one operation works off ONE
+    consistent (version, watermark) pair."""
+    if floor is None:
+        floor = folded_through(spark, path)
     return [v for v in _delta_versions(spark, path) if v > floor
             and hfs.exists(spark,
                            hfs.join(path, f"delta_{v:05d}", "_SUCCESS"))]
 
 
 def _foldable_deltas(spark: SparkSession, path: str,
-                     gc_stale: bool = False) -> list[int]:
+                     gc_stale: bool = False,
+                     floor: int | None = None) -> list[int]:
     """The contiguous complete RUN of pending deltas a fold may safely
     absorb: stop at the first claimed-but-incomplete slot — a live
     appender may still complete it, and a watermark past its number
@@ -612,7 +670,8 @@ def _foldable_deltas(spark: SparkSession, path: str,
     sat untouched past the staleness grace window is dead-writer
     debris: it is deleted and the run continues — otherwise abandoned
     debris below committed deltas would block compaction forever."""
-    floor = folded_through(spark, path)
+    if floor is None:
+        floor = folded_through(spark, path)
     pending = [v for v in _delta_versions(spark, path) if v > floor]
     run: list[int] = []
     for v in pending:
@@ -632,20 +691,33 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
     `first(col, ignorenulls)` in descending version order reproduces
     the upsert chain exactly. Deltas at or below the manifest's
     `folded_through` watermark are already inside the base and are
-    ignored, so a reader racing a compaction (between the base flip
-    and the delta-file GC) never sees a delta re-applied over its own
-    folded result."""
-    return _read_merged_through(spark, path, key,
-                                _complete_deltas(spark, path))
+    ignored, so a reader racing a fold never sees a delta re-applied
+    over its own folded result. Base version AND watermark come from
+    ONE manifest read (`_current_manifest`) — resolving them in two
+    passes would let a fold commit in between pair the new base with
+    the old watermark, resurrecting exactly what the watermark
+    prevents."""
+    version, meta = _current_manifest(spark, path)
+    return _read_merged_through(
+        spark, path, key,
+        _complete_deltas(spark, path, floor=_meta_floor(meta)),
+        base_version=version or None)
 
 
 def _read_merged_through(spark: SparkSession, path: str, key: str,
-                         deltas: list[int]) -> DataFrame:
+                         deltas: list[int],
+                         base_version: int | None = None) -> DataFrame:
     """`read_merged` over an EXPLICIT delta set — the fold paths use it
     to absorb only the contiguous complete run when later deltas exist
-    beyond an in-flight slot."""
+    beyond an in-flight slot. `base_version` pins the base directory
+    the caller's manifest read already resolved, keeping (base,
+    watermark, deltas) one consistent snapshot; None falls back to the
+    legacy resolution chain (`_lsm_base`)."""
     parts = []
-    base = _lsm_base(spark, path)
+    if base_version:
+        base = spark.read.parquet(_base_dir(path, base_version))
+    else:
+        base = _lsm_base(spark, path)
     if base is not None:
         parts.append(base.withColumn("__v", F.lit(0)))
     for v in deltas:
@@ -672,37 +744,44 @@ def _read_merged_through(spark: SparkSession, path: str, key: str,
 
 def compact(spark: SparkSession, path: str, key: str,
             n_files: int | None = None,
-            retain_versions: int = 2) -> DataFrame:
+            retain_versions: int = 2,
+            buckets: int | None = None) -> DataFrame:
     """Fold base + committed deltas into a new versioned base (ONE
     write + atomic manifest flip) whose manifest records the
-    `folded_through` watermark, then remove the folded delta files —
-    pure GC: readers between the flip and the removal already ignore
-    deltas at or below the watermark, so they never see a delta
-    re-applied over its own compacted result (r9 verdict #3).
-    Superseded bases past `retain_versions` (default: current +
-    previous, for readers in flight) are dropped.
+    `folded_through` watermark. Readers ignore deltas at or below the
+    watermark, so the folded delta files become pure GC — and like
+    superseded bases (`retain_versions`), they are kept for ONE more
+    commit (removed by the NEXT committing operation via
+    `_gc_folded_deltas`) so an in-flight reader that resolved the
+    pre-fold manifest can finish scanning them (r9 verdict #3).
 
     Only the contiguous complete run of pending deltas is folded: a
     claimed-but-incomplete slot (live appender mid-write) stops the
     run, and every delta beyond it — complete or not — is left in
     place above the watermark for the next compaction."""
-    fold = _foldable_deltas(spark, path, gc_stale=True)
+    version, committed_meta = _current_manifest(spark, path)
+    meta = dict(committed_meta)
+    if not version:
+        version = current_base_version(spark, path)   # legacy pointers
+    old_floor = _meta_floor(meta)
+    fold = _foldable_deltas(spark, path, gc_stale=True, floor=old_floor)
     # fold only the run — deltas beyond an in-flight slot are masked so
     # the new base contains nothing the watermark doesn't cover
-    merged = _read_merged_through(spark, path, key, fold)
-    if n_files:
+    merged = _read_merged_through(spark, path, key, fold,
+                                  base_version=version or None)
+    eff_buckets = _resolve_buckets(meta, key, buckets)
+    if n_files and not eff_buckets:
         merged = merged.repartition(n_files)
-    old_version = current_base_version(spark, path)
-    new_version = old_version + 1
-    meta = dict(table_meta(spark, path))
+    new_version = version + 1
     if fold:
         meta["folded_through"] = str(fold[-1])
-    # a bucketed table stays bucketed through compaction
+    # a bucketed table stays bucketed through compaction; an explicit
+    # `buckets` (re-)buckets the folded base — the natural way to
+    # bucket a table built through the LSM path (0 un-buckets)
     meta = _write_base_and_meta(spark, merged, path, new_version, key,
-                                _resolve_buckets(meta, key, None), meta)
+                                eff_buckets, meta)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
-    for v in fold:
-        hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
+    _gc_folded_deltas(spark, path, old_floor)
     hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
     return spark.read.parquet(_base_dir(path, new_version))
 
@@ -736,10 +815,13 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
 
     Returns the post-delete table, or ``(df, n_deleted)`` with
     ``return_counts``."""
-    version = current_base_version(spark, path)
-    fold = _foldable_deltas(spark, path, gc_stale=True)
-    pending = _complete_deltas(spark, path)
-    meta = dict(table_meta(spark, path))
+    version, committed_meta = _current_manifest(spark, path)
+    meta = dict(committed_meta)
+    if not version:
+        version = current_base_version(spark, path)   # legacy pointers
+    old_floor = _meta_floor(meta)
+    fold = _foldable_deltas(spark, path, gc_stale=True, floor=old_floor)
+    pending = _complete_deltas(spark, path, floor=old_floor)
     if pending and fold != pending:
         # committed deltas sit beyond a claimed-but-incomplete slot: an
         # appender is mid-flight. Folding past the gap would orphan its
@@ -754,11 +836,11 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
     if fold:
         # fold base + deltas (tombstones applied) so the anti-join
         # sees every live key and no delta outlives the new base
-        target = _read_merged_through(spark, path, key, fold)
+        target = _read_merged_through(spark, path, key, fold,
+                                      base_version=version or None)
         meta["folded_through"] = str(fold[-1])
     else:
-        cur_buckets = (int(meta.get("buckets", 0))
-                       if meta.get("bucket_key") == key else 0)
+        cur_buckets = _resolve_buckets(meta, key, None)
         if version and cur_buckets:
             # bucketed base: the anti-join needs no exchange on it
             target = _read_base_bucketed(spark, path, version, key,
@@ -784,10 +866,10 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     result = spark.read.parquet(_base_dir(path, new_version))
     n_deleted = (n_before - result.count()) if return_counts else None
-    # folded delta files are pure GC now: the committed watermark makes
-    # every reader ignore them even before the deletion lands
-    for v in fold:
-        hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
+    # freshly-folded delta files are kept for one more commit (pure GC
+    # under the watermark; in-flight pre-fold readers finish their
+    # scans) — only deltas folded at or before the PREVIOUS commit go
+    _gc_folded_deltas(spark, path, old_floor)
     if return_counts:
         return result, n_deleted
     return result

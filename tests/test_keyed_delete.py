@@ -176,14 +176,14 @@ def test_delete_inherits_concurrent_writer_fences(spark, tmp_path, monkeypatch):
                             path=p, key="k", updated_at_col=None)   # v1
     upsert_into_keyed_table(spark, _src(spark, [(2, "y", 2.0)]),
                             path=p, key="k", updated_at_col=None)   # v2
-    real = kt.current_base_version
-    monkeypatch.setattr(kt, "current_base_version", lambda *_: 1)
+    real = kt._current_manifest
+    monkeypatch.setattr(kt, "_current_manifest", lambda *a, **k: (1, {}))
     with pytest.raises(kt.ConcurrentWriteError):
         delete_from_keyed_table(
             spark, spark.createDataFrame([(1,)], "k long"),
             path=p, key="k")
     monkeypatch.undo()
-    assert kt.current_base_version is real
+    assert kt._current_manifest is real
     # winner intact; retry succeeds against the true version
     assert sorted(r.k for r in read_keyed_table(spark, p).collect()) == [1, 2]
     out, n = delete_from_keyed_table(
@@ -281,7 +281,7 @@ def test_versioned_delete_folds_pending_deltas(spark, tmp_path):
     to die, and no surviving delta (__v >= 1) may re-apply over the new
     base (__v = 0) in read_merged and resurrect deleted rows."""
     from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import \
-        _delta_versions
+        _complete_deltas
     p = str(tmp_path / "mix")
     upsert_into_keyed_table(
         spark, _src(spark, [(1, "x", 1.0), (2, "y", 2.0)]),
@@ -293,7 +293,9 @@ def test_versioned_delete_folds_pending_deltas(spark, tmp_path):
         spark, spark.createDataFrame([(2,), (3,)], "k long"),
         path=p, key="k", return_counts=True)
     assert n == 2                       # key 2 (base) AND key 3 (delta-only)
-    assert _delta_versions(spark, p) == []   # folded, nothing re-applies
+    # folded: invisible to every reader (files are retained one more
+    # commit for in-flight pre-fold readers, then GC'd)
+    assert _complete_deltas(spark, p) == []
     live = {r.k: (r.a, r.b) for r in out.collect()}
     assert live == {1: ("x2", 1.0)}     # delta update survived the fold
     assert {r.k: (r.a, r.b) for r in read_merged(spark, p, "k").collect()} \

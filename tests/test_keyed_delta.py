@@ -50,7 +50,11 @@ def test_compact_preserves_content_and_removes_deltas(spark, tmp_path):
     before = _rows(read_merged(spark, path, "_id"))
     compacted = compact(spark, path, "_id")
     assert _rows(compacted) == before
-    assert not [d for d in os.listdir(path) if d.startswith("delta_")]
+    # the folded delta's files survive ONE more commit (in-flight
+    # pre-fold readers finish their scans) but readers already ignore
+    # them under the watermark
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import keyed_table as kt
+    assert kt._complete_deltas(spark, path) == []
     # delta numbering is MONOTONIC across compactions: the manifest's
     # folded_through watermark covers version 1 forever, so the next
     # append must claim 2 — a re-used number at or below the watermark
@@ -58,3 +62,6 @@ def test_compact_preserves_content_and_removes_deltas(spark, tmp_path):
     assert append_delta(spark, spark.createDataFrame([("c", 3.0)], "_id string, v double"),
                         path=path, key="_id") == 2
     assert set(_rows(read_merged(spark, path, "_id"))) == {"a", "b", "c"}
+    # the NEXT fold GCs the previous fold's files
+    compact(spark, path, "_id")
+    assert "delta_00001" not in os.listdir(path)

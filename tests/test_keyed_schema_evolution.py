@@ -53,7 +53,8 @@ def test_new_column_through_lsm_and_compaction(spark, tmp_path):
     # compaction folds the widened schema into the new base
     compacted = compact(spark, p, "k")
     assert {r.k: (r.v, r.score) for r in compacted.collect()} == want
-    assert not [d for d in os.listdir(p) if d.startswith("delta_")]
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import keyed_table as kt
+    assert kt._complete_deltas(spark, p) == []
     assert {r.k: (r.v, r.score)
             for r in read_keyed_table(spark, p).collect()} == want
     # and the widened table keeps merging correctly afterwards

@@ -119,8 +119,9 @@ def test_interleaved_writers_loser_gets_clean_conflict(spark, tmp_path, monkeypa
     upsert_into_keyed_table(spark, r0, path=path, key="_id")     # v1
     winner = spark.createDataFrame([("b", 2.0)], "_id string, v double")
     upsert_into_keyed_table(spark, winner, path=path, key="_id")  # v2 committed
-    # loser read version 1 before the winner's commit landed
-    monkeypatch.setattr(kt, "current_base_version", lambda *_: 1)
+    # loser read version 1 before the winner's commit landed (writers
+    # resolve version + metadata through the single manifest read)
+    monkeypatch.setattr(kt, "_current_manifest", lambda *a, **k: (1, {}))
     loser = spark.createDataFrame([("c", 3.0)], "_id string, v double")
     with pytest.raises(kt.ConcurrentWriteError, match="re-read and retry"):
         upsert_into_keyed_table(spark, loser, path=path, key="_id")
@@ -203,14 +204,18 @@ def test_compact_single_write_versioned_base(spark, tmp_path):
     entries = set(os.listdir(path))
     assert "base_v00001" in entries
     assert "base" not in entries                        # legacy base removed
-    assert not [d for d in entries if d.startswith("delta_")]
     assert not [d for d in entries if "tmp" in d.lower()]
-    # second compact rolls the version forward; the default retain
-    # window keeps current + previous for in-flight readers
+    # the freshly-folded delta keeps its files one more commit (the
+    # delta analog of retain_versions) but is invisible to readers
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import keyed_table as kt
+    assert kt._complete_deltas(spark, path) == []
+    # second compact rolls the version forward (GC'ing the previous
+    # fold's files); the default retain window keeps current + previous
     append_delta(spark, spark.createDataFrame([("c", 3.0)], "_id string, v double"),
                  path=path, key="_id")
     compact(spark, path, "_id")
     dirs = sorted(d for d in os.listdir(path) if d.startswith("base_v"))
     assert dirs == ["base_v00001", "base_v00002"]
+    assert "delta_00001" not in os.listdir(path)        # prior fold GC'd
     assert {r["_id"] for r in read_merged(spark, path, "_id").collect()} == \
         {"a", "b", "c"}

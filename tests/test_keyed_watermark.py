@@ -31,35 +31,35 @@ def _age(path, seconds=3600):
 
 
 def test_reader_between_fold_commit_and_delta_gc(spark, tmp_path):
-    """r9 verdict #3: a read_merged between the fold's base commit and
-    the delta-file deletion must see the post-delete row set — the
-    manifest's folded_through watermark makes the lingering delta
-    files invisible, so their deletion is pure GC."""
+    """r9 verdict #3: a read_merged after the fold's base commit must
+    see the post-delete row set even though the folded delta's files
+    are still on disk — the manifest's folded_through watermark makes
+    them invisible. The files are deliberately RETAINED for one more
+    commit (the delta analog of retain_versions: an in-flight reader
+    that resolved the pre-fold manifest finishes its scan), then the
+    next committing operation GCs them."""
     p = str(tmp_path / "wm")
     upsert_into_keyed_table(spark, _df(spark, [(1, "a"), (2, "b")]),
                             path=p, key="k", updated_at_col=None)
     append_delta(spark, _df(spark, [(3, "c")]), path=p, key="k")
-    saved = str(tmp_path / "saved_delta")
-    shutil.copytree(os.path.join(p, "delta_00001"), saved)
     out = delete_from_keyed_table(
         spark, spark.createDataFrame([(3,)], "k long"), path=p, key="k")
     assert {r.k for r in out.collect()} == {1, 2}
-    # simulate the race: the folded delta's files still on disk when a
-    # reader arrives (GC hasn't run / raced the commit)
-    shutil.copytree(saved, os.path.join(p, "delta_00001"))
+    # the folded delta's files are still on disk (one-commit
+    # retention) — and invisible to every reader
+    assert os.path.exists(os.path.join(p, "delta_00001"))
     assert folded_through(spark, p) == 1
     assert {r.k for r in read_merged(spark, p, "k").collect()} == {1, 2}
-    # same for compact: fold an upsert delta, resurrect its files,
-    # reader still sees only the folded state (no double-apply)
+    # next fold: absorbs the new delta AND GCs the previous fold's
+    # files; the new fold's files are retained in turn
     append_delta(spark, _df(spark, [(2, "b2")]), path=p, key="k")
-    saved2 = str(tmp_path / "saved_delta2")
-    shutil.copytree(os.path.join(p, "delta_00002"), saved2)
     compact(spark, p, "k")
     assert folded_through(spark, p) == 2
-    shutil.copytree(saved2, os.path.join(p, "delta_00002"))
+    assert not os.path.exists(os.path.join(p, "delta_00001"))
+    assert os.path.exists(os.path.join(p, "delta_00002"))
     got = {r.k: r.v for r in read_merged(spark, p, "k").collect()}
     assert got == {1: "a", 2: "b2"}
-    # and new appends claim ABOVE the watermark even after GC
+    # and new appends claim ABOVE the watermark
     assert append_delta(spark, _df(spark, [(4, "d")]), path=p, key="k") == 3
 
 
@@ -177,8 +177,11 @@ def test_fold_stops_at_inflight_gap(spark, tmp_path):
             spark, spark.createDataFrame([(1,)], "k long"), path=p, key="k")
     compact(spark, p, "k")
     assert folded_through(spark, p) == 1             # run stopped at the gap
+    # in-flight slot 2 and committed delta 3 left in place above the
+    # watermark; the freshly-folded delta 1 is retained one commit
     assert sorted(d for d in os.listdir(p) if d.startswith("delta_")) == \
-        ["delta_00002", "delta_00003"]               # both left in place
+        ["delta_00001", "delta_00002", "delta_00003"]
+    assert kt._complete_deltas(spark, p) == [3]
     assert {r.k for r in read_merged(spark, p, "k").collect()} == {1, 2, 3}
 
 
@@ -215,7 +218,8 @@ def test_upsert_folds_pending_deltas(spark, tmp_path):
     assert {r.k: r.v for r in out.collect()} == want
     assert {r.k: r.v for r in read_merged(spark, p, "k").collect()} == want
     assert folded_through(spark, p) == 1
-    assert not [d for d in os.listdir(p) if d.startswith("delta_")]
+    # folded: invisible to readers, files retained one commit
+    assert kt._complete_deltas(spark, p) == []
     # an in-flight gap refuses cleanly, same as delete
     append_delta(spark, _df(spark, [(5, "e")]), path=p, key="k")   # v2
     os.makedirs(os.path.join(p, "delta_00002"), exist_ok=True)
@@ -314,9 +318,9 @@ def test_mixed_path_random_op_sequences_match_model(spark, tmp_path):
                for r in read_merged(spark, p, "k").collect()}
         want = {k: (v["a"], v["b"]) for k, v in model.items()}
         assert got == want, ops
-        # after a fold (no pending deltas), the committed snapshot IS
-        # the merged view
-        if not [d for d in os.listdir(p) if d.startswith("delta_")]:
+        # after a fold (no reader-visible deltas — retained folded
+        # files don't count), the committed snapshot IS the merged view
+        if not kt._complete_deltas(spark, p):
             from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
                 read_keyed_table)
             snap = {r.k: (r.a, r.b)

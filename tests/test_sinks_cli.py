@@ -356,7 +356,9 @@ def test_cli_changefeed_two_rounds_then_compact(spark, tmp_path, capsys):
     # compaction folds everything into one base and purges tombstones
     rc = main(["compact", "--table", table, "--key", "k"])
     assert rc == 0
-    assert not [d for d in os.listdir(table) if d.startswith("delta_")]
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import keyed_table as kt
+    n_folded = len([d for d in os.listdir(table) if d.startswith("delta_")])
+    assert kt._complete_deltas(spark, table) == []   # folded, retained 1 commit
     got = {r.k: r.v for r in read_merged(spark, table, "k").collect()}
     assert got == {2: "b2", 3: "c", 4: "d"}
     # guard: a mistyped feed is refused before any delta lands
@@ -367,4 +369,7 @@ def test_cli_changefeed_two_rounds_then_compact(spark, tmp_path, capsys):
                "--key", "k", "--checkpoint", str(tmp_path / "ck2")])
     assert rc == 2
     assert "key type mismatch" in capsys.readouterr().err
-    assert not [d for d in os.listdir(table) if d.startswith("delta_")]
+    # nothing landed: no NEW delta beyond the retained folded ones
+    assert len([d for d in os.listdir(table)
+                if d.startswith("delta_")]) == n_folded
+    assert kt._complete_deltas(spark, table) == []
