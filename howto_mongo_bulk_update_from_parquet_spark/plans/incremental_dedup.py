@@ -1,0 +1,133 @@
+"""Incremental (cross-batch) near-duplicate detection.
+
+At 100 TB you never re-shingle the corpus when a new batch arrives:
+the historical corpus is represented by its persisted band-signature
+index — (band, band_sig) rows, a few dozen bytes per document, stored
+bucketed by the probe key. Each arriving batch is shingled and signed
+ONCE, probed against the index with a bucket-local join (only the
+batch side shuffles when the index is bucket-stored), and
+deduplicated within itself by bucket-min. History is never re-hashed
+and nothing is all-pairs.
+
+The catalog query models the two corpus states inside one table so
+the DuckDB oracle can replay it exactly: documents with
+``doc_id % 3 <> 0`` are the already-indexed history, the rest are the
+new batch. Verdict per new document:
+
+- ``dup_vs_index``  — ≥1 of its band buckets collides with history
+  (``hits_index`` counts the colliding bands, 0–4);
+- ``dup_in_batch``  — no index hit, but a smaller-id batch document
+  shares a bucket (bucket-min survivor rule, same as
+  q_dedup_keep_one's keep-smallest convention);
+- ``unique``        — neither.
+
+Reference parity note: the reference pipeline
+(`/root/reference/src/func/mongo.py`) is itself incremental — each
+run upserts one parquet batch into the accumulated store; this query
+is the dedup analog of that arrival-at-a-time posture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import lsh_bands, minhash_signatures, shingles
+from ..sources.parquet import load_table
+from .catalog import register
+from .lsh import _SHINGLES_SQL
+
+INCREMENTAL_ORACLE = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM shingles
+),
+sig AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed,
+         MIN(((2 * seed + 1) * h + seed * seed + 7) % 2147483647) AS minhash
+  FROM hashed CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+),
+newb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+idx  AS (SELECT DISTINCT band, band_sig FROM bands WHERE doc_id % 3 <> 0),
+hits AS (
+  SELECT n.doc_id, CAST(COUNT(DISTINCT n.band) AS BIGINT) AS hits_index
+  FROM newb n JOIN idx i ON n.band = i.band AND n.band_sig = i.band_sig
+  GROUP BY n.doc_id
+),
+bmin AS (
+  SELECT band, band_sig, MIN(doc_id) AS min_id FROM newb GROUP BY band, band_sig
+),
+bdup AS (
+  SELECT DISTINCT n.doc_id FROM newb n
+  JOIN bmin m ON n.band = m.band AND n.band_sig = m.band_sig
+  WHERE n.doc_id > m.min_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.hits_index, 0) AS BIGINT) AS hits_index,
+       CASE WHEN COALESCE(h.hits_index, 0) > 0 THEN 'dup_vs_index'
+            WHEN b.doc_id IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'unique' END AS verdict
+FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+LEFT JOIN bdup b ON d.doc_id = b.doc_id
+"""
+
+
+def incremental_near_dup_flags(new_docs: DataFrame, index_bands: DataFrame,
+                               id_col: str) -> DataFrame:
+    """Classify each new-batch document against a band-signature index.
+
+    ``index_bands`` needs only (band, band_sig) — exactly what a
+    persisted signature store holds; pass it pre-deduplicated (or
+    bucket-stored) so the probe join shuffles the batch side only.
+    Returns (id, hits_index, verdict).
+    """
+    new_bands = lsh_bands(
+        minhash_signatures(shingles(new_docs, id_col, "text", 3), id_col, 16),
+        id_col, 4)
+    hits = (new_bands.join(index_bands, ["band", "band_sig"])
+            .groupBy(id_col)
+            .agg(F.countDistinct("band").cast("long").alias("hits_index")))
+    bucket_min = (new_bands.groupBy("band", "band_sig")
+                  .agg(F.min(id_col).alias("__min_id")))
+    batch_dup = (new_bands.join(bucket_min, ["band", "band_sig"])
+                 .filter(F.col(id_col) > F.col("__min_id"))
+                 .select(F.col(id_col), F.lit(1).alias("__in_batch"))
+                 .distinct())
+    # short documents (< 3 tokens) produce no shingles and therefore
+    # no bands — the left joins classify them 'unique', matching the
+    # oracle's base-from-documents frame
+    return (new_docs.select(id_col)
+            .join(hits, id_col, "left")
+            .join(batch_dup, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("hits_index"), F.lit(0).cast("long"))
+                 .alias("hits_index"),
+                F.when(F.coalesce(F.col("hits_index"), F.lit(0)) > 0,
+                       F.lit("dup_vs_index"))
+                 .when(F.col("__in_batch").isNotNull(), F.lit("dup_in_batch"))
+                 .otherwise(F.lit("unique")).alias("verdict")))
+
+
+@register("q_incremental_dedup", INCREMENTAL_ORACLE,
+          "cross-batch near-dup: new batch probed against the history's "
+          "band-signature index + bucket-min within-batch dedup")
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    new_docs = d.filter(F.col("doc_id") % 3 == 0)
+    history = d.filter(F.col("doc_id") % 3 != 0)
+    index = (lsh_bands(
+        minhash_signatures(shingles(history, "doc_id", "text", 3),
+                           "doc_id", 16), "doc_id", 4)
+        .select("band", "band_sig").distinct())
+    return incremental_near_dup_flags(new_docs, index, "doc_id")
