@@ -82,6 +82,28 @@ LEFT JOIN bdup b ON d.doc_id = b.doc_id
 """
 
 
+def signature_index_rows(docs: DataFrame, id_col: str) -> DataFrame:
+    """Band-signature index rows for a document batch:
+    (bucket_key, band, band_sig, rep_id) with one row per distinct
+    bucket and the smallest member id as its representative.
+
+    `bucket_key` is the single merge key a keyed store needs (the
+    engine's versioned keyed-table sink, or any upsert target), so an
+    arrival loop maintains the index incrementally: probe the batch,
+    keep the survivors, upsert THEIR rows — history is never
+    re-signed. Intentionally sink-agnostic: no storage import here, so
+    the catalog query's attestation closure stays purely relational.
+    """
+    bands = lsh_bands(
+        minhash_signatures(shingles(docs, id_col, "text", 3), id_col, 16),
+        id_col, 4)
+    return (bands.groupBy("band", "band_sig")
+            .agg(F.min(id_col).alias("rep_id"))
+            .select(F.concat_ws("|", F.col("band").cast("string"),
+                                F.col("band_sig")).alias("bucket_key"),
+                    "band", "band_sig", "rep_id"))
+
+
 def incremental_near_dup_flags(new_docs: DataFrame, index_bands: DataFrame,
                                id_col: str) -> DataFrame:
     """Classify each new-batch document against a band-signature index.

@@ -55,6 +55,53 @@ def test_short_doc_classified_unique(spark):
     assert flags[10] == (0, "unique")
 
 
+def test_arrival_loop_maintains_index_through_keyed_table(spark, tmp_path):
+    """The production loop: batch 1 seeds the persisted index, each
+    later batch is probed against it and only the SURVIVORS' signature
+    rows are upserted back — history is never re-signed."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans.incremental_dedup import (
+        signature_index_rows)
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        read_keyed_table, upsert_into_keyed_table)
+
+    path = str(tmp_path / "sig_index")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def probe(new_rows):
+        idx = read_keyed_table(spark, path).select("band", "band_sig")
+        flags = incremental_near_dup_flags(docs(new_rows), idx, "doc_id")
+        return {r.doc_id: r.verdict for r in flags.collect()}
+
+    # batch 1 seeds the index
+    upsert_into_keyed_table(
+        spark, signature_index_rows(docs([(1, BASE), (2, OTHER)]), "doc_id"),
+        path=path, key="bucket_key", updated_at_col=None)
+
+    # batch 2: 11 duplicates indexed history, 10 is new
+    verdicts2 = probe([(10, DIFF), (11, BASE)])
+    assert verdicts2 == {10: "unique", 11: "dup_vs_index"}
+
+    # append ONLY the survivor's signature rows
+    upsert_into_keyed_table(
+        spark, signature_index_rows(docs([(10, DIFF)]), "doc_id"),
+        path=path, key="bucket_key", updated_at_col=None)
+
+    # batch 3: 20 duplicates the batch-2 SURVIVOR (index caught up),
+    # 21 is genuinely new
+    verdicts3 = probe(
+        [(20, DIFF),
+         (21, "fresh sentences resembling nothing indexed before today")])
+    assert verdicts3 == {20: "dup_vs_index", 21: "unique"}
+
+    # the index holds distinct buckets keyed for upsert: 4 bands per
+    # doc, three distinct docs, no bucket double-counted
+    idx = read_keyed_table(spark, path)
+    assert idx.select("bucket_key").distinct().count() == idx.count()
+    assert idx.count() <= 12
+
+
 def test_output_schema_and_batch_frame(spark):
     new = spark.createDataFrame([(10, BASE), (40, OTHER)],
                                 "doc_id long, text string")
