@@ -116,6 +116,28 @@ SELECT p.doc_id,
 FROM per_doc p JOIN toks t ON p.doc_id = t.doc_id
 """
 
+DEDUP_TRIM_ORACLE = f"""
+WITH {_SPANS_SQL},
+cov AS (
+  SELECT doc_id, UNNEST(range(span_start, span_end + 1)) AS pos
+  FROM spans
+),
+tokpos AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM toks, UNNEST(list_transform(range(1, len(tk) + 1),
+       i -> struct_pack(pos := i - 1, tok := tk[i]))) AS t(u)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+       string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+FROM kept GROUP BY doc_id
+"""
+
 
 def dup_spans_frame(docs: DataFrame, k: int = K):
     """(doc_id, island) → maximal duplicated span, plus the tokenized
@@ -152,6 +174,35 @@ def dup_spans_frame(docs: DataFrame, k: int = K):
     return spans, toks
 
 
+def trim_dup_spans(docs: DataFrame, k: int = K) -> DataFrame:
+    """Remove every token covered by a corpus-duplicated span and
+    rebuild the document — the paper's actual output (a deduplicated
+    corpus), applied on top of `dup_spans_frame`.
+
+    Scale shape: spans are disjoint, so exploding each span to its
+    covered positions emits at most one row per duplicated token
+    (bounded by corpus size, same as tokenization), and the cut is a
+    plain (doc_id, pos) anti equi-join — no per-doc range join, no
+    interval logic in the hot path. The rebuild is a per-doc
+    sort+join bounded by document length. Docs trimmed to zero
+    tokens drop out (both engines agree)."""
+    spans, toks = dup_spans_frame(docs, k=k)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"))
+    tokpos = toks.select(
+        "doc_id", F.posexplode("tk").alias("pos", "tok"))
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    return (kept.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("kept_tokens"),
+                     F.array_join(
+                         F.transform(
+                             F.array_sort(F.collect_list(
+                                 F.struct("pos", "tok"))),
+                             lambda s: s["tok"]),
+                         " ").alias("trimmed_text")))
+
+
 def _dup_spans(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     return dup_spans_frame(docs)
@@ -165,6 +216,16 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans, _ = _dup_spans(spark, sf_dir)
     return spans.select("doc_id", "span_start", "span_end",
                         "span_tokens", "n_windows")
+
+
+@register("q_dedup_trim", DEDUP_TRIM_ORACLE,
+          "apply exact substring dedup: cut every corpus-duplicated "
+          "span and rebuild the document (the Lee et al. 2022 trimmed "
+          "corpus) — disjoint spans explode to (doc,pos) and the cut "
+          "is one anti equi-join")
+def q_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return trim_dup_spans(docs)
 
 
 @register("q_dup_token_ratio", DUP_RATIO_ORACLE,

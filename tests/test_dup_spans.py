@@ -3,7 +3,7 @@ structure (plans/dup_spans.py, k-gram re-expression of Lee et al.
 2022 exact dedup)."""
 
 from howto_mongo_bulk_update_from_parquet_spark.plans.dup_spans import (
-    dup_spans_frame)
+    dup_spans_frame, trim_dup_spans)
 
 # k=3 windows. Docs 1 and 2 share the 5-token run "a b c d e"
 # (three duplicated 3-gram windows 0,1,2 in doc 1 / 2,3,4 in doc 2);
@@ -59,6 +59,27 @@ def test_touching_but_distinct_grams_stay_one_island(spark):
     # doc 1: "a b c" at 0 and "d e f" at 6 — gap 6 > k → two spans
     assert (1, 0) in spans and (1, 6) in spans
     assert spans[(1, 0)].span_tokens == 3 and spans[(1, 6)].span_tokens == 3
+
+
+def test_trim_cuts_spans_and_preserves_order(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {r.doc_id: (r.kept_tokens, r.trimmed_text)
+           for r in trim_dup_spans(df, k=3).collect()}
+    assert out[1] == (3, "p q r")
+    assert out[2] == (2, "m n")
+    assert out[3] == (1, "w")          # both x-y-z copies cut, gap kept
+    assert out[4] == (5, "entirely fresh tokens only here")
+    assert out[5] == (2, "too short")  # sub-k doc untouched
+
+
+def test_fully_duplicated_doc_drops_out(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "z z q w")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.trimmed_text
+           for r in trim_dup_spans(df, k=4).collect()}
+    assert 1 not in out and 2 not in out
+    assert out[3] == "z z q w"
 
 
 def test_ratio_fold_matches_span_sum(spark):
