@@ -139,13 +139,12 @@ FROM kept GROUP BY doc_id
 """
 
 
-def dup_spans_frame(docs: DataFrame, k: int = K):
-    """(doc_id, island) → maximal duplicated span, plus the tokenized
-    frame for downstream per-doc folds. `docs` needs (doc_id, text)."""
+def gram_windows(docs: DataFrame, k: int = K):
+    """Rolling k-token windows of each document as (doc_id, pos, h)
+    plus the tokenized frame. tokenize-once + slice per window:
+    O(n_tokens * k) work, the inherent cost of the rolling window;
+    the md5 leaves the shuffle at 16 bytes per window."""
     toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
-    # tokenize-once + slice per window: O(n_tokens * k) work, the
-    # inherent cost of the rolling window; the hash leaves the scan
-    # as 16 bytes per window.
     grams = (toks.filter(F.size("tk") >= k)
                  .select("doc_id",
                          F.posexplode(F.transform(
@@ -153,24 +152,40 @@ def dup_spans_frame(docs: DataFrame, k: int = K):
                              lambda i: F.md5(F.concat_ws(
                                  " ", F.slice("tk", i + 1, k)))))
                           .alias("pos", "h")))
-    dup = (grams.groupBy("h")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > 1)
-                .select("h"))
-    dw = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    return grams, toks
+
+
+def merge_spans(dw: DataFrame, k: int, *extra_aggs):
+    """Gaps-and-islands merge of duplicated windows (doc_id, pos[,
+    flags]) into maximal per-document spans. Fixed window length makes
+    "start gap > k" the exact island break; all windows are
+    doc-partitioned — bounded by document length."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = (dw.withColumn(
                "is_brk",
                F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
                 .otherwise(0))
              .withColumn("island", F.sum("is_brk").over(w)))
-    spans = (isl.groupBy("doc_id", "island")
-                .agg(F.min("pos").cast("bigint").alias("span_start"),
-                     (F.max("pos") + k - 1).cast("bigint")
-                     .alias("span_end"),
-                     (F.max("pos") - F.min("pos") + k).cast("bigint")
-                     .alias("span_tokens"),
-                     F.count(F.lit(1)).alias("n_windows")))
+    return (isl.groupBy("doc_id", "island")
+               .agg(F.min("pos").cast("bigint").alias("span_start"),
+                    (F.max("pos") + k - 1).cast("bigint")
+                    .alias("span_end"),
+                    (F.max("pos") - F.min("pos") + k).cast("bigint")
+                    .alias("span_tokens"),
+                    F.count(F.lit(1)).alias("n_windows"),
+                    *extra_aggs))
+
+
+def dup_spans_frame(docs: DataFrame, k: int = K):
+    """(doc_id, island) → maximal duplicated span, plus the tokenized
+    frame for downstream per-doc folds. `docs` needs (doc_id, text)."""
+    grams, toks = gram_windows(docs, k)
+    dup = (grams.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .select("h"))
+    dw = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    spans = merge_spans(dw, k)
     return spans, toks
 
 

@@ -74,6 +74,12 @@ QUERIES = [
     "q_minhash_lsh_pairs",
     # cross-batch probe against the history band index
     "q_incremental_dedup",
+    # substring-level exact dedup: rolling k-gram count + span merge
+    # (salted gaps keep every k-gram copy-local -> linear dup growth)
+    "q_dup_spans",
+    # ...and the applied cut: explode covered positions, anti-join,
+    # per-doc ordered rebuild of the trimmed corpus
+    "q_dedup_trim",
     # IVF ANN: fixed query set, growing corpus
     "q_ann_ivf_search",
 ]
