@@ -114,13 +114,19 @@ def build_scale(spark, k: int, out_dir: str) -> None:
         spark.range(k).select(F.col("id").alias("__copy")))
 
     def fan(name, **overrides):
-        df = load_table(spark, BASE, name)
+        # Repartition the SOURCE before the fan-out so the k-way
+        # explode runs on n_files parallel tasks and the exploded
+        # rows stream straight into the writer — no post-explosion
+        # shuffle (at k=1000 that shuffle serialized a 600M-row map
+        # side behind the single-file source scan). Each output file
+        # holds 1/n_files of the source rows x all k copies: same
+        # file count and balance as the old round-robin writer.
+        n_files = max(4, min(32, 4 * k))
+        df = load_table(spark, BASE, name).repartition(n_files)
         out = df.crossJoin(copies)
         for col, expr in overrides.items():
             out = out.withColumn(col, expr(F.col("__copy"), F.col(col)))
-        out = out.drop("__copy")
-        n_files = max(4, min(32, 4 * k))
-        (out.repartition(n_files)
+        (out.drop("__copy")
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"{name}.parquet")))
 
