@@ -42,7 +42,7 @@ ROWS_ONLY = frozenset({
 # r9): an uncommitted artifact appearing mid-round — or a deploy
 # missing artifacts — must not silently shift the head order away
 # from what the committed repo state mandates.
-ATTESTED_THROUGH = 9
+ATTESTED_THROUGH = 10
 
 # Queries whose IMPLEMENTATION changed this round and therefore must
 # re-attest even though a previous round's driver run was green.
