@@ -254,9 +254,18 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 break
             repeats.append(round(time.perf_counter() - t0, 3))
-        steady = min(repeats)
+        # median over ALL observations (cold first-pass included), not
+        # min: min over warm repeats measures a systematically more
+        # favorable protocol than the single cold pass every other slot
+        # gets, which could adjudicate away a real cache-sensitive
+        # regression (ADVICE r10). The artifact records the substituted
+        # slots and their protocol so readers can tell them apart.
+        import statistics
+        steady = round(statistics.median(repeats), 3)
         remeasured[name] = {"prior": prior[name], "first": timings[name],
-                            "repeats": repeats, "steady": steady}
+                            "repeats": repeats, "steady": steady,
+                            "protocol": "median_of_first+%d_warm"
+                                        % REMEASURE_REPEATS}
         timings[name] = steady           # record the steady state
     if remeasured:
         # the re-measured steady values replace the noisy first-pass
@@ -321,6 +330,9 @@ def main() -> None:
             "spark_noise": spark_noise,
             "probe_runs": probe_runs,
             "remeasured": remeasured,
+            "remeasure_protocol": "median of first-pass + warm repeats "
+                                  "(substituted slots only; all other "
+                                  "slots are single cold-pass)",
             "noisy": noisy,
         }, fh, indent=1, sort_keys=True)
 

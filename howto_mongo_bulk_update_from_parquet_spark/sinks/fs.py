@@ -114,20 +114,25 @@ def rename_no_clobber(spark: SparkSession, src: str, dst: str) -> bool:
 
 
 def newest_mtime(spark: SparkSession, path: str,
-                 max_entries: int = 100_000) -> int | None:
-    """Newest modification time (epoch millis) across `path` itself,
-    its direct children, and every file under it RECURSIVELY; None
-    when the path is absent. Claim-staleness checks need the deep
-    scan: Spark's in-flight writes touch files several levels down
+                 max_entries: int = 100_000
+                 ) -> tuple[int | None, bool]:
+    """(newest modification time in epoch millis, truncated) across
+    `path` itself, its direct children, and every file under it
+    RECURSIVELY; (None, False) when the path is absent.
+    Claim-staleness checks need the deep scan: Spark's in-flight
+    writes touch files several levels down
     (`_temporary/0/_temporary/attempt_*/part-*`) while the directory
     entry itself — and even its direct children — may stay untouched
     for the whole task phase, so a shallow check would misread a live
     long-running job as dead-writer debris. `max_entries` bounds the
-    metadata scan; hitting it returns the newest seen so far (erring
-    toward 'fresh', i.e. toward NOT clobbering)."""
+    metadata scan; when the listing is cut off before exhaustion,
+    `truncated` is True and the mtime is a PARTIAL maximum that may be
+    OLDER than the true newest (a live writer's freshest task files can
+    sit past the cap) — callers deciding staleness must treat a
+    truncated scan as fresh, never as evidence of death (ADVICE r10)."""
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
-        return None
+        return None, False
     newest = fs.getFileStatus(p).getModificationTime()
     for st in fs.listStatus(p):          # direct children incl. empty dirs
         newest = max(newest, st.getModificationTime())
@@ -136,7 +141,7 @@ def newest_mtime(spark: SparkSession, path: str,
     while it.hasNext() and seen < max_entries:
         newest = max(newest, it.next().getModificationTime())
         seen += 1
-    return int(newest)
+    return int(newest), bool(it.hasNext())
 
 
 def probe_now_ms(spark: SparkSession, dir_path: str) -> int:

@@ -91,10 +91,14 @@ def _claim_is_stale(spark: SparkSession, dst: str,
     from the filesystem itself (a probe file's mtime), so driver clock
     skew against the storage clock cannot shrink or invert the window.
     A live writer's job keeps some task file's mtime current, so it
-    never looks stale."""
-    newest = hfs.newest_mtime(spark, dst)
+    never looks stale. A TRUNCATED listing (the metadata-scan cap hit
+    before exhaustion) proves nothing — the fresh task files may sit
+    past the cap — so it reads as occupied, not stale (ADVICE r10)."""
+    newest, truncated = hfs.newest_mtime(spark, dst)
     if newest is None:
         return True                      # vanished — nothing to clear
+    if truncated:
+        return False                     # can't prove death — presume live
     parent = dst.rstrip("/").rsplit("/", 1)[0]
     try:
         now_ms = hfs.probe_now_ms(spark, parent)
@@ -104,24 +108,66 @@ def _claim_is_stale(spark: SparkSession, dst: str,
     return (now_ms - newest) > grace_ms
 
 
+def _java_chain_has_class(jexc, suffix: str, max_depth: int = 32) -> bool:
+    """Walk a Py4J java exception's getCause() chain comparing actual
+    class names (getClass().getName()) against `suffix`."""
+    depth = 0
+    while jexc is not None and depth < max_depth:
+        try:
+            if jexc.getClass().getName().endswith(suffix):
+                return True
+            jexc = jexc.getCause()
+        except Exception:                # Py4J gateway hiccup mid-walk
+            return False
+        depth += 1
+    return False
+
+
 def _is_path_exists_error(exc: BaseException) -> bool:
     """Java-side 'target already exists' failures that escape the
     pre-write AnalysisException check: when two writers pass the
     exists-check near-simultaneously, the loser fails at task/job
     commit with FileAlreadyExistsException surfaced through
     Py4JJavaError/SparkException (ADVICE r9) — the same clean-conflict
-    signal, so claimers retry instead of crashing. Matches the
-    SPECIFIC exception class name only (never a generic 'already
-    exists' substring, which also appears in unrelated catalog and
-    metastore messages) and follows explicit causes only — an
-    implicit __context__ chain can drag in unrelated exceptions."""
+    signal, so claimers retry instead of crashing. Matches the ACTUAL
+    exception class, not a substring of the stringified trace: a
+    Py4JJavaError's str() embeds the full Java stack (suppressed and
+    nested exceptions included), so an unrelated failure whose trace
+    merely MENTIONS FileAlreadyExistsException must not read as a
+    clean conflict — in `_append_delta_claiming` that would turn a
+    real error into up to 64 futile re-write attempts (ADVICE r10).
+    For Py4J errors the java_exception's getCause() chain is walked by
+    getClass().getName(); for Python-side wrappers only the FIRST
+    LINE of the message is matched. Follows explicit __cause__ only —
+    an implicit __context__ chain can drag in unrelated exceptions."""
     seen = set()
     cur: BaseException | None = exc
     while cur is not None and id(cur) not in seen:
         seen.add(id(cur))
-        if "FileAlreadyExistsException" in str(cur):
-            return True
-        cur = cur.__cause__
+        # raw Py4JJavaError / captured PySpark exception: the JVM
+        # throwable itself is available — compare real class names
+        jexc = (getattr(cur, "java_exception", None)
+                or getattr(cur, "_origin", None))
+        if jexc is not None:
+            if _java_chain_has_class(jexc, "FileAlreadyExistsException"):
+                return True
+        else:
+            # captured-without-origin keeps the Java getMessage() in
+            # _desc; plain Python exceptions use str(). Either way only
+            # the FIRST LINE counts — anything below is stack trace.
+            msg = getattr(cur, "_desc", None)
+            if not isinstance(msg, str):
+                msg = str(cur)
+            if "FileAlreadyExistsException" in msg.split("\n", 1)[0]:
+                return True
+        nxt = cur.__cause__
+        if nxt is None:
+            # CapturedException chains converted causes in _cause (the
+            # py4j boundary raises `from None`, so __cause__ is empty)
+            cand = getattr(cur, "_cause", None)
+            if isinstance(cand, BaseException):
+                nxt = cand
+        cur = nxt
     return False
 
 
@@ -224,10 +270,27 @@ def _current_manifest(spark: SparkSession, path: str,
             if sep:
                 meta[k.strip()] = v.strip()
         return versions[-1], meta
-    # every retry raced a retirement: take the freshest listing and
-    # surface the (metadata-less) pointer rather than hiding the table
+    # Every retry raced a retirement. Returning (version, {}) here
+    # would collapse folded_through to 0 — the exact failure this
+    # function exists to prevent (re-applying folded-but-not-yet-GC'd
+    # deltas, transiently resurrecting deleted rows) — so make one
+    # final attempt on the freshest listing and, if the newest pointer
+    # is STILL unreadable, fail retryable instead of guessing
+    # (ADVICE r10). Legacy tables with no pointer stay (0, {}).
     versions = _manifest_versions(spark, path)
-    return (versions[-1], {}) if versions else (0, {})
+    if not versions:
+        return 0, {}
+    txt = hfs.read_text(spark, hfs.join(path, _manifest_name(versions[-1])))
+    if txt is not None:
+        meta = {}
+        for line in txt.splitlines()[1:]:
+            k, sep, v = line.partition("=")
+            if sep:
+                meta[k.strip()] = v.strip()
+        return versions[-1], meta
+    raise ConcurrentWriteError(
+        f"manifest pointer for {path} kept racing retirements across "
+        f"{max(retries, 1) + 1} reads — re-read and retry")
 
 
 def table_meta(spark: SparkSession, path: str) -> dict[str, str]:
@@ -342,18 +405,46 @@ def _claim_base_slot(spark: SparkSession, path: str, version: int) -> str:
     return dst
 
 
+# AnalysisException conditions that mean "the target already exists"
+# — the only analysis failures a claimed write may read as a clean
+# concurrent-writer conflict. Probed on Spark 4.1: the plain
+# errorifexists parquet write raises PATH_ALREADY_EXISTS; the bucketed
+# CTAS raises TABLE_OR_VIEW_ALREADY_EXISTS (catalog name taken) or the
+# legacy-numbered condition for a non-empty LOCATION. Everything else
+# (bad CLUSTERED BY column, schema/catalog errors — the CTAS surface
+# is broad) is a PERMANENT failure and must not be reported as
+# retryable (ADVICE r10).
+_CONFLICT_CONDITIONS = frozenset({
+    "PATH_ALREADY_EXISTS",
+    "TABLE_OR_VIEW_ALREADY_EXISTS",
+    "LOCATION_ALREADY_EXISTS",
+    "_LEGACY_ERROR_TEMP_1241",   # CTAS: location is a non-empty directory
+})
+
+
 def _run_claimed_write(dst: str, write) -> None:
     """Execute a claimed write, mapping both conflict signals — the
-    pre-write AnalysisException and the Java-side
+    pre-write already-exists AnalysisException and the Java-side
     FileAlreadyExistsException at job commit — to ConcurrentWriteError
-    so every racing writer loses cleanly."""
+    so every racing writer loses cleanly. Only the already-exists
+    error conditions map; any other AnalysisException (the bucketed
+    CTAS can fail analysis for many permanent reasons) re-raises."""
     from pyspark.errors import AnalysisException
     try:
         write()
     except AnalysisException as exc:
-        raise ConcurrentWriteError(
-            f"{dst} appeared during this round's write (concurrent "
-            f"writer) — re-read and retry") from exc
+        cond = None
+        try:
+            cond = exc.getCondition()
+        except Exception:                # older surface / detached JVM
+            pass
+        first_line = str(exc).split("\n", 1)[0]
+        if cond in _CONFLICT_CONDITIONS or (
+                cond is None and "already exists" in first_line):
+            raise ConcurrentWriteError(
+                f"{dst} appeared during this round's write (concurrent "
+                f"writer) — re-read and retry") from exc
+        raise
     except Exception as exc:
         if _is_path_exists_error(exc):
             raise ConcurrentWriteError(

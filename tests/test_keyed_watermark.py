@@ -185,18 +185,62 @@ def test_fold_stops_at_inflight_gap(spark, tmp_path):
     assert {r.k for r in read_merged(spark, p, "k").collect()} == {1, 2, 3}
 
 
+class _FakeJavaThrowable:
+    """Py4J-side JVM throwable stand-in: getClass().getName() +
+    getCause() are the only methods the matcher may rely on."""
+
+    def __init__(self, class_name, cause=None):
+        self._name, self._cause = class_name, cause
+
+    def getClass(self):
+        outer = self
+
+        class _Cls:
+            def getName(self):
+                return outer._name
+        return _Cls()
+
+    def getCause(self):
+        return self._cause
+
+
 def test_is_path_exists_error_detection():
-    """ADVICE r9: the Java-side job-commit failure (two writers passed
-    the pre-check) must be recognized through the Py4J wrapper so the
-    claimer retries instead of crashing."""
-    java_style = RuntimeError(
-        "An error occurred while calling o123.parquet.\n"
-        ": org.apache.hadoop.fs.FileAlreadyExistsException: "
-        "/t/delta_00004 already exists")
-    assert kt._is_path_exists_error(java_style)
+    """ADVICE r9 + r10: the Java-side job-commit failure (two writers
+    passed the pre-check) must be recognized through the Py4J wrapper
+    by its ACTUAL exception class — never by substring-matching the
+    full stringified trace, where an unrelated error that merely
+    MENTIONS the class would misread as a clean conflict."""
+    # raw Py4JJavaError shape: java_exception carries the throwable
+    py4j_style = RuntimeError("An error occurred while calling o123.parquet.")
+    py4j_style.java_exception = _FakeJavaThrowable(
+        "org.apache.hadoop.fs.FileAlreadyExistsException")
+    assert kt._is_path_exists_error(py4j_style)
+    # ... including when it is a nested getCause(), not the top frame
+    nested = RuntimeError("An error occurred while calling o9.save.")
+    nested.java_exception = _FakeJavaThrowable(
+        "org.apache.spark.SparkException",
+        cause=_FakeJavaThrowable(
+            "org.apache.hadoop.fs.FileAlreadyExistsException"))
+    assert kt._is_path_exists_error(nested)
+    # a java-backed error whose PYTHON str() mentions the class in the
+    # embedded trace but whose real class chain does not → NOT a
+    # conflict (the r10 false-positive: 64 futile re-write attempts)
+    trap = RuntimeError(
+        "executor OOM\n  Suppressed: "
+        "org.apache.hadoop.fs.FileAlreadyExistsException: /x")
+    trap.java_exception = _FakeJavaThrowable(
+        "java.lang.OutOfMemoryError")
+    assert not kt._is_path_exists_error(trap)
+    # plain Python wrapper: only the FIRST LINE of the message counts
+    first_line = RuntimeError(
+        "org.apache.hadoop.fs.FileAlreadyExistsException: /t/delta_00004")
+    assert kt._is_path_exists_error(first_line)
     wrapped = RuntimeError("job aborted")
-    wrapped.__cause__ = java_style
+    wrapped.__cause__ = first_line
     assert kt._is_path_exists_error(wrapped)
+    deep_trace_only = RuntimeError(
+        "job aborted\n: org.apache.hadoop.fs.FileAlreadyExistsException: /x")
+    assert not kt._is_path_exists_error(deep_trace_only)
     assert not kt._is_path_exists_error(RuntimeError("executor lost"))
 
 
@@ -329,3 +373,78 @@ def test_mixed_path_random_op_sequences_match_model(spark, tmp_path):
             assert snap == want, ops
 
     check()
+
+
+def test_truncated_metadata_scan_reads_as_occupied(spark, tmp_path):
+    """ADVICE r10 (the medium): when newest_mtime's listing is cut off
+    at max_entries the partial maximum can be OLDER than the true
+    newest (a live writer's fresh task files may sit past the cap) —
+    the claimer must treat the directory as occupied, never clear it."""
+    d = str(tmp_path / "truncated_claim")
+    os.makedirs(os.path.join(d, "_temporary"))
+    for i in range(5):
+        with open(os.path.join(d, "_temporary", f"part-{i}"), "w") as fh:
+            fh.write("x")
+    # exhaustive scan of an aged dir → provably stale
+    _age(d)
+    mt, truncated = hfs.newest_mtime(spark, d)
+    assert mt is not None and not truncated
+    assert kt._claim_is_stale(spark, d)
+    # capped scan (listing not exhausted) → truncated → occupied,
+    # even though every entry it DID see is old
+    mt, truncated = hfs.newest_mtime(spark, d, max_entries=2)
+    assert truncated
+    import unittest.mock as mock
+    with mock.patch.object(hfs, "newest_mtime", return_value=(mt, True)):
+        assert not kt._claim_is_stale(spark, d)
+
+
+def test_claimed_write_reraises_permanent_analysis_errors(spark, tmp_path):
+    """ADVICE r10: only already-exists AnalysisExceptions map to the
+    retryable ConcurrentWriteError; the bucketed CTAS's broader
+    analysis surface (bad CLUSTERED BY column, catalog errors) is a
+    permanent failure and must surface as itself."""
+    from pyspark.errors import AnalysisException
+    df = _df(spark, [(1, "a")])
+    dst = str(tmp_path / "ctas_bad")
+    # permanent: bucket column that does not exist → re-raised
+    with pytest.raises(AnalysisException):
+        kt._run_claimed_write(
+            dst, lambda: df.write.format("parquet")
+            .bucketBy(4, "no_such_col").sortBy("no_such_col")
+            .option("path", dst).saveAsTable("tmp_adv_r10_badcol"))
+    # conflict: plain errorifexists onto an existing path → mapped
+    taken = str(tmp_path / "taken")
+    df.write.parquet(taken)
+    with pytest.raises(ConcurrentWriteError, match="re-read and retry"):
+        kt._run_claimed_write(
+            taken, lambda: df.write.mode("errorifexists").parquet(taken))
+    # conflict: bucketed CTAS onto a non-empty location → mapped
+    spark.sql("DROP TABLE IF EXISTS tmp_adv_r10_loc")
+    with pytest.raises(ConcurrentWriteError, match="re-read and retry"):
+        kt._run_claimed_write(
+            taken, lambda: df.write.format("parquet")
+            .bucketBy(4, "k").sortBy("k")
+            .option("path", taken).saveAsTable("tmp_adv_r10_loc"))
+    spark.sql("DROP TABLE IF EXISTS tmp_adv_r10_loc")
+
+
+def test_manifest_retry_exhaustion_raises_not_empty_meta(spark, tmp_path,
+                                                         monkeypatch):
+    """ADVICE r10: when every manifest read races a retirement, the
+    resolver must fail retryable — returning (version, {}) would
+    collapse folded_through to 0 and transiently resurrect folded
+    deltas, the exact failure the one-pointer read exists to prevent."""
+    p = str(tmp_path / "mexhaust")
+    upsert_into_keyed_table(spark, _df(spark, [(1, "a")]), path=p, key="k",
+                            updated_at_col=None)
+    # sanity: the healthy final re-read path still resolves
+    v, meta = kt._current_manifest(spark, p, retries=0)
+    assert v == 1
+    monkeypatch.setattr(hfs, "read_text", lambda s, path: None)
+    with pytest.raises(ConcurrentWriteError, match="re-read and retry"):
+        kt._current_manifest(spark, p, retries=2)
+    # legacy table (no pointer at all) still reads as (0, {})
+    legacy = str(tmp_path / "legacy_empty")
+    os.makedirs(legacy)
+    assert kt._current_manifest(spark, legacy) == (0, {})
