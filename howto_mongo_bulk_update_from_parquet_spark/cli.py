@@ -327,6 +327,105 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup_incremental(args: argparse.Namespace) -> int:
+    """Cross-batch dedup arrival step, productized (r10 verdict #2):
+    probe one arriving document batch against the PERSISTED dedup
+    index (a keyed parquet table), emit per-document verdicts
+    (`--mode near`, plans/incremental_dedup.py) or maximal duplicated
+    spans (`--mode spans`, plans/incremental_spans.py), and — with
+    `--update-index` — upsert the batch's index rows back so the next
+    arrival sees this one as history. History is never re-hashed: the
+    index holds a few dozen bytes per document (band signatures) or
+    one 16-byte hash per distinct k-gram window, and the probe join
+    shuffles the batch side only (store the index with `--buckets` to
+    keep the index side exchange-free round over round).
+
+    Index update rule per mode: `near` indexes only the batch's
+    SURVIVORS (verdict `unique` — bucket-min winners; `dup_vs_index` /
+    `dup_in_batch` losers are dropped, so the index never grows with
+    duplicates). `spans` indexes every batch document's grams:
+    span-level dedup trims content rather than dropping documents, so
+    later batches must match against the retained copies.
+    """
+    from pyspark.sql import functions as F
+
+    from .plans.incremental_dedup import (incremental_near_dup_flags,
+                                          signature_index_rows)
+    from .plans.incremental_spans import (gram_index_rows,
+                                          incremental_dup_spans)
+    from .sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
+
+    spark = get_spark("dedup-incremental")
+    try:
+        batch = spark.read.parquet(args.source)
+    except Exception as exc:
+        print(f"cannot read batch source {args.source}: {exc}",
+              file=sys.stderr)
+        return 2
+    for col, what in ((args.id_col, "id"), (args.text_col, "text")):
+        if col not in batch.columns:
+            print(f"batch source {args.source} has no {what} column "
+                  f"'{col}' (columns: {', '.join(batch.columns)})",
+                  file=sys.stderr)
+            return 2
+    docs = batch.select(F.col(args.id_col).alias("doc_id"),
+                        F.col(args.text_col).alias("text"))
+
+    try:
+        index = read_keyed_table(spark, args.index)
+        seeded = True
+    except FileNotFoundError:
+        # first arrival: probe against an empty index (in-batch dedup
+        # still applies), then seed it if --update-index
+        seeded = False
+        index = None
+
+    if args.mode == "near":
+        idx_bands = (index.select("band", "band_sig") if seeded
+                     else spark.createDataFrame(
+                         [], "band int, band_sig string"))
+        out = incremental_near_dup_flags(docs, idx_bands, "doc_id")
+        out = out.persist()
+        counts = {r["verdict"]: r["n"]
+                  for r in out.groupBy("verdict")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        survivors = docs.join(
+            out.filter(F.col("verdict") == "unique").select("doc_id"),
+            "doc_id")
+        index_rows, index_key = signature_index_rows(
+            survivors, "doc_id"), "bucket_key"
+        summary = ", ".join(f"{k}={counts.get(k, 0)}" for k in
+                            ("unique", "dup_vs_index", "dup_in_batch"))
+    else:
+        gram_idx = (index.select("h") if seeded
+                    else spark.createDataFrame([], "h string"))
+        out = incremental_dup_spans(docs, gram_idx).persist()
+        stats = out.agg(
+            F.count(F.lit(1)).alias("spans"),
+            F.countDistinct("doc_id").alias("docs"),
+            F.coalesce(F.sum("span_tokens"), F.lit(0)).alias("tokens")
+        ).collect()[0]
+        index_rows, index_key = gram_index_rows(docs), "h"
+        summary = (f"spans={stats['spans']}, docs_affected={stats['docs']}, "
+                   f"dup_tokens={stats['tokens']}")
+
+    if args.out:
+        out.write.mode(args.write_mode).parquet(args.out)
+    else:
+        out.show(args.limit, truncate=False)
+    if args.update_index:
+        upsert_into_keyed_table(spark, index_rows, path=args.index,
+                                key=index_key, updated_at_col=None,
+                                buckets=args.buckets)
+        action = "updated" if seeded else "seeded"
+    else:
+        action = "unchanged (--update-index to maintain it)"
+    out.unpersist()
+    print(f"dedup-incremental mode={args.mode}: {summary}; "
+          f"index {args.index} {action}")
+    return 0
+
+
 def cmd_topk(args: argparse.Namespace) -> int:
     """Grouped top-k over arbitrary parquet via operators/topk.py —
     the two-stage prune (per-batch local top-k, bounded re-rank), so a
@@ -585,6 +684,36 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated probabilities in [0,1]")
     pc.add_argument("--limit", type=int, default=20)
     pc.set_defaults(fn=cmd_percentile)
+
+    di = sub.add_parser(
+        "dedup-incremental",
+        help="probe one arriving batch against the persisted dedup "
+             "index (near-dup verdicts or substring spans) and "
+             "optionally fold the batch into the index")
+    di.add_argument("--mode", choices=["near", "spans"], default="near",
+                    help="near: per-doc MinHash-LSH verdicts vs the "
+                         "band-signature index; spans: maximal "
+                         "duplicated k-gram spans vs the gram index")
+    di.add_argument("--index", required=True,
+                    help="keyed-table path of the persisted index "
+                         "(created on first --update-index run)")
+    di.add_argument("--source", required=True,
+                    help="parquet file/dir of the arriving batch")
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument("--text-col", default="text")
+    di.add_argument("--out", help="write results as parquet here "
+                                  "(default: show)")
+    di.add_argument("--write-mode", default="errorifexists",
+                    choices=["errorifexists", "overwrite"])
+    di.add_argument("--update-index", action="store_true",
+                    help="after probing, upsert this batch's index "
+                         "rows (near: unique survivors only; spans: "
+                         "the whole batch)")
+    di.add_argument("--buckets", type=_bounded_int(0, 100_000),
+                    help="bucket the index table's base on the merge "
+                         "key (exchange-free probe/upsert rounds)")
+    di.add_argument("--limit", type=int, default=20)
+    di.set_defaults(fn=cmd_dedup_incremental)
 
     args = ap.parse_args(argv)
     return args.fn(args)

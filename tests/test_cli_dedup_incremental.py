@@ -1,0 +1,110 @@
+"""CLI surface for the cross-batch dedup arrival loop (r10 verdict #2):
+`dedup-incremental` drives plans/incremental_dedup.py /
+plans/incremental_spans.py against an on-disk keyed index table."""
+
+import os
+
+from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+BASE = "the quick brown fox jumps over the lazy dog again and again"
+DIFF = "completely unrelated words about spark shuffles and parquet files"
+OTHER = "entirely different content concerning warehouse bucket layouts here"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(path)
+
+
+def test_near_mode_two_arrivals_maintain_index(spark, tmp_path, capsys):
+    idx = str(tmp_path / "sig_index")
+    b1 = str(tmp_path / "batch1")
+    b2 = str(tmp_path / "batch2")
+    out1 = str(tmp_path / "verdicts1")
+    out2 = str(tmp_path / "verdicts2")
+    _write_batch(spark, b1, [(1, BASE), (2, OTHER)])
+    # batch 2: 11 duplicates batch-1 history; 10 is new; 12 duplicates
+    # 10 within the batch (bucket-min loser)
+    _write_batch(spark, b2, [(10, DIFF), (11, BASE), (12, DIFF)])
+
+    # first arrival seeds the index (it does not exist yet)
+    assert main(["dedup-incremental", "--mode", "near", "--index", idx,
+                 "--source", b1, "--out", out1, "--update-index"]) == 0
+    assert "index " + idx + " seeded" in capsys.readouterr().out
+    v1 = {r.doc_id: r.verdict
+          for r in spark.read.parquet(out1).collect()}
+    assert v1 == {1: "unique", 2: "unique"}
+
+    # second arrival probes the persisted index and folds survivors in
+    assert main(["dedup-incremental", "--mode", "near", "--index", idx,
+                 "--source", b2, "--out", out2, "--update-index"]) == 0
+    msg = capsys.readouterr().out
+    assert "unique=1" in msg and "dup_vs_index=1" in msg \
+        and "dup_in_batch=1" in msg and "updated" in msg
+    v2 = {r.doc_id: r.verdict
+          for r in spark.read.parquet(out2).collect()}
+    assert v2 == {10: "unique", 11: "dup_vs_index", 12: "dup_in_batch"}
+
+    # the index grew by the SURVIVOR only: a third batch repeating
+    # batch-2's unique doc now hits the index
+    b3 = str(tmp_path / "batch3")
+    out3 = str(tmp_path / "verdicts3")
+    _write_batch(spark, b3, [(20, DIFF)])
+    assert main(["dedup-incremental", "--mode", "near", "--index", idx,
+                 "--source", b3, "--out", out3]) == 0        # probe only
+    v3 = {r.doc_id: r.verdict
+          for r in spark.read.parquet(out3).collect()}
+    assert v3 == {20: "dup_vs_index"}
+    # probe-only run left the index untouched
+    assert "unchanged" in capsys.readouterr().out
+
+
+def test_spans_mode_emits_spans_and_indexes_whole_batch(spark, tmp_path,
+                                                        capsys):
+    idx = str(tmp_path / "gram_index")
+    b1 = str(tmp_path / "s_batch1")
+    b2 = str(tmp_path / "s_batch2")
+    out2 = str(tmp_path / "spans2")
+    _write_batch(spark, b1, [(1, "a b c d e f g h i j k l m n o p q r s "
+                                 "t u v w x y z a1 b1 c1 d1")])
+    assert main(["dedup-incremental", "--mode", "spans", "--index", idx,
+                 "--source", b1, "--update-index"]) == 0
+    capsys.readouterr()
+    # batch 2 embeds a long run from batch 1 plus fresh tail tokens
+    _write_batch(spark, b2, [(10, "a b c d e f g h i j k l m n o p q r s "
+                                  "t u v w x FRESH1 FRESH2 FRESH3 FRESH4 "
+                                  "FRESH5 FRESH6 FRESH7 FRESH8")])
+    assert main(["dedup-incremental", "--mode", "spans", "--index", idx,
+                 "--source", b2, "--out", out2, "--update-index"]) == 0
+    msg = capsys.readouterr().out
+    rows = spark.read.parquet(out2).collect()
+    assert len(rows) == 1
+    span = rows[0]
+    assert span.doc_id == 10 and span.span_start == 0
+    assert span.idx_windows == span.n_windows      # purely history-caused
+    assert "docs_affected=1" in msg
+
+    # spans mode indexes the WHOLE batch: a third batch repeating
+    # batch-2's FRESH run is now an index hit
+    b3 = str(tmp_path / "s_batch3")
+    out3 = str(tmp_path / "spans3")
+    _write_batch(spark, b3, [(30, "FRESH1 FRESH2 FRESH3 FRESH4 FRESH5 "
+                                  "FRESH6 FRESH7 FRESH8 zz1 zz2 zz3 zz4 "
+                                  "zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12")])
+    assert main(["dedup-incremental", "--mode", "spans", "--index", idx,
+                 "--source", b3, "--out", out3]) == 0
+    rows3 = spark.read.parquet(out3).collect()
+    assert [r.doc_id for r in rows3] == [30]
+    assert rows3[0].idx_windows == rows3[0].n_windows
+
+
+def test_cli_rejects_missing_columns_and_bad_source(tmp_path, spark, capsys):
+    b = str(tmp_path / "badcols")
+    spark.createDataFrame([(1, "x")], "id long, body string") \
+        .write.parquet(b)
+    assert main(["dedup-incremental", "--index", str(tmp_path / "i"),
+                 "--source", b]) == 2
+    assert "no id column 'doc_id'" in capsys.readouterr().err
+    assert main(["dedup-incremental", "--index", str(tmp_path / "i"),
+                 "--source", str(tmp_path / "nope")]) == 2
+    assert "cannot read batch source" in capsys.readouterr().err
