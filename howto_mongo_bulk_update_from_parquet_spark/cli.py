@@ -426,6 +426,98 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """End-to-end corpus curation (r10 verdict #3): exact dedup →
+    substring-level trim → quality gate → deterministic split →
+    sequence packing, over any (doc_id, text[, lang]) parquet. Writes
+    the curated corpus partitioned by split plus `manifest.json` — the
+    corpus card and per-stage survivor accounting — so a run is
+    auditable without re-reading the data. The DAG is the composed
+    form of q_dedup_keep_one / q_dedup_trim / q_training_pipeline /
+    q_doc_packing / q_corpus_card (plans/curate.py)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from .plans.curate import corpus_card_frame, curate_stages
+
+    if len(args.splits) != 3 or sum(args.splits) != 100:
+        print(f"--splits must be three integer percents summing to 100, "
+              f"got {args.splits}", file=sys.stderr)
+        return 2
+    spark = get_spark("curate")
+    try:
+        docs = spark.read.parquet(args.source)
+    except Exception as exc:
+        print(f"cannot read corpus source {args.source}: {exc}",
+              file=sys.stderr)
+        return 2
+    for col, what in ((args.id_col, "id"), (args.text_col, "text")):
+        if col not in docs.columns:
+            print(f"corpus source {args.source} has no {what} column "
+                  f"'{col}' (columns: {', '.join(docs.columns)})",
+                  file=sys.stderr)
+            return 2
+    cols = [F.col(args.id_col).alias("doc_id"),
+            F.col(args.text_col).alias("text")]
+    if "lang" in docs.columns:
+        cols.append(F.col("lang"))
+    stages = curate_stages(docs.select(*cols),
+                           min_tokens=args.min_tokens, k=args.k,
+                           weights=tuple(args.splits),
+                           pack_budget=args.pack_budget)
+    n_input = docs.count()
+    # the trim stage feeds both the curated output and the stage
+    # accounting — persist it once rather than re-running the k-gram
+    # pass (disk-allowed: the trimmed corpus can exceed memory)
+    trimmed = stages["trimmed"].persist(StorageLevel.MEMORY_AND_DISK)
+    curated = stages["curated"].persist(StorageLevel.MEMORY_AND_DISK)
+    n_dedup = stages["deduped"].count()
+    n_trim = trimmed.count()
+    out_corpus = args.out.rstrip("/") + "/corpus"
+    # partitionBy WITHOUT a repartition("split"): each task writes its
+    # rows into per-split files, so a 3-value split column never
+    # concentrates a whole split into one reducer
+    (curated.write.mode(args.write_mode)
+            .partitionBy("split").parquet(out_corpus))
+    per_split = {r["split"]: {"n_docs": r["n_docs"],
+                              "total_tokens": r["total_tokens"],
+                              "n_sequences": r["n_sequences"]}
+                 for r in curated.groupBy("split")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_tok").cast("long").alias("total_tokens"),
+                      F.countDistinct("lang", "seq_id")
+                       .alias("n_sequences")).collect()}
+    card = corpus_card_frame(curated).collect()[0].asDict()
+    n_curated = sum(s["n_docs"] for s in per_split.values())
+    manifest = {
+        "source": args.source,
+        "params": {"min_tokens": args.min_tokens, "k": args.k,
+                   "splits": args.splits,
+                   "pack_budget": args.pack_budget},
+        "stages": {
+            "input_docs": n_input,
+            "after_exact_dedup": n_dedup,
+            "after_substring_trim": n_trim,
+            "after_quality_gate": n_curated,
+        },
+        "splits": per_split,
+        "corpus_card": card,
+    }
+    trimmed.unpersist()
+    curated.unpersist()
+    import os as _os
+    _os.makedirs(args.out, exist_ok=True)
+    with open(_os.path.join(args.out, "manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True, default=str)
+    print(f"curated {n_curated}/{n_input} docs into {out_corpus} "
+          f"(exact-dup removed {n_input - n_dedup}, trim dropped "
+          f"{n_dedup - n_trim}, quality dropped {n_trim - n_curated}); "
+          f"manifest.json written")
+    return 0
+
+
 def cmd_topk(args: argparse.Namespace) -> int:
     """Grouped top-k over arbitrary parquet via operators/topk.py —
     the two-stage prune (per-batch local top-k, bounded re-rank), so a
@@ -531,6 +623,14 @@ def _fraction_list(s: str) -> list[float]:
     """Comma-separated fractions, each validated like _fraction —
     parse-time usage errors (exit 2), never a runtime traceback."""
     return [_fraction(p) for p in s.split(",")]
+
+
+def _int_list(s: str) -> list[int]:
+    try:
+        return [int(p) for p in s.split(",")]
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"{s!r} is not a comma-separated integer list")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -714,6 +814,30 @@ def main(argv: list[str] | None = None) -> int:
                          "key (exchange-free probe/upsert rounds)")
     di.add_argument("--limit", type=int, default=20)
     di.set_defaults(fn=cmd_dedup_incremental)
+
+    cu = sub.add_parser(
+        "curate",
+        help="end-to-end corpus curation: exact dedup → substring "
+             "trim → quality gate → split → pack, with a corpus-card "
+             "manifest (plans/curate.py)")
+    cu.add_argument("--source", required=True,
+                    help="parquet file/dir of raw documents")
+    cu.add_argument("--out", required=True,
+                    help="output dir: corpus/ (partitioned by split) "
+                         "+ manifest.json")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--min-tokens", type=_bounded_int(1), default=20,
+                    help="quality gate: min tokens AFTER trimming")
+    cu.add_argument("--k", type=_bounded_int(2, 1000), default=8,
+                    help="duplicated-span window length in tokens")
+    cu.add_argument("--pack-budget", type=_bounded_int(1), default=512,
+                    help="tokens per packed training sequence")
+    cu.add_argument("--splits", type=_int_list, default=[80, 10, 10],
+                    help="train,val,test integer percents (sum 100)")
+    cu.add_argument("--write-mode", default="errorifexists",
+                    choices=["errorifexists", "overwrite"])
+    cu.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     return args.fn(args)
