@@ -299,7 +299,12 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
     from .streaming.upsert import stream_apply_changefeed
     spark = get_spark("changefeed")
     try:
-        schema = spark.read.parquet(args.source).schema
+        # mergeSchema: a feed whose LATER files add a column must not
+        # lose it to single-footer inference (schema evolution mid-feed
+        # is the normal case for a long-lived changefeed — r10 verdict
+        # item 4); old files read the new column as NULL
+        schema = (spark.read.option("mergeSchema", "true")
+                  .parquet(args.source).schema)
     except Exception as exc:
         print(f"cannot read changefeed source {args.source}: {exc}",
               file=sys.stderr)

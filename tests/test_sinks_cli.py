@@ -373,3 +373,43 @@ def test_cli_changefeed_two_rounds_then_compact(spark, tmp_path, capsys):
     assert len([d for d in os.listdir(table)
                 if d.startswith("delta_")]) == n_folded
     assert kt._complete_deltas(spark, table) == []
+
+
+def test_cli_changefeed_schema_evolution_mid_feed(spark, tmp_path):
+    """r10 verdict item 4: a NEW column appearing mid-feed (batch 2 of
+    a checkpointed changefeed) must survive the drain — mergeSchema
+    inference, the widened delta, read_merged's unionByName, and the
+    post-compaction base all keep it; batch-1 rows read it as NULL."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import keyed_table as kt
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        read_keyed_table, read_merged)
+    table = str(tmp_path / "cfe_table")
+    feed = str(tmp_path / "cfe_feed")
+    ckpt = str(tmp_path / "cfe_ckpt")
+    # batch 1: narrow schema, drained and checkpointed
+    spark.createDataFrame([(1, "a", "U"), (2, "b", "U")],
+                          "k long, v string, op string") \
+        .write.mode("append").parquet(feed)
+    assert main(["changefeed", "--source", feed, "--table", table,
+                 "--key", "k", "--checkpoint", ckpt]) == 0
+    # batch 2 adds `score` (plus a delete of a batch-1 key)
+    spark.createDataFrame([(2, "b2", 0.5, "U"), (3, "c", 0.9, "U"),
+                           (1, None, None, "D")],
+                          "k long, v string, score double, op string") \
+        .write.mode("append").parquet(feed)
+    assert main(["changefeed", "--source", feed, "--table", table,
+                 "--key", "k", "--checkpoint", ckpt]) == 0
+    merged = read_merged(spark, table, "k")
+    assert "score" in merged.columns
+    got = {r.k: (r.v, r.score) for r in merged.collect()}
+    assert got == {2: ("b2", 0.5), 3: ("c", 0.9)}
+    # compaction folds the widened schema into the committed base
+    assert main(["compact", "--table", table, "--key", "k"]) == 0
+    assert kt._complete_deltas(spark, table) == []
+    base = read_keyed_table(spark, table)
+    assert "score" in base.columns
+    assert {r.k: (r.v, r.score) for r in base.collect()} == got
+    # and the merged view over the new base still carries it
+    assert {r.k: (r.v, r.score)
+            for r in read_merged(spark, table, "k").collect()} == got
