@@ -332,6 +332,24 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_vacuum(args: argparse.Namespace) -> int:
+    """Reclaim folded delta files on a dormant keyed table: the
+    regular GC runs at the next commit, which never arrives for a
+    table that stopped receiving writes. Age-gated against the
+    filesystem clock (sinks/keyed_table.py::vacuum)."""
+    from .sinks.keyed_table import vacuum
+    spark = get_spark("vacuum")
+    removed = vacuum(spark, args.table,
+                     older_than_ms=int(args.older_than_hours * 3600 * 1000))
+    if removed:
+        print(f"vacuumed {len(removed)} folded delta(s) from "
+              f"{args.table}: {', '.join(f'delta_{v:05d}' for v in removed)}")
+    else:
+        print(f"nothing to vacuum in {args.table} (no folded deltas "
+              f"older than {args.older_than_hours}h)")
+    return 0
+
+
 def cmd_dedup_incremental(args: argparse.Namespace) -> int:
     """Cross-batch dedup arrival step, productized (r10 verdict #2):
     probe one arriving document batch against the PERSISTED dedup
@@ -843,6 +861,15 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--write-mode", default="errorifexists",
                     choices=["errorifexists", "overwrite"])
     cu.set_defaults(fn=cmd_curate)
+
+    va = sub.add_parser(
+        "vacuum", help="reclaim folded delta files on a dormant keyed "
+                       "table (age-gated; regular GC runs at the next "
+                       "commit, which a dormant table never gets)")
+    va.add_argument("--table", required=True, help="keyed table path")
+    va.add_argument("--older-than-hours", type=float, default=24.0,
+                    help="only deltas untouched this long are removed")
+    va.set_defaults(fn=cmd_vacuum)
 
     args = ap.parse_args(argv)
     return args.fn(args)

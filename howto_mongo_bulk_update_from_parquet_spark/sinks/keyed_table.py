@@ -645,6 +645,42 @@ def _gc_folded_deltas(spark: SparkSession, path: str, up_to: int) -> None:
             hfs.delete(spark, hfs.join(path, f"delta_{v:05d}"))
 
 
+def vacuum(spark: SparkSession, path: str, *,
+           older_than_ms: int = 24 * 3600 * 1000) -> list[int]:
+    """Age-based reclamation of folded delta files for DORMANT tables
+    (r10 verdict #8): the regular GC is deferred one commit by design
+    (`_gc_folded_deltas` runs at the NEXT committing operation), so a
+    table that stops receiving commits keeps its last fold's files
+    forever. Vacuum removes deltas at or below the committed
+    `folded_through` watermark — invisible to every reader that
+    resolved the current manifest — once they have sat untouched past
+    `older_than_ms` (measured against the FILESYSTEM clock, same
+    discipline as the claim-staleness probe), which bounds the risk to
+    an in-flight reader still holding the pre-fold manifest. A
+    truncated metadata scan reads as fresh, never reclaimable.
+    Returns the removed delta versions."""
+    floor = folded_through(spark, path)
+    if not floor:
+        return []
+    try:
+        now_ms = hfs.probe_now_ms(spark, path)
+    except Exception:                    # probe unwritable: fall back
+        import time
+        now_ms = int(time.time() * 1000)
+    removed: list[int] = []
+    for v in _delta_versions(spark, path):
+        if v > floor:
+            continue
+        d = hfs.join(path, f"delta_{v:05d}")
+        newest, truncated = hfs.newest_mtime(spark, d)
+        if newest is None or truncated:
+            continue
+        if (now_ms - newest) > older_than_ms:
+            hfs.delete(spark, d)
+            removed.append(v)
+    return removed
+
+
 # --- log-structured base + delta ---------------------------------------
 
 
@@ -691,8 +727,22 @@ def _append_delta_claiming(spark: SparkSession, src: DataFrame,
         try:
             src.write.mode("errorifexists").parquet(dst)
             return version
-        except AnalysisException:
-            version += 1               # a concurrent appender won this slot
+        except AnalysisException as exc:
+            # only the already-exists condition is a lost race; any
+            # other analysis failure is permanent — retrying it 64
+            # times would only bury the real error (same narrowing as
+            # _run_claimed_write, ADVICE r10)
+            cond = None
+            try:
+                cond = exc.getCondition()
+            except Exception:
+                pass
+            if cond in _CONFLICT_CONDITIONS or (
+                    cond is None
+                    and "already exists" in str(exc).split("\n", 1)[0]):
+                version += 1           # a concurrent appender won this slot
+            else:
+                raise
         except Exception as exc:
             if _is_path_exists_error(exc):
                 version += 1           # lost the race at job commit

@@ -82,7 +82,50 @@ QUERIES = [
     "q_dedup_trim",
     # IVF ANN: fixed query set, growing corpus
     "q_ann_ivf_search",
+    # stateful streaming: applyInPandasWithState first-seen + TTL over
+    # the staged events feed (state keys grow with users; per-key
+    # state bounded by the TTL eviction)
+    "q_stream_first_seen_ttl",
 ]
+
+# Sink-family slots (r10 verdict #5): one keyed-table upsert ROUND —
+# read current base, merge a 1%-of-keys batch, write the next version,
+# flip the manifest — against a PRE-BUILT base (setup untimed). The
+# plain/bucketed pair turns the 2M-row BENCH_NOTES point measurement
+# into a curve: the plain base re-shuffles the full table every round,
+# the bucketed base's scan already satisfies the merge join's
+# distribution, so its per-round cost should grow by the merge+write
+# only.
+SINK_SLOTS = ["sink_upsert_plain", "sink_upsert_bucketed"]
+
+
+def _sink_upsert_factory(spark, data_dir: str, scratch: str,
+                         bucketed: bool):
+    """Build the keyed base from the xK orders once; return a thunk
+    that performs one timed upsert round (repeats add versions; the
+    default retain window keeps disk at ~2x base)."""
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        upsert_into_keyed_table)
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+
+    tag = "bucketed" if bucketed else "plain"
+    path = os.path.join(scratch, f"kt_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, data_dir, "orders").select(
+        F.col("o_orderkey").alias("_id"), "o_totalprice", "o_orderstatus")
+    upsert_into_keyed_table(spark, orders, path=path, key="_id",
+                            updated_at_col=None,
+                            buckets=32 if bucketed else 0)
+    batch = (orders.filter(F.col("_id") % 100 == 7)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 1.0))
+
+    def run():
+        upsert_into_keyed_table(spark, batch, path=path, key="_id",
+                                updated_at_col=None)
+    return run
 
 
 def _spark():
@@ -156,7 +199,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,100")
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument("--queries", default=",".join(QUERIES + SINK_SLOTS))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -185,14 +228,23 @@ def main() -> None:
         print(f"[scale] x{k} data ready "
               f"({time.perf_counter() - t0:.1f}s)", flush=True)
         # codegen / Python-worker warm-up outside the timed slots
-        queries[names[0]](spark, out_dir).write.format("noop") \
-            .mode("overwrite").save()
+        warm = next((n for n in names if n not in SINK_SLOTS), None)
+        if warm:
+            queries[warm](spark, out_dir).write.format("noop") \
+                .mode("overwrite").save()
         for q in names:
+            if q in SINK_SLOTS:
+                thunk = _sink_upsert_factory(
+                    spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
+                    bucketed=q.endswith("bucketed"))
+            else:
+                thunk = (lambda fn=queries[q]:
+                         fn(spark, out_dir).write.format("noop")
+                         .mode("overwrite").save())
             reps = []
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
-                queries[q](spark, out_dir).write.format("noop") \
-                    .mode("overwrite").save()
+                thunk()
                 reps.append(round(time.perf_counter() - t0, 3))
             results[q][str(k)] = {"sec": min(reps), "reps": reps}
             print(f"[scale] x{k} {q}: {min(reps):.2f}s {reps}",

@@ -448,3 +448,50 @@ def test_manifest_retry_exhaustion_raises_not_empty_meta(spark, tmp_path,
     legacy = str(tmp_path / "legacy_empty")
     os.makedirs(legacy)
     assert kt._current_manifest(spark, legacy) == (0, {})
+
+
+def test_vacuum_reclaims_dormant_folded_deltas(spark, tmp_path):
+    """r10 verdict #8: the one-commit-deferred GC never fires on a
+    table that stops receiving commits — vacuum reclaims folded deltas
+    once aged, leaves fresh folds and unfolded deltas alone, and never
+    needs a new commit."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import vacuum
+    p = str(tmp_path / "dormant")
+    upsert_into_keyed_table(spark, _df(spark, [(1, "a")]),
+                            path=p, key="k", updated_at_col=None)
+    append_delta(spark, _df(spark, [(2, "b")]), path=p, key="k")
+    compact(spark, p, "k")                        # folds delta 1, retains it
+    assert os.path.exists(os.path.join(p, "delta_00001"))
+    # fresh fold: age gate refuses (an in-flight pre-fold reader may
+    # still be scanning)
+    assert vacuum(spark, p) == []
+    assert os.path.exists(os.path.join(p, "delta_00001"))
+    # aged past the window: reclaimed without any new commit
+    _age(os.path.join(p, "delta_00001"))
+    assert vacuum(spark, p, older_than_ms=60_000) == [1]
+    assert not os.path.exists(os.path.join(p, "delta_00001"))
+    # table still reads correctly and keeps committing afterwards
+    assert {r.k for r in read_merged(spark, p, "k").collect()} == {1, 2}
+    # an UNFOLDED delta above the watermark is never touched, aged or not
+    append_delta(spark, _df(spark, [(3, "c")]), path=p, key="k")
+    _age(os.path.join(p, "delta_00002"))
+    assert vacuum(spark, p, older_than_ms=60_000) == []
+    assert os.path.exists(os.path.join(p, "delta_00002"))
+    assert {r.k for r in read_merged(spark, p, "k").collect()} == {1, 2, 3}
+    # idempotent on an empty backlog / legacy table without a watermark
+    assert vacuum(spark, p, older_than_ms=60_000) == []
+
+
+def test_cli_vacuum(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    p = str(tmp_path / "cli_vac")
+    upsert_into_keyed_table(spark, _df(spark, [(1, "a")]),
+                            path=p, key="k", updated_at_col=None)
+    append_delta(spark, _df(spark, [(2, "b")]), path=p, key="k")
+    compact(spark, p, "k")
+    assert main(["vacuum", "--table", p]) == 0
+    assert "nothing to vacuum" in capsys.readouterr().out
+    _age(os.path.join(p, "delta_00001"))
+    assert main(["vacuum", "--table", p, "--older-than-hours", "0.01"]) == 0
+    assert "vacuumed 1 folded delta(s)" in capsys.readouterr().out
+    assert not os.path.exists(os.path.join(p, "delta_00001"))
