@@ -49,14 +49,14 @@ ATTESTED_THROUGH = 10
 # Reviewed each round — and MECHANICALLY GUARDED since round 10:
 # tests/test_rotation_guard.py derives the queries whose package-
 # internal import closure intersects the round's diff and fails the
-# suite if any is missing here. Round 10's diff (keyed-table
-# watermark/bucketing in sinks/, the changefeed CLI) touches no
-# catalog query's closure — the catalog expresses the merge semantics
-# through operators/merge.py (unchanged); sinks/keyed_table.py is the
-# CLI/streaming write surface, covered by its own pytest suite — so
-# the force list is empty and every fill slot goes to the
-# least-recently-attested queries.
-FORCE_REATTEST: tuple[str, ...] = ()
+# suite if any is missing here. Round 11's diff hardens
+# sinks/keyed_table.py (claim/conflict/manifest edges from ADVICE r10,
+# plus vacuum), which is inside q_keyed_lsm_roundtrip's closure by
+# design — the storage layer re-attests under the driver's oracle
+# whenever it changes. The round's other additions (dedup-incremental
+# / curate / vacuum CLI verbs, plans/curate.py) are non-catalog
+# surfaces covered by their own pytest suites.
+FORCE_REATTEST: tuple[str, ...] = ("q_keyed_lsm_roundtrip",)
 
 
 def _artifact_dir() -> str:
