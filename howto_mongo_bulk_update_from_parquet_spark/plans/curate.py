@@ -21,20 +21,25 @@ Scale posture, stage by stage:
   the q_doc_packing shape; token offsets never cross partitions, so
   no global sort and no single-reducer concentration.
 
-No @register here: every stage is already oracle-attested under its
-own catalog entry (q_dedup_keep_one, q_dedup_trim,
-q_training_pipeline, q_doc_packing, q_corpus_card); this module only
-composes them for the CLI.
+Each stage is already oracle-attested under its own catalog entry
+(q_dedup_keep_one, q_dedup_trim, q_training_pipeline, q_doc_packing,
+q_corpus_card); `q_curate_pipeline` additionally puts the COMPOSED
+DAG — the exact frame the CLI ships — under the driver's oracle, so
+a regression in how the stages hand off (the trim feeding the
+quality gate, the gate feeding the packer) cannot hide behind four
+individually-green stages.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.dedup import portable_hash64
-from .dup_spans import K, trim_dup_spans
+from ..sources.parquet import load_table
+from .catalog import register
+from .dup_spans import _SPANS_SQL, K, trim_dup_spans
 
 
 def curate_stages(docs: DataFrame, *, min_tokens: int = 20, k: int = K,
@@ -121,3 +126,77 @@ def corpus_card_frame(curated: DataFrame) -> DataFrame:
         F.round(F.lit(float(top[0].c)) / F.col("n_docs"), 6)
          .alias("top_lang_share"),
         "median_tokens", "p90_chars", "n_exact_dups")
+
+
+# The composed pipeline's oracle: dedup -> substring trim (the
+# q_dedup_trim machinery applied to the DEDUPED corpus) -> quality
+# gate on KEPT tokens -> md5 split -> greedy per-(split,lang) packing.
+CURATE_PIPELINE_ORACLE = f"""
+WITH dd AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+{_SPANS_SQL.replace("FROM documents", "FROM dd")},
+cov AS (
+  SELECT doc_id, UNNEST(range(span_start, span_end + 1)) AS pos
+  FROM spans
+),
+tokpos AS (
+  SELECT doc_id, u.pos AS pos
+  FROM toks, UNNEST(list_transform(range(1, len(tk) + 1),
+       i -> struct_pack(pos := i - 1))) AS t(u)
+),
+trimmed AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tokpos t
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+  GROUP BY t.doc_id
+),
+quality AS (
+  SELECT t.doc_id, d.lang, t.n_tok
+  FROM trimmed t JOIN dd d USING (doc_id)
+  WHERE t.n_tok >= 20
+),
+assigned AS (
+  SELECT doc_id, lang, n_tok,
+         CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM quality
+),
+packed AS (
+  SELECT split, lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY split, lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS tok_off
+  FROM assigned
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT (lang, CAST(tok_off // 512 AS BIGINT)))
+            AS BIGINT) AS n_sequences
+FROM packed GROUP BY split
+"""
+
+
+@register("q_curate_pipeline", CURATE_PIPELINE_ORACLE,
+          "the composed curation DAG the `curate` CLI ships: exact "
+          "dedup -> substring trim -> quality gate on kept tokens -> "
+          "md5 split -> greedy per-(split,lang) packing, reduced to "
+          "per-split accounting")
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang")
+    curated = curate_stages(docs)["curated"]
+    return (curated.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("total_tokens"),
+                 F.countDistinct("lang", "seq_id").cast("long")
+                  .alias("n_sequences")))
