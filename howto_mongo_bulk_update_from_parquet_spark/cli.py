@@ -21,6 +21,18 @@ grouped top-k and the bracket-refined exact grouped percentiles:
     python -m howto_mongo_bulk_update_from_parquet_spark.cli percentile --path /root/testdata/sf0.001/orders.parquet \
         --group o_orderpriority --value o_totalprice --probs 0.5,0.9
 
+The LLM-pipeline surfaces are CLI verbs too (r10 verdict #2/#3):
+cross-batch dedup arrivals against a persisted index, and the full
+curation build with a corpus-card manifest:
+
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli dedup-incremental --mode near \
+        --index /tables/sig_index --source /landing/batch_0042 \
+        --out /verdicts/batch_0042 --update-index --buckets 32
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli curate --source /raw/docs \
+        --out /corpora/v3 --min-tokens 20 --splits 80,10,10
+    python -m howto_mongo_bulk_update_from_parquet_spark.cli vacuum --table /tables/keyed \
+        --older-than-hours 24
+
 The reference's --batch-size / --concurrent-tasks knobs become
 --n-partitions (write parallelism = partitions × executor slots).
 """
