@@ -407,7 +407,10 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
                         F.col(args.text_col).alias("text"))
 
     try:
-        index = read_keyed_table(spark, args.index)
+        # honor_buckets: a --buckets index stored on the probe key
+        # (spans mode: h) feeds the probe join exchange-free on the
+        # index side — only the batch shuffles
+        index = read_keyed_table(spark, args.index, honor_buckets=True)
         seeded = True
     except FileNotFoundError:
         # first arrival: probe against an empty index (in-batch dedup

@@ -227,10 +227,21 @@ def _legacy_root_has_data(spark: SparkSession, path: str) -> bool:
 
 
 def read_keyed_table(spark: SparkSession, path: str,
-                     version: int | None = None) -> DataFrame:
+                     version: int | None = None,
+                     honor_buckets: bool = False) -> DataFrame:
     """Committed snapshot of the keyed table — the current one, or a
     retained historical `version` (time travel; keep history with
-    `retain_versions` > 1 on the writer)."""
+    `retain_versions` > 1 on the writer).
+
+    `honor_buckets=True` reads the current base THROUGH its bucket
+    metadata when the manifest records a spec: a downstream join or
+    aggregation keyed on the table's bucket key then consumes the
+    scan's hashpartitioning and plans with NO exchange on this side —
+    the probe-side win for index tables (e.g. the `dedup-incremental`
+    gram index, bucket-keyed on `h`). Catalyst keeps the bucketed scan
+    only when buckets >= the join's shuffle parallelism; with fewer
+    buckets it silently de-buckets, which is correct, just un-helped.
+    Plain reads stay the default — bucket files are ordinary parquet."""
     if version is not None:
         snap = _base_dir(path, version)
         if not hfs.exists(spark, hfs.join(snap, "_SUCCESS")):
@@ -238,6 +249,11 @@ def read_keyed_table(spark: SparkSession, path: str,
                 f"version {version} of {path} does not exist or was "
                 f"retired (write with retain_versions > 1 to keep history)")
         return spark.read.parquet(snap)
+    if honor_buckets:
+        v, meta = _current_manifest(spark, path)
+        key, buckets = meta.get("bucket_key"), int(meta.get("buckets", 0) or 0)
+        if v and key and buckets:
+            return _read_base_bucketed(spark, path, v, key, buckets)
     v = current_base_version(spark, path)
     if v:
         return spark.read.parquet(_base_dir(path, v))

@@ -122,3 +122,54 @@ def test_cli_upsert_buckets_flag(spark, tmp_path, capsys):
     assert main(["upsert", "--path", data, "--table", table]) == 0
     assert table_meta(spark, table)["buckets"] == "4"
     assert read_keyed_table(spark, table).count() == 200
+
+
+def test_honor_buckets_read_feeds_exchange_free_probe_join(spark, tmp_path):
+    """r11: `read_keyed_table(honor_buckets=True)` attaches the bucket
+    metadata, so an index-table probe join keyed on the bucket key
+    (the dedup-incremental gram index, bucket-keyed on h) plans with
+    NO Exchange on the index side — only the arriving batch shuffles.
+    A plain read of the same table still re-shuffles both sides."""
+    from pyspark.sql import functions as F
+    p = str(tmp_path / "probe_idx")
+    pins = {"spark.sql.shuffle.partitions": "8",
+            # force the shuffle-join shape the pin is about — at real
+            # index sizes the index side is far past any broadcast cut
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
+    prev = {k: spark.conf.get(k, None) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        idx = spark.range(200).select(
+            F.md5(F.col("id").cast("string")).alias("h"),
+            F.col("id").alias("rep_id"))
+        upsert_into_keyed_table(spark, idx, path=p, key="h",
+                                updated_at_col=None, buckets=8)
+        batch = spark.range(50).select(
+            F.md5((F.col("id") * 3).cast("string")).alias("h"),
+            F.col("id").alias("doc_id"))
+        bucketed = read_keyed_table(spark, p, honor_buckets=True)
+        probe = batch.join(bucketed.select("h"), "h", "left_semi")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert "SelectedBucketsCount" in plan
+        # exactly ONE Exchange in the whole plan — the batch side; the
+        # bucketed index scan feeds the join distribution as-is
+        assert plan.count("Exchange") == 1
+        # the plain read of the same table re-shuffles BOTH sides
+        plain = read_keyed_table(spark, p)
+        plain_probe = batch.join(plain.select("h"), "h", "left_semi")
+        plain_plan = plain_probe._jdf.queryExecution() \
+                                     .executedPlan().toString()
+        assert plain_plan.count("Exchange") == 2
+        # correctness unchanged between the two reads
+        want = {r.h for r in plain_probe.collect()}
+        got = {r.h for r in probe.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
