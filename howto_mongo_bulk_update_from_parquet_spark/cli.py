@@ -419,9 +419,16 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
         index = None
 
     if args.mode == "near":
-        idx_bands = (index.select("band", "band_sig") if seeded
-                     else spark.createDataFrame(
-                         [], "band int, band_sig string"))
+        # prefer the store's single merge key: a bucket_key-bucketed
+        # index feeds the probe join exchange-free (index side never
+        # re-shuffles, the win when the index is the big side)
+        if seeded and "bucket_key" in index.columns:
+            idx_bands = index.select("bucket_key")
+        elif seeded:
+            idx_bands = index.select("band", "band_sig")
+        else:
+            idx_bands = spark.createDataFrame(
+                [], "band int, band_sig string")
         out = incremental_near_dup_flags(docs, idx_bands, "doc_id")
         out = out.persist()
         counts = {r["verdict"]: r["n"]

@@ -109,14 +109,25 @@ def incremental_near_dup_flags(new_docs: DataFrame, index_bands: DataFrame,
     """Classify each new-batch document against a band-signature index.
 
     ``index_bands`` needs only (band, band_sig) — exactly what a
-    persisted signature store holds; pass it pre-deduplicated (or
-    bucket-stored) so the probe join shuffles the batch side only.
+    persisted signature store holds. When it ALSO carries the store's
+    single merge key ``bucket_key`` (the `signature_index_rows`
+    column, a bijection of (band, band_sig)), the probe joins on that
+    one key instead — so an index table bucket-stored on bucket_key
+    feeds the join exchange-free and only the batch side shuffles,
+    the posture that matters when the index is the 100 TB side.
     Returns (id, hits_index, verdict).
     """
     new_bands = lsh_bands(
         minhash_signatures(shingles(new_docs, id_col, "text", 3), id_col, 16),
         id_col, 4)
-    hits = (new_bands.join(index_bands, ["band", "band_sig"])
+    if "bucket_key" in index_bands.columns:
+        probe = new_bands.withColumn(
+            "bucket_key", F.concat_ws("|", F.col("band").cast("string"),
+                                      F.col("band_sig")))
+        hits_src = probe.join(index_bands.select("bucket_key"), "bucket_key")
+    else:
+        hits_src = new_bands.join(index_bands, ["band", "band_sig"])
+    hits = (hits_src
             .groupBy(id_col)
             .agg(F.countDistinct("band").cast("long").alias("hits_index")))
     bucket_min = (new_bands.groupBy("band", "band_sig")

@@ -56,7 +56,8 @@ ATTESTED_THROUGH = 10
 # whenever it changes. The round's other additions (dedup-incremental
 # / curate / vacuum CLI verbs, plans/curate.py) are non-catalog
 # surfaces covered by their own pytest suites.
-FORCE_REATTEST: tuple[str, ...] = ("q_keyed_lsm_roundtrip",)
+FORCE_REATTEST: tuple[str, ...] = ("q_keyed_lsm_roundtrip",
+                                   "q_incremental_dedup")
 
 
 def _artifact_dir() -> str:

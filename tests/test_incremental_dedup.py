@@ -111,3 +111,61 @@ def test_output_schema_and_batch_frame(spark):
     assert dict(out.dtypes)["hits_index"] == "bigint"
     # one row per new doc, never per bucket collision
     assert out.count() == 2
+
+
+def test_bucket_key_index_probe_is_exchange_free(spark, tmp_path):
+    """r11: when the index carries its store merge key (bucket_key),
+    the probe joins on that single key — a bucket_key-bucketed index
+    table feeds the join with NO Exchange on the index side (1 total,
+    the batch side). Verdicts are identical to the (band, band_sig)
+    join, bucket_key being a bijection of the pair."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans.incremental_dedup import (
+        signature_index_rows)
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        read_keyed_table, upsert_into_keyed_table)
+    path = str(tmp_path / "bkt_sig_index")
+    pins = {"spark.sql.shuffle.partitions": "8",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
+    prev = {k: spark.conf.get(k, None) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        hist = spark.createDataFrame([(1, BASE), (2, OTHER)],
+                                     "doc_id long, text string")
+        upsert_into_keyed_table(spark, signature_index_rows(hist, "doc_id"),
+                                path=path, key="bucket_key",
+                                updated_at_col=None, buckets=8)
+        new = spark.createDataFrame([(10, BASE), (20, DIFF), (30, DIFF)],
+                                    "doc_id long, text string")
+        idx = read_keyed_table(spark, path, honor_buckets=True)
+        out = incremental_near_dup_flags(new, idx, "doc_id")
+        got = {r.doc_id: (r.hits_index, r.verdict) for r in out.collect()}
+        assert got == {10: (4, "dup_vs_index"), 20: (0, "unique"),
+                       30: (0, "dup_in_batch")}
+        # plan pin: the index-side probe join consumes the bucketed
+        # scan's partitioning — the only Exchanges in the whole plan
+        # belong to the batch-derived subtrees (shingle/minhash aggs),
+        # none re-partitions the index scan. The bucketed scan itself
+        # must appear and be actually bucketed.
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        lines = plan.splitlines()
+        scan_i = next(i for i, ln in enumerate(lines)
+                      if "Bucketed: true" in ln)
+        # walk UP from the bucketed scan: the nearest enclosing join
+        # must arrive with no Exchange between it and the scan
+        depth = len(lines[scan_i]) - len(lines[scan_i].lstrip(" :+-"))
+        for ln in reversed(lines[:scan_i]):
+            d = len(ln) - len(ln.lstrip(" :+-"))
+            if d < depth:
+                if "Join" in ln:
+                    break
+                assert "Exchange" not in ln
+                depth = d
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
