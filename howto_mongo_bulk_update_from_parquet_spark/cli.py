@@ -390,6 +390,11 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
                                           incremental_dup_spans)
     from .sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
 
+    if args.mode == "vec" and not args.vectors:
+        print("--mode vec needs --vectors (the keyed vector store "
+              "verification reads colliding members from)",
+              file=sys.stderr)
+        return 2
     spark = get_spark("dedup-incremental")
     try:
         batch = spark.read.parquet(args.source)
@@ -397,12 +402,16 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
         print(f"cannot read batch source {args.source}: {exc}",
               file=sys.stderr)
         return 2
-    for col, what in ((args.id_col, "id"), (args.text_col, "text")):
+    content_col = args.vec_col if args.mode == "vec" else args.text_col
+    content_kind = "vector" if args.mode == "vec" else "text"
+    for col, what in ((args.id_col, "id"), (content_col, content_kind)):
         if col not in batch.columns:
             print(f"batch source {args.source} has no {what} column "
                   f"'{col}' (columns: {', '.join(batch.columns)})",
                   file=sys.stderr)
             return 2
+    if args.mode == "vec":
+        return _dedup_incremental_vec(spark, args, batch)
     docs = batch.select(F.col(args.id_col).alias("doc_id"),
                         F.col(args.text_col).alias("text"))
 
@@ -560,6 +569,60 @@ def cmd_curate(args: argparse.Namespace) -> int:
           f"(exact-dup removed {n_input - n_dedup}, trim dropped "
           f"{n_dedup - n_trim}, quality dropped {n_trim - n_curated}); "
           f"manifest.json written")
+    return 0
+
+
+def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
+    """`dedup-incremental --mode vec`: the embedding-space arrival
+    step (plans/incremental_vec.py). The batch is LSH-signed once,
+    probed against the persisted RHP bucket index, and exact-cosine
+    verified ONLY against colliding members fetched from the keyed
+    vector store (--vectors) by id — a point-lookup join bounded by
+    the collision count. --update-index upserts the survivors' (no
+    verified dup) index rows AND vectors. In-batch vector dedup is a
+    separate concern (q_semdedup / q_vector_lsh_verified cover it) —
+    this verb classifies arrivals against HISTORY."""
+    from pyspark.sql import functions as F
+
+    from .plans.incremental_vec import (incremental_vec_dup_flags,
+                                        vec_index_rows)
+    from .sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
+
+    emb = batch.select(F.col(args.id_col).alias("vec_id"),
+                       F.col(args.vec_col).alias("embedding"))
+    try:
+        index = read_keyed_table(spark, args.index, honor_buckets=True) \
+            .select("band", "bucket", "member_id")
+        store = read_keyed_table(spark, args.vectors)
+        seeded = True
+    except FileNotFoundError:
+        seeded = False
+        index = spark.createDataFrame(
+            [], "band long, bucket long, member_id long")
+        store = spark.createDataFrame(
+            [], "member_id long, embedding array<float>")
+    out = incremental_vec_dup_flags(emb, index, store, "vec_id",
+                                    threshold=args.threshold).persist()
+    n_dup_vecs = out.count()
+    if args.out:
+        out.write.mode(args.write_mode).parquet(args.out)
+    else:
+        out.show(args.limit, truncate=False)
+    if args.update_index:
+        survivors = emb.join(out.select("vec_id"), "vec_id", "left_anti")
+        upsert_into_keyed_table(spark, vec_index_rows(survivors, "vec_id"),
+                                path=args.index, key="idx_key",
+                                updated_at_col=None, buckets=args.buckets)
+        upsert_into_keyed_table(
+            spark, survivors.select(F.col("vec_id").alias("member_id"),
+                                    "embedding"),
+            path=args.vectors, key="member_id", updated_at_col=None)
+        action = "updated" if seeded else "seeded"
+    else:
+        action = "unchanged (--update-index to maintain them)"
+    out.unpersist()
+    print(f"dedup-incremental mode=vec: dup_vs_index={n_dup_vecs}; "
+          f"index {args.index} + vector store {args.vectors} {action}")
     return 0
 
 
@@ -835,10 +898,14 @@ def main(argv: list[str] | None = None) -> int:
         help="probe one arriving batch against the persisted dedup "
              "index (near-dup verdicts or substring spans) and "
              "optionally fold the batch into the index")
-    di.add_argument("--mode", choices=["near", "spans"], default="near",
+    di.add_argument("--mode", choices=["near", "spans", "vec"],
+                    default="near",
                     help="near: per-doc MinHash-LSH verdicts vs the "
                          "band-signature index; spans: maximal "
-                         "duplicated k-gram spans vs the gram index")
+                         "duplicated k-gram spans vs the gram index; "
+                         "vec: embedding near-dups vs the RHP bucket "
+                         "index, exact-cosine verified against the "
+                         "keyed vector store (--vectors)")
     di.add_argument("--index", required=True,
                     help="keyed-table path of the persisted index "
                          "(created on first --update-index run)")
@@ -846,6 +913,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet file/dir of the arriving batch")
     di.add_argument("--id-col", default="doc_id")
     di.add_argument("--text-col", default="text")
+    di.add_argument("--vec-col", default="embedding",
+                    help="embedding column (mode vec)")
+    di.add_argument("--vectors",
+                    help="keyed vector store path (mode vec): colliding "
+                         "members' vectors are point-looked-up here for "
+                         "exact-cosine verification")
+    di.add_argument("--threshold", type=float, default=0.45,
+                    help="cosine verification threshold (mode vec)")
     di.add_argument("--out", help="write results as parquet here "
                                   "(default: show)")
     di.add_argument("--write-mode", default="errorifexists",

@@ -107,6 +107,7 @@ def _load() -> None:
     from . import dup_spans  # noqa: F401
     from . import incremental_spans  # noqa: F401
     from . import curate  # noqa: F401
+    from . import incremental_vec  # noqa: F401
     from .rotation import expected_head, last_green_by_query
     head = expected_head(
         list(CATALOG),

@@ -1,0 +1,161 @@
+"""Incremental (cross-batch) embedding near-duplicate detection —
+the vector-space member of the incremental-dedup trio (MinHash text:
+`incremental_dedup`; k-gram substring: `incremental_spans`).
+
+At 100 TB of vectors you never re-hash the corpus when a batch of new
+embeddings arrives. The history is represented by two persisted,
+keyed stores:
+
+- the **bucket index**: one row per (band, bucket, member) from the
+  banded random-hyperplane LSH — a few dozen bytes per member per
+  band, bucket-joinable;
+- the **vector store**: the raw embeddings keyed by id — candidate
+  verification is a point-lookup join bounded by the collision count,
+  never a scan of history.
+
+Each arriving batch is signed ONCE (one Arrow-batched int64 matmul
+for all 36 hyperplanes), probed against the bucket index with a
+bucket-local join, and its candidate pairs are verified by exact
+cosine against only the colliding members' vectors. Survivors (no
+verified duplicate) upsert THEIR index rows and vectors; history is
+never re-signed. Nothing is all-pairs.
+
+The catalog query models both corpus states inside one table so the
+DuckDB oracle can replay it exactly: embeddings with
+``vec_id % 3 <> 0`` are the indexed history, the rest the new batch
+(the `q_incremental_dedup` split). Output: one row per new vector
+that has at least one VERIFIED duplicate in history —
+(vec_id, n_dups, match_id, cos_sim) with the best match ranked by
+cosine then smallest id (fully ordered, tie-safe).
+
+Scale posture: candidate generation is O(collisions) via the banded
+self-join discipline of `q_vector_lsh_verified`; per-arrival history
+cost is the index probe plus |candidates| point lookups; norms are
+computed once per side, so each candidate pays one dot-product fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.parquet import load_table
+from .catalog import register
+from .similarity import _as_double, dot
+from .vector_lsh import (BITS_PER_BAND, N_BANDS, VERIFY_THRESHOLD,
+                         _RHP_BANDS_SQL, rhp_band_buckets_udf, scaled_vec)
+
+INCREMENTAL_VEC_ORACLE = f"""
+WITH bands AS (
+  {_RHP_BANDS_SQL}
+),
+newb AS (SELECT * FROM bands WHERE vec_id % 3 = 0),
+idx  AS (SELECT * FROM bands WHERE vec_id % 3 <> 0),
+cand AS (
+  SELECT DISTINCT n.vec_id AS vec_id, i.vec_id AS match_id
+  FROM newb n JOIN idx i ON n.band = i.band AND n.bucket = i.bucket
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+verified AS (
+  SELECT c.vec_id, c.match_id,
+         ROUND(list_cosine_similarity(va.ev, vb.ev), 6) AS cos_sim
+  FROM cand c
+  JOIN v va ON va.vec_id = c.vec_id
+  JOIN v vb ON vb.vec_id = c.match_id
+  WHERE ROUND(list_cosine_similarity(va.ev, vb.ev), 6)
+        >= {VERIFY_THRESHOLD}
+),
+ranked AS (
+  SELECT vec_id, match_id, cos_sim,
+         CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_dups,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, match_id) AS rn
+  FROM verified
+)
+SELECT vec_id, n_dups, match_id, cos_sim FROM ranked WHERE rn = 1
+"""
+
+
+def banded_buckets(emb: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket) rows for a vector batch — one Arrow-batched
+    int64 matmul signs all hyperplanes; lineage cut so downstream
+    branches read the tiny result instead of re-running the UDF."""
+    sig = rhp_band_buckets_udf(N_BANDS, BITS_PER_BAND)
+    return (emb.select(id_col, scaled_vec(F.col("embedding")).alias("__v"))
+            .select(id_col, F.posexplode(sig(F.col("__v")))
+                    .alias("band", "bucket"))
+            .select(id_col, F.col("band").cast("long").alias("band"),
+                    "bucket")
+            .localCheckpoint(eager=False))
+
+
+def vec_index_rows(emb: DataFrame, id_col: str) -> DataFrame:
+    """Bucket-index rows for a vector batch: one row per
+    (band, bucket, member) with `idx_key` = 'band:bucket:member' as
+    the single merge key a keyed store needs. Unlike the MinHash
+    band index (one row per DISTINCT bucket), vector verification
+    must reach EVERY colliding member, so membership is explicit.
+    Sink-agnostic by design — no storage import here, the arrival
+    loop lives in tests/the CLI."""
+    b = banded_buckets(emb, id_col)
+    return b.select(
+        F.concat_ws(":", F.col("band").cast("string"),
+                    F.col("bucket").cast("string"),
+                    F.col(id_col).cast("string")).alias("idx_key"),
+        "band", "bucket", F.col(id_col).alias("member_id"))
+
+
+def incremental_vec_dup_flags(new_emb: DataFrame, index_rows: DataFrame,
+                              history_vecs: DataFrame, id_col: str,
+                              threshold: float = VERIFY_THRESHOLD
+                              ) -> DataFrame:
+    """New-batch vectors with a VERIFIED near-duplicate in history.
+
+    ``index_rows`` needs (band, bucket, member_id) — exactly what the
+    persisted bucket index holds; ``history_vecs`` needs
+    (member_id, embedding) — the vector store, touched only for the
+    colliding members. Returns (id, n_dups, match_id, cos_sim), best
+    match first by cosine then smallest member id."""
+    new_b = banded_buckets(new_emb, id_col)
+    cand = (new_b.join(index_rows.select("band", "bucket", "member_id"),
+                       ["band", "bucket"])
+            .select(id_col, "member_id").distinct())
+    def _with_norm(df, idc, vec_alias, nrm_alias, idc_out):
+        v = df.select(F.col(idc).alias(idc_out),
+                      _as_double("embedding").alias(vec_alias))
+        return v.select(idc_out, vec_alias,
+                        F.sqrt(dot(F.col(vec_alias), F.col(vec_alias)))
+                        .alias(nrm_alias))
+    va = _with_norm(new_emb, id_col, "ev_a", "nrm_a", id_col)
+    vb = _with_norm(history_vecs, "member_id", "ev_b", "nrm_b", "member_id")
+    sim = F.round(dot(F.col("ev_a"), F.col("ev_b"))
+                  / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    verified = (cand.join(va, id_col).join(vb, "member_id")
+                .select(id_col, F.col("member_id").alias("match_id"),
+                        sim.alias("cos_sim"))
+                .filter(F.col("cos_sim") >= threshold))
+    w = Window.partitionBy(id_col).orderBy(F.col("cos_sim").desc(),
+                                           "match_id")
+    return (verified
+            .withColumn("n_dups",
+                        F.count(F.lit(1)).over(Window.partitionBy(id_col))
+                        .cast("long"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "n_dups", "match_id", "cos_sim"))
+
+
+@register("q_incremental_vec_dedup", INCREMENTAL_VEC_ORACLE,
+          "cross-batch embedding near-dup: new vectors signed once, "
+          "probed against the history's persisted RHP bucket index, "
+          "exact-cosine verified only against colliding members")
+def q_incremental_vec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    new_emb = e.filter(F.col("vec_id") % 3 == 0)
+    history = e.filter(F.col("vec_id") % 3 != 0)
+    index = vec_index_rows(history, "vec_id") \
+        .select("band", "bucket", "member_id")
+    return incremental_vec_dup_flags(
+        new_emb, index, history.select(F.col("vec_id").alias("member_id"),
+                                       "embedding"), "vec_id")

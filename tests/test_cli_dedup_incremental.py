@@ -108,3 +108,59 @@ def test_cli_rejects_missing_columns_and_bad_source(tmp_path, spark, capsys):
     assert main(["dedup-incremental", "--index", str(tmp_path / "i"),
                  "--source", str(tmp_path / "nope")]) == 2
     assert "cannot read batch source" in capsys.readouterr().err
+
+
+def test_vec_mode_two_arrivals_maintain_both_stores(spark, tmp_path, capsys):
+    """--mode vec: arrivals probed against the RHP bucket index and
+    exact-cosine verified against the keyed vector store; survivors
+    fold into BOTH stores."""
+    import math
+    import random
+
+    def vec(seed):
+        rng = random.Random(seed)
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [round(x / n, 6) for x in v]
+
+    def write(path, rows):
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>") \
+            .coalesce(1).write.parquet(path)
+
+    idx = str(tmp_path / "v_idx")
+    store = str(tmp_path / "v_store")
+    b1, b2, b3 = (str(tmp_path / f"v_batch{i}") for i in (1, 2, 3))
+    write(b1, [(1, vec(5)), (2, vec(60))])
+    write(b2, [(10, vec(200)), (11, vec(5))])   # 11 duplicates history 1
+    write(b3, [(20, vec(200))])                 # duplicates b2's survivor
+
+    # missing --vectors is a usage error
+    assert main(["dedup-incremental", "--mode", "vec", "--id-col", "vec_id", "--index", idx,
+                 "--source", b1]) == 2
+    assert "--vectors" in capsys.readouterr().err
+
+    assert main(["dedup-incremental", "--mode", "vec", "--id-col", "vec_id", "--index", idx,
+                 "--vectors", store, "--source", b1,
+                 "--update-index"]) == 0
+    assert "dup_vs_index=0" in capsys.readouterr().out
+
+    out2 = str(tmp_path / "v_out2")
+    assert main(["dedup-incremental", "--mode", "vec", "--id-col", "vec_id", "--index", idx,
+                 "--vectors", store, "--source", b2, "--out", out2,
+                 "--update-index"]) == 0
+    assert "dup_vs_index=1" in capsys.readouterr().out
+    rows = {r.vec_id: (r.n_dups, r.match_id, r.cos_sim)
+            for r in spark.read.parquet(out2).collect()}
+    assert rows == {11: (1, 1, 1.0)}
+
+    out3 = str(tmp_path / "v_out3")
+    assert main(["dedup-incremental", "--mode", "vec", "--id-col", "vec_id", "--index", idx,
+                 "--vectors", store, "--source", b3, "--out", out3]) == 0
+    rows3 = {r.vec_id: r.match_id
+             for r in spark.read.parquet(out3).collect()}
+    assert rows3 == {20: 10}          # the batch-2 survivor is history now
+    # probe-only run left the stores unchanged
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import read_keyed_table
+    assert read_keyed_table(spark, store).count() == 3
