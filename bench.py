@@ -312,8 +312,13 @@ def main() -> None:
     # than that is truncated mid-JSON and recorded as parsed:null — so the
     # printed summary carries only totals + the slowest-10 (~0.7 KB) and
     # the complete per-query timing/oracle detail lives in BENCH_FULL.json.
+    # write the layout-appropriate artifact: a multifile experiment
+    # must not overwrite the committed single-layout detail (the
+    # mover-adjudication baseline reads per layout too)
+    out_name = ("BENCH_MULTIFILE.json" if layout == "multifile32"
+                else "BENCH_FULL.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as fh:
+                           out_name), "w") as fh:
         json.dump({
             "metric": "catalog_total_wall_clock",
             "value": total,
