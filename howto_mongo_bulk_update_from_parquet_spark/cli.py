@@ -520,7 +520,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
     stages = curate_stages(docs.select(*cols),
                            min_tokens=args.min_tokens, k=args.k,
                            weights=tuple(args.splits),
-                           pack_budget=args.pack_budget)
+                           pack_budget=args.pack_budget,
+                           near_dup=args.near_dup)
     n_input = docs.count()
     # the trim stage feeds both the curated output and the stage
     # accounting — persist it once rather than re-running the k-gram
@@ -552,7 +553,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
                    "pack_budget": args.pack_budget},
         "stages": {
             "input_docs": n_input,
-            "after_exact_dedup": n_dedup,
+            "after_dedup" if args.near_dup else "after_exact_dedup":
+                n_dedup,
             "after_substring_trim": n_trim,
             "after_quality_gate": n_curated,
         },
@@ -955,6 +957,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="tokens per packed training sequence")
     cu.add_argument("--splits", type=_int_list, default=[80, 10, 10],
                     help="train,val,test integer percents (sum 100)")
+    cu.add_argument("--near-dup", action="store_true",
+                    help="also drop MinHash-LSH near-duplicates "
+                         "(bucket-min keep-one) after exact dedup")
     cu.add_argument("--write-mode", default="errorifexists",
                     choices=["errorifexists", "overwrite"])
     cu.set_defaults(fn=cmd_curate)

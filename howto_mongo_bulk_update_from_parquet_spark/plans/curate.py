@@ -21,6 +21,12 @@ Scale posture, stage by stage:
   the q_doc_packing shape; token offsets never cross partitions, so
   no global sort and no single-reducer concentration.
 
+Reference parity note: the reference repo's pipeline
+(`/root/reference/src/func/job.py:20-94`) is a one-stage
+read→transform→sink chain; this module is the mandated LLM-pipeline
+extension of that chain — same lazy single-DAG discipline, five
+curation stages instead of one upsert stage.
+
 Each stage is already oracle-attested under its own catalog entry
 (q_dedup_keep_one, q_dedup_trim, q_training_pipeline, q_doc_packing,
 q_corpus_card); `q_curate_pipeline` additionally puts the COMPOSED
@@ -44,14 +50,19 @@ from .dup_spans import _SPANS_SQL, K, trim_dup_spans
 
 def curate_stages(docs: DataFrame, *, min_tokens: int = 20, k: int = K,
                   weights: tuple[int, int, int] = (80, 10, 10),
-                  pack_budget: int = 512) -> dict[str, DataFrame]:
+                  pack_budget: int = 512,
+                  near_dup: bool = False) -> dict[str, DataFrame]:
     """The curation DAG over a (doc_id, text[, lang]) frame.
 
     Returns the named intermediate frames — all lazy, sharing one
     scan lineage — so the caller can count each stage's survivors:
 
     - ``deduped``: exact-duplicate texts collapsed to the smallest
-      doc_id (md5 window, keep-smallest convention);
+      doc_id (md5 window, keep-smallest convention); with
+      ``near_dup=True`` a MinHash-LSH keep-one pass follows — any
+      document sharing a band bucket with a smaller-id survivor is
+      dropped (the q_dedup_keep_one / dup_in_batch bucket-min rule,
+      O(collisions) via banding, never all-pairs);
     - ``trimmed``: corpus-duplicated k-token spans cut out and the
       document rebuilt (docs trimmed to nothing drop here);
     - ``curated``: the quality-gated survivors with ``split`` (a
@@ -65,6 +76,19 @@ def curate_stages(docs: DataFrame, *, min_tokens: int = 20, k: int = K,
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (base.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") == 1).drop("rn"))
+
+    if near_dup:
+        from ..operators.dedup import (lsh_bands, minhash_signatures,
+                                       shingles)
+        bands = lsh_bands(
+            minhash_signatures(shingles(deduped, "doc_id", "text", 3),
+                               "doc_id", 16), "doc_id", 4)
+        bucket_min = (bands.groupBy("band", "band_sig")
+                      .agg(F.min("doc_id").alias("__min_id")))
+        losers = (bands.join(bucket_min, ["band", "band_sig"])
+                  .filter(F.col("doc_id") > F.col("__min_id"))
+                  .select("doc_id").distinct())
+        deduped = deduped.join(losers, "doc_id", "left_anti")
 
     trimmed = (trim_dup_spans(deduped.select("doc_id", "text"), k=k)
                .join(deduped.select("doc_id", "lang"), "doc_id")

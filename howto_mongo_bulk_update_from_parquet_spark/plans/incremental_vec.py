@@ -32,6 +32,13 @@ Scale posture: candidate generation is O(collisions) via the banded
 self-join discipline of `q_vector_lsh_verified`; per-arrival history
 cost is the index probe plus |candidates| point lookups; norms are
 computed once per side, so each candidate pays one dot-product fold.
+
+Reference parity note: the reference pipeline
+(`/root/reference/src/func/mongo.py:166-269`) is itself incremental —
+each run upserts one parquet batch into the accumulated store; this
+is the embedding-dedup analog of that arrival-at-a-time posture, with
+the keyed stores played by the same versioned sink the reference's
+collection maps to (`sinks/keyed_table.py`).
 """
 
 from __future__ import annotations

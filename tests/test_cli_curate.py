@@ -100,3 +100,29 @@ def test_curate_rejects_bad_splits_and_columns(spark, tmp_path, capsys):
     assert main(["curate", "--source", src, "--out", str(tmp_path / "o"),
                  "--text-col", "body"]) == 2
     assert "no text column 'body'" in capsys.readouterr().err
+
+
+def test_curate_near_dup_stage_drops_bucket_losers(spark, tmp_path):
+    """--near-dup adds the MinHash-LSH keep-one pass after exact
+    dedup: a lightly-reworded copy (same shingle buckets, different
+    md5) is dropped; the smaller-id original survives."""
+    src = str(tmp_path / "raw_nd")
+    out = str(tmp_path / "cur_nd")
+    base = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 "
+            "w17 w18 w19 w20")
+    near = base + " tail"                       # shares every base shingle
+    other = ("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16 "
+             "x17 x18 x19 x20")
+    spark.createDataFrame([(1, base), (2, near), (3, other)],
+                          "doc_id long, text string") \
+        .coalesce(1).write.parquet(src)
+    assert main(["curate", "--source", src, "--out", out, "--near-dup",
+                 "--k", "1000", "--min-tokens", "5",
+                 "--splits", "100,0,0"]) == 0
+    with open(os.path.join(out, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["stages"]["after_dedup"] == 2        # doc 2 dropped
+    assert manifest["stages"]["after_quality_gate"] == 2
+    kept = {r.doc_id for r in
+            spark.read.parquet(os.path.join(out, "corpus")).collect()}
+    assert kept == {1, 3}
