@@ -32,6 +32,13 @@ Scale posture: candidate generation is O(collisions) via the banded
 self-join discipline of `q_vector_lsh_verified`; per-arrival history
 cost is the index probe plus |candidates| point lookups; norms are
 computed once per side, so each candidate pays one dot-product fold.
+One tuning obligation at deployment scale: the band WIDTH
+(`BITS_PER_BAND`) must grow with log2(N) — RHP buckets are a fixed
+2^bits space, so under-sized bands on a larger corpus inflate random
+collisions toward N²/2^bits per band (the fixture-scale setting here
+is 6 bits; a 1B-vector store wants ~30). MinHash band signatures
+don't have this knob because their bucket space is content-derived
+and grows with the data.
 
 Reference parity note: the reference pipeline
 (`/root/reference/src/func/mongo.py:166-269`) is itself incremental —

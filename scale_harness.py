@@ -23,13 +23,19 @@ copies frame so the source is scanned once, never K times):
   copies are disjoint near-dup corpora (linear candidate growth), not
   one corpus duplicated K times (which would be quadratic cross-copy
   pair blowup — a different experiment than "more data").
-- embeddings        : vec_id += k * 10M; vectors jittered by
-  k * 1e-3 per element (keeps cosine structure within a copy, breaks
-  exact cross-copy ties). Labels unchanged: the IVF coarse quantizer
-  keeps its fixed centroid count while buckets grow linearly, and the
-  catalog query's fixed 10-vector query set (vec_id 100..110) lives
-  entirely in copy 0 — the realistic fixed-workload / growing-corpus
-  posture.
+- embeddings        : vec_id += k * 10M; each copy k > 0 gets a
+  copy-specific ±1 SIGN FLIP per dimension (md5 parity of (k, j)).
+  An elementwise sign vector s preserves every within-copy dot
+  product exactly (<s⊙a, s⊙b> = <a, b>) — IVF/ANN structure inside
+  a copy is untouched — while cross-copy cosines decorrelate to
+  ~±1/√dim, far below any dedup threshold, so near-dup slots see
+  "more data", not "the same data duplicated K times" (the earlier
+  k·1e-3 jitter preserved cross-copy cosine ≈ 1.0, which made every
+  copy a true near-dup of its siblings: candidate growth quadratic
+  in K by CONSTRUCTION, the vector analog of why document shingles
+  get copy-salted). Copy 0 is identity, so the catalog query's fixed
+  10-vector query set (vec_id 100..110) is bit-identical at every
+  scale — the realistic fixed-workload / growing-corpus posture.
 - region/nation/customer/supplier/part: written through unchanged.
 
 Every scale (including x1) is materialized by the same writer so file
@@ -86,6 +92,16 @@ QUERIES = [
     # the staged events feed (state keys grow with users; per-key
     # state bounded by the TTL eviction)
     "q_stream_first_seen_ttl",
+    # NOT swept: q_incremental_vec_dedup. Its banded RHP index uses
+    # FIXED 6-bit bands (64 buckets) tuned for the fixture scale —
+    # bucket space does not grow with N, so on decorrelated data the
+    # candidate count is ~N²/2^bits per band and a fixed-parameter
+    # sweep measures index MIS-TUNING, not the plan (LSH practice:
+    # bits-per-band grows with log2 N; re-tune per deployment size).
+    # The sub-linear evidence for the banded-LSH probe SHAPE is the
+    # MinHash slot (q_minhash_lsh_pairs, slope 0.31), whose band_sig
+    # buckets are content-derived strings — bucket space grows with
+    # the data, which is the property the sweep needs.
 ]
 
 # Sink-family slots (r10 verdict #5): one keyed-table upsert ROUND —
@@ -143,6 +159,22 @@ def _spark():
             .getOrCreate())
 
 
+def _flip_embedding(c, v):
+    """Copy-specific ±1 sign flip per dimension (identity for copy 0):
+    preserves within-copy dot products exactly, decorrelates cross-copy
+    cosine to ~±1/sqrt(dim) — see the replication-scheme note above."""
+    from pyspark.sql import functions as F
+
+    def sign(i):
+        parity = (F.conv(F.substring(
+            F.md5(F.concat_ws(":", c.cast("string"), i.cast("string"))),
+            1, 1), 16, 10).cast("int") % 2)
+        return (parity * 2 - 1).cast("float")
+
+    return F.when(c == F.lit(0), v).otherwise(
+        F.transform(v, lambda x, i: (x * sign(i)).cast("float")))
+
+
 def build_scale(spark, k: int, out_dir: str) -> None:
     """Materialize the xK dataset under out_dir (skip if present)."""
     from pyspark.sql import functions as F
@@ -183,10 +215,7 @@ def build_scale(spark, k: int, out_dir: str) -> None:
         text=lambda c, v: F.regexp_replace(
             v, F.lit(" "),
             F.concat(F.lit(" s"), c.cast("string"), F.lit(" "))))
-    fan("embeddings", vec_id=off,
-        embedding=lambda c, v: F.transform(
-            v, lambda x: (x + c.cast("float") * F.lit(0.001))
-            .cast("float")))
+    fan("embeddings", vec_id=off, embedding=_flip_embedding)
     for name in DIMS:
         df = load_table(spark, BASE, name)
         df.write.mode("overwrite").parquet(
