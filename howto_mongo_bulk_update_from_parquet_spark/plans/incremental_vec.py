@@ -91,11 +91,15 @@ SELECT vec_id, n_dups, match_id, cos_sim FROM ranked WHERE rn = 1
 """
 
 
-def banded_buckets(emb: DataFrame, id_col: str) -> DataFrame:
+def banded_buckets(emb: DataFrame, id_col: str,
+                   bits: int = BITS_PER_BAND) -> DataFrame:
     """(id, band, bucket) rows for a vector batch — one Arrow-batched
     int64 matmul signs all hyperplanes; lineage cut so downstream
-    branches read the tiny result instead of re-running the UDF."""
-    sig = rhp_band_buckets_udf(N_BANDS, BITS_PER_BAND)
+    branches read the tiny result instead of re-running the UDF.
+    `bits` is the per-band bucket width — the knob that must grow
+    with log2(corpus size) so the bucket space tracks the data (see
+    the module docstring's tuning note)."""
+    sig = rhp_band_buckets_udf(N_BANDS, bits)
     return (emb.select(id_col, scaled_vec(F.col("embedding")).alias("__v"))
             .select(id_col, F.posexplode(sig(F.col("__v")))
                     .alias("band", "bucket"))
@@ -104,7 +108,8 @@ def banded_buckets(emb: DataFrame, id_col: str) -> DataFrame:
             .localCheckpoint(eager=False))
 
 
-def vec_index_rows(emb: DataFrame, id_col: str) -> DataFrame:
+def vec_index_rows(emb: DataFrame, id_col: str,
+                   bits: int = BITS_PER_BAND) -> DataFrame:
     """Bucket-index rows for a vector batch: one row per
     (band, bucket, member) with `idx_key` = 'band:bucket:member' as
     the single merge key a keyed store needs. Unlike the MinHash
@@ -112,7 +117,7 @@ def vec_index_rows(emb: DataFrame, id_col: str) -> DataFrame:
     must reach EVERY colliding member, so membership is explicit.
     Sink-agnostic by design — no storage import here, the arrival
     loop lives in tests/the CLI."""
-    b = banded_buckets(emb, id_col)
+    b = banded_buckets(emb, id_col, bits=bits)
     return b.select(
         F.concat_ws(":", F.col("band").cast("string"),
                     F.col("bucket").cast("string"),
@@ -122,8 +127,8 @@ def vec_index_rows(emb: DataFrame, id_col: str) -> DataFrame:
 
 def incremental_vec_dup_flags(new_emb: DataFrame, index_rows: DataFrame,
                               history_vecs: DataFrame, id_col: str,
-                              threshold: float = VERIFY_THRESHOLD
-                              ) -> DataFrame:
+                              threshold: float = VERIFY_THRESHOLD,
+                              bits: int = BITS_PER_BAND) -> DataFrame:
     """New-batch vectors with a VERIFIED near-duplicate in history.
 
     ``index_rows`` needs (band, bucket, member_id) — exactly what the
@@ -131,7 +136,7 @@ def incremental_vec_dup_flags(new_emb: DataFrame, index_rows: DataFrame,
     (member_id, embedding) — the vector store, touched only for the
     colliding members. Returns (id, n_dups, match_id, cos_sim), best
     match first by cosine then smallest member id."""
-    new_b = banded_buckets(new_emb, id_col)
+    new_b = banded_buckets(new_emb, id_col, bits=bits)
     cand = (new_b.join(index_rows.select("band", "bucket", "member_id"),
                        ["band", "bucket"])
             .select(id_col, "member_id").distinct())

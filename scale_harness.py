@@ -114,6 +114,42 @@ QUERIES = [
 # only.
 SINK_SLOTS = ["sink_upsert_plain", "sink_upsert_bucketed"]
 
+# The TUNED vec-dedup slot (r11): q_incremental_vec_dedup is excluded
+# above because its fixture-scale 6-bit bands are mis-tuned for a
+# bigger corpus; this slot applies the documented tuning rule —
+# bits_per_band grows with log2(N) so the bucket space tracks the
+# data — and runs the SAME probe/verify pipeline. Expected: per-vector
+# candidates roughly constant, total cost ~linear (recall per band
+# falls as bits rise; production raises the band count L alongside —
+# held fixed here so the sweep isolates the bucket-space axis).
+VEC_TUNED_SLOT = "vec_dedup_tuned"
+VEC_TUNED_BITS = {1: 8, 10: 11, 100: 15}
+
+
+def _vec_dedup_tuned_thunk(spark, data_dir: str, k: int):
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.plans.incremental_vec import (
+        incremental_vec_dup_flags)
+    from howto_mongo_bulk_update_from_parquet_spark.plans import incremental_vec as iv
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+
+    bits = VEC_TUNED_BITS.get(k, 8)
+
+    def run():
+        e = load_table(spark, data_dir, "embeddings")
+        new_emb = e.filter(F.col("vec_id") % 3 == 0)
+        history = e.filter(F.col("vec_id") % 3 != 0)
+        index = iv.vec_index_rows(history, "vec_id", bits=bits) \
+            .select("band", "bucket", "member_id")
+        out = incremental_vec_dup_flags(
+            new_emb, index,
+            history.select(F.col("vec_id").alias("member_id"),
+                           "embedding"), "vec_id", bits=bits)
+        out.write.format("noop").mode("overwrite").save()
+    return run
+
 
 def _sink_upsert_factory(spark, data_dir: str, scratch: str,
                          bucketed: bool):
@@ -228,7 +264,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,100")
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--queries", default=",".join(QUERIES + SINK_SLOTS))
+    ap.add_argument("--queries", default=",".join(QUERIES + SINK_SLOTS + [VEC_TUNED_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -257,7 +293,8 @@ def main() -> None:
         print(f"[scale] x{k} data ready "
               f"({time.perf_counter() - t0:.1f}s)", flush=True)
         # codegen / Python-worker warm-up outside the timed slots
-        warm = next((n for n in names if n not in SINK_SLOTS), None)
+        warm = next((n for n in names
+                     if n not in SINK_SLOTS and n != VEC_TUNED_SLOT), None)
         if warm:
             queries[warm](spark, out_dir).write.format("noop") \
                 .mode("overwrite").save()
@@ -266,6 +303,8 @@ def main() -> None:
                 thunk = _sink_upsert_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     bucketed=q.endswith("bucketed"))
+            elif q == VEC_TUNED_SLOT:
+                thunk = _vec_dedup_tuned_thunk(spark, out_dir, k)
             else:
                 thunk = (lambda fn=queries[q]:
                          fn(spark, out_dir).write.format("noop")
