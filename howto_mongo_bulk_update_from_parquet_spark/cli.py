@@ -438,28 +438,42 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
         else:
             idx_bands = spark.createDataFrame(
                 [], "band int, band_sig string")
-        out = incremental_near_dup_flags(docs, idx_bands, "doc_id")
+        # sign the batch ONCE: the same band frame drives the probe
+        # and (filtered to survivors) the index fold — shingling and
+        # minhashing are the dominant batch cost (code-review r11)
+        from .operators.dedup import lsh_bands, minhash_signatures, shingles
+        from .plans.incremental_dedup import signature_index_rows_from_bands
+        bands = lsh_bands(
+            minhash_signatures(shingles(docs, "doc_id", "text", 3),
+                               "doc_id", 16),
+            "doc_id", 4).localCheckpoint(eager=False)
+        out = incremental_near_dup_flags(docs, idx_bands, "doc_id",
+                                         new_bands=bands)
         out = out.persist()
         counts = {r["verdict"]: r["n"]
                   for r in out.groupBy("verdict")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
-        survivors = docs.join(
-            out.filter(F.col("verdict") == "unique").select("doc_id"),
-            "doc_id")
-        index_rows, index_key = signature_index_rows(
-            survivors, "doc_id"), "bucket_key"
+        survivor_ids = out.filter(
+            F.col("verdict") == "unique").select("doc_id")
+        index_rows, index_key = signature_index_rows_from_bands(
+            bands.join(survivor_ids, "doc_id"), "doc_id"), "bucket_key"
         summary = ", ".join(f"{k}={counts.get(k, 0)}" for k in
                             ("unique", "dup_vs_index", "dup_in_batch"))
     else:
         gram_idx = (index.select("h") if seeded
                     else spark.createDataFrame([], "h string"))
-        out = incremental_dup_spans(docs, gram_idx).persist()
+        # hash the batch's windows ONCE for both the probe and the fold
+        from .plans.dup_spans import gram_windows
+        from .plans.incremental_spans import gram_index_rows_from_grams
+        grams = gram_windows(docs)[0].localCheckpoint(eager=False)
+        out = incremental_dup_spans(docs, gram_idx,
+                                    new_grams=grams).persist()
         stats = out.agg(
             F.count(F.lit(1)).alias("spans"),
             F.countDistinct("doc_id").alias("docs"),
             F.coalesce(F.sum("span_tokens"), F.lit(0)).alias("tokens")
         ).collect()[0]
-        index_rows, index_key = gram_index_rows(docs), "h"
+        index_rows, index_key = gram_index_rows_from_grams(grams), "h"
         summary = (f"spans={stats['spans']}, docs_affected={stats['docs']}, "
                    f"dup_tokens={stats['tokens']}")
 
@@ -496,9 +510,10 @@ def cmd_curate(args: argparse.Namespace) -> int:
 
     from .plans.curate import corpus_card_frame, curate_stages
 
-    if len(args.splits) != 3 or sum(args.splits) != 100:
-        print(f"--splits must be three integer percents summing to 100, "
-              f"got {args.splits}", file=sys.stderr)
+    if (len(args.splits) != 3 or sum(args.splits) != 100
+            or any(not 0 <= w <= 100 for w in args.splits)):
+        print(f"--splits must be three integer percents in 0..100 summing "
+              f"to 100, got {args.splits}", file=sys.stderr)
         return 2
     spark = get_spark("curate")
     try:
@@ -563,10 +578,14 @@ def cmd_curate(args: argparse.Namespace) -> int:
     }
     trimmed.unpersist()
     curated.unpersist()
-    import os as _os
-    _os.makedirs(args.out, exist_ok=True)
-    with open(_os.path.join(args.out, "manifest.json"), "w") as fh:
-        _json.dump(manifest, fh, indent=1, sort_keys=True, default=str)
+    # through the Hadoop FS layer, not driver-local open(): on s3a://
+    # or hdfs:// the corpus lands remotely via Spark while a local
+    # open() would silently write the manifest to the driver's own
+    # disk (code-review r11; sinks/fs.py exists for exactly this)
+    from .sinks import fs as hfs
+    hfs.write_text(spark, hfs.join(args.out, "manifest.json"),
+                   _json.dumps(manifest, indent=1, sort_keys=True,
+                               default=str))
     print(f"curated {n_curated}/{n_input} docs into {out_corpus} "
           f"(exact-dup removed {n_input - n_dedup}, trim dropped "
           f"{n_dedup - n_trim}, quality dropped {n_trim - n_curated}); "
@@ -586,25 +605,49 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
     this verb classifies arrivals against HISTORY."""
     from pyspark.sql import functions as F
 
-    from .plans.incremental_vec import (incremental_vec_dup_flags,
-                                        vec_index_rows)
+    from .plans.incremental_vec import (banded_buckets,
+                                        incremental_vec_dup_flags,
+                                        vec_index_rows_from_buckets)
     from .sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
 
     emb = batch.select(F.col(args.id_col).alias("vec_id"),
                        F.col(args.vec_col).alias("embedding"))
+    # the two stores are read SEPARATELY: one try around both would
+    # let a mistyped --vectors path silently discard a REAL index
+    # (every dup reported unique, false survivors upserted) — a
+    # missing half is a hard usage error, only the both-absent case
+    # is a legitimate first arrival (code-review r11)
     try:
         index = read_keyed_table(spark, args.index, honor_buckets=True) \
             .select("band", "bucket", "member_id")
-        store = read_keyed_table(spark, args.vectors)
-        seeded = True
     except FileNotFoundError:
-        seeded = False
+        index = None
+    try:
+        store = read_keyed_table(spark, args.vectors, honor_buckets=True)
+    except FileNotFoundError:
+        store = None
+    if (index is None) != (store is None):
+        if store is None:
+            msg = (f"--index {args.index} exists but --vectors "
+                   f"{args.vectors} does not")
+        else:
+            msg = (f"--vectors {args.vectors} exists but --index "
+                   f"{args.index} does not")
+        print(f"inconsistent vec stores: {msg} — check the path "
+              f"(a first arrival seeds BOTH)", file=sys.stderr)
+        return 2
+    seeded = index is not None
+    if not seeded:
         index = spark.createDataFrame(
             [], "band long, bucket long, member_id long")
         store = spark.createDataFrame(
             [], "member_id long, embedding array<float>")
+    # sign the batch's vectors ONCE: the same bucket frame drives
+    # the probe and (filtered to survivors) the index fold
+    buckets = banded_buckets(emb, "vec_id")
     out = incremental_vec_dup_flags(emb, index, store, "vec_id",
-                                    threshold=args.threshold).persist()
+                                    threshold=args.threshold,
+                                    new_buckets=buckets).persist()
     n_dup_vecs = out.count()
     if args.out:
         out.write.mode(args.write_mode).parquet(args.out)
@@ -612,9 +655,13 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
         out.show(args.limit, truncate=False)
     if args.update_index:
         survivors = emb.join(out.select("vec_id"), "vec_id", "left_anti")
-        upsert_into_keyed_table(spark, vec_index_rows(survivors, "vec_id"),
-                                path=args.index, key="idx_key",
-                                updated_at_col=None, buckets=args.buckets)
+        upsert_into_keyed_table(
+            spark,
+            vec_index_rows_from_buckets(
+                buckets.join(survivors.select("vec_id"), "vec_id"),
+                "vec_id"),
+            path=args.index, key="idx_key",
+            updated_at_col=None, buckets=args.buckets)
         upsert_into_keyed_table(
             spark, survivors.select(F.col("vec_id").alias("member_id"),
                                     "embedding"),

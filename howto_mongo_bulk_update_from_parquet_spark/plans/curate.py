@@ -70,7 +70,12 @@ def curate_stages(docs: DataFrame, *, min_tokens: int = 20, k: int = K,
       sequential packing into `pack_budget`-token sequences per
       (split, lang)), ``n_tok`` and the trimmed ``text``.
     """
-    lang = F.col("lang") if "lang" in docs.columns else F.lit("unknown")
+    # NULL langs coalesce to 'unknown' at the door: a NULL would both
+    # silently vanish from multi-arg countDistinct (n_sequences
+    # undercount) and diverge from DuckDB's struct-distinct semantics
+    # (code-review r11)
+    lang = (F.coalesce(F.col("lang"), F.lit("unknown"))
+            if "lang" in docs.columns else F.lit("unknown"))
     base = docs.select("doc_id", "text", lang.alias("lang"))
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -157,7 +162,7 @@ def corpus_card_frame(curated: DataFrame) -> DataFrame:
 # gate on KEPT tokens -> md5 split -> greedy per-(split,lang) packing.
 CURATE_PIPELINE_ORACLE = f"""
 WITH dd AS (
-  SELECT doc_id, lang, text FROM (
+  SELECT doc_id, COALESCE(lang, 'unknown') AS lang, text FROM (
     SELECT doc_id, lang, text,
            ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
     FROM documents) WHERE rn = 1

@@ -94,9 +94,19 @@ def signature_index_rows(docs: DataFrame, id_col: str) -> DataFrame:
     re-signed. Intentionally sink-agnostic: no storage import here, so
     the catalog query's attestation closure stays purely relational.
     """
-    bands = lsh_bands(
-        minhash_signatures(shingles(docs, id_col, "text", 3), id_col, 16),
-        id_col, 4)
+    return signature_index_rows_from_bands(
+        lsh_bands(minhash_signatures(
+            shingles(docs, id_col, "text", 3), id_col, 16), id_col, 4),
+        id_col)
+
+
+def signature_index_rows_from_bands(bands: DataFrame,
+                                    id_col: str) -> DataFrame:
+    """`signature_index_rows` over an ALREADY-COMPUTED (id, band,
+    band_sig) frame — so an arrival loop that just probed the batch
+    can fold the survivors in without re-shingling/re-signing them
+    (filter the probe's band frame to the survivor ids and pass it
+    here; the batch is signed ONCE, as the module contract says)."""
     return (bands.groupBy("band", "band_sig")
             .agg(F.min(id_col).alias("rep_id"))
             .select(F.concat_ws("|", F.col("band").cast("string"),
@@ -105,7 +115,9 @@ def signature_index_rows(docs: DataFrame, id_col: str) -> DataFrame:
 
 
 def incremental_near_dup_flags(new_docs: DataFrame, index_bands: DataFrame,
-                               id_col: str) -> DataFrame:
+                               id_col: str,
+                               new_bands: DataFrame | None = None
+                               ) -> DataFrame:
     """Classify each new-batch document against a band-signature index.
 
     ``index_bands`` needs only (band, band_sig) — exactly what a
@@ -117,9 +129,10 @@ def incremental_near_dup_flags(new_docs: DataFrame, index_bands: DataFrame,
     the posture that matters when the index is the 100 TB side.
     Returns (id, hits_index, verdict).
     """
-    new_bands = lsh_bands(
-        minhash_signatures(shingles(new_docs, id_col, "text", 3), id_col, 16),
-        id_col, 4)
+    if new_bands is None:
+        new_bands = lsh_bands(
+            minhash_signatures(shingles(new_docs, id_col, "text", 3),
+                               id_col, 16), id_col, 4)
     if "bucket_key" in index_bands.columns:
         probe = new_bands.withColumn(
             "bucket_key", F.concat_ws("|", F.col("band").cast("string"),

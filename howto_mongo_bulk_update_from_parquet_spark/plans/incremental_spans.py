@@ -93,20 +93,29 @@ def gram_index_rows(docs: DataFrame, k: int = K) -> DataFrame:
     merge key a keyed store needs, so an arrival loop maintains the
     index incrementally (probe the batch, upsert the retained docs'
     rows — history is never re-hashed). Sink-agnostic by design."""
-    grams, _ = gram_windows(docs, k)
+    return gram_index_rows_from_grams(gram_windows(docs, k)[0])
+
+
+def gram_index_rows_from_grams(grams: DataFrame) -> DataFrame:
+    """`gram_index_rows` over an ALREADY-COMPUTED (doc_id, pos, h)
+    window frame — an arrival loop that just probed the batch folds
+    it into the index without re-tokenizing/re-hashing (the batch is
+    hashed ONCE, as the module contract says)."""
     return (grams.groupBy("h")
                  .agg(F.min("doc_id").alias("rep_id"),
                       F.count(F.lit(1)).alias("n")))
 
 
 def incremental_dup_spans(new_docs: DataFrame, gram_index: DataFrame,
-                          k: int = K) -> DataFrame:
+                          k: int = K,
+                          new_grams: DataFrame | None = None) -> DataFrame:
     """Maximal duplicated spans of a new batch against a persisted
     k-gram index. ``gram_index`` needs only column h — exactly what
     the store holds; pass it pre-deduplicated (or bucket-stored) so
     the probe shuffles the batch side only. Returns one row per span
     with idx_windows = how many of its windows hit history."""
-    grams, _ = gram_windows(new_docs, k)
+    grams = (new_grams if new_grams is not None
+             else gram_windows(new_docs, k)[0])
     idx_flag = grams.join(
         gram_index.select("h").distinct().withColumn("__idx", F.lit(1)),
         "h", "left")

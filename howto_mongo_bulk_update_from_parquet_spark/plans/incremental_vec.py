@@ -117,8 +117,18 @@ def vec_index_rows(emb: DataFrame, id_col: str,
     must reach EVERY colliding member, so membership is explicit.
     Sink-agnostic by design — no storage import here, the arrival
     loop lives in tests/the CLI."""
-    b = banded_buckets(emb, id_col, bits=bits)
-    return b.select(
+    return vec_index_rows_from_buckets(
+        banded_buckets(emb, id_col, bits=bits), id_col)
+
+
+def vec_index_rows_from_buckets(buckets: DataFrame,
+                                id_col: str) -> DataFrame:
+    """`vec_index_rows` over an ALREADY-COMPUTED (id, band, bucket)
+    frame — an arrival loop that just probed the batch folds the
+    survivors in without re-running the signing matmul (filter the
+    probe's bucket frame to the survivor ids; the batch is signed
+    ONCE, as the module contract says)."""
+    return buckets.select(
         F.concat_ws(":", F.col("band").cast("string"),
                     F.col("bucket").cast("string"),
                     F.col(id_col).cast("string")).alias("idx_key"),
@@ -128,7 +138,9 @@ def vec_index_rows(emb: DataFrame, id_col: str,
 def incremental_vec_dup_flags(new_emb: DataFrame, index_rows: DataFrame,
                               history_vecs: DataFrame, id_col: str,
                               threshold: float = VERIFY_THRESHOLD,
-                              bits: int = BITS_PER_BAND) -> DataFrame:
+                              bits: int = BITS_PER_BAND,
+                              new_buckets: DataFrame | None = None
+                              ) -> DataFrame:
     """New-batch vectors with a VERIFIED near-duplicate in history.
 
     ``index_rows`` needs (band, bucket, member_id) — exactly what the
@@ -136,7 +148,8 @@ def incremental_vec_dup_flags(new_emb: DataFrame, index_rows: DataFrame,
     (member_id, embedding) — the vector store, touched only for the
     colliding members. Returns (id, n_dups, match_id, cos_sim), best
     match first by cosine then smallest member id."""
-    new_b = banded_buckets(new_emb, id_col, bits=bits)
+    new_b = (new_buckets if new_buckets is not None
+             else banded_buckets(new_emb, id_col, bits=bits))
     cand = (new_b.join(index_rows.select("band", "bucket", "member_id"),
                        ["band", "bucket"])
             .select(id_col, "member_id").distinct())

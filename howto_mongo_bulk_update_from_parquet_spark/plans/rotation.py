@@ -49,15 +49,17 @@ ATTESTED_THROUGH = 10
 # Reviewed each round — and MECHANICALLY GUARDED since round 10:
 # tests/test_rotation_guard.py derives the queries whose package-
 # internal import closure intersects the round's diff and fails the
-# suite if any is missing here. Round 11's diff hardens
-# sinks/keyed_table.py (claim/conflict/manifest edges from ADVICE r10,
-# plus vacuum), which is inside q_keyed_lsm_roundtrip's closure by
-# design — the storage layer re-attests under the driver's oracle
-# whenever it changes. The round's other additions (dedup-incremental
-# / curate / vacuum CLI verbs, plans/curate.py) are non-catalog
-# surfaces covered by their own pytest suites.
+# suite if any is missing here. Round 11's diff touches (a)
+# sinks/keyed_table.py (ADVICE-r10 claim/conflict/manifest edges,
+# vacuum, honor_buckets reads) — inside q_keyed_lsm_roundtrip's
+# closure by design; (b) plans/incremental_dedup.py (bucket_key probe
+# path + sign-once band reuse) and plans/incremental_spans.py
+# (hash-once gram reuse) — their catalog queries re-attest. The new
+# queries (q_curate_pipeline, q_incremental_vec_dedup) are
+# never-attested and take head slots automatically.
 FORCE_REATTEST: tuple[str, ...] = ("q_keyed_lsm_roundtrip",
-                                   "q_incremental_dedup")
+                                   "q_incremental_dedup",
+                                   "q_incremental_dup_spans")
 
 
 def _artifact_dir() -> str:

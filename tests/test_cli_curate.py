@@ -126,3 +126,16 @@ def test_curate_near_dup_stage_drops_bucket_losers(spark, tmp_path):
     kept = {r.doc_id for r in
             spark.read.parquet(os.path.join(out, "corpus")).collect()}
     assert kept == {1, 3}
+
+
+def test_curate_rejects_out_of_range_split_components(spark, tmp_path,
+                                                      capsys):
+    """code-review r11: components summing to 100 can still be
+    degenerate (120,-10,-10 routes everything to train) — each must be
+    in 0..100."""
+    src = str(tmp_path / "raw3")
+    spark.createDataFrame([(1, "x y z")], "doc_id long, text string") \
+        .write.parquet(src)
+    assert main(["curate", "--source", src, "--out", str(tmp_path / "o3"),
+                 "--splits", "120,-10,-10"]) == 2
+    assert "0..100" in capsys.readouterr().err

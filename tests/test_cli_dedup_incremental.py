@@ -164,3 +164,38 @@ def test_vec_mode_two_arrivals_maintain_both_stores(spark, tmp_path, capsys):
     # probe-only run left the stores unchanged
     from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import read_keyed_table
     assert read_keyed_table(spark, store).count() == 3
+
+
+def test_vec_mode_rejects_inconsistent_store_pair(spark, tmp_path, capsys):
+    """code-review r11: a mistyped --vectors path must be a hard error
+    when the index exists — one shared except would silently replace
+    the REAL index with an empty one (every dup reported unique)."""
+    import math
+    import random
+
+    def vec(seed):
+        rng = random.Random(seed)
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [round(x / n, 6) for x in v]
+
+    idx = str(tmp_path / "i_idx")
+    store = str(tmp_path / "i_store")
+    b1 = str(tmp_path / "i_batch1")
+    spark.createDataFrame([(1, vec(5))],
+                          "vec_id long, embedding array<float>") \
+        .write.parquet(b1)
+    assert main(["dedup-incremental", "--mode", "vec", "--id-col", "vec_id",
+                 "--index", idx, "--vectors", store, "--source", b1,
+                 "--update-index"]) == 0
+    capsys.readouterr()
+    # index exists, --vectors mistyped → usage error, nothing probed
+    assert main(["dedup-incremental", "--mode", "vec", "--id-col", "vec_id",
+                 "--index", idx, "--vectors", str(tmp_path / "typo"),
+                 "--source", b1]) == 2
+    assert "inconsistent vec stores" in capsys.readouterr().err
+    # and the mirror case: --index mistyped while the store exists
+    assert main(["dedup-incremental", "--mode", "vec", "--id-col", "vec_id",
+                 "--index", str(tmp_path / "typo2"), "--vectors", store,
+                 "--source", b1]) == 2
+    assert "inconsistent vec stores" in capsys.readouterr().err
