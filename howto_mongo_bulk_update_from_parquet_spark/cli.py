@@ -606,6 +606,7 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
     from pyspark.sql import functions as F
 
     from .plans.incremental_vec import (banded_buckets,
+                                        batch_vec_dup_losers,
                                         incremental_vec_dup_flags,
                                         vec_index_rows_from_buckets)
     from .sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
@@ -653,8 +654,16 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
         out.write.mode(args.write_mode).parquet(args.out)
     else:
         out.show(args.limit, truncate=False)
+    # within-batch losers (verified near-dup of a smaller-id batch
+    # vector) never reach the stores — k identical vectors arriving
+    # together must index exactly one copy, same keep-smallest rule as
+    # near mode's dup_in_batch
+    losers = batch_vec_dup_losers(emb, "vec_id", threshold=args.threshold,
+                                  new_buckets=buckets).persist()
+    n_batch_dups = losers.count()
     if args.update_index:
-        survivors = emb.join(out.select("vec_id"), "vec_id", "left_anti")
+        survivors = (emb.join(out.select("vec_id"), "vec_id", "left_anti")
+                     .join(losers, "vec_id", "left_anti"))
         upsert_into_keyed_table(
             spark,
             vec_index_rows_from_buckets(
@@ -670,7 +679,9 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
     else:
         action = "unchanged (--update-index to maintain them)"
     out.unpersist()
-    print(f"dedup-incremental mode=vec: dup_vs_index={n_dup_vecs}; "
+    losers.unpersist()
+    print(f"dedup-incremental mode=vec: dup_vs_index={n_dup_vecs}, "
+          f"dup_in_batch={n_batch_dups}; "
           f"index {args.index} + vector store {args.vectors} {action}")
     return 0
 

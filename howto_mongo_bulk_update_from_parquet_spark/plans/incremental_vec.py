@@ -191,3 +191,40 @@ def q_incremental_vec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_vec_dup_flags(
         new_emb, index, history.select(F.col("vec_id").alias("member_id"),
                                        "embedding"), "vec_id")
+
+
+def batch_vec_dup_losers(new_emb: DataFrame, id_col: str,
+                         threshold: float = VERIFY_THRESHOLD,
+                         bits: int = BITS_PER_BAND,
+                         new_buckets: DataFrame | None = None) -> DataFrame:
+    """Within-batch near-duplicate LOSERS: every vector that verifies
+    (exact cosine ≥ threshold) against a SMALLER-id batch vector
+    sharing a band bucket — the keep-smallest convention of
+    `incremental_dedup`'s dup_in_batch rule, verified rather than
+    bucket-only. An arrival loop excludes these from the survivors it
+    folds into the stores; without this, k identical vectors arriving
+    together would all be indexed (none is in history yet) and the
+    index would grow with duplicates. Candidates are bucket
+    collisions (never all-pairs); each candidate pays one dot fold.
+    Returns one column: the loser ids."""
+    b = (new_buckets if new_buckets is not None
+         else banded_buckets(new_emb, id_col, bits=bits))
+    ba = b.select(F.col(id_col).alias("__id_a"), "band", "bucket")
+    bb = b.select(F.col(id_col).alias("__id_b"), "band", "bucket")
+    cand = (ba.join(bb, ["band", "bucket"])
+            .filter(F.col("__id_a") < F.col("__id_b"))
+            .select("__id_a", "__id_b").distinct())
+    v = new_emb.select(F.col(id_col), _as_double("embedding").alias("__ev"))
+    v = v.select(id_col, "__ev",
+                 F.sqrt(dot(F.col("__ev"), F.col("__ev"))).alias("__nrm"))
+    va = v.select(F.col(id_col).alias("__id_a"),
+                  F.col("__ev").alias("__ev_a"),
+                  F.col("__nrm").alias("__nrm_a"))
+    vb = v.select(F.col(id_col).alias("__id_b"),
+                  F.col("__ev").alias("__ev_b"),
+                  F.col("__nrm").alias("__nrm_b"))
+    sim = F.round(dot(F.col("__ev_a"), F.col("__ev_b"))
+                  / (F.col("__nrm_a") * F.col("__nrm_b")), 6)
+    return (cand.join(va, "__id_a").join(vb, "__id_b")
+            .filter(sim >= threshold)
+            .select(F.col("__id_b").alias(id_col)).distinct())

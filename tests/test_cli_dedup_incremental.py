@@ -199,3 +199,45 @@ def test_vec_mode_rejects_inconsistent_store_pair(spark, tmp_path, capsys):
                  "--index", str(tmp_path / "typo2"), "--vectors", store,
                  "--source", b1]) == 2
     assert "inconsistent vec stores" in capsys.readouterr().err
+
+
+def test_vec_mode_batch_dups_index_one_copy(spark, tmp_path, capsys):
+    """k identical vectors arriving in ONE batch must index exactly
+    one copy (code-review follow-up: vec mode previously folded every
+    batch-internal duplicate into the stores)."""
+    import math
+    import random
+
+    def vec(seed):
+        rng = random.Random(seed)
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [round(x / n, 6) for x in v]
+
+    idx = str(tmp_path / "bd_idx")
+    store = str(tmp_path / "bd_store")
+    b1 = str(tmp_path / "bd_batch1")
+    spark.createDataFrame(
+        [(10, [float(x) for x in vec(3)]),
+         (11, [float(x) for x in vec(3)]),     # identical sibling
+         (12, [float(x) for x in vec(88)])],
+        "vec_id long, embedding array<float>") \
+        .coalesce(1).write.parquet(b1)
+    assert main(["dedup-incremental", "--mode", "vec", "--id-col", "vec_id",
+                 "--index", idx, "--vectors", store, "--source", b1,
+                 "--update-index"]) == 0
+    assert "dup_in_batch=1" in capsys.readouterr().out
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import read_keyed_table
+    stored = {r.member_id for r in read_keyed_table(spark, store).collect()}
+    assert stored == {10, 12}                 # 11 never reached the stores
+    # a later arrival matching the duplicate still hits history via 10
+    b2 = str(tmp_path / "bd_batch2")
+    out2 = str(tmp_path / "bd_out2")
+    spark.createDataFrame([(20, [float(x) for x in vec(3)])],
+                          "vec_id long, embedding array<float>") \
+        .write.parquet(b2)
+    assert main(["dedup-incremental", "--mode", "vec", "--id-col", "vec_id",
+                 "--index", idx, "--vectors", store, "--source", b2,
+                 "--out", out2]) == 0
+    rows = {r.vec_id: r.match_id for r in spark.read.parquet(out2).collect()}
+    assert rows == {20: 10}

@@ -121,3 +121,16 @@ def test_arrival_loop_maintains_both_stores(spark, tmp_path):
     idx = read_keyed_table(spark, idx_path)
     assert idx.select("idx_key").distinct().count() == idx.count()
     assert read_keyed_table(spark, store_path).count() == 3
+
+
+def test_batch_dup_losers_keep_smallest(spark):
+    """Within-batch near-dups: every vector verifying against a
+    smaller-id batch sibling is a loser; the smallest copy and
+    unrelated vectors are not."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans.incremental_vec import (
+        batch_vec_dup_losers)
+    emb = _emb(spark, [(1, _vec(9)), (2, _vec(9)), (3, _vec(9, flip=0.05)),
+                       (4, _vec(77))])
+    losers = {r.vec_id for r in
+              batch_vec_dup_losers(emb, "vec_id").collect()}
+    assert losers == {2, 3}
