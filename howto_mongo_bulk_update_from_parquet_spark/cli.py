@@ -384,10 +384,8 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
     """
     from pyspark.sql import functions as F
 
-    from .plans.incremental_dedup import (incremental_near_dup_flags,
-                                          signature_index_rows)
-    from .plans.incremental_spans import (gram_index_rows,
-                                          incremental_dup_spans)
+    from .plans.incremental_dedup import incremental_near_dup_flags
+    from .plans.incremental_spans import incremental_dup_spans
     from .sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
 
     if args.mode == "vec" and not args.vectors:
@@ -441,12 +439,9 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
         # sign the batch ONCE: the same band frame drives the probe
         # and (filtered to survivors) the index fold — shingling and
         # minhashing are the dominant batch cost (code-review r11)
-        from .operators.dedup import lsh_bands, minhash_signatures, shingles
-        from .plans.incremental_dedup import signature_index_rows_from_bands
-        bands = lsh_bands(
-            minhash_signatures(shingles(docs, "doc_id", "text", 3),
-                               "doc_id", 16),
-            "doc_id", 4).localCheckpoint(eager=False)
+        from .plans.incremental_dedup import (
+            batch_bands, signature_index_rows_from_bands)
+        bands = batch_bands(docs, "doc_id").localCheckpoint(eager=False)
         out = incremental_near_dup_flags(docs, idx_bands, "doc_id",
                                          new_bands=bands)
         out = out.persist()
@@ -583,9 +578,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
     # open() would silently write the manifest to the driver's own
     # disk (code-review r11; sinks/fs.py exists for exactly this)
     from .sinks import fs as hfs
-    hfs.write_text(spark, hfs.join(args.out, "manifest.json"),
-                   _json.dumps(manifest, indent=1, sort_keys=True,
-                               default=str))
+    hfs.write_text_atomic(spark, hfs.join(args.out, "manifest.json"),
+                          _json.dumps(manifest, indent=1, sort_keys=True,
+                                      default=str))
     print(f"curated {n_curated}/{n_input} docs into {out_corpus} "
           f"(exact-dup removed {n_input - n_dedup}, trim dropped "
           f"{n_dedup - n_trim}, quality dropped {n_trim - n_curated}); "
@@ -599,10 +594,14 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
     probed against the persisted RHP bucket index, and exact-cosine
     verified ONLY against colliding members fetched from the keyed
     vector store (--vectors) by id — a point-lookup join bounded by
-    the collision count. --update-index upserts the survivors' (no
-    verified dup) index rows AND vectors. In-batch vector dedup is a
-    separate concern (q_semdedup / q_vector_lsh_verified cover it) —
-    this verb classifies arrivals against HISTORY."""
+    the collision count. The report carries DISJOINT verdicts:
+    `dup_vs_index` (verified against history) and `dup_in_batch`
+    (verified against a smaller-id batch sibling — the keep-smallest
+    rule near mode applies); everything absent from the report is a
+    survivor. --update-index folds exactly the survivors' index rows
+    AND vectors, so k identical vectors arriving together index one
+    copy. (Corpus-wide in-place dedup of an EXISTING table is
+    q_semdedup / q_vector_lsh_verified territory.)"""
     from pyspark.sql import functions as F
 
     from .plans.incremental_vec import (banded_buckets,
@@ -644,26 +643,43 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
         store = spark.createDataFrame(
             [], "member_id long, embedding array<float>")
     # sign the batch's vectors ONCE: the same bucket frame drives
-    # the probe and (filtered to survivors) the index fold
+    # the history probe, the within-batch loser pass, and (filtered
+    # to survivors) the index fold
     buckets = banded_buckets(emb, "vec_id")
-    out = incremental_vec_dup_flags(emb, index, store, "vec_id",
-                                    threshold=args.threshold,
-                                    new_buckets=buckets).persist()
-    n_dup_vecs = out.count()
+    hist_dups = incremental_vec_dup_flags(emb, index, store, "vec_id",
+                                          threshold=args.threshold,
+                                          new_buckets=buckets).persist()
+    # within-batch losers (verified near-dup of a smaller-id batch
+    # vector) never reach the stores — k identical vectors arriving
+    # together must index exactly one copy, same keep-smallest rule as
+    # near mode's dup_in_batch. DISJOINT verdicts, near-mode style:
+    # dup_vs_index wins; dup_in_batch = batch loser with no history
+    # hit. Both verdicts appear in the report, so a consumer can tell
+    # every excluded vector apart from the folded survivors.
+    losers = batch_vec_dup_losers(emb, "vec_id", threshold=args.threshold,
+                                  new_buckets=buckets)
+    batch_only = losers.join(hist_dups.select("vec_id"),
+                             "vec_id", "left_anti")
+    out = (hist_dups.withColumn("verdict", F.lit("dup_vs_index"))
+           .unionByName(
+               batch_only.select(
+                   "vec_id",
+                   F.lit(0).cast("long").alias("n_dups"),
+                   F.lit(None).cast("long").alias("match_id"),
+                   F.lit(None).cast("double").alias("cos_sim"),
+                   F.lit("dup_in_batch").alias("verdict")))
+           .persist())
+    counts = {r["verdict"]: r["n"]
+              for r in out.groupBy("verdict")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_dup_vecs = counts.get("dup_vs_index", 0)
+    n_batch_dups = counts.get("dup_in_batch", 0)
     if args.out:
         out.write.mode(args.write_mode).parquet(args.out)
     else:
         out.show(args.limit, truncate=False)
-    # within-batch losers (verified near-dup of a smaller-id batch
-    # vector) never reach the stores — k identical vectors arriving
-    # together must index exactly one copy, same keep-smallest rule as
-    # near mode's dup_in_batch
-    losers = batch_vec_dup_losers(emb, "vec_id", threshold=args.threshold,
-                                  new_buckets=buckets).persist()
-    n_batch_dups = losers.count()
     if args.update_index:
-        survivors = (emb.join(out.select("vec_id"), "vec_id", "left_anti")
-                     .join(losers, "vec_id", "left_anti"))
+        survivors = emb.join(out.select("vec_id"), "vec_id", "left_anti")
         upsert_into_keyed_table(
             spark,
             vec_index_rows_from_buckets(
@@ -679,7 +695,7 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
     else:
         action = "unchanged (--update-index to maintain them)"
     out.unpersist()
-    losers.unpersist()
+    hist_dups.unpersist()
     print(f"dedup-incremental mode=vec: dup_vs_index={n_dup_vecs}, "
           f"dup_in_batch={n_batch_dups}; "
           f"index {args.index} + vector store {args.vectors} {action}")

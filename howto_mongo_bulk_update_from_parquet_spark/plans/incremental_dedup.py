@@ -82,6 +82,17 @@ LEFT JOIN bdup b ON d.doc_id = b.doc_id
 """
 
 
+def batch_bands(docs: DataFrame, id_col: str) -> DataFrame:
+    """The ONE signing pipeline every consumer shares — 3-token
+    shingles, 16 minhashes, 4 rows per band. Index seeding, arrival
+    probes, and the CLI all derive bands HERE so their parameters can
+    never silently diverge (a probe signed with different constants
+    would miss every history dup without an error)."""
+    return lsh_bands(
+        minhash_signatures(shingles(docs, id_col, "text", 3), id_col, 16),
+        id_col, 4)
+
+
 def signature_index_rows(docs: DataFrame, id_col: str) -> DataFrame:
     """Band-signature index rows for a document batch:
     (bucket_key, band, band_sig, rep_id) with one row per distinct
@@ -94,10 +105,8 @@ def signature_index_rows(docs: DataFrame, id_col: str) -> DataFrame:
     re-signed. Intentionally sink-agnostic: no storage import here, so
     the catalog query's attestation closure stays purely relational.
     """
-    return signature_index_rows_from_bands(
-        lsh_bands(minhash_signatures(
-            shingles(docs, id_col, "text", 3), id_col, 16), id_col, 4),
-        id_col)
+    return signature_index_rows_from_bands(batch_bands(docs, id_col),
+                                           id_col)
 
 
 def signature_index_rows_from_bands(bands: DataFrame,
@@ -130,9 +139,7 @@ def incremental_near_dup_flags(new_docs: DataFrame, index_bands: DataFrame,
     Returns (id, hits_index, verdict).
     """
     if new_bands is None:
-        new_bands = lsh_bands(
-            minhash_signatures(shingles(new_docs, id_col, "text", 3),
-                               id_col, 16), id_col, 4)
+        new_bands = batch_bands(new_docs, id_col)
     if "bucket_key" in index_bands.columns:
         probe = new_bands.withColumn(
             "bucket_key", F.concat_ws("|", F.col("band").cast("string"),

@@ -123,7 +123,15 @@ SINK_SLOTS = ["sink_upsert_plain", "sink_upsert_bucketed"]
 # falls as bits rise; production raises the band count L alongside —
 # held fixed here so the sweep isolates the bucket-space axis).
 VEC_TUNED_SLOT = "vec_dedup_tuned"
-VEC_TUNED_BITS = {1: 8, 10: 11, 100: 15}
+
+
+def _vec_tuned_bits(k: int) -> int:
+    """8 bits at the x1 fixture, +log2 of the growth factor — the
+    bucket space tracks the corpus (8/11/15 at x1/x10/x100). Derived,
+    not a lookup, so an unlisted --factors value can never silently
+    run the "tuned" slot with fixture-scale bands."""
+    import math
+    return 8 + round(math.log2(max(k, 1)))
 
 
 def _vec_dedup_tuned_thunk(spark, data_dir: str, k: int):
@@ -135,7 +143,7 @@ def _vec_dedup_tuned_thunk(spark, data_dir: str, k: int):
     from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
         load_table)
 
-    bits = VEC_TUNED_BITS.get(k, 8)
+    bits = _vec_tuned_bits(k)
 
     def run():
         e = load_table(spark, data_dir, "embeddings")
