@@ -53,13 +53,14 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..operators.merge import keyed_upsert, prepare_source
 from . import fs as hfs
+from . import zonemap as zm
 
 _MANIFEST = "_CURRENT"                      # legacy (pre-round-4) pointer
 _MANIFEST_V_RE = re.compile(r"^_CURRENT\.v(\d{5})$")
@@ -536,21 +537,94 @@ def _resolve_buckets(meta: dict[str, str], key: str,
     return 0
 
 
+def _resolve_range(meta: dict[str, str], key: str,
+                   range_files: int | None) -> int:
+    """Effective range-layout file count for the NEXT base — the same
+    inheritance rule as `_resolve_buckets`: an explicit `range_files`
+    wins (0 = drop the range layout); otherwise inherit the current
+    base's spec when its range key matches the merge key."""
+    if range_files is not None:
+        return range_files
+    if meta.get("range_key") == key:
+        try:
+            return int(meta.get("range_files", 0))
+        except ValueError:
+            return 0
+    return 0
+
+
+def _resolve_layout(meta: dict[str, str], key: str,
+                    buckets: int | None,
+                    range_files: int | None) -> tuple[int, int]:
+    """(eff_buckets, eff_range) for the next base. The two layouts are
+    exclusive per table — hash (bucketed: exchange-free merges, bucket
+    pruning) vs range (zone-map pruning for point/range reads). An
+    explicit choice of one layout drops the other, so `buckets=N` on a
+    range table (or vice versa) SWITCHES layout instead of erroring;
+    asking for both at once is a contradiction and raises."""
+    if buckets and range_files:
+        raise ValueError(
+            "buckets and range_files are alternative base layouts — "
+            "hash (merge-optimized) vs range (lookup-optimized); "
+            "choose one per table")
+    eff_buckets = _resolve_buckets(meta, key, buckets)
+    eff_range = _resolve_range(meta, key, range_files)
+    if buckets:
+        eff_range = 0
+    if range_files:
+        eff_buckets = 0
+    if eff_buckets and eff_range:    # corrupt manifest carrying both
+        eff_range = 0
+    return eff_buckets, eff_range
+
+
+def _meta_stats_cols(meta: dict[str, str]) -> list[str]:
+    raw = meta.get("zonemap_cols", "")
+    return [c for c in raw.split(",") if c]
+
+
 def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
                          version: int, key: str, eff_buckets: int,
-                         meta: dict[str, str]) -> dict[str, str]:
-    """Route to the bucketed or plain claiming writer and keep the
-    manifest's bucket spec truthful for the base being written."""
+                         meta: dict[str, str], eff_range: int = 0,
+                         stats_cols: list[str] | None = None
+                         ) -> dict[str, str]:
+    """Route to the bucketed, range-clustered, or plain claiming
+    writer and keep the manifest's layout spec truthful for the base
+    being written. The RANGE layout clusters the base into
+    `eff_range` disjoint key ranges (`repartitionByRange` +
+    `sortWithinPartitions`) and records a per-file min/max zone map
+    (`_zonemap.json` inside the base dir) over the key plus
+    `stats_cols` (inherited from the manifest's `zonemap_cols` when
+    not given), so point/range lookups prune to the files that can
+    hold the key instead of scanning the base."""
     meta = dict(meta)
     if eff_buckets:
         _write_claiming_base_bucketed(spark, df, path, version,
                                       key, eff_buckets)
         meta["buckets"] = str(eff_buckets)
         meta["bucket_key"] = key
+        eff_range = 0
     else:
+        if eff_range:
+            df = (df.repartitionByRange(eff_range, F.col(key))
+                  .sortWithinPartitions(key))
         _write_claiming_base(spark, df, path, version)
         meta.pop("buckets", None)
         meta.pop("bucket_key", None)
+    if eff_range:
+        cols = stats_cols if stats_cols is not None \
+            else _meta_stats_cols(meta)
+        zm_cols = [key] + [c for c in cols if c != key]
+        zmap = zm.collect_zone_map(spark, _base_dir(path, version), zm_cols)
+        if zmap:
+            zm.write_zone_map(spark, _base_dir(path, version), zmap)
+            meta["range_files"] = str(eff_range)
+            meta["range_key"] = key
+            meta["zonemap_cols"] = ",".join(zmap["cols"])
+            return meta
+    meta.pop("range_files", None)
+    meta.pop("range_key", None)
+    meta.pop("zonemap_cols", None)
     return meta
 
 
@@ -562,7 +636,9 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             n_files: int | None = None,
                             retain_versions: int = 2,
                             return_counts: bool = False,
-                            buckets: int | None = None):
+                            buckets: int | None = None,
+                            range_files: int | None = None,
+                            stats_cols: list[str] | None = None):
     """MERGE `source` into the keyed parquet table at `path` (created on
     first write). Returns the post-merge table DataFrame, or
     ``(df, counts)`` with the reference-style write-result counts
@@ -586,7 +662,20 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     only when it already satisfies the join's distribution — with
     fewer buckets than shuffle partitions it re-shuffles the base UP
     to the larger width and the bucketing buys nothing (plan-pinned in
-    tests/test_keyed_bucketed.py)."""
+    tests/test_keyed_bucketed.py).
+
+    `range_files=N` is the ALTERNATIVE layout for read-heavy tables:
+    the base is clustered into N disjoint key ranges with a per-file
+    min/max zone map (over the key + `stats_cols`), so
+    `lookup_keyed_table` point/range reads prune to the one or two
+    files that can hold the keys instead of scanning the base — at
+    100 TB the difference between a sub-second lookup and a
+    full-table scan. Inherited round over round like the bucket spec;
+    `range_files=0` drops it. Hash and range layouts are exclusive
+    per table (hash scatters the key space, so a zone map there
+    prunes nothing; `buckets=N` on a range table switches layout).
+    `n_files` is ignored under the range layout — `range_files` IS
+    the file count."""
     from pyspark.sql import Observation
     schema_cols = source.columns if payload is None else [key, *payload]
     # ONE manifest resolution for the whole round: version, watermark
@@ -596,7 +685,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     if not version:
         version = current_base_version(spark, path)   # legacy pointers
     old_floor = _meta_floor(meta)
-    eff_buckets = _resolve_buckets(meta, key, buckets)
+    eff_buckets, eff_range = _resolve_layout(meta, key, buckets,
+                                             range_files)
     cur_buckets = _resolve_buckets(meta, key, None)
     # mixed-path safety (same class as the r8 delete bug): a table
     # carrying un-compacted LSM deltas must fold them into the merge
@@ -629,16 +719,18 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                           dedup_order_by=dedup_order_by,
                           updated_at_col=updated_at_col,
                           observation=obs)
-    # bucketed writes split files by bucket id themselves — an n_files
-    # repartition would only multiply the file count
-    out = merged.repartition(n_files) if (n_files and not eff_buckets) \
-        else merged
+    # bucketed writes split files by bucket id, range writes by key
+    # range — an n_files repartition would only fight the layout
+    out = merged.repartition(n_files) \
+        if (n_files and not eff_buckets and not eff_range) else merged
     new_version = version + 1
-    # the manifest metadata (folded_through watermark, bucket spec) is
+    # the manifest metadata (folded_through watermark, layout spec) is
     # carried forward — dropping the watermark would resurrect
     # folded-but-not-yet-GC'd deltas for every reader
     meta = _write_base_and_meta(spark, out, path, new_version,
-                                key, eff_buckets, meta)
+                                key, eff_buckets, meta,
+                                eff_range=eff_range,
+                                stats_cols=stats_cols)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     result = spark.read.parquet(_base_dir(path, new_version))
@@ -863,23 +955,36 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
 
 def _read_merged_through(spark: SparkSession, path: str, key: str,
                          deltas: list[int],
-                         base_version: int | None = None) -> DataFrame:
+                         base_version: int | None = None,
+                         base_df: DataFrame | None = None,
+                         predicate: Column | None = None) -> DataFrame:
     """`read_merged` over an EXPLICIT delta set — the fold paths use it
     to absorb only the contiguous complete run when later deltas exist
     beyond an in-flight slot. `base_version` pins the base directory
     the caller's manifest read already resolved, keeping (base,
     watermark, deltas) one consistent snapshot; None falls back to the
-    legacy resolution chain (`_lsm_base`)."""
+    legacy resolution chain (`_lsm_base`). `base_df` overrides the
+    base resolution entirely (the pruned-lookup path passes the
+    zone-map-selected file subset); `predicate` is a key-only filter
+    applied to EVERY part — sound because the merge and tombstone cut
+    both partition by the key, so restricting to a key subset keeps
+    each surviving key's full version history."""
     parts = []
-    if base_version:
+    if base_df is not None:
+        base = base_df
+    elif base_version:
         base = spark.read.parquet(_base_dir(path, base_version))
     else:
         base = _lsm_base(spark, path)
     if base is not None:
+        if predicate is not None:
+            base = base.filter(predicate)
         parts.append(base.withColumn("__v", F.lit(0)))
     for v in deltas:
-        parts.append(spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
-                     .withColumn("__v", F.lit(v)))
+        d = spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
+        if predicate is not None:
+            d = d.filter(predicate)
+        parts.append(d.withColumn("__v", F.lit(v)))
     if not parts:
         raise FileNotFoundError(f"no base or deltas under {path}")
     allv = parts[0]
@@ -899,10 +1004,140 @@ def _read_merged_through(spark: SparkSession, path: str, key: str,
     return merged.filter(F.col("__rn") == 1).drop("__rn", "__v")
 
 
+# --- pruned point/range lookups (data skipping) ----------------------
+
+# bucketed file names carry the bucket id as `_NNNNN.` before the
+# codec extension (part-00000-<uuid>_00003.c000.snappy.parquet);
+# plain writer output uses dashes throughout, so the pattern cannot
+# false-positive there
+_BUCKET_SUFFIX_RE = re.compile(r"_(\d{5})\.")
+
+
+def _base_data_files(spark: SparkSession, base: str) -> list[str]:
+    return [f for f in hfs.listdir(spark, base)
+            if not f.startswith("_") and not f.startswith(".")]
+
+
+def _bucket_ids_for_values(spark: SparkSession, path: str, key: str,
+                           values: list, buckets: int) -> set[int] | None:
+    """Bucket ids the probe values hash into, computed with Spark's
+    OWN expression — `pmod(hash(v), n)` is exactly
+    HashPartitioning.partitionIdExpression, the function the bucketed
+    writer used to place rows (verified against written file suffixes
+    in tests/test_keyed_zonemap.py) — so the Python side never
+    re-implements Murmur3. One tiny local job over the probe set;
+    lookups are for bounded probe sets (use a join for bulk probes)."""
+    dtype = table_key_dtype(spark, path, key)
+    if dtype is None:
+        return None
+    df = spark.createDataFrame([(v,) for v in values],
+                               T.StructType([T.StructField(key, dtype)]))
+    return {r["__b"] for r in df.select(
+        F.pmod(F.hash(key), F.lit(buckets)).alias("__b")).collect()}
+
+
+def pruned_base_files(spark: SparkSession, path: str, key: str, *,
+                      values: list | None = None,
+                      lo=None, hi=None,
+                      version: int | None = None,
+                      meta: dict[str, str] | None = None
+                      ) -> tuple[list[str], int]:
+    """(kept base file names, total base files) for a key predicate —
+    an equality set (`values`) or closed range [`lo`,`hi`] — using
+    whichever skipping index the table's layout provides: the range
+    layout's min/max zone map, or the hash layout's bucket placement
+    (equality probes only — a range scatters across every bucket).
+    Conservative: pruning may keep a file with no matching row (the
+    caller's residual filter handles it) but never drops a matching
+    one. With no usable index every file is kept. `version`/`meta`
+    let a caller pass an already-resolved manifest snapshot."""
+    if version is None or meta is None:
+        version, meta = _current_manifest(spark, path)
+        if not version:
+            version = current_base_version(spark, path)
+    if not version:
+        raise FileNotFoundError(f"no versioned keyed table at {path}")
+    base = _base_dir(path, version)
+    all_files = _base_data_files(spark, base)
+    zmap = zm.read_zone_map(spark, base)
+    if zmap is not None:
+        kept = zm.prune_files(zmap, key, values=values, lo=lo, hi=hi)
+        if kept is not None:
+            mapped = {e["file"] for e in zmap["files"]}
+            known = set(kept)
+            # a file the map has never seen is kept conservatively
+            return ([f for f in all_files
+                     if f in known or f not in mapped], len(all_files))
+    buckets = int(meta.get("buckets", 0) or 0)
+    if values is not None and buckets and meta.get("bucket_key") == key:
+        ids = _bucket_ids_for_values(spark, path, key, list(values),
+                                     buckets)
+        if ids is not None:
+            return ([f for f in all_files
+                     if not (m := _BUCKET_SUFFIX_RE.search(f))
+                     or int(m.group(1)) in ids], len(all_files))
+    return all_files, len(all_files)
+
+
+def _key_predicate(key: str, values: list | None, lo, hi) -> Column:
+    if values is not None:
+        if lo is not None or hi is not None:
+            raise ValueError("pass either values or a lo/hi range")
+        return F.col(key).isin(list(values))
+    if lo is None and hi is None:
+        raise ValueError("lookup needs values or at least one of lo/hi")
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(key) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(key) <= F.lit(hi))
+    return pred
+
+
+def lookup_keyed_table(spark: SparkSession, path: str, key: str, *,
+                       values: list | None = None,
+                       lo=None, hi=None,
+                       with_stats: bool = False):
+    """Point/range read of the keyed table's MERGED view (base +
+    pending deltas, tombstones honored) that touches only the base
+    files the table's skipping index admits — the 100 TB posture
+    where a key lookup is O(probed files + pending deltas), not
+    O(table). The residual predicate is always applied on top, so a
+    conservative prune can only cost I/O, never correctness; deltas
+    are small by the LSM contract and are filtered by the same
+    predicate. Returns the DataFrame, or ``(df, stats)`` with
+    ``with_stats`` where stats records files_total/files_read/deltas
+    — the observability hook tests pin pruning behavior on."""
+    version, meta = _current_manifest(spark, path)
+    if not version:
+        version = current_base_version(spark, path)
+    floor = _meta_floor(meta)
+    pred = _key_predicate(key, values, lo, hi)
+    kept, total = pruned_base_files(spark, path, key, values=values,
+                                    lo=lo, hi=hi, version=version,
+                                    meta=meta)
+    base = _base_dir(path, version)
+    if kept:
+        base_df = spark.read.parquet(*[hfs.join(base, f) for f in kept])
+    else:
+        # every file pruned — the probe keys can still live in deltas
+        base_df = spark.createDataFrame(
+            [], spark.read.parquet(base).schema)
+    deltas = _complete_deltas(spark, path, floor=floor)
+    out = _read_merged_through(spark, path, key, deltas,
+                               base_df=base_df, predicate=pred)
+    if with_stats:
+        return out, {"files_total": total, "files_read": len(kept),
+                     "deltas": len(deltas)}
+    return out
+
+
 def compact(spark: SparkSession, path: str, key: str,
             n_files: int | None = None,
             retain_versions: int = 2,
-            buckets: int | None = None) -> DataFrame:
+            buckets: int | None = None,
+            range_files: int | None = None,
+            stats_cols: list[str] | None = None) -> DataFrame:
     """Fold base + committed deltas into a new versioned base (ONE
     write + atomic manifest flip) whose manifest records the
     `folded_through` watermark. Readers ignore deltas at or below the
@@ -926,17 +1161,19 @@ def compact(spark: SparkSession, path: str, key: str,
     # the new base contains nothing the watermark doesn't cover
     merged = _read_merged_through(spark, path, key, fold,
                                   base_version=version or None)
-    eff_buckets = _resolve_buckets(meta, key, buckets)
-    if n_files and not eff_buckets:
+    eff_buckets, eff_range = _resolve_layout(meta, key, buckets,
+                                             range_files)
+    if n_files and not eff_buckets and not eff_range:
         merged = merged.repartition(n_files)
     new_version = version + 1
     if fold:
         meta["folded_through"] = str(fold[-1])
-    # a bucketed table stays bucketed through compaction; an explicit
-    # `buckets` (re-)buckets the folded base — the natural way to
-    # bucket a table built through the LSM path (0 un-buckets)
+    # a bucketed/range table keeps its layout through compaction; an
+    # explicit `buckets`/`range_files` (re-)lays-out the folded base —
+    # the natural way to cluster a table built through the LSM path
     meta = _write_base_and_meta(spark, merged, path, new_version, key,
-                                eff_buckets, meta)
+                                eff_buckets, meta, eff_range=eff_range,
+                                stats_cols=stats_cols)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
@@ -1014,9 +1251,10 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
                 .distinct())
     remaining = target.join(del_keys, key, "left_anti")
     new_version = version + 1
-    # a bucketed table stays bucketed through a delete rewrite
+    # a bucketed/range table keeps its layout through a delete rewrite
+    keep_buckets, keep_range = _resolve_layout(meta, key, None, None)
     meta = _write_base_and_meta(spark, remaining, path, new_version, key,
-                                _resolve_buckets(meta, key, None), meta)
+                                keep_buckets, meta, eff_range=keep_range)
     # count BEFORE the commit: _commit_version migrates away a legacy
     # root layout's files, which `target` may still lazily scan
     n_before = target.count() if return_counts else None

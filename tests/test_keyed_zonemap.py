@@ -1,0 +1,201 @@
+"""Range layout + zone-map data skipping for the keyed table.
+
+Covers: per-file min/max map written with a range-clustered base and
+retired with it; point/range lookups touching only the admissible
+files with results identical to the unpruned merged view; pending
+deltas and tombstones honored through a pruned lookup; layout
+inheritance and switching; bucket pruning on hash-layout tables
+(including the pmod(hash)=file-suffix contract the pruner relies on).
+"""
+
+import re
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from howto_mongo_bulk_update_from_parquet_spark.sinks import fs as hfs
+from howto_mongo_bulk_update_from_parquet_spark.sinks import zonemap as zm
+from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+    append_delete_delta, append_delta, compact, current_base_version,
+    lookup_keyed_table, pruned_base_files, read_keyed_table, read_merged,
+    table_meta, upsert_into_keyed_table)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("val"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("tag"))
+
+
+def _mk_range_table(spark, tmp_path, n=400, files=8):
+    path = str(tmp_path / "ztab")
+    upsert_into_keyed_table(spark, _docs(spark, n), path=path, key="k",
+                            updated_at_col=None, range_files=files)
+    return path
+
+
+def test_zonemap_written_and_disjoint(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    v = current_base_version(spark, path)
+    base = hfs.join(path, f"base_v{v:05d}")
+    zmap = zm.read_zone_map(spark, base)
+    assert zmap is not None and zmap["cols"] == {"k": "bigint"}
+    assert len(zmap["files"]) == 8
+    assert sum(e["rows"] for e in zmap["files"]) == 400
+    # range layout: files hold DISJOINT key ranges
+    spans = sorted((e["min_k"], e["max_k"]) for e in zmap["files"])
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    meta = table_meta(spark, path)
+    assert meta["range_key"] == "k" and meta["range_files"] == "8"
+
+
+def test_point_lookup_prunes_to_one_file(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    out, stats = lookup_keyed_table(spark, path, "k", values=[123],
+                                    with_stats=True)
+    assert stats["files_total"] == 8 and stats["files_read"] == 1
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["val"] == 369
+
+
+def test_range_lookup_matches_full_scan(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    out, stats = lookup_keyed_table(spark, path, "k", lo=90, hi=160,
+                                    with_stats=True)
+    assert 0 < stats["files_read"] < stats["files_total"]
+    expect = (read_keyed_table(spark, path)
+              .filter(F.col("k").between(90, 160)))
+    assert sorted(out.collect()) == sorted(expect.collect())
+
+
+def test_open_ended_range(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    out, stats = lookup_keyed_table(spark, path, "k", lo=350,
+                                    with_stats=True)
+    # range boundaries come from sampling — the tail may straddle two
+    # files, never more
+    assert stats["files_read"] <= 2
+    assert out.count() == 50
+
+
+def test_lookup_sees_pending_delta_and_tombstone(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    # delta updates k=10 (val -> 999, tag null-skipped) and inserts a
+    # brand-new key OUTSIDE every file's range
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=10, val=999, tag=None), Row(k=10_000, val=1, tag="new")]),
+        path=path, key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=11)]),
+                        path=path, key="k")
+    out = {r["k"]: r for r in lookup_keyed_table(
+        spark, path, "k", values=[10, 11, 10_000]).collect()}
+    assert out[10]["val"] == 999 and out[10]["tag"] == "s3"  # null-skip
+    assert 11 not in out                                     # tombstoned
+    assert out[10_000]["val"] == 1                           # delta-only key
+    # the pruned view agrees with the unpruned merged view
+    expect = (read_merged(spark, path, "k")
+              .filter(F.col("k").isin([10, 11, 10_000])))
+    got = lookup_keyed_table(spark, path, "k", values=[10, 11, 10_000])
+    assert sorted(got.collect()) == sorted(expect.collect())
+
+
+def test_all_files_pruned_but_delta_hit(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=99_999, val=7, tag="d")]), path=path, key="k")
+    out, stats = lookup_keyed_table(spark, path, "k", values=[99_999],
+                                    with_stats=True)
+    assert stats["files_read"] == 0
+    assert out.collect()[0]["val"] == 7
+
+
+def test_layout_survives_compact_and_upsert_rounds(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame(
+        [(5, -1, None)], "k long, val long, tag string"),
+        path=path, key="k")
+    compact(spark, path, "k")
+    # inherited: the folded base is re-range-clustered with a fresh map
+    v = current_base_version(spark, path)
+    assert zm.read_zone_map(
+        spark, hfs.join(path, f"base_v{v:05d}")) is not None
+    upsert_into_keyed_table(spark, spark.createDataFrame(
+        [(5, -2, None)], "k long, val long, tag string"),
+        path=path, key="k", updated_at_col=None)
+    out, stats = lookup_keyed_table(spark, path, "k", values=[5],
+                                    with_stats=True)
+    assert stats["files_read"] == 1
+    assert out.collect()[0]["val"] == -2
+
+
+def test_layout_switch_and_conflict(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="alternative base layouts"):
+        upsert_into_keyed_table(spark, _docs(spark, 10), path=path,
+                                key="k", updated_at_col=None,
+                                buckets=4, range_files=4)
+    # explicit buckets SWITCHES layout: range spec dropped
+    upsert_into_keyed_table(spark, _docs(spark, 10), path=path, key="k",
+                            updated_at_col=None, buckets=4)
+    meta = table_meta(spark, path)
+    assert meta.get("buckets") == "4" and "range_key" not in meta
+    v = current_base_version(spark, path)
+    assert zm.read_zone_map(spark, hfs.join(path, f"base_v{v:05d}")) is None
+
+
+def test_bucket_pruning_on_hash_layout(spark, tmp_path):
+    path = str(tmp_path / "btab")
+    upsert_into_keyed_table(spark, _docs(spark, 400), path=path, key="k",
+                            updated_at_col=None, buckets=8)
+    v = current_base_version(spark, path)
+    base = hfs.join(path, f"base_v{v:05d}")
+    files = [f for f in hfs.listdir(spark, base)
+             if not f.startswith("_") and not f.startswith(".")]
+    # the contract the pruner rests on: every key in a file maps to
+    # the file's _NNNNN suffix under pmod(hash(k), buckets)
+    suffix = {f: int(re.search(r"_(\d{5})\.", f).group(1)) for f in files}
+    placed = (spark.read.parquet(base)
+              .select("k", F.col("_metadata.file_path").alias("p"),
+                      F.pmod(F.hash("k"), F.lit(8)).alias("b")).collect())
+    for r in placed:
+        assert suffix[r["p"].rsplit("/", 1)[-1]] == r["b"]
+    kept, total = pruned_base_files(spark, path, "k", values=[42, 77])
+    assert 0 < len(kept) < total
+    out = lookup_keyed_table(spark, path, "k", values=[42, 77])
+    assert {r["k"]: r["val"] for r in out.collect()} == {42: 126, 77: 231}
+    # range predicates never bucket-prune (hash scatters ranges)
+    kept_r, total_r = pruned_base_files(spark, path, "k", lo=1, hi=2)
+    assert len(kept_r) == total_r
+
+
+def test_plain_layout_degrades_to_full_scan(spark, tmp_path):
+    path = str(tmp_path / "ptab")
+    upsert_into_keyed_table(spark, _docs(spark, 100), path=path, key="k",
+                            updated_at_col=None, n_files=4)
+    kept, total = pruned_base_files(spark, path, "k", values=[3])
+    assert len(kept) == total == 4
+    out = lookup_keyed_table(spark, path, "k", values=[3])
+    assert out.collect()[0]["val"] == 9
+
+
+def test_stats_cols_extra_column(spark, tmp_path):
+    path = str(tmp_path / "stab")
+    upsert_into_keyed_table(spark, _docs(spark, 200), path=path, key="k",
+                            updated_at_col=None, range_files=4,
+                            stats_cols=["val"])
+    v = current_base_version(spark, path)
+    zmap = zm.read_zone_map(spark, hfs.join(path, f"base_v{v:05d}"))
+    assert set(zmap["cols"]) == {"k", "val"}
+    # val = 3k is range-correlated too: pruning on the secondary column
+    kept = zm.prune_files(zmap, "val", lo=0, hi=30)
+    assert kept is not None and 0 < len(kept) < 4
+
+
+def test_predicate_validation(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path, n=20, files=2)
+    with pytest.raises(ValueError):
+        lookup_keyed_table(spark, path, "k")
+    with pytest.raises(ValueError):
+        lookup_keyed_table(spark, path, "k", values=[1], lo=0)
