@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
 from ..sinks.keyed_table import (append_delete_delta, append_delta, compact,
-                                 read_keyed_table, upsert_into_keyed_table)
+                                 lookup_keyed_table, read_keyed_table,
+                                 upsert_into_keyed_table)
 from ..sources.parquet import load_table
 from .catalog import register
 from .reference_core import MERGE_DELETE_ORACLE
@@ -65,3 +66,52 @@ def q_keyed_lsm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself — watermark, tombstone purge, bucketed rewrite — landed
     return read_keyed_table(spark, path).select(
         "c_custkey", "bal", "segment")
+
+
+ZONEMAP_ORACLE = """
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey % 10 = 0
+            THEN CAST(o_totalprice AS DOUBLE) * 2
+            ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+       o_orderstatus AS status
+FROM orders
+WHERE o_orderkey BETWEEN 100 AND 700 AND o_orderkey % 7 <> 0
+"""
+
+
+@register("q_keyed_zonemap_lookup", ZONEMAP_ORACLE,
+          "range-layout keyed table with a per-file min/max zone map: "
+          "upsert + delta + tombstone, then a pruned range lookup that "
+          "reads only the admissible base files — oracle-exact data "
+          "skipping (r12)")
+def q_keyed_zonemap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping attestation: the RANGE layout twin of
+    q_keyed_lsm_roundtrip. The base is range-clustered on the key with
+    a zone map; one upsert delta (price doubled for k%10==0, status
+    null-skipped) and one tombstone delta (k%7==0) land on top; the
+    query then answers a key-range read through `lookup_keyed_table`,
+    which prunes the base scan to the files whose [min,max] admit the
+    range and merges the pending deltas over it. A wrong prune drops
+    rows (value-hash mismatch); a wrong merge resurrects deleted keys
+    or loses the null-skip. At 100 TB the same read touches O(range
+    files + delta bytes), not the table. Scale posture: the pruning
+    decision is O(files) driver state from one JSON sidecar; the
+    residual filter keeps correctness independent of prune precision.
+    """
+    import tempfile
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    path = tempfile.mkdtemp(prefix="keyed_zm_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None, range_files=8)
+    ups = (target.filter(F.col("k") % 10 == 0)
+           .select("k", (F.col("price") * 2).alias("price"),
+                   F.lit(None).cast("string").alias("status")))
+    append_delta(spark, ups, path=path, key="k")
+    append_delete_delta(
+        spark, target.filter(F.col("k") % 7 == 0).select("k"),
+        path=path, key="k")
+    return lookup_keyed_table(spark, path, "k", lo=100, hi=700)
