@@ -430,7 +430,11 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
         # index feeds the probe join exchange-free (index side never
         # re-shuffles, the win when the index is the big side)
         if seeded and "bucket_key" in index.columns:
-            idx_bands = index.select("bucket_key")
+            # rep_id rides along for replay self-exclusion: re-running
+            # an already-folded batch classifies as the first run did
+            idx_bands = (index.select("bucket_key", "rep_id")
+                         if "rep_id" in index.columns
+                         else index.select("bucket_key"))
         elif seeded:
             idx_bands = index.select("band", "band_sig")
         else:
@@ -455,7 +459,9 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
         summary = ", ".join(f"{k}={counts.get(k, 0)}" for k in
                             ("unique", "dup_vs_index", "dup_in_batch"))
     else:
-        gram_idx = (index.select("h") if seeded
+        gram_idx = (index.select("h", "rep_id")
+                    if seeded and "rep_id" in index.columns
+                    else index.select("h") if seeded
                     else spark.createDataFrame([], "h string"))
         # hash the batch's windows ONCE for both the probe and the fold
         from .plans.dup_spans import gram_windows
@@ -486,6 +492,41 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
     out.unpersist()
     print(f"dedup-incremental mode={args.mode}: {summary}; "
           f"index {args.index} {action}")
+    return 0
+
+
+def cmd_dedup_stream(args: argparse.Namespace) -> int:
+    """`dedup-incremental` as a Structured Streaming drain (r12): one
+    availableNow sweep of every not-yet-consumed parquet file under
+    the landing pattern, per-micro-batch probe → verdicts →
+    fold-survivors, with the stream checkpoint tracking consumption —
+    rerun (or schedule) the same command as new files land. The
+    schema is inferred once from the files currently present."""
+    from .streaming.dedup_stream import stream_dedup_parquet
+
+    spark = get_spark("dedup-stream")
+    try:
+        schema = spark.read.parquet(args.source).schema
+    except Exception as exc:
+        print(f"cannot infer schema from {args.source}: {exc}",
+              file=sys.stderr)
+        return 2
+    for col, what in ((args.id_col, "id"), (args.text_col, "text")):
+        if col not in schema.names:
+            print(f"source {args.source} has no {what} column '{col}' "
+                  f"(columns: {', '.join(schema.names)})", file=sys.stderr)
+            return 2
+    stream_dedup_parquet(
+        spark, args.source, schema=schema, index_path=args.index,
+        verdicts_dir=args.out, checkpoint=args.checkpoint,
+        mode=args.mode, id_col=args.id_col, text_col=args.text_col,
+        buckets=args.buckets, update_index=not args.no_update_index,
+        max_files_per_trigger=args.max_files_per_trigger)
+    print(f"dedup-stream mode={args.mode}: drained {args.source}; "
+          f"verdicts under {args.out} (epoch-partitioned), index "
+          f"{args.index} "
+          + ("left unchanged (--no-update-index)" if args.no_update_index
+             else "maintained"))
     return 0
 
 
@@ -1010,6 +1051,32 @@ def main(argv: list[str] | None = None) -> int:
                          "key (exchange-free probe/upsert rounds)")
     di.add_argument("--limit", type=int, default=20)
     di.set_defaults(fn=cmd_dedup_incremental)
+
+    ds = sub.add_parser(
+        "dedup-stream",
+        help="dedup-incremental as a streaming drain: availableNow "
+             "sweep of a landing dir, probe each micro-batch against "
+             "the persisted index, write epoch-partitioned verdicts, "
+             "fold survivors (streaming/dedup_stream.py)")
+    ds.add_argument("--mode", choices=["near", "spans"], default="near")
+    ds.add_argument("--source", required=True,
+                    help="landing path/glob of arriving parquet files")
+    ds.add_argument("--index", required=True,
+                    help="keyed-table path of the persisted index "
+                         "(seeded on first run)")
+    ds.add_argument("--out", required=True,
+                    help="verdict output dir (epoch-partitioned parquet)")
+    ds.add_argument("--checkpoint", required=True,
+                    help="stream checkpoint dir (tracks consumed files)")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--buckets", type=_bounded_int(0, 100_000),
+                    help="bucket the index base on its merge key")
+    ds.add_argument("--no-update-index", action="store_true",
+                    help="probe only; do not fold the batches in")
+    ds.add_argument("--max-files-per-trigger", type=_bounded_int(1),
+                    help="cap files per micro-batch")
+    ds.set_defaults(fn=cmd_dedup_stream)
 
     cu = sub.add_parser(
         "curate",

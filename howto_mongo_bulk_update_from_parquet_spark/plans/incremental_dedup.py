@@ -136,7 +136,14 @@ def incremental_near_dup_flags(new_docs: DataFrame, index_bands: DataFrame,
     one key instead — so an index table bucket-stored on bucket_key
     feeds the join exchange-free and only the batch side shuffles,
     the posture that matters when the index is the 100 TB side.
-    Returns (id, hits_index, verdict).
+
+    When the index additionally carries ``rep_id`` (the bucket's
+    representative document), a collision whose representative IS the
+    probing document is ignored: a batch replayed after its survivors
+    were already folded in (the streaming foreachBatch retry case)
+    then classifies exactly as the first run — without this, every
+    replayed unique document would match its own signatures and flip
+    to dup_vs_index. Returns (id, hits_index, verdict).
     """
     if new_bands is None:
         new_bands = batch_bands(new_docs, id_col)
@@ -144,9 +151,18 @@ def incremental_near_dup_flags(new_docs: DataFrame, index_bands: DataFrame,
         probe = new_bands.withColumn(
             "bucket_key", F.concat_ws("|", F.col("band").cast("string"),
                                       F.col("band_sig")))
-        hits_src = probe.join(index_bands.select("bucket_key"), "bucket_key")
+        if "rep_id" in index_bands.columns:
+            hits_src = (probe.join(
+                index_bands.select("bucket_key",
+                                   F.col("rep_id").alias("__rep")),
+                "bucket_key")
+                .filter(F.col("__rep") != F.col(id_col)))
+        else:
+            hits_src = probe.join(index_bands.select("bucket_key"),
+                                  "bucket_key")
     else:
-        hits_src = new_bands.join(index_bands, ["band", "band_sig"])
+        hits_src = new_bands.join(
+            index_bands.select("band", "band_sig"), ["band", "band_sig"])
     hits = (hits_src
             .groupBy(id_col)
             .agg(F.countDistinct("band").cast("long").alias("hits_index")))

@@ -112,13 +112,28 @@ def incremental_dup_spans(new_docs: DataFrame, gram_index: DataFrame,
     """Maximal duplicated spans of a new batch against a persisted
     k-gram index. ``gram_index`` needs only column h — exactly what
     the store holds; pass it pre-deduplicated (or bucket-stored) so
-    the probe shuffles the batch side only. Returns one row per span
-    with idx_windows = how many of its windows hit history."""
+    the probe shuffles the batch side only. When it also carries
+    ``rep_id``, an index hit whose representative IS the probing
+    document is ignored — so a batch replayed after its grams were
+    folded in (streaming foreachBatch retry) reports the same spans
+    as the first run instead of flagging every window as history-dup.
+    Returns one row per span with idx_windows = how many of its
+    windows hit history."""
     grams = (new_grams if new_grams is not None
              else gram_windows(new_docs, k)[0])
-    idx_flag = grams.join(
-        gram_index.select("h").distinct().withColumn("__idx", F.lit(1)),
-        "h", "left")
+    if "rep_id" in gram_index.columns:
+        idx_flag = (grams.join(
+            gram_index.select("h", F.col("rep_id").alias("__rep")),
+            "h", "left")
+            .withColumn("__idx",
+                        F.when(F.col("__rep").isNotNull()
+                               & (F.col("__rep") != F.col("doc_id")),
+                               F.lit(1)))
+            .drop("__rep"))
+    else:
+        idx_flag = grams.join(
+            gram_index.select("h").distinct().withColumn("__idx", F.lit(1)),
+            "h", "left")
     bc = grams.groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
     dw = (idx_flag.join(bc, "h")
           .filter((F.col("__idx") == 1) | (F.col("__n") > 1))

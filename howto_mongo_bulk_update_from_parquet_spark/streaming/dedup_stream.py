@@ -1,0 +1,150 @@
+"""Streaming cross-batch dedup: the `dedup-incremental` arrival loop
+as a Structured Streaming job.
+
+The batch CLI (cli.py dedup-incremental) processes ONE arriving
+parquet batch per invocation; this module wires the identical
+probe → classify → fold-survivors cycle into `readStream` →
+`foreachBatch`, so a landing directory is drained continuously (or in
+one `availableNow` sweep) with the stream checkpoint tracking which
+files were consumed. Per micro-batch, in `near` mode:
+
+1. sign the batch ONCE (`batch_bands`, localCheckpoint'ed — the
+   module contract shared with the CLI);
+2. probe the persisted band-signature index (bucket-stored: the index
+   side joins exchange-free, only the batch shuffles);
+3. write per-document verdicts to `verdicts_dir/epoch=N`;
+4. fold the unique survivors' index rows back through the keyed-table
+   sink so the NEXT micro-batch sees this one as history.
+
+`spans` mode runs the k-gram twin (`incremental_dup_spans`): verdicts
+are maximal duplicated spans, and the WHOLE batch's grams fold in
+(span dedup trims content, it does not drop documents).
+
+Exactly-once posture: foreachBatch is at-least-once — a crash between
+steps 3 and 4 replays the epoch. Both side effects are
+replay-idempotent: the verdict write lands with mode=overwrite into
+the epoch's own directory, and the index fold upserts rows keyed on
+the store's merge key (re-upserting the same rows is a no-op).
+Verdict STABILITY under replay comes from the probes' rep_id
+self-exclusion (plans/incremental_dedup.py /
+plans/incremental_spans.py): a replayed document that already seeded
+the index does not match its own signatures, so the unique/dup
+partition — the thing the fold depends on — is identical on the
+re-run. The one label that may shift is a dup's attribution:
+`dup_in_batch` upgrades to `dup_vs_index` when its batch-internal
+keeper is already folded, which is the truthful description of the
+replayed state.
+
+Scale notes: per micro-batch cost is O(batch signed + batch-side
+shuffle of the probe join + O(batch) index upsert delta when the
+store uses the LSM path); history is never re-signed, and a
+bucket-stored index never re-shuffles across arrivals — the same
+100 TB posture as the batch loop, now with continuous ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sinks import fs as hfs
+from ..sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
+
+MODES = ("near", "spans")
+
+
+def _index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        # honor_buckets: a bucket-stored index feeds the probe join
+        # exchange-free on the index side
+        return read_keyed_table(spark, path, honor_buckets=True)
+    except FileNotFoundError:
+        return None                      # first arrival seeds it
+
+
+def dedup_batch_verdicts(docs: DataFrame, index: DataFrame | None,
+                         mode: str) -> tuple[DataFrame, DataFrame, str]:
+    """(verdicts, index_rows, index_key) for one arriving batch of
+    (doc_id, text) against the persisted index (None = empty). The
+    shared core of the streaming job and any caller composing its own
+    loop: the batch is signed ONCE (the band/gram frame drives both
+    the probe and the fold), and the index side passes (merge key,
+    rep_id) so replays self-exclude."""
+    from ..plans.dup_spans import gram_windows
+    from ..plans.incremental_dedup import (batch_bands,
+                                           incremental_near_dup_flags,
+                                           signature_index_rows_from_bands)
+    from ..plans.incremental_spans import (gram_index_rows_from_grams,
+                                           incremental_dup_spans)
+    spark = docs.sparkSession
+    if mode == "near":
+        bands = batch_bands(docs, "doc_id").localCheckpoint(eager=False)
+        idx = (index.select("bucket_key", "rep_id") if index is not None
+               else spark.createDataFrame(
+                   [], "bucket_key string, rep_id long"))
+        out = incremental_near_dup_flags(docs, idx, "doc_id",
+                                         new_bands=bands)
+        survivors = out.filter(F.col("verdict") == "unique") \
+                       .select("doc_id")
+        return (out,
+                signature_index_rows_from_bands(
+                    bands.join(survivors, "doc_id"), "doc_id"),
+                "bucket_key")
+    if mode == "spans":
+        grams = gram_windows(docs)[0].localCheckpoint(eager=False)
+        idx = (index.select("h", "rep_id") if index is not None
+               else spark.createDataFrame([], "h string, rep_id long"))
+        out = incremental_dup_spans(docs, idx, new_grams=grams)
+        return out, gram_index_rows_from_grams(grams), "h"
+    raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+
+
+def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
+                         schema: T.StructType, index_path: str,
+                         verdicts_dir: str, checkpoint: str,
+                         mode: str = "near",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         buckets: int | None = None,
+                         update_index: bool = True,
+                         max_files_per_trigger: int | None = None) -> None:
+    """Drain parquet document batches arriving under `source_dir`
+    through the incremental-dedup cycle (availableNow trigger: one
+    sweep of everything currently available — rerun or schedule for
+    continuous operation). Verdicts land under
+    `verdicts_dir/epoch=N/`; read `verdicts_dir` as one partitioned
+    parquet table. `buckets` bucket-stores the index base on its
+    merge key (pass it on the FIRST run; inherited afterwards)."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        docs = batch_df.select(F.col(id_col).alias("doc_id"),
+                               F.col(text_col).alias("text"))
+        out, index_rows, index_key = dedup_batch_verdicts(
+            docs, _index_or_none(sess, index_path), mode)
+        # cache the verdict frame: the index fold's survivor filter
+        # shares its plan, so the probe runs once per epoch
+        out = out.persist()
+        try:
+            # overwrite into the epoch's own directory: a replayed
+            # epoch rewrites the same files, not append-duplicates
+            (out.write.mode("overwrite")
+                .parquet(hfs.join(verdicts_dir, f"epoch={int(epoch_id)}")))
+            if update_index:
+                upsert_into_keyed_table(sess, index_rows, path=index_path,
+                                        key=index_key, updated_at_col=None,
+                                        buckets=buckets)
+        finally:
+            out.unpersist()
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
