@@ -76,14 +76,20 @@ def cmd_upsert(args: argparse.Namespace) -> int:
     # must not silently redirect writes when the user typed --table.
     use_mongo = bool(args.mongo_uri) or (bool(cfg.mongo_uri)
                                          and not args.table)
-    if args.buckets is not None and (use_mongo or args.lsm):
+    if args.buckets and args.range_files:
+        print("--buckets and --range-files are alternative base "
+              "layouts (hash vs range) — choose one per table",
+              file=sys.stderr)
+        return 2
+    if ((args.buckets is not None or args.range_files is not None)
+            and (use_mongo or args.lsm)):
         # silently ignoring the flag would leave the user believing the
-        # table is bucketed while every round keeps paying the base
-        # shuffle the flag exists to eliminate
-        print("--buckets only applies to the versioned keyed-table base "
-              "(not --lsm delta appends or the Mongo sink); run a "
-              "plain `upsert --table ... --buckets N` round (or "
-              "`compact`) to bucket the base", file=sys.stderr)
+        # table is laid out while every round keeps paying the cost the
+        # flag exists to eliminate
+        print("--buckets/--range-files only apply to the versioned "
+              "keyed-table base (not --lsm delta appends or the Mongo "
+              "sink); run a plain `upsert --table ...` round (or "
+              "`compact`) to lay out the base", file=sys.stderr)
         return 2
     spark = get_spark("upsert")
     src = spark.read.schema(PIPELINE_SCHEMA).parquet(args.path)
@@ -113,7 +119,8 @@ def cmd_upsert(args: argparse.Namespace) -> int:
                                                   key=cfg.key,
                                                   n_files=cfg.n_partitions,
                                                   return_counts=True,
-                                                  buckets=args.buckets)
+                                                  buckets=args.buckets,
+                                                  range_files=args.range_files)
             # every post-merge row is exactly one of matched / upserted /
             # untouched, so the total comes free from the merge's own
             # Observation — no second scan of the written table
@@ -247,8 +254,73 @@ def cmd_compact(args: argparse.Namespace) -> int:
     from .sinks.keyed_table import compact
     spark = get_spark("compact")
     out = compact(spark, args.table, args.key, n_files=args.n_files,
-                  buckets=args.buckets)
+                  buckets=args.buckets, range_files=args.range_files)
     print(f"compacted {args.table}: {out.count()} rows")
+    return 0
+
+
+def cmd_lookup(args: argparse.Namespace) -> int:
+    """Point/range read of a keyed table through its data-skipping
+    index (r12): the range layout's zone map or the hash layout's
+    bucket placement prunes the base scan; pending deltas and
+    tombstones merge on top. Reports how many base files the probe
+    actually touched."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from .sinks.keyed_table import lookup_keyed_table, table_key_dtype
+
+    if args.values is None and args.lo is None and args.hi is None:
+        print("lookup needs --values or at least one of --lo/--hi",
+              file=sys.stderr)
+        return 2
+    if args.values is not None and (args.lo is not None
+                                    or args.hi is not None):
+        print("pass either --values or a --lo/--hi range, not both",
+              file=sys.stderr)
+        return 2
+    spark = get_spark("lookup")
+    dt = table_key_dtype(spark, args.table, args.key)
+    if dt is None:
+        print(f"no keyed table at {args.table} (or no column "
+              f"'{args.key}')", file=sys.stderr)
+        return 2
+
+    def conv(s: str):
+        # probe values arrive as CLI strings; compare them in the
+        # key's own type or the zone-map prune is apples-to-oranges
+        if isinstance(dt, (T.ByteType, T.ShortType,
+                           T.IntegerType, T.LongType)):
+            return int(s)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return float(s)
+        if isinstance(dt, T.DateType):
+            return datetime.date.fromisoformat(s)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return datetime.datetime.fromisoformat(s)
+        return s
+
+    try:
+        kwargs = {}
+        if args.values is not None:
+            kwargs["values"] = [conv(v) for v in args.values.split(",")]
+        if args.lo is not None:
+            kwargs["lo"] = conv(args.lo)
+        if args.hi is not None:
+            kwargs["hi"] = conv(args.hi)
+        out, stats = lookup_keyed_table(spark, args.table, args.key,
+                                        with_stats=True, **kwargs)
+        if args.out:
+            out.write.mode(args.write_mode).parquet(args.out)
+        else:
+            out.show(args.limit, truncate=False)
+    except (ValueError, FileNotFoundError) as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    print(f"lookup {args.table}: read {stats['files_read']}/"
+          f"{stats['files_total']} base files + {stats['deltas']} "
+          f"pending deltas")
     return 0
 
 
@@ -889,6 +961,12 @@ def main(argv: list[str] | None = None) -> int:
                         "merge key (inherited by later rounds; 0 "
                         "un-buckets) — repeated upsert rounds then "
                         "merge with no exchange on the base side")
+    u.add_argument("--range-files", type=_bounded_int(0, 100_000),
+                   help="write the keyed-table base range-clustered on "
+                        "the merge key with a per-file min/max zone map "
+                        "(inherited; 0 drops it) — `lookup` point/range "
+                        "reads then touch only the admissible files; "
+                        "alternative to --buckets")
     u.add_argument("--lsm", action="store_true",
                    help="append a merge-on-read delta to the keyed "
                         "table instead of rewriting the base "
@@ -951,7 +1029,28 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--buckets", type=_bounded_int(0, 100_000),
                     help="(re-)bucket the folded base on the key "
                          "(inherited afterwards; 0 un-buckets)")
+    cp.add_argument("--range-files", type=_bounded_int(0, 100_000),
+                    help="(re-)range-cluster the folded base with a "
+                         "zone map (inherited afterwards; 0 drops it); "
+                         "alternative to --buckets")
     cp.set_defaults(fn=cmd_compact)
+
+    lk = sub.add_parser(
+        "lookup", help="point/range read of a keyed table through its "
+                       "data-skipping index (zone map / bucket "
+                       "pruning); reports files touched")
+    lk.add_argument("--table", required=True, help="keyed table path")
+    lk.add_argument("--key", default=PIPELINE_KEY)
+    lk.add_argument("--values",
+                    help="comma-separated key values (equality probe)")
+    lk.add_argument("--lo", help="range lower bound (inclusive)")
+    lk.add_argument("--hi", help="range upper bound (inclusive)")
+    lk.add_argument("--out", help="write result parquet here "
+                                  "(default: show)")
+    lk.add_argument("--write-mode", default="errorifexists",
+                    choices=["errorifexists", "overwrite"])
+    lk.add_argument("--limit", type=int, default=20)
+    lk.set_defaults(fn=cmd_lookup)
 
     dl = sub.add_parser(
         "delete", help="delete rows from a keyed table by key "

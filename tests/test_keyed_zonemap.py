@@ -193,6 +193,26 @@ def test_stats_cols_extra_column(spark, tmp_path):
     assert kept is not None and 0 < len(kept) < 4
 
 
+def test_cli_range_layout_and_lookup(spark, tmp_path, capsys):
+    """upsert --range-files + lookup end to end, with the files-read
+    report proving the prune actually engaged."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    data = str(tmp_path / "src")
+    table = str(tmp_path / "tab")
+    assert main(["generate", "--path", data, "--n-rows", "300",
+                 "--n-files", "2", "--seed", "3"]) == 0
+    assert main(["upsert", "--path", data, "--table", table,
+                 "--range-files", "4"]) == 0
+    some = (read_keyed_table(spark, table).limit(1)
+            .collect()[0]["_id"])
+    assert main(["lookup", "--table", table, "--values", some]) == 0
+    out = capsys.readouterr().out
+    assert "read 1/4 base files" in out
+    assert main(["upsert", "--path", data, "--table", table,
+                 "--buckets", "2", "--range-files", "2"]) == 2
+
+
 def test_predicate_validation(spark, tmp_path):
     path = _mk_range_table(spark, tmp_path, n=20, files=2)
     with pytest.raises(ValueError):
