@@ -576,6 +576,11 @@ def cmd_dedup_stream(args: argparse.Namespace) -> int:
     schema is inferred once from the files currently present."""
     from .streaming.dedup_stream import stream_dedup_parquet
 
+    if args.mode == "vec" and not args.vectors:
+        print("--mode vec needs --vectors (the keyed vector store "
+              "verification reads colliding members from)",
+              file=sys.stderr)
+        return 2
     spark = get_spark("dedup-stream")
     try:
         schema = spark.read.parquet(args.source).schema
@@ -583,7 +588,9 @@ def cmd_dedup_stream(args: argparse.Namespace) -> int:
         print(f"cannot infer schema from {args.source}: {exc}",
               file=sys.stderr)
         return 2
-    for col, what in ((args.id_col, "id"), (args.text_col, "text")):
+    content = (args.vec_col, "vector") if args.mode == "vec" \
+        else (args.text_col, "text")
+    for col, what in ((args.id_col, "id"), content):
         if col not in schema.names:
             print(f"source {args.source} has no {what} column '{col}' "
                   f"(columns: {', '.join(schema.names)})", file=sys.stderr)
@@ -592,11 +599,14 @@ def cmd_dedup_stream(args: argparse.Namespace) -> int:
         spark, args.source, schema=schema, index_path=args.index,
         verdicts_dir=args.out, checkpoint=args.checkpoint,
         mode=args.mode, id_col=args.id_col, text_col=args.text_col,
+        vec_col=args.vec_col, vectors_path=args.vectors,
+        threshold=args.threshold,
         buckets=args.buckets, update_index=not args.no_update_index,
         max_files_per_trigger=args.max_files_per_trigger)
+    stores = (f"index {args.index} + vector store {args.vectors}"
+              if args.mode == "vec" else f"index {args.index}")
     print(f"dedup-stream mode={args.mode}: drained {args.source}; "
-          f"verdicts under {args.out} (epoch-partitioned), index "
-          f"{args.index} "
+          f"verdicts under {args.out} (epoch-partitioned), {stores} "
           + ("left unchanged (--no-update-index)" if args.no_update_index
              else "maintained"))
     return 0
@@ -717,10 +727,7 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
     q_semdedup / q_vector_lsh_verified territory.)"""
     from pyspark.sql import functions as F
 
-    from .plans.incremental_vec import (banded_buckets,
-                                        batch_vec_dup_losers,
-                                        incremental_vec_dup_flags,
-                                        vec_index_rows_from_buckets)
+    from .plans.incremental_vec import vec_batch_verdicts
     from .sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
 
     emb = batch.select(F.col(args.id_col).alias("vec_id"),
@@ -750,38 +757,13 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
               f"(a first arrival seeds BOTH)", file=sys.stderr)
         return 2
     seeded = index is not None
-    if not seeded:
-        index = spark.createDataFrame(
-            [], "band long, bucket long, member_id long")
-        store = spark.createDataFrame(
-            [], "member_id long, embedding array<float>")
-    # sign the batch's vectors ONCE: the same bucket frame drives
-    # the history probe, the within-batch loser pass, and (filtered
-    # to survivors) the index fold
-    buckets = banded_buckets(emb, "vec_id")
-    hist_dups = incremental_vec_dup_flags(emb, index, store, "vec_id",
-                                          threshold=args.threshold,
-                                          new_buckets=buckets).persist()
-    # within-batch losers (verified near-dup of a smaller-id batch
-    # vector) never reach the stores — k identical vectors arriving
-    # together must index exactly one copy, same keep-smallest rule as
-    # near mode's dup_in_batch. DISJOINT verdicts, near-mode style:
-    # dup_vs_index wins; dup_in_batch = batch loser with no history
-    # hit. Both verdicts appear in the report, so a consumer can tell
-    # every excluded vector apart from the folded survivors.
-    losers = batch_vec_dup_losers(emb, "vec_id", threshold=args.threshold,
-                                  new_buckets=buckets)
-    batch_only = losers.join(hist_dups.select("vec_id"),
-                             "vec_id", "left_anti")
-    out = (hist_dups.withColumn("verdict", F.lit("dup_vs_index"))
-           .unionByName(
-               batch_only.select(
-                   "vec_id",
-                   F.lit(0).cast("long").alias("n_dups"),
-                   F.lit(None).cast("long").alias("match_id"),
-                   F.lit(None).cast("double").alias("cos_sim"),
-                   F.lit("dup_in_batch").alias("verdict")))
-           .persist())
+    # the shared per-batch core (plans/incremental_vec.py): batch
+    # signed ONCE, disjoint dup_vs_index/dup_in_batch verdicts,
+    # survivors feeding both store-update frames — the same function
+    # the streaming drain runs per micro-batch
+    out, index_rows, store_rows = vec_batch_verdicts(
+        emb, index, store, threshold=args.threshold)
+    out = out.persist()
     counts = {r["verdict"]: r["n"]
               for r in out.groupBy("verdict")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -792,23 +774,15 @@ def _dedup_incremental_vec(spark, args: argparse.Namespace, batch) -> int:
     else:
         out.show(args.limit, truncate=False)
     if args.update_index:
-        survivors = emb.join(out.select("vec_id"), "vec_id", "left_anti")
-        upsert_into_keyed_table(
-            spark,
-            vec_index_rows_from_buckets(
-                buckets.join(survivors.select("vec_id"), "vec_id"),
-                "vec_id"),
-            path=args.index, key="idx_key",
-            updated_at_col=None, buckets=args.buckets)
-        upsert_into_keyed_table(
-            spark, survivors.select(F.col("vec_id").alias("member_id"),
-                                    "embedding"),
-            path=args.vectors, key="member_id", updated_at_col=None)
+        upsert_into_keyed_table(spark, index_rows, path=args.index,
+                                key="idx_key", updated_at_col=None,
+                                buckets=args.buckets)
+        upsert_into_keyed_table(spark, store_rows, path=args.vectors,
+                                key="member_id", updated_at_col=None)
         action = "updated" if seeded else "seeded"
     else:
         action = "unchanged (--update-index to maintain them)"
     out.unpersist()
-    hist_dups.unpersist()
     print(f"dedup-incremental mode=vec: dup_vs_index={n_dup_vecs}, "
           f"dup_in_batch={n_batch_dups}; "
           f"index {args.index} + vector store {args.vectors} {action}")
@@ -1157,7 +1131,8 @@ def main(argv: list[str] | None = None) -> int:
              "sweep of a landing dir, probe each micro-batch against "
              "the persisted index, write epoch-partitioned verdicts, "
              "fold survivors (streaming/dedup_stream.py)")
-    ds.add_argument("--mode", choices=["near", "spans"], default="near")
+    ds.add_argument("--mode", choices=["near", "spans", "vec"],
+                    default="near")
     ds.add_argument("--source", required=True,
                     help="landing path/glob of arriving parquet files")
     ds.add_argument("--index", required=True,
@@ -1169,6 +1144,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="stream checkpoint dir (tracks consumed files)")
     ds.add_argument("--id-col", default="doc_id")
     ds.add_argument("--text-col", default="text")
+    ds.add_argument("--vec-col", default="embedding",
+                    help="embedding column (mode vec)")
+    ds.add_argument("--vectors",
+                    help="keyed vector store path (mode vec)")
+    ds.add_argument("--threshold", type=float,
+                    help="cosine verification threshold (mode vec)")
     ds.add_argument("--buckets", type=_bounded_int(0, 100_000),
                     help="bucket the index base on its merge key")
     ds.add_argument("--no-update-index", action="store_true",

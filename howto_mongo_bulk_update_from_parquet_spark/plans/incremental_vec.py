@@ -146,12 +146,17 @@ def incremental_vec_dup_flags(new_emb: DataFrame, index_rows: DataFrame,
     ``index_rows`` needs (band, bucket, member_id) — exactly what the
     persisted bucket index holds; ``history_vecs`` needs
     (member_id, embedding) — the vector store, touched only for the
-    colliding members. Returns (id, n_dups, match_id, cos_sim), best
-    match first by cosine then smallest member id."""
+    colliding members. A collision whose member IS the probing vector
+    is ignored (a batch replayed after its survivors were folded —
+    the streaming foreachBatch retry — would otherwise verify every
+    survivor against its own stored copy at cosine 1.0). Returns
+    (id, n_dups, match_id, cos_sim), best match first by cosine then
+    smallest member id."""
     new_b = (new_buckets if new_buckets is not None
              else banded_buckets(new_emb, id_col, bits=bits))
     cand = (new_b.join(index_rows.select("band", "bucket", "member_id"),
                        ["band", "bucket"])
+            .filter(F.col("member_id") != F.col(id_col))
             .select(id_col, "member_id").distinct())
     def _with_norm(df, idc, vec_alias, nrm_alias, idc_out):
         v = df.select(F.col(idc).alias(idc_out),
@@ -191,6 +196,51 @@ def q_incremental_vec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_vec_dup_flags(
         new_emb, index, history.select(F.col("vec_id").alias("member_id"),
                                        "embedding"), "vec_id")
+
+
+def vec_batch_verdicts(emb: DataFrame, index_rows: DataFrame | None,
+                       history_vecs: DataFrame | None,
+                       threshold: float = VERIFY_THRESHOLD
+                       ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One embedding arrival, end to end: ``(verdicts, index_rows,
+    store_rows)`` — the shared per-batch core of the CLI verb
+    (`dedup-incremental --mode vec`) and the streaming drain
+    (`streaming/dedup_stream.py`). ``emb`` is (vec_id, embedding);
+    pass None for both stores on the first arrival. The batch is
+    signed ONCE; verdicts are DISJOINT (`dup_vs_index` beats
+    `dup_in_batch`); survivors — every vector absent from the verdict
+    frame — supply both return frames, so k identical vectors
+    arriving together fold exactly one copy into each store."""
+    spark = emb.sparkSession
+    if index_rows is None:
+        index_rows = spark.createDataFrame(
+            [], "band long, bucket long, member_id long")
+    if history_vecs is None:
+        history_vecs = spark.createDataFrame(
+            [], "member_id long, embedding array<float>")
+    buckets = banded_buckets(emb, "vec_id")
+    hist_dups = incremental_vec_dup_flags(emb, index_rows, history_vecs,
+                                          "vec_id", threshold=threshold,
+                                          new_buckets=buckets)
+    losers = batch_vec_dup_losers(emb, "vec_id", threshold=threshold,
+                                  new_buckets=buckets)
+    batch_only = losers.join(hist_dups.select("vec_id"),
+                             "vec_id", "left_anti")
+    out = (hist_dups.withColumn("verdict", F.lit("dup_vs_index"))
+           .unionByName(
+               batch_only.select(
+                   "vec_id",
+                   F.lit(0).cast("long").alias("n_dups"),
+                   F.lit(None).cast("long").alias("match_id"),
+                   F.lit(None).cast("double").alias("cos_sim"),
+                   F.lit("dup_in_batch").alias("verdict"))))
+    survivors = emb.join(out.select("vec_id"), "vec_id", "left_anti")
+    return (out,
+            vec_index_rows_from_buckets(
+                buckets.join(survivors.select("vec_id"), "vec_id"),
+                "vec_id"),
+            survivors.select(F.col("vec_id").alias("member_id"),
+                             "embedding"))
 
 
 def batch_vec_dup_losers(new_emb: DataFrame, id_col: str,

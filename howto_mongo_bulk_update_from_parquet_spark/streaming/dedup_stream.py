@@ -51,7 +51,7 @@ from pyspark.sql import types as T
 from ..sinks import fs as hfs
 from ..sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
 
-MODES = ("near", "spans")
+MODES = ("near", "spans", "vec")
 
 
 def _index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -97,7 +97,9 @@ def dedup_batch_verdicts(docs: DataFrame, index: DataFrame | None,
                else spark.createDataFrame([], "h string, rep_id long"))
         out = incremental_dup_spans(docs, idx, new_grams=grams)
         return out, gram_index_rows_from_grams(grams), "h"
-    raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    raise ValueError(
+        f"mode must be 'near' or 'spans' here, got {mode!r} "
+        f"(vec runs through _apply_vec_batch — it maintains TWO stores)")
 
 
 def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
@@ -105,6 +107,9 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
                          verdicts_dir: str, checkpoint: str,
                          mode: str = "near",
                          id_col: str = "doc_id", text_col: str = "text",
+                         vec_col: str = "embedding",
+                         vectors_path: str | None = None,
+                         threshold: float | None = None,
                          buckets: int | None = None,
                          update_index: bool = True,
                          max_files_per_trigger: int | None = None) -> None:
@@ -114,9 +119,16 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
     continuous operation). Verdicts land under
     `verdicts_dir/epoch=N/`; read `verdicts_dir` as one partitioned
     parquet table. `buckets` bucket-stores the index base on its
-    merge key (pass it on the FIRST run; inherited afterwards)."""
+    merge key (pass it on the FIRST run; inherited afterwards).
+    Mode `vec` dedups embedding batches instead of text: `vec_col`
+    replaces `text_col` and `vectors_path` names the keyed VECTOR
+    store (the second store vec maintains — exact-cosine verification
+    point-looks-up colliding members there)."""
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    if mode == "vec" and not vectors_path:
+        raise ValueError("mode='vec' needs vectors_path (the keyed "
+                         "vector store verification reads from)")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
@@ -125,6 +137,9 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
+        if mode == "vec":
+            _apply_vec_batch(sess, batch_df, int(epoch_id))
+            return
         docs = batch_df.select(F.col(id_col).alias("doc_id"),
                                F.col(text_col).alias("text"))
         out, index_rows, index_key = dedup_batch_verdicts(
@@ -141,6 +156,43 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
                 upsert_into_keyed_table(sess, index_rows, path=index_path,
                                         key=index_key, updated_at_col=None,
                                         buckets=buckets)
+        finally:
+            out.unpersist()
+
+    def _apply_vec_batch(sess: SparkSession, batch_df: DataFrame,
+                         epoch_id: int) -> None:
+        from ..plans.incremental_vec import vec_batch_verdicts
+        emb = batch_df.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).alias("embedding"))
+        index = _index_or_none(sess, index_path)
+        store = _index_or_none(sess, vectors_path)
+        if (index is None) != (store is None):
+            # one store missing is a mis-pointed path, not a first
+            # arrival — failing the stream beats silently re-seeding
+            # (the batch-CLI applies the same rule, code-review r11)
+            raise RuntimeError(
+                f"inconsistent vec stores: index={index_path} "
+                f"{'exists' if index is not None else 'missing'}, "
+                f"vectors={vectors_path} "
+                f"{'exists' if store is not None else 'missing'}")
+        kwargs = {"threshold": threshold} if threshold is not None else {}
+        out, index_rows, store_rows = vec_batch_verdicts(
+            emb,
+            index.select("band", "bucket", "member_id")
+            if index is not None else None,
+            store, **kwargs)
+        out = out.persist()
+        try:
+            (out.write.mode("overwrite")
+                .parquet(hfs.join(verdicts_dir, f"epoch={epoch_id}")))
+            if update_index:
+                upsert_into_keyed_table(sess, index_rows, path=index_path,
+                                        key="idx_key", updated_at_col=None,
+                                        buckets=buckets)
+                upsert_into_keyed_table(sess, store_rows,
+                                        path=vectors_path,
+                                        key="member_id",
+                                        updated_at_col=None)
         finally:
             out.unpersist()
 

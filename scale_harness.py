@@ -114,6 +114,51 @@ QUERIES = [
 # only.
 SINK_SLOTS = ["sink_upsert_plain", "sink_upsert_bucketed"]
 
+# Data-skipping slots (r12): a 3-key point lookup against a
+# RANGE-layout keyed base built from the xK orders (setup untimed; the
+# file count grows with the data so file SIZE stays constant, the
+# production sizing rule). `lookup_zonemap` goes through
+# `lookup_keyed_table` — the zone map admits ~one file per probed key,
+# so the timed cost should stay FLAT as the table grows x100.
+# `lookup_fullscan` answers the identical probe by filtering the full
+# base read — the O(table) baseline the zone map exists to avoid.
+# The pair turns the skipping claim into a measured curve.
+LOOKUP_SLOTS = ["lookup_zonemap", "lookup_fullscan"]
+
+
+def _lookup_factory(spark, data_dir: str, scratch: str, k: int,
+                    pruned: bool):
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        lookup_keyed_table, read_keyed_table, upsert_into_keyed_table)
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+
+    path = os.path.join(scratch, "kt_range")
+    marker = os.path.join(path, "_SCALE_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, data_dir, "orders").select(
+            F.col("o_orderkey").alias("_id"), "o_totalprice",
+            "o_orderstatus")
+        # files grow with the data so each file stays ~constant-sized
+        upsert_into_keyed_table(spark, orders, path=path, key="_id",
+                                updated_at_col=None, range_files=8 * k)
+        with open(marker, "w") as fh:
+            fh.write(str(k))
+    # copy-0 keys, present at every scale
+    probes = [11, 50_011, 100_011]
+
+    def run():
+        if pruned:
+            out = lookup_keyed_table(spark, path, "_id", values=probes)
+        else:
+            out = read_keyed_table(spark, path).filter(
+                F.col("_id").isin(probes))
+        out.write.format("noop").mode("overwrite").save()
+    return run
+
 # The TUNED vec-dedup slot (r11): q_incremental_vec_dedup is excluded
 # above because its fixture-scale 6-bit bands are mis-tuned for a
 # bigger corpus; this slot applies the documented tuning rule —
@@ -272,7 +317,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,100")
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--queries", default=",".join(QUERIES + SINK_SLOTS + [VEC_TUNED_SLOT]))
+    ap.add_argument("--queries", default=",".join(
+        QUERIES + SINK_SLOTS + LOOKUP_SLOTS + [VEC_TUNED_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -302,7 +348,8 @@ def main() -> None:
               f"({time.perf_counter() - t0:.1f}s)", flush=True)
         # codegen / Python-worker warm-up outside the timed slots
         warm = next((n for n in names
-                     if n not in SINK_SLOTS and n != VEC_TUNED_SLOT), None)
+                     if n not in SINK_SLOTS and n not in LOOKUP_SLOTS
+                     and n != VEC_TUNED_SLOT), None)
         if warm:
             queries[warm](spark, out_dir).write.format("noop") \
                 .mode("overwrite").save()
@@ -311,6 +358,10 @@ def main() -> None:
                 thunk = _sink_upsert_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     bucketed=q.endswith("bucketed"))
+            elif q in LOOKUP_SLOTS:
+                thunk = _lookup_factory(
+                    spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
+                    k, pruned=q.endswith("zonemap"))
             elif q == VEC_TUNED_SLOT:
                 thunk = _vec_dedup_tuned_thunk(spark, out_dir, k)
             else:

@@ -30,9 +30,9 @@ def _write_batch(spark, landing, name, rows):
 
 
 def _run(spark, tmp, **kw):
+    kw.setdefault("schema", SCHEMA)
     stream_dedup_parquet(
         spark, os.path.join(str(tmp), "landing", "*"),
-        schema=SCHEMA,
         index_path=os.path.join(str(tmp), "index"),
         verdicts_dir=os.path.join(str(tmp), "verdicts"),
         checkpoint=os.path.join(str(tmp), "ckpt"), **kw)
@@ -111,6 +111,66 @@ def test_replay_verdicts_stable_after_fold(spark):
     sout1, srows1, _ = dedup_batch_verdicts(sdocs, None, "spans")
     sout2, _, _ = dedup_batch_verdicts(sdocs, srows1, "spans")
     assert sout1.count() == sout2.count() == 0    # no self-spans on replay
+
+
+VSCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def _vec(seed):
+    """Deterministic 64-dim vector (the RHP hyperplane dim); distinct
+    seeds give pairwise |cosine| < 0.14, far under the 0.45 verify
+    threshold."""
+    import hashlib
+    return [(int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:8], 16)
+             % 2001 - 1000) / 1000.0 for j in range(64)]
+
+
+V1, V2, V3 = _vec(1), _vec(2), _vec(3)
+
+
+def test_stream_vec_mode(spark, tmp_path):
+    """vec mode maintains BOTH stores through the stream: batch-1
+    sibling dedup, batch-2 history hit, survivors-only folds."""
+    landing = os.path.join(str(tmp_path), "landing")
+    os.makedirs(landing)
+    (spark.createDataFrame([(1, V1), (2, V2), (3, V1)], VSCHEMA)
+     .coalesce(1).write.parquet(os.path.join(landing, "b1")))
+    kw = dict(mode="vec", schema=VSCHEMA, id_col="vec_id",
+              vectors_path=os.path.join(str(tmp_path), "vecs"),
+              buckets=4)
+    _run(spark, tmp_path, **kw)
+    v1 = {r["vec_id"]: r["verdict"] for r in spark.read.parquet(
+        os.path.join(str(tmp_path), "verdicts")).collect()}
+    assert v1 == {3: "dup_in_batch"}      # identical sibling, one folds
+    store = read_keyed_table(spark, os.path.join(str(tmp_path), "vecs"))
+    assert {r["member_id"] for r in store.collect()} == {1, 2}
+
+    (spark.createDataFrame([(11, V1), (12, V3)], VSCHEMA)
+     .coalesce(1).write.parquet(os.path.join(landing, "b2")))
+    _run(spark, tmp_path, **kw)
+    rows = {r["vec_id"]: r for r in spark.read.parquet(
+        os.path.join(str(tmp_path), "verdicts")).collect()}
+    assert rows[11]["verdict"] == "dup_vs_index"
+    assert rows[11]["match_id"] == 1 and rows[11]["cos_sim"] == 1.0
+    assert 12 not in rows                 # survivor: absent from report
+    store2 = read_keyed_table(spark, os.path.join(str(tmp_path), "vecs"))
+    assert {r["member_id"] for r in store2.collect()} == {1, 2, 12}
+
+
+def test_vec_replay_stable_after_fold(spark):
+    """Replaying a vec batch after its survivors were folded keeps the
+    survivor set: self-matches are excluded (member_id == vec_id)."""
+    from howto_mongo_bulk_update_from_parquet_spark.plans.incremental_vec import (
+        vec_batch_verdicts)
+    emb = spark.createDataFrame([(1, V1), (2, V2)], VSCHEMA)
+    out1, idx1, store1 = vec_batch_verdicts(emb, None, None)
+    assert out1.count() == 0              # both unique
+    out2, _, _ = vec_batch_verdicts(
+        emb, idx1.select("band", "bucket", "member_id"), store1)
+    assert out2.count() == 0              # replay: no self-dup
 
 
 def test_cli_dedup_stream(spark, tmp_path):
