@@ -259,6 +259,77 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_table_info(args: argparse.Namespace) -> int:
+    """One-look observability for a keyed table (r12): committed
+    version, layout (hash/range/plain with its spec), folded-through
+    watermark, pending deltas, retained history versions, base file
+    count, and the zone-map summary when present — everything a user
+    needs to decide between `compact`, `vacuum`, re-layout, or
+    nothing, without reading the table."""
+    import json as _json
+
+    from .sinks import fs as hfs
+    from .sinks import zonemap as zm
+    from .sinks.keyed_table import (_base_dir, _complete_deltas,
+                                    _current_manifest, _delta_versions,
+                                    _manifest_versions, current_base_version)
+
+    spark = get_spark("table-info")
+    version, meta = _current_manifest(spark, args.table)
+    if not version:
+        version = current_base_version(spark, args.table)
+    if not version:
+        print(f"no versioned keyed table at {args.table}",
+              file=sys.stderr)
+        return 2
+    base = _base_dir(args.table, version)
+    files = [f for f in hfs.listdir(spark, base)
+             if not f.startswith("_") and not f.startswith(".")]
+    retained = sorted(
+        int(d.split("_v")[1]) for d in hfs.listdir(spark, args.table)
+        if d.startswith("base_v"))
+    floor = int(meta.get("folded_through", 0) or 0)
+    deltas = _delta_versions(spark, args.table)
+    pending = _complete_deltas(spark, args.table, floor=floor)
+    if meta.get("buckets"):
+        layout = (f"hash ({meta['buckets']} buckets on "
+                  f"{meta.get('bucket_key')})")
+    elif meta.get("range_files"):
+        layout = (f"range ({meta['range_files']} files on "
+                  f"{meta.get('range_key')}, zone map over "
+                  f"{meta.get('zonemap_cols')})")
+    else:
+        layout = "plain"
+    info = {
+        "table": args.table,
+        "version": version,
+        "layout": layout,
+        "base_files": len(files),
+        "retained_versions": retained,
+        "manifest_pointers": _manifest_versions(spark, args.table),
+        "folded_through": floor,
+        "deltas_on_disk": deltas,
+        "deltas_pending": pending,
+        "deltas_folded_awaiting_gc": [v for v in deltas if v <= floor],
+    }
+    zmap = zm.read_zone_map(spark, base)
+    if zmap is not None:
+        spans = {}
+        for c in zmap["cols"]:
+            mins = [e.get(f"min_{c}") for e in zmap["files"]]
+            maxs = [e.get(f"max_{c}") for e in zmap["files"]]
+            if all(v is not None for v in mins + maxs):
+                spans[c] = {"min": min(mins), "max": max(maxs)}
+        info["zonemap"] = {
+            "files": len(zmap["files"]),
+            "rows": sum(e["rows"] for e in zmap["files"]),
+            "cols": zmap["cols"],
+            "spans": spans,
+        }
+    print(_json.dumps(info, indent=1, sort_keys=True, default=str))
+    return 0
+
+
 def cmd_lookup(args: argparse.Namespace) -> int:
     """Point/range read of a keyed table through its data-skipping
     index (r12): the range layout's zone map or the hash layout's
@@ -1025,6 +1096,13 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["errorifexists", "overwrite"])
     lk.add_argument("--limit", type=int, default=20)
     lk.set_defaults(fn=cmd_lookup)
+
+    ti = sub.add_parser(
+        "table-info", help="keyed-table state at a glance: version, "
+                           "layout, watermark, pending deltas, zone "
+                           "map (JSON)")
+    ti.add_argument("--table", required=True, help="keyed table path")
+    ti.set_defaults(fn=cmd_table_info)
 
     dl = sub.add_parser(
         "delete", help="delete rows from a keyed table by key "

@@ -213,6 +213,24 @@ def test_cli_range_layout_and_lookup(spark, tmp_path, capsys):
                  "--buckets", "2", "--range-files", "2"]) == 2
 
 
+def test_cli_table_info(spark, tmp_path, capsys):
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame(
+        [(5, -1, None)], "k long, val long, tag string"),
+        path=path, key="k")
+    assert main(["table-info", "--table", path]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["version"] == 1 and info["base_files"] == 8
+    assert info["layout"].startswith("range (8 files on k")
+    assert info["deltas_pending"] == [1]
+    assert info["zonemap"]["rows"] == 400
+    assert info["zonemap"]["spans"]["k"] == {"min": 0, "max": 399}
+
+
 def test_predicate_validation(spark, tmp_path):
     path = _mk_range_table(spark, tmp_path, n=20, files=2)
     with pytest.raises(ValueError):
