@@ -250,9 +250,26 @@ def cmd_compact(args: argparse.Namespace) -> int:
     """Fold the LSM keyed table's base + deltas into one new versioned
     base (single write + atomic manifest flip) and drop the deltas —
     the scheduled half of the `upsert --lsm` / `delete --tombstone`
-    write paths. Tombstoned keys are purged physically here."""
-    from .sinks.keyed_table import compact
+    write paths. Tombstoned keys are purged physically here.
+
+    `--pruned` (range-layout tables, r12): surgical fold — rewrite
+    only the base files whose zone-map key span the deltas touch and
+    carry the rest by filesystem copy, so a small fold on a huge base
+    costs O(touched files), not O(table). Incompatible with the
+    re-layout flags (a re-layout is by definition a full rewrite)."""
+    from .sinks.keyed_table import compact, compact_pruned
     spark = get_spark("compact")
+    if args.pruned:
+        if args.n_files or args.buckets or args.range_files:
+            print("--pruned folds in place; re-layout flags "
+                  "(--n-files/--buckets/--range-files) need a full "
+                  "compact", file=sys.stderr)
+            return 2
+        out, stats = compact_pruned(spark, args.table, args.key)
+        import json as _json
+        print(_json.dumps({"rows": out.count(), **stats},
+                          sort_keys=True))
+        return 0
     out = compact(spark, args.table, args.key, n_files=args.n_files,
                   buckets=args.buckets, range_files=args.range_files)
     print(f"compacted {args.table}: {out.count()} rows")
@@ -1078,6 +1095,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="(re-)range-cluster the folded base with a "
                          "zone map (inherited afterwards; 0 drops it); "
                          "alternative to --buckets")
+    cp.add_argument("--pruned", action="store_true",
+                    help="surgical fold (range layout): rewrite only "
+                         "the zone-map-touched base files, carry the "
+                         "rest by copy — O(touched), not O(table)")
     cp.set_defaults(fn=cmd_compact)
 
     lk = sub.add_parser(

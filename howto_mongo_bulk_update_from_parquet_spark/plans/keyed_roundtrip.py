@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
 from ..sinks.keyed_table import (append_delete_delta, append_delta, compact,
-                                 lookup_keyed_table, read_keyed_table,
-                                 upsert_into_keyed_table)
+                                 compact_pruned, lookup_keyed_table,
+                                 read_keyed_table, upsert_into_keyed_table)
 from ..sources.parquet import load_table
 from .catalog import register
 from .reference_core import MERGE_DELETE_ORACLE
@@ -115,3 +115,58 @@ def q_keyed_zonemap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, target.filter(F.col("k") % 7 == 0).select("k"),
         path=path, key="k")
     return lookup_keyed_table(spark, path, "k", lo=100, hi=700)
+
+
+PRUNED_COMPACT_ORACLE = """
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey >= 1000 AND o_orderkey < 2000
+            THEN CAST(o_totalprice AS DOUBLE) * 2
+            ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+       o_orderstatus AS status
+FROM orders
+WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey BETWEEN 4000 AND 5000)
+"""
+
+
+@register("q_keyed_pruned_compact", PRUNED_COMPACT_ORACLE,
+          "surgical fold of a range-layout keyed table: delta + "
+          "tombstone folded by rewriting ONLY the zone-map-touched "
+          "base files, untouched files carried by copy — the "
+          "committed base is oracle-exact and the query itself "
+          "asserts files were carried (r12)")
+def q_keyed_pruned_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layer attestation of `compact_pruned`
+    (sinks/keyed_table.py): an upsert delta over a NARROW key band
+    (price doubled, status null-skipped) and a tombstone band land on
+    a range-clustered base; the pruned fold rewrites only the files
+    whose zone spans the bands intersect and CARRIES the rest, then
+    the query reads the COMMITTED base. A fold that loses a delta
+    row, resurrects a tombstoned key, mangles a carried file, or
+    breaks the null-skip is a value-hash mismatch against the oracle.
+    The in-query assertion pins the scale property itself: if pruning
+    silently degrades to a full rewrite, the query fails rather than
+    passing as a slow fold. At 100 TB this is the difference between
+    a fold costing O(touched files + delta) and O(table) per arrival
+    round."""
+    import tempfile
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    path = tempfile.mkdtemp(prefix="keyed_pc_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None, range_files=8)
+    ups = (target.filter((F.col("k") >= 1000) & (F.col("k") < 2000))
+           .select("k", (F.col("price") * 2).alias("price"),
+                   F.lit(None).cast("string").alias("status")))
+    append_delta(spark, ups, path=path, key="k")
+    append_delete_delta(
+        spark, target.filter((F.col("k") % 5 == 0)
+                             & F.col("k").between(4000, 5000)).select("k"),
+        path=path, key="k")
+    _, stats = compact_pruned(spark, path, "k")
+    if not (stats["pruned"] and stats["files_carried"] > 0):
+        raise AssertionError(
+            f"pruned fold degraded to a full rewrite: {stats}")
+    return read_keyed_table(spark, path).select("k", "price", "status")

@@ -59,6 +59,22 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(p_src, p_dst))
 
 
+def copy(spark: SparkSession, src: str, dst: str) -> bool:
+    """Copy one file (no delete-source) through Hadoop's FileUtil —
+    scheme-aware like everything else here, so the pruned-compaction
+    carry-over of untouched base files works on `file:`, `hdfs://`
+    and `s3a://` alike. On object stores the bytes move server-side
+    (S3 COPY) or stream through the driver's connection, but never
+    through a Spark job: carrying a file costs zero executor compute,
+    zero shuffle, zero decode — the point of pruning the fold."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    sfs, sp = _fs_path(spark, src)
+    dfs, dp = _fs_path(spark, dst)
+    return bool(jvm.org.apache.hadoop.fs.FileUtil.copy(
+        sfs, sp, dfs, dp, False, conf))
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small text file (manifest-sized). A single-object PUT is
     atomic on S3; on HDFS the create+overwrite is a metadata op."""

@@ -1180,6 +1180,160 @@ def compact(spark: SparkSession, path: str, key: str,
     return spark.read.parquet(_base_dir(path, new_version))
 
 
+def _touched_base_files(spark: SparkSession, path: str, key: str,
+                        fold: list[int], zmap: dict,
+                        all_files: list[str]) -> set[str]:
+    """Base files a fold of `fold` deltas may need to rewrite: every
+    file whose zone-map [min,max] interval for `key` contains at least
+    one key appearing in any foldable delta (upserts AND tombstones —
+    a delete must rewrite the file holding its victim). Conservative
+    in every degraded case: files absent from the map, files with
+    null/absent stats, and files whose stored bounds fail the cast
+    back to the key's dtype all count as touched — a wrongly-touched
+    file costs one redundant rewrite, a wrongly-skipped one would
+    LOSE the delta's effect. The span test runs as one broadcast
+    range join (spans are O(files) driver state, the same bounded
+    class as the map itself; delta keys stay distributed), so the
+    decision never collects delta keys to the driver."""
+    mapped = {e["file"] for e in zmap["files"]}
+    present = set(all_files)
+    touched = {f for f in all_files if f not in mapped}
+    spans = []
+    for e in zmap["files"]:
+        if e["file"] not in present or e["file"] in touched:
+            continue
+        lo, hi = e.get(f"min_{key}"), e.get(f"max_{key}")
+        if lo is None or hi is None:
+            touched.add(e["file"])      # stats absent/null — rewrite
+        else:
+            spans.append((e["file"], str(lo), str(hi)))
+    if not spans:
+        return touched
+    parts = [spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
+             .select(key) for v in fold]
+    keys = parts[0]
+    for p in parts[1:]:
+        keys = keys.unionByName(p)
+    keys = keys.filter(F.col(key).isNotNull()).distinct()
+    dtype = table_key_dtype(spark, path, key)
+    spans_df = spark.createDataFrame(
+        spans, T.StructType([T.StructField("__file", T.StringType()),
+                             T.StructField("__lo_s", T.StringType()),
+                             T.StructField("__hi_s", T.StringType())]))
+    spans_df = spans_df.select(
+        "__file", F.col("__lo_s").cast(dtype).alias("__lo"),
+        F.col("__hi_s").cast(dtype).alias("__hi"))
+    # a bound that does not survive the round-trip cast cannot be
+    # trusted to prune — treat its file as touched rather than joining
+    # a NULL span (which would silently skip the file)
+    bad = spans_df.filter(F.col("__lo").isNull() | F.col("__hi").isNull())
+    touched |= {r["__file"] for r in bad.select("__file").collect()}
+    good = spans_df.filter(F.col("__lo").isNotNull()
+                           & F.col("__hi").isNotNull())
+    hit = (keys.join(F.broadcast(good),
+                     (F.col(key) >= F.col("__lo"))
+                     & (F.col(key) <= F.col("__hi")))
+           .select("__file").distinct().collect())
+    touched |= {r["__file"] for r in hit}
+    return touched
+
+
+def compact_pruned(spark: SparkSession, path: str, key: str,
+                   retain_versions: int = 2
+                   ) -> tuple[DataFrame, dict]:
+    """Surgical fold for RANGE-layout tables: rewrite ONLY the base
+    files whose zone-map key span intersects the foldable deltas'
+    keys, and carry every untouched file into the new base version by
+    a filesystem copy (server-side on object stores — zero executor
+    compute, zero shuffle, zero parquet decode). The full `compact`
+    re-reads, re-sorts and re-writes the ENTIRE base per fold — O(
+    table) at every arrival round; here a fold touching k of N files
+    costs O(k files + delta bytes) compute plus N-k metadata copies,
+    which is what keeps an LSM table with a 100 TB base foldable at
+    all. Same commit protocol as `compact` (claimed slot, atomic
+    manifest flip, `folded_through` watermark, one-commit delta GC);
+    zone-map entries of carried files survive verbatim, rewritten
+    files are re-stats'd with a scan of only themselves.
+
+    Rewritten files are range-clustered among THEMSELVES, so their
+    spans can straddle carried files' gaps — pruning correctness
+    never depends on disjoint spans (intersection test only), it
+    just loses a little selectivity until a full `compact` re-lays
+    the table out.
+
+    Falls back to the full `compact` (stats say so) when the table
+    has no usable zone map on `key`. A fold with nothing to absorb
+    is a no-op: no new version is committed. Returns ``(base_df,
+    stats)`` where stats records files_total / files_rewritten /
+    files_carried / deltas_folded / new_version / pruned."""
+    version, committed_meta = _current_manifest(spark, path)
+    meta = dict(committed_meta)
+    if not version:
+        version = current_base_version(spark, path)
+    zmap = zm.read_zone_map(spark, _base_dir(path, version)) \
+        if version else None
+    if (not version or meta.get("range_key") != key or zmap is None
+            or key not in zmap.get("cols", {})):
+        df = compact(spark, path, key, retain_versions=retain_versions)
+        return df, {"pruned": False,
+                    "reason": "no range layout / zone map on this key "
+                              "— full fold",
+                    "new_version": current_base_version(spark, path)}
+    old_floor = _meta_floor(meta)
+    fold = _foldable_deltas(spark, path, gc_stale=True, floor=old_floor)
+    base = _base_dir(path, version)
+    all_files = _base_data_files(spark, base)
+    if not fold:
+        return spark.read.parquet(base), {
+            "pruned": True, "new_version": version, "deltas_folded": 0,
+            "files_total": len(all_files), "files_rewritten": 0,
+            "files_carried": len(all_files)}
+    touched = _touched_base_files(spark, path, key, fold, zmap,
+                                  all_files)
+    untouched = [f for f in all_files if f not in touched]
+    if touched:
+        base_df = spark.read.parquet(
+            *[hfs.join(base, f) for f in sorted(touched)])
+    else:
+        # pure-insert fold: every delta key lands outside every span
+        base_df = spark.createDataFrame(
+            [], spark.read.parquet(base).schema)
+    rewritten = _read_merged_through(spark, path, key, fold,
+                                     base_df=base_df)
+    n_out = max(1, len(touched))
+    rewritten = (rewritten.repartitionByRange(n_out, F.col(key))
+                 .sortWithinPartitions(key))
+    new_version = version + 1
+    dst = _claim_base_slot(spark, path, new_version)
+    _run_claimed_write(
+        dst, lambda: rewritten.write.mode("errorifexists").parquet(dst))
+    for f in untouched:
+        if not hfs.copy(spark, hfs.join(base, f), hfs.join(dst, f)):
+            raise IOError(f"carrying {f} from {base} to {dst} failed")
+    carried_names = set(untouched)
+    new_files = [f for f in _base_data_files(spark, dst)
+                 if f not in carried_names]
+    zm_cols = list(zmap["cols"])
+    new_map = zm.collect_zone_map(
+        spark, dst, zm_cols,
+        paths=[hfs.join(dst, f) for f in new_files]) if new_files else None
+    entries = [e for e in zmap["files"] if e["file"] in carried_names]
+    if new_map:
+        entries += new_map["files"]
+    zm.write_zone_map(spark, dst, {
+        "version": 1, "cols": zmap["cols"],
+        "files": sorted(entries, key=lambda e: e["file"])})
+    meta["folded_through"] = str(fold[-1])
+    _commit_version(spark, path, new_version, retain_versions, meta=meta)
+    _gc_folded_deltas(spark, path, old_floor)
+    hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
+    return spark.read.parquet(dst), {
+        "pruned": True, "new_version": new_version,
+        "deltas_folded": len(fold), "files_total": len(all_files),
+        "files_rewritten": len(new_files),
+        "files_carried": len(untouched)}
+
+
 # --- deletes (the DELETE half of MERGE; absent from the reference,
 # whose upsert-only pipeline can never remove a document) ------------
 

@@ -73,15 +73,19 @@ def norm_probe(v: Any) -> Any:
 
 
 def collect_zone_map(spark: SparkSession, base_dir: str,
-                     cols: list[str]) -> dict | None:
+                     cols: list[str],
+                     paths: list[str] | None = None) -> dict | None:
     """Per-file min/max/row-count for `cols` over the parquet files of
     `base_dir`, as the zone-map document (not yet written). One
     aggregation job, grouped on the hidden `_metadata.file_path`
     column so Spark prunes the scan to exactly the stat columns.
     Columns with un-orderable dtypes are dropped from the map (never
     silently recorded as prunable). Returns None when nothing usable
-    remains."""
-    df = spark.read.parquet(base_dir)
+    remains. `paths` restricts the scan to an explicit file subset —
+    the pruned-compaction path stats ONLY its rewritten files and
+    carries the untouched files' entries forward verbatim, so the
+    stats job is O(rewritten bytes), never O(base)."""
+    df = spark.read.parquet(*(paths if paths else [base_dir]))
     usable = [c for c in cols
               if c in df.columns and _dtype_name(df, c) in _ORDERED_DTYPES]
     if not usable:

@@ -125,6 +125,51 @@ SINK_SLOTS = ["sink_upsert_plain", "sink_upsert_bucketed"]
 # The pair turns the skipping claim into a measured curve.
 LOOKUP_SLOTS = ["lookup_zonemap", "lookup_fullscan"]
 
+# Fold slots (r12): one LSM arrival round — append a CONSTANT-size
+# delta (copy-0 keys 0..8000, ~2k rows at every scale) and fold it —
+# against a pre-built range-layout base whose file count grows with
+# the data (setup untimed). `compact_full_arrival` is the O(table)
+# baseline: every fold re-reads, re-sorts and re-writes the whole
+# base. `compact_pruned_arrival` rewrites only the zone-map-touched
+# files and carries the rest by filesystem copy, so its timed cost
+# should stay ~flat while the full fold grows ~linearly — the pair
+# measures exactly the property that keeps a 100 TB LSM table
+# foldable per arrival round.
+COMPACT_SLOTS = ["compact_pruned_arrival", "compact_full_arrival"]
+
+
+def _compact_factory(spark, data_dir: str, scratch: str, k: int,
+                     pruned: bool):
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        append_delta, compact, compact_pruned, upsert_into_keyed_table)
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+
+    tag = "pruned" if pruned else "full"
+    path = os.path.join(scratch, f"kt_compact_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, data_dir, "orders").select(
+        F.col("o_orderkey").alias("_id"), "o_totalprice", "o_orderstatus")
+    upsert_into_keyed_table(spark, orders, path=path, key="_id",
+                            updated_at_col=None, range_files=8 * k)
+    # constant-size arrival batch, computed once (copy-0 keys — a
+    # narrow band that lands in ~one file's span at every scale)
+    batch = (orders.filter(F.col("_id").between(0, 8000))
+             .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+             .localCheckpoint())
+
+    def run():
+        append_delta(spark, batch, path=path, key="_id")
+        if pruned:
+            _, stats = compact_pruned(spark, path, "_id")
+            if not (stats["pruned"] and stats["files_carried"] > 0):
+                raise AssertionError(f"fold not pruned: {stats}")
+        else:
+            compact(spark, path, "_id")
+    return run
+
 
 def _lookup_factory(spark, data_dir: str, scratch: str, k: int,
                     pruned: bool):
@@ -318,7 +363,8 @@ def main() -> None:
     ap.add_argument("--factors", default="1,10,100")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--queries", default=",".join(
-        QUERIES + SINK_SLOTS + LOOKUP_SLOTS + [VEC_TUNED_SLOT]))
+        QUERIES + SINK_SLOTS + LOOKUP_SLOTS + COMPACT_SLOTS
+        + [VEC_TUNED_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -349,6 +395,7 @@ def main() -> None:
         # codegen / Python-worker warm-up outside the timed slots
         warm = next((n for n in names
                      if n not in SINK_SLOTS and n not in LOOKUP_SLOTS
+                     and n not in COMPACT_SLOTS
                      and n != VEC_TUNED_SLOT), None)
         if warm:
             queries[warm](spark, out_dir).write.format("noop") \
@@ -362,6 +409,10 @@ def main() -> None:
                 thunk = _lookup_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     k, pruned=q.endswith("zonemap"))
+            elif q in COMPACT_SLOTS:
+                thunk = _compact_factory(
+                    spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
+                    k, pruned=("pruned" in q))
             elif q == VEC_TUNED_SLOT:
                 thunk = _vec_dedup_tuned_thunk(spark, out_dir, k)
             else:

@@ -1,0 +1,222 @@
+"""Pruned (surgical) compaction for range-layout keyed tables.
+
+The full `compact` re-reads and rewrites the ENTIRE base per fold —
+O(table) at every arrival round. `compact_pruned` rewrites only the
+base files whose zone-map key span intersects the foldable deltas'
+keys and carries every untouched file into the new base version by a
+filesystem copy (no executor compute, no shuffle, no parquet decode).
+
+Covers: semantic equality with the merged view (and with a full
+compact of an identical twin table); touch-set precision (one-file
+delta rewrites one file); tombstones count as touching; pure inserts
+outside every span rewrite nothing; carried bytes are identical;
+zone-map carry-over keeps pruned lookups working across folds; the
+watermark/GC commit protocol matches `compact`; fallback and no-op
+paths; arrival-loop convergence over several pruned folds.
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from howto_mongo_bulk_update_from_parquet_spark.sinks import fs as hfs
+from howto_mongo_bulk_update_from_parquet_spark.sinks import zonemap as zm
+from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+    append_delete_delta, append_delta, compact, compact_pruned,
+    current_base_version, folded_through, lookup_keyed_table,
+    read_keyed_table, read_merged, table_meta, upsert_into_keyed_table)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("val"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("tag"))
+
+
+def _mk_range_table(spark, tmp_path, name="ptab", n=400, files=8):
+    path = str(tmp_path / name)
+    upsert_into_keyed_table(spark, _docs(spark, n), path=path, key="k",
+                            updated_at_col=None, range_files=files)
+    return path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("k", "val", "tag").collect())
+
+
+def test_pruned_fold_matches_merged_view(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=10, val=999, tag=None),        # update, tag null-skipped
+         Row(k=10_000, val=1, tag="new")]),   # insert beyond every span
+        path=path, key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=11)]),
+                        path=path, key="k")
+    expect = _rows(read_merged(spark, path, "k"))
+    df, stats = compact_pruned(spark, path, "k")
+    assert stats["pruned"] is True and stats["deltas_folded"] == 2
+    assert _rows(df) == expect
+    # the committed base (not merge-on-read) carries the fold
+    assert _rows(read_keyed_table(spark, path)) == expect
+    assert folded_through(spark, path) == 2
+
+
+def test_touch_set_is_tight(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    # all delta keys live inside ONE file's span (range layout splits
+    # 400 keys over 8 files → ~50 keys per file; 20..22 share a file)
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=20, val=-1, tag="x"), Row(k=22, val=-2, tag="y")]),
+        path=path, key="k")
+    df, stats = compact_pruned(spark, path, "k")
+    assert stats["files_total"] == 8
+    assert stats["files_carried"] == 7
+    assert stats["files_rewritten"] >= 1      # the touched file
+    assert df.count() == 400
+
+
+def test_tombstone_touches_its_file(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    append_delete_delta(spark, spark.createDataFrame([Row(k=200)]),
+                        path=path, key="k")
+    df, stats = compact_pruned(spark, path, "k")
+    assert stats["files_carried"] == 7        # only k=200's file rewritten
+    assert df.filter(F.col("k") == 200).count() == 0
+    assert df.count() == 399
+
+
+def test_pure_insert_rewrites_nothing(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=5_000, val=1, tag="a"), Row(k=6_000, val=2, tag="b")]),
+        path=path, key="k")
+    df, stats = compact_pruned(spark, path, "k")
+    assert stats["files_carried"] == 8        # every base file untouched
+    assert stats["files_rewritten"] >= 1      # the insert-only new file
+    assert df.count() == 402
+
+
+def test_carried_files_are_byte_identical(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    v0 = current_base_version(spark, path)
+    base0 = hfs.join(path, f"base_v{v0:05d}")
+    olds = {f: (tmp_path / "ptab" / f"base_v{v0:05d}" / f).read_bytes()
+            for f in hfs.listdir(spark, base0)
+            if not f.startswith("_") and not f.startswith(".")}
+    append_delta(spark, spark.createDataFrame([Row(k=0, val=9, tag="z")]),
+                 path=path, key="k")
+    _, stats = compact_pruned(spark, path, "k")
+    v1 = current_base_version(spark, path)
+    carried = [f for f in hfs.listdir(spark, hfs.join(
+        path, f"base_v{v1:05d}")) if f in olds]
+    assert len(carried) == stats["files_carried"] == 7
+    for f in carried:
+        new = (tmp_path / "ptab" / f"base_v{v1:05d}" / f).read_bytes()
+        assert new == olds[f]
+
+
+def test_zonemap_carryover_keeps_pruning(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=40, val=-1, tag="x")]),
+                 path=path, key="k")
+    compact_pruned(spark, path, "k")
+    v = current_base_version(spark, path)
+    zmap = zm.read_zone_map(spark, hfs.join(path, f"base_v{v:05d}"))
+    assert zmap is not None
+    assert sum(e["rows"] for e in zmap["files"]) == 400
+    # the map covers EVERY live file (carried + rewritten)
+    live = {f for f in hfs.listdir(spark, hfs.join(path, f"base_v{v:05d}"))
+            if not f.startswith("_") and not f.startswith(".")}
+    assert {e["file"] for e in zmap["files"]} == live
+    out, stats = lookup_keyed_table(spark, path, "k", values=[123],
+                                    with_stats=True)
+    assert stats["files_read"] == 1
+    assert out.collect()[0]["val"] == 369
+    out2, _ = lookup_keyed_table(spark, path, "k", values=[40],
+                                 with_stats=True)
+    assert out2.collect()[0]["val"] == -1
+
+
+def test_matches_full_compact_twin(spark, tmp_path):
+    p1 = _mk_range_table(spark, tmp_path, "a")
+    p2 = _mk_range_table(spark, tmp_path, "b")
+    for p in (p1, p2):
+        append_delta(spark, spark.createDataFrame(
+            [Row(k=7, val=70, tag=None), Row(k=999, val=9, tag="i")]),
+            path=p, key="k")
+        append_delete_delta(spark, spark.createDataFrame([Row(k=300)]),
+                            path=p, key="k")
+    df1, _ = compact_pruned(spark, p1, "k")
+    df2 = compact(spark, p2, "k")
+    assert _rows(df1) == _rows(df2)
+    assert folded_through(spark, p1) == folded_through(spark, p2) == 2
+
+
+def test_noop_without_deltas(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    v0 = current_base_version(spark, path)
+    df, stats = compact_pruned(spark, path, "k")
+    assert stats == {"pruned": True, "new_version": v0,
+                     "deltas_folded": 0, "files_total": 8,
+                     "files_rewritten": 0, "files_carried": 8}
+    assert current_base_version(spark, path) == v0
+    assert df.count() == 400
+
+
+def test_fallback_on_unmapped_table(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    upsert_into_keyed_table(spark, _docs(spark, 50), path=path, key="k",
+                            updated_at_col=None)
+    append_delta(spark, spark.createDataFrame([Row(k=1, val=-1, tag="x")]),
+                 path=path, key="k")
+    df, stats = compact_pruned(spark, path, "k")
+    assert stats["pruned"] is False and "full fold" in stats["reason"]
+    assert df.filter(F.col("k") == 1).collect()[0]["val"] == -1
+    assert folded_through(spark, path) == 1
+
+
+def test_cli_pruned_compact(spark, tmp_path, capsys):
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=9, val=-9, tag="c")]),
+                 path=path, key="k")
+    assert main(["compact", "--table", path, "--key", "k",
+                 "--pruned"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["pruned"] is True and out["rows"] == 400
+    assert out["files_carried"] == 7 and out["deltas_folded"] == 1
+    # re-layout flags contradict a pruned fold
+    assert main(["compact", "--table", path, "--key", "k",
+                 "--pruned", "--buckets", "4"]) == 2
+
+
+def test_arrival_loop_converges(spark, tmp_path):
+    """Three arrival rounds of pruned folds: every round's committed
+    base equals the running merged truth, deltas GC one commit later,
+    and the table stays prunable throughout."""
+    path = _mk_range_table(spark, tmp_path)
+    truth = {r["k"]: (r["val"], r["tag"])
+             for r in _docs(spark, 400).collect()}
+    batches = [
+        [Row(k=15, val=1, tag="r1"), Row(k=380, val=2, tag="r1")],
+        [Row(k=15, val=3, tag=None), Row(k=1_000, val=4, tag="r2")],
+        [Row(k=77, val=5, tag="r3")],
+    ]
+    for batch in batches:
+        append_delta(spark, spark.createDataFrame(batch),
+                     path=path, key="k")
+        for row in batch:
+            old = truth.get(row.k, (None, None))
+            truth[row.k] = (row.val if row.val is not None else old[0],
+                            row.tag if row.tag is not None else old[1])
+        df, stats = compact_pruned(spark, path, "k")
+        assert stats["pruned"] is True
+        got = {r["k"]: (r["val"], r["tag"]) for r in df.collect()}
+        assert got == truth
+    out, st = lookup_keyed_table(spark, path, "k", values=[77],
+                                 with_stats=True)
+    assert st["files_read"] < st["files_total"]
+    assert out.collect()[0]["val"] == 5
