@@ -265,7 +265,8 @@ def cmd_compact(args: argparse.Namespace) -> int:
                   "(--n-files/--buckets/--range-files) need a full "
                   "compact", file=sys.stderr)
             return 2
-        out, stats = compact_pruned(spark, args.table, args.key)
+        out, stats = compact_pruned(spark, args.table, args.key,
+                                    materialize=args.materialize)
         import json as _json
         print(_json.dumps({"rows": out.count(), **stats},
                           sort_keys=True))
@@ -287,9 +288,10 @@ def cmd_table_info(args: argparse.Namespace) -> int:
 
     from .sinks import fs as hfs
     from .sinks import zonemap as zm
-    from .sinks.keyed_table import (_base_dir, _complete_deltas,
-                                    _current_manifest, _delta_versions,
-                                    _manifest_versions, current_base_version)
+    from .sinks.keyed_table import (_base_dir, _carried_refs,
+                                    _complete_deltas, _current_manifest,
+                                    _delta_versions, _manifest_versions,
+                                    base_file_map, current_base_version)
 
     spark = get_spark("table-info")
     version, meta = _current_manifest(spark, args.table)
@@ -300,8 +302,8 @@ def cmd_table_info(args: argparse.Namespace) -> int:
               file=sys.stderr)
         return 2
     base = _base_dir(args.table, version)
-    files = [f for f in hfs.listdir(spark, base)
-             if not f.startswith("_") and not f.startswith(".")]
+    files = sorted(base_file_map(spark, args.table, version))
+    carried = _carried_refs(spark, args.table, version)
     retained = sorted(
         int(d.split("_v")[1]) for d in hfs.listdir(spark, args.table)
         if d.startswith("base_v"))
@@ -322,6 +324,7 @@ def cmd_table_info(args: argparse.Namespace) -> int:
         "version": version,
         "layout": layout,
         "base_files": len(files),
+        "base_files_carried": len(carried),
         "retained_versions": retained,
         "manifest_pointers": _manifest_versions(spark, args.table),
         "folded_through": floor,
@@ -1098,7 +1101,12 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--pruned", action="store_true",
                     help="surgical fold (range layout): rewrite only "
                          "the zone-map-touched base files, carry the "
-                         "rest by copy — O(touched), not O(table)")
+                         "rest by reference — O(touched), not O(table)")
+    cp.add_argument("--materialize", action="store_true",
+                    help="with --pruned: carry untouched files by "
+                         "filesystem copy instead of reference, "
+                         "keeping the base dir self-contained for "
+                         "plain spark.read.parquet consumers")
     cp.set_defaults(fn=cmd_compact)
 
     lk = sub.add_parser(

