@@ -415,6 +415,62 @@ def cmd_lookup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_scan(args: argparse.Namespace) -> int:
+    """Zone-map-accelerated range scan of a FULLY FOLDED keyed table
+    on any stats column (r12): `--where col:lo:hi` (repeatable, ANDed;
+    leave lo or hi empty for an open bound). Values are compared in
+    the column's own dtype. Non-key predicates are unsound against
+    pending deltas, so the scan refuses them — fold first."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from .sinks.keyed_table import scan_keyed_table, table_key_dtype
+
+    spark = get_spark("scan")
+
+    def conv(s: str, dt):
+        if isinstance(dt, (T.ByteType, T.ShortType,
+                           T.IntegerType, T.LongType)):
+            return int(s)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return float(s)
+        if isinstance(dt, T.DateType):
+            return datetime.date.fromisoformat(s)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return datetime.datetime.fromisoformat(s)
+        return s
+
+    try:
+        where = {}
+        for spec in args.where:
+            col, sep, bounds = spec.partition(":")
+            lo_s, sep2, hi_s = bounds.partition(":")
+            if not sep or not sep2:
+                print(f"--where wants col:lo:hi, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            dt = table_key_dtype(spark, args.table, col)
+            if dt is None:
+                print(f"no keyed table at {args.table} (or no column "
+                      f"{col!r})", file=sys.stderr)
+                return 2
+            where[col] = (conv(lo_s, dt) if lo_s else None,
+                          conv(hi_s, dt) if hi_s else None)
+        out, stats = scan_keyed_table(spark, args.table, where=where,
+                                      with_stats=True)
+        if args.out:
+            out.write.mode(args.write_mode).parquet(args.out)
+        else:
+            out.show(args.limit, truncate=False)
+    except (ValueError, FileNotFoundError) as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    print(f"scan {args.table}: read {stats['files_read']}/"
+          f"{stats['files_total']} base files")
+    return 0
+
+
 def cmd_delete(args: argparse.Namespace) -> int:
     """Row deletes against the keyed table — the DELETE half of MERGE
     (the reference's upsert-only pipeline can never remove a
@@ -1125,6 +1181,21 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["errorifexists", "overwrite"])
     lk.add_argument("--limit", type=int, default=20)
     lk.set_defaults(fn=cmd_lookup)
+
+    sc = sub.add_parser(
+        "scan", help="zone-map range scan of a fully folded keyed "
+                     "table on any stats column (--where col:lo:hi, "
+                     "repeatable, ANDed)")
+    sc.add_argument("--table", required=True, help="keyed table path")
+    sc.add_argument("--where", action="append", required=True,
+                    help="col:lo:hi (inclusive; leave lo or hi empty "
+                         "for an open bound)")
+    sc.add_argument("--out", help="write result parquet here "
+                                  "(default: show)")
+    sc.add_argument("--write-mode", default="errorifexists",
+                    choices=["errorifexists", "overwrite"])
+    sc.add_argument("--limit", type=int, default=20)
+    sc.set_defaults(fn=cmd_scan)
 
     ti = sub.add_parser(
         "table-info", help="keyed-table state at a glance: version, "

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dec
 from ..sinks.keyed_table import (append_delete_delta, append_delta, compact,
                                  compact_pruned, lookup_keyed_table,
-                                 read_keyed_table, upsert_into_keyed_table)
+                                 read_keyed_table, scan_keyed_table,
+                                 upsert_into_keyed_table)
 from ..sources.parquet import load_table
 from .catalog import register
 from .reference_core import MERGE_DELETE_ORACLE
@@ -115,6 +116,50 @@ def q_keyed_zonemap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, target.filter(F.col("k") % 7 == 0).select("k"),
         path=path, key="k")
     return lookup_keyed_table(spark, path, "k", lo=100, hi=700)
+
+
+ZONEMAP_SCAN_ORACLE = """
+SELECT o_orderkey AS k,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       o_orderstatus AS status
+FROM orders
+WHERE o_orderkey BETWEEN 2000 AND 9000
+  AND CAST(o_totalprice AS DOUBLE) >= 1000
+"""
+
+
+@register("q_keyed_zonemap_scan", ZONEMAP_SCAN_ORACLE,
+          "multi-column zone-map scan of a fully folded range table: "
+          "ANDed range predicates on the key and a stats column prune "
+          "the base to the admissible files; in-query assert that "
+          "pruning engaged (r12)")
+def q_keyed_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats-column consumer of the multi-column zone map
+    (`sinks/keyed_table.py::scan_keyed_table`): the writer records
+    min/max for the key AND `stats_cols`; the scan intersects the
+    per-column admissible file sets and applies the residual filter.
+    Non-key predicates are only sound on a fully folded table (a
+    pending delta could move a row into range while its base row sits
+    in a pruned file) — this table has no deltas by construction, the
+    production post-curation read posture. The in-query assertion
+    pins that the key predicate actually pruned files; a scan that
+    silently degrades to O(table) fails instead of passing slow."""
+    import tempfile
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    path = tempfile.mkdtemp(prefix="keyed_scan_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None, range_files=8,
+                            stats_cols=["price"])
+    out, stats = scan_keyed_table(
+        spark, path, where={"k": (2000, 9000), "price": (1000.0, None)},
+        with_stats=True)
+    if not stats["files_read"] < stats["files_total"]:
+        raise AssertionError(f"scan did not prune: {stats}")
+    return out.select("k", "price", "status")
 
 
 PRUNED_COMPACT_ORACLE = """

@@ -1234,6 +1234,79 @@ def lookup_keyed_table(spark: SparkSession, path: str, key: str, *,
     return out
 
 
+def scan_keyed_table(spark: SparkSession, path: str, *,
+                     where: dict[str, tuple],
+                     with_stats: bool = False):
+    """Zone-map-accelerated SCAN of the committed base by closed-range
+    predicates on ANY stats column (`zonemap_cols`), ANDed — the
+    consumer of the multi-column zone map the writer records with
+    `stats_cols`. `where` maps column -> (lo, hi); either bound may be
+    None. Files whose [min,max] interval can intersect EVERY predicate
+    are read (unmapped/null-stats files conservatively kept); the
+    residual filter on top keeps correctness independent of prune
+    precision, exactly like `lookup_keyed_table`.
+
+    Unlike a key lookup, a NON-KEY predicate cannot be pushed through
+    the merge-on-read view: a pending delta could move a key's value
+    INTO the range while that key's base row sits in a pruned file, so
+    the merged row would surface with its null-skipped columns lost.
+    The scan therefore requires a FULLY FOLDED table (no committed
+    pending deltas — fold with `compact`/`compact_pruned` first) and
+    refuses otherwise; key-predicate reads on a live table belong to
+    `lookup_keyed_table`, which is merge-aware. At 100 TB this is the
+    post-curation read path: fold once, then every analytic range scan
+    on a stats column touches O(admissible files)."""
+    if not where:
+        raise ValueError("scan needs at least one column predicate")
+    for col, (lo, hi) in where.items():
+        if lo is None and hi is None:
+            raise ValueError(f"predicate on {col!r} has neither bound")
+    version, meta = _current_manifest(spark, path)
+    if not version:
+        version = current_base_version(spark, path)
+    if not version:
+        raise FileNotFoundError(f"no versioned keyed table at {path}")
+    floor = _meta_floor(meta)
+    pending = _complete_deltas(spark, path, floor=floor)
+    if pending:
+        raise ValueError(
+            f"{path} has pending deltas {pending} — a zone-map scan is "
+            f"only sound on a fully folded table (a delta can move a "
+            f"row into the predicate range while its base row sits in "
+            f"a pruned file); run compact first, or use "
+            f"lookup_keyed_table for key predicates (merge-aware)")
+    fmap = base_file_map(spark, path, version)
+    all_files = set(fmap)
+    zmap = zm.read_zone_map(spark, _base_dir(path, version))
+    kept = set(all_files)
+    if zmap is not None:
+        mapped = {e["file"] for e in zmap["files"]}
+        unmapped = all_files - mapped
+        for col, (lo, hi) in where.items():
+            ks = zm.prune_files(zmap, col, lo=lo, hi=hi)
+            if ks is None:
+                continue                 # column not in the map
+            kept &= set(ks) | unmapped
+    kept_names = sorted(kept)
+    if kept_names:
+        df = (spark.read.option("mergeSchema", "true")
+              .parquet(*[fmap[f] for f in kept_names]))
+    else:
+        df = spark.createDataFrame(
+            [], _read_base(spark, path, version).schema)
+    pred = F.lit(True)
+    for col, (lo, hi) in where.items():
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+    out = df.filter(pred)
+    if with_stats:
+        return out, {"files_total": len(all_files),
+                     "files_read": len(kept_names)}
+    return out
+
+
 def compact(spark: SparkSession, path: str, key: str,
             n_files: int | None = None,
             retain_versions: int = 2,

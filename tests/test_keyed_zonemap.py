@@ -231,6 +231,70 @@ def test_cli_table_info(spark, tmp_path, capsys):
     assert info["zonemap"]["spans"]["k"] == {"min": 0, "max": 399}
 
 
+def test_scan_secondary_column_prunes(spark, tmp_path):
+    """val = 3k is range-correlated with the key layout, so a scan on
+    the SECONDARY stats column genuinely skips files."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        scan_keyed_table)
+
+    path = str(tmp_path / "sctab")
+    upsert_into_keyed_table(spark, _docs(spark, 400), path=path, key="k",
+                            updated_at_col=None, range_files=8,
+                            stats_cols=["val"])
+    out, stats = scan_keyed_table(spark, path, where={"val": (0, 90)},
+                                  with_stats=True)
+    assert 0 < stats["files_read"] < stats["files_total"] == 8
+    rows = sorted(r["k"] for r in out.collect())
+    assert rows == list(range(31))        # val=3k <= 90 -> k <= 30
+    # ANDed predicates intersect the admissible sets: val<=900 admits
+    # the low-key half, k>=250 the high half — only the overlap reads
+    out2, st2 = scan_keyed_table(
+        spark, path, where={"val": (0, 900), "k": (250, 399)},
+        with_stats=True)
+    assert 0 < st2["files_read"] < st2["files_total"]
+    assert sorted(r["k"] for r in out2.collect()) == list(range(250, 301))
+    # disjoint predicates: every file pruned, empty result
+    out3, st3 = scan_keyed_table(
+        spark, path, where={"val": (0, 90), "k": (300, 399)},
+        with_stats=True)
+    assert st3["files_read"] == 0 and out3.count() == 0
+
+
+def test_scan_refuses_pending_deltas(spark, tmp_path):
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        compact_pruned, scan_keyed_table)
+
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame(
+        [(10, 999, None)], "k long, val long, tag string"),
+        path=path, key="k")
+    with pytest.raises(ValueError, match="pending deltas"):
+        scan_keyed_table(spark, path, where={"val": (0, 10)})
+    compact_pruned(spark, path, "k")
+    # folded (and carried) table scans fine — including the carried
+    # files, resolved by reference
+    out, stats = scan_keyed_table(spark, path, where={"k": (0, 50)},
+                                  with_stats=True)
+    assert stats["files_read"] < stats["files_total"]
+    got = {r["k"]: r["val"] for r in out.collect()}
+    assert got[10] == 999 and len(got) == 51
+
+
+def test_cli_scan(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = str(tmp_path / "clisctab")
+    upsert_into_keyed_table(spark, _docs(spark, 400), path=path, key="k",
+                            updated_at_col=None, range_files=8,
+                            stats_cols=["val"])
+    assert main(["scan", "--table", path, "--where", "k:100:150",
+                 "--where", "val:330:"]) == 0
+    out = capsys.readouterr().out
+    m = re.search(r"read (\d+)/8 base files", out)
+    assert m and 0 < int(m.group(1)) < 8   # pruning engaged
+    assert main(["scan", "--table", path, "--where", "bogus"]) == 2
+
+
 def test_predicate_validation(spark, tmp_path):
     path = _mk_range_table(spark, tmp_path, n=20, files=2)
     with pytest.raises(ValueError):
