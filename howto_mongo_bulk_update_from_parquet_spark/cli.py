@@ -410,8 +410,8 @@ def cmd_lookup(args: argparse.Namespace) -> int:
         print(str(exc), file=sys.stderr)
         return 2
     print(f"lookup {args.table}: read {stats['files_read']}/"
-          f"{stats['files_total']} base files + {stats['deltas']} "
-          f"pending deltas")
+          f"{stats['files_total']} base files + {stats['deltas']}/"
+          f"{stats['deltas_total']} pending deltas")
     return 0
 
 

@@ -895,9 +895,76 @@ def _delta_versions(spark: SparkSession, path: str) -> list[int]:
                   if (m := _DELTA_RE.match(d)))
 
 
+_KEYRANGE = "_KEYRANGE.json"
+
+
+def _write_delta_keyrange(spark: SparkSession, dst: str, key: str,
+                          df: DataFrame) -> None:
+    """Record the delta's key [min,max] (+ row count) as an O(1)
+    sidecar inside the delta dir, so point/range lookups can SKIP
+    whole pending deltas whose key range cannot intersect the probe —
+    the LSM read-path twin of the base's zone map. One column-pruned
+    aggregation over the just-written delta (O(delta), at append
+    time); a missing/unreadable sidecar just means the delta is read,
+    never skipped. Written AFTER _SUCCESS: a reader that lists the
+    delta mid-append sees either no sidecar (reads the delta) or the
+    complete one."""
+    import json
+    try:
+        row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi"),
+                        F.count(F.lit(1)).alias("n")).collect()[0]
+        doc = {"version": 1, "key": key,
+               "min": zm._to_json_value(row["lo"]),
+               "max": zm._to_json_value(row["hi"]), "rows": row["n"]}
+        hfs.write_text(spark, hfs.join(dst, _KEYRANGE),
+                       json.dumps(doc, separators=(",", ":")))
+    except Exception:
+        # the sidecar is advisory — an append must never fail (or
+        # leave a committed delta unreadable) because stats didn't land
+        pass
+
+
+def _delta_may_match(spark: SparkSession, path: str, v: int, key: str,
+                     values: list | None, lo, hi) -> bool:
+    """False only when the delta's recorded key range PROVES no probe
+    key can live in it. Missing sidecar, different key, unreadable
+    JSON, null bounds → True (read the delta). Same probe
+    normalization as the zone map, so comparisons are like-for-like.
+    Sound for tombstones too: a tombstone outside the probe's key set
+    cannot change any probed key's history."""
+    import json
+    from bisect import bisect_left
+    txt = hfs.read_text(spark,
+                        hfs.join(path, f"delta_{v:05d}", _KEYRANGE))
+    if txt is None:
+        return True
+    try:
+        doc = json.loads(txt)
+    except ValueError:
+        return True
+    if doc.get("version") != 1 or doc.get("key") != key:
+        return True
+    if doc.get("rows") == 0:
+        return False                     # empty delta affects nothing
+    d_lo, d_hi = doc.get("min"), doc.get("max")
+    if d_lo is None or d_hi is None:
+        return True
+    if values is not None:
+        probe = sorted(zm.norm_probe(x) for x in values)
+        i = bisect_left(probe, d_lo)
+        return i < len(probe) and probe[i] <= d_hi
+    n_lo, n_hi = zm.norm_probe(lo), zm.norm_probe(hi)
+    if n_hi is not None and n_hi < d_lo:
+        return False
+    if n_lo is not None and d_hi < n_lo:
+        return False
+    return True
+
+
 def _append_delta_claiming(spark: SparkSession, src: DataFrame,
                            path: str, max_retries: int = 64,
-                           floor: int | None = None) -> int:
+                           floor: int | None = None,
+                           key: str | None = None) -> int:
     """Write `src` as the next `delta_{N}` directory, CLAIMING the
     version: two concurrent appenders (a CLI tombstone racing a
     streaming changefeed batch, or a scheduled compact) can list the
@@ -932,6 +999,9 @@ def _append_delta_claiming(spark: SparkSession, src: DataFrame,
             hfs.delete(spark, dst)
         try:
             src.write.mode("errorifexists").parquet(dst)
+            if key is not None:
+                _write_delta_keyrange(spark, dst, key,
+                                      spark.read.parquet(dst))
             return version
         except AnalysisException as exc:
             # only the already-exists condition is a lost race; any
@@ -965,7 +1035,7 @@ def append_delta(spark: SparkSession, source: DataFrame, *, path: str,
     Returns the delta version number. The source is normalized first
     (null-key drop + latest-per-key, reference notes 3/5)."""
     src = prepare_source(source, key, dedup_order_by)
-    return _append_delta_claiming(spark, src, path)
+    return _append_delta_claiming(spark, src, path, key=key)
 
 
 def _lsm_base(spark: SparkSession, path: str) -> DataFrame | None:
@@ -1226,11 +1296,19 @@ def lookup_keyed_table(spark: SparkSession, path: str, key: str, *,
         base_df = spark.createDataFrame(
             [], _read_base(spark, path, version).schema)
     deltas = _complete_deltas(spark, path, floor=floor)
-    out = _read_merged_through(spark, path, key, deltas,
+    # LSM read-path skipping: a pending delta whose recorded key range
+    # cannot intersect the probe is not even opened (sound for
+    # tombstones — an out-of-range tombstone can't cut a probed key's
+    # history); deltas without a sidecar are always read
+    read_deltas = [v for v in deltas
+                   if _delta_may_match(spark, path, v, key,
+                                       values, lo, hi)]
+    out = _read_merged_through(spark, path, key, read_deltas,
                                base_df=base_df, predicate=pred)
     if with_stats:
         return out, {"files_total": total, "files_read": len(kept),
-                     "deltas": len(deltas)}
+                     "deltas": len(read_deltas),
+                     "deltas_total": len(deltas)}
     return out
 
 
@@ -1624,7 +1702,7 @@ def append_delete_delta(spark: SparkSession, keys: DataFrame, *,
     tombstoned keys and `compact` purges them physically."""
     src = (keys.select(F.col(key)).filter(F.col(key).isNotNull())
            .distinct().withColumn(_TOMBSTONE, F.lit(True)))
-    return _append_delta_claiming(spark, src, path)
+    return _append_delta_claiming(spark, src, path, key=key)
 
 
 def table_key_dtype(spark: SparkSession, path: str, key: str):

@@ -231,6 +231,50 @@ def test_cli_table_info(spark, tmp_path, capsys):
     assert info["zonemap"]["spans"]["k"] == {"min": 0, "max": 399}
 
 
+def test_lookup_skips_nonintersecting_deltas(spark, tmp_path):
+    """Pending deltas carry an O(1) key-range sidecar; a point lookup
+    opens only the deltas whose range can hold a probe key — the LSM
+    read-path twin of the base zone map."""
+    path = _mk_range_table(spark, tmp_path)
+    # three deltas in disjoint key neighborhoods (one a tombstone)
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=10, val=-10, tag="a"), Row(k=12, val=-12, tag="a")]),
+        path=path, key="k")
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=350, val=-350, tag="b")]), path=path, key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=200)]),
+                        path=path, key="k")
+    out, stats = lookup_keyed_table(spark, path, "k", values=[12],
+                                    with_stats=True)
+    assert stats["deltas_total"] == 3 and stats["deltas"] == 1
+    assert out.collect()[0]["val"] == -12
+    # the tombstone's delta IS opened when its key is probed
+    out2, st2 = lookup_keyed_table(spark, path, "k", values=[200],
+                                   with_stats=True)
+    assert st2["deltas"] == 1 and out2.count() == 0
+    # a range probe straddling two deltas opens exactly those two
+    out3, st3 = lookup_keyed_table(spark, path, "k", lo=150, hi=360,
+                                   with_stats=True)
+    assert st3["deltas"] == 2
+    rows = {r["k"]: r["val"] for r in out3.collect()}
+    assert rows[350] == -350 and 200 not in rows and len(rows) == 210
+
+
+def test_delta_without_sidecar_is_read(spark, tmp_path):
+    """A delta whose sidecar is missing (older writer, failed stats
+    job) is conservatively opened."""
+    import os
+
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=10, val=-10, tag="a")]), path=path, key="k")
+    os.remove(str(tmp_path / "ztab" / "delta_00001" / "_KEYRANGE.json"))
+    out, stats = lookup_keyed_table(spark, path, "k", values=[399],
+                                    with_stats=True)
+    assert stats["deltas"] == stats["deltas_total"] == 1
+    assert out.collect()[0]["val"] == 399 * 3
+
+
 def test_scan_secondary_column_prunes(spark, tmp_path):
     """val = 3k is range-correlated with the key layout, so a scan on
     the SECONDARY stats column genuinely skips files."""
