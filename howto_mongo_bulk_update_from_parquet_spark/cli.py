@@ -560,6 +560,23 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
                             table_path=args.table, key=args.key,
                             op_col=args.op_col, checkpoint=args.checkpoint)
     print(f"changefeed {args.source} applied to {args.table}")
+    if args.compact_pending:
+        from .sinks.keyed_table import (compact_pruned, folded_through,
+                                        _complete_deltas)
+        pending = _complete_deltas(spark, args.table,
+                                   floor=folded_through(spark, args.table))
+        if len(pending) >= args.compact_pending:
+            _, stats = compact_pruned(spark, args.table, args.key)
+            print(f"auto-fold: {len(pending)} pending deltas >= "
+                  f"{args.compact_pending} threshold — "
+                  + ("pruned fold rewrote "
+                     f"{stats['files_rewritten']}/{stats['files_total']}"
+                     " base files"
+                     if stats["pruned"] else "full fold (no range "
+                     "layout on this table)"))
+        else:
+            print(f"auto-fold: {len(pending)} pending deltas < "
+                  f"{args.compact_pending} threshold — skipped")
     return 0
 
 
@@ -1231,6 +1248,11 @@ def main(argv: list[str] | None = None) -> int:
     cf.add_argument("--checkpoint", required=True,
                     help="streaming checkpoint dir (reuse across runs "
                          "to process only newly-arrived files)")
+    cf.add_argument("--compact-pending", type=_bounded_int(1, 100_000),
+                    help="auto-fold after the drain when this many "
+                         "pending deltas accumulated (pruned fold on "
+                         "range-layout tables) — the closed arrival "
+                         "loop: drain O(batch), fold O(touched)")
     cf.set_defaults(fn=cmd_changefeed)
 
     tk = sub.add_parser(

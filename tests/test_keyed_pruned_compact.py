@@ -297,6 +297,79 @@ def test_cli_pruned_compact(spark, tmp_path, capsys):
                  "--pruned", "--buckets", "4"]) == 2
 
 
+def test_changefeed_then_pruned_compact(spark, tmp_path):
+    """The streaming write path composes with the surgical fold: a
+    checkpointed changefeed drains op-typed batches into deltas on a
+    RANGE-layout table, `compact --pruned` folds them touching only
+    the admissible files, and a second feed round + fold keeps
+    working against the carried base."""
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    table = str(tmp_path / "cfp_table")
+    feed = str(tmp_path / "cfp_feed")
+    ckpt = str(tmp_path / "cfp_ckpt")
+    upsert_into_keyed_table(spark, _docs(spark, 400), path=table,
+                            key="k", updated_at_col=None, range_files=8)
+    spark.createDataFrame([(20, -20, "f1", "U"), (21, None, "f1", "U"),
+                           (25, 0, None, "D")],
+                          "k long, val long, tag string, op string") \
+        .write.mode("append").parquet(feed)
+    assert main(["changefeed", "--source", feed, "--table", table,
+                 "--key", "k", "--checkpoint", ckpt]) == 0
+    assert main(["compact", "--table", table, "--key", "k",
+                 "--pruned"]) == 0
+    got = {r["k"]: (r["val"], r["tag"])
+           for r in read_keyed_table(spark, table).collect()}
+    assert got[20] == (-20, "f1")
+    assert got[21] == (63, "f1")          # val null-skipped, tag set
+    assert 25 not in got and len(got) == 399
+    # round 2 against the carried base
+    spark.createDataFrame([(380, -380, "f2", "U")],
+                          "k long, val long, tag string, op string") \
+        .write.mode("append").parquet(feed)
+    assert main(["changefeed", "--source", feed, "--table", table,
+                 "--key", "k", "--checkpoint", ckpt]) == 0
+    assert main(["compact", "--table", table, "--key", "k",
+                 "--pruned"]) == 0
+    got = {r["k"]: r["val"]
+           for r in read_keyed_table(spark, table).collect()}
+    assert got[380] == -380 and got[20] == -20 and len(got) == 399
+
+
+def test_changefeed_auto_fold_threshold(spark, tmp_path, capsys):
+    """--compact-pending closes the arrival loop: below the threshold
+    the drain leaves deltas pending; at it, the pruned fold runs."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    table = str(tmp_path / "af_table")
+    feed = str(tmp_path / "af_feed")
+    upsert_into_keyed_table(spark, _docs(spark, 400), path=table,
+                            key="k", updated_at_col=None, range_files=8)
+    spark.createDataFrame([(30, -30, "x", "U")],
+                          "k long, val long, tag string, op string") \
+        .write.mode("append").parquet(feed)
+    assert main(["changefeed", "--source", feed, "--table", table,
+                 "--key", "k", "--checkpoint", str(tmp_path / "c1"),
+                 "--compact-pending", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "skipped" in out
+    assert folded_through(spark, table) == 0    # nothing folded
+    spark.createDataFrame([(31, -31, "x", "U")],
+                          "k long, val long, tag string, op string") \
+        .write.mode("append").parquet(feed)
+    assert main(["changefeed", "--source", feed, "--table", table,
+                 "--key", "k", "--checkpoint", str(tmp_path / "c1"),
+                 "--compact-pending", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "pruned fold rewrote" in out
+    assert folded_through(spark, table) == 2
+    got = {r["k"]: r["val"]
+           for r in read_keyed_table(spark, table).collect()}
+    assert got[30] == -30 and got[31] == -31 and len(got) == 400
+
+
 def test_arrival_loop_converges(spark, tmp_path):
     """Three arrival rounds of pruned folds: every round's committed
     base equals the running merged truth, deltas GC one commit later,
