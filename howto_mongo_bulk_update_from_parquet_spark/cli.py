@@ -581,20 +581,26 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
 
 
 def cmd_vacuum(args: argparse.Namespace) -> int:
-    """Reclaim folded delta files on a dormant keyed table: the
-    regular GC runs at the next commit, which never arrives for a
-    table that stopped receiving writes. Age-gated against the
-    filesystem clock (sinks/keyed_table.py::vacuum)."""
-    from .sinks.keyed_table import vacuum
+    """Reclaim folded delta files AND dead-writer orphan base dirs on
+    a dormant keyed table: the regular GC runs at the next commit,
+    which never arrives for a table that stopped receiving writes.
+    Age-gated against the filesystem clock
+    (sinks/keyed_table.py::vacuum / vacuum_orphan_bases)."""
+    from .sinks.keyed_table import vacuum, vacuum_orphan_bases
     spark = get_spark("vacuum")
-    removed = vacuum(spark, args.table,
-                     older_than_ms=int(args.older_than_hours * 3600 * 1000))
+    ms = int(args.older_than_hours * 3600 * 1000)
+    removed = vacuum(spark, args.table, older_than_ms=ms)
+    orphans = vacuum_orphan_bases(spark, args.table, older_than_ms=ms)
     if removed:
         print(f"vacuumed {len(removed)} folded delta(s) from "
               f"{args.table}: {', '.join(f'delta_{v:05d}' for v in removed)}")
-    else:
+    if orphans:
+        print(f"vacuumed {len(orphans)} orphan base dir(s) from "
+              f"{args.table}: "
+              f"{', '.join(f'base_v{v:05d}' for v in orphans)}")
+    if not removed and not orphans:
         print(f"nothing to vacuum in {args.table} (no folded deltas "
-              f"older than {args.older_than_hours}h)")
+              f"or orphan bases older than {args.older_than_hours}h)")
     return 0
 
 

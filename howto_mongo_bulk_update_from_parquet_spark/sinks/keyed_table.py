@@ -887,6 +887,46 @@ def vacuum(spark: SparkSession, path: str, *,
     return removed
 
 
+def vacuum_orphan_bases(spark: SparkSession, path: str, *,
+                        older_than_ms: int = 24 * 3600 * 1000
+                        ) -> list[int]:
+    """Reclaim dead-writer base directories on a DORMANT table: any
+    `base_v{N}` with N ABOVE the newest published pointer is debris a
+    writer left before dying (complete = died between write and
+    manifest flip; incomplete = died mid-write) — active tables
+    reclaim these at the next commit (`_next_base_version` +
+    pointer-based retention), which never arrives for a dormant one.
+    Versions at or below the current pointer are NEVER touched: the
+    retained history dirs lose their pointer files at each commit by
+    design, so 'no pointer' does not mean 'not retained' there. Same
+    age discipline as `vacuum`: filesystem clock, untouched past
+    `older_than_ms`, truncated scans read as fresh."""
+    published = _manifest_versions(spark, path)
+    cur = published[-1] if published else 0
+    if not cur:
+        return []                        # legacy table — nothing versioned
+    try:
+        now_ms = hfs.probe_now_ms(spark, path)
+    except Exception:                    # probe unwritable: fall back
+        import time
+        now_ms = int(time.time() * 1000)
+    removed: list[int] = []
+    for d in hfs.listdir(spark, path):
+        m = _BASE_RE.match(d)
+        if not m or int(m.group(1)) <= cur:
+            continue
+        full = hfs.join(path, d)
+        newest, truncated = hfs.newest_mtime(spark, full)
+        if newest is None or truncated:
+            continue
+        if (now_ms - newest) > older_than_ms:
+            hfs.delete(spark, full)
+            spark.sql("DROP TABLE IF EXISTS "
+                      + _bucket_table_ident(path, int(m.group(1))))
+            removed.append(int(m.group(1)))
+    return sorted(removed)
+
+
 # --- log-structured base + delta ---------------------------------------
 
 

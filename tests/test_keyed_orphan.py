@@ -94,6 +94,37 @@ def test_upsert_skips_orphan_too(spark, tmp_path):
     assert got[7] == 700 and len(got) == 100
 
 
+def test_vacuum_reclaims_orphan_bases(spark, tmp_path):
+    """A dormant table never commits again, so its orphans are
+    reclaimed by vacuum_orphan_bases — stale ones only, and never a
+    version at or below the current pointer (retained history dirs
+    have no pointer files by design)."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        vacuum_orphan_bases)
+
+    path = _mk_table(spark, tmp_path)
+    _plant_orphan(path, 2, stale=True)
+    _plant_orphan(path, 3, stale=False)   # fresh — possibly live writer
+    got = vacuum_orphan_bases(spark, path, older_than_ms=60_000)
+    assert got == [2]
+    assert not hfs.exists(spark, hfs.join(path, "base_v00002"))
+    assert hfs.exists(spark, hfs.join(path, "base_v00003"))
+    # the committed base (v1, at the pointer) is never a candidate
+    assert hfs.exists(spark, hfs.join(path, "base_v00001"))
+    assert read_keyed_table(spark, path).count() == 100
+
+
+def test_cli_vacuum_reports_orphans(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = _mk_table(spark, tmp_path)
+    _plant_orphan(path, 2, stale=True)
+    assert main(["vacuum", "--table", path,
+                 "--older-than-hours", "0.01"]) == 0
+    out = capsys.readouterr().out
+    assert "orphan base dir(s)" in out and "base_v00002" in out
+
+
 def test_consecutive_orphans_skipped(spark, tmp_path):
     path = _mk_table(spark, tmp_path)
     _plant_orphan(path, 2, stale=True)
