@@ -628,7 +628,8 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
 
     from .plans.incremental_dedup import incremental_near_dup_flags
     from .plans.incremental_spans import incremental_dup_spans
-    from .sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
+    from .sinks.keyed_table import (read_keyed_table, read_pending_deltas,
+                                    upsert_into_keyed_table)
 
     if args.mode == "vec" and not args.vectors:
         print("--mode vec needs --vectors (the keyed vector store "
@@ -666,6 +667,12 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
         # still applies), then seed it if --update-index
         seeded = False
         index = None
+    # LSM tail: signatures appended since the last fold live in
+    # pending deltas, invisible to the committed-base read — probe
+    # them as a SEPARATE small join so the base scan stays bucketed
+    # (read_pending_deltas docstring; sound here because the index is
+    # append-only, never merge-semantics)
+    pending = read_pending_deltas(spark, args.index) if seeded else None
 
     if args.mode == "near":
         # prefer the store's single merge key: a bucket_key-bucketed
@@ -688,8 +695,14 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
         from .plans.incremental_dedup import (
             batch_bands, signature_index_rows_from_bands)
         bands = batch_bands(docs, "doc_id").localCheckpoint(eager=False)
+        pend_bands = None
+        if pending is not None and "bucket_key" in pending.columns:
+            pend_bands = (pending.select("bucket_key", "rep_id")
+                          if "rep_id" in pending.columns
+                          else pending.select("bucket_key"))
         out = incremental_near_dup_flags(docs, idx_bands, "doc_id",
-                                         new_bands=bands)
+                                         new_bands=bands,
+                                         pending_index_bands=pend_bands)
         out = out.persist()
         counts = {r["verdict"]: r["n"]
                   for r in out.groupBy("verdict")
@@ -709,8 +722,15 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
         from .plans.dup_spans import gram_windows
         from .plans.incremental_spans import gram_index_rows_from_grams
         grams = gram_windows(docs)[0].localCheckpoint(eager=False)
-        out = incremental_dup_spans(docs, gram_idx,
-                                    new_grams=grams).persist()
+        pend_grams = None
+        if pending is not None and "h" in pending.columns:
+            pend_grams = (pending.groupBy("h")
+                          .agg(F.min("rep_id").alias("rep_id"))
+                          if "rep_id" in pending.columns
+                          else pending.select("h").distinct())
+        out = incremental_dup_spans(docs, gram_idx, new_grams=grams,
+                                    pending_gram_index=pend_grams) \
+            .persist()
         stats = out.agg(
             F.count(F.lit(1)).alias("spans"),
             F.countDistinct("doc_id").alias("docs"),
@@ -724,7 +744,24 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
         out.write.mode(args.write_mode).parquet(args.out)
     else:
         out.show(args.limit, truncate=False)
-    if args.update_index:
+    if args.update_index and args.index_lsm and seeded:
+        from .sinks.keyed_table import (append_delta, compact,
+                                        folded_through, _complete_deltas)
+        append_delta(spark, index_rows, path=args.index, key=index_key)
+        action = "appended (LSM)"
+        if args.compact_pending:
+            n_pend = len(_complete_deltas(
+                spark, args.index,
+                floor=folded_through(spark, args.index)))
+            if n_pend >= args.compact_pending:
+                # the index is hash-layout (bucketed): the fold itself
+                # is the exchange-free bucketed rewrite
+                compact(spark, args.index, index_key)
+                action = f"appended + folded ({n_pend} pending)"
+    elif args.update_index:
+        # first arrival always writes the base (the LSM tail needs a
+        # committed base to append against); plain mode rewrites it
+        # every round — bucketed, so the merge is exchange-free
         upsert_into_keyed_table(spark, index_rows, path=args.index,
                                 key=index_key, updated_at_col=None,
                                 buckets=args.buckets)
@@ -1328,6 +1365,14 @@ def main(argv: list[str] | None = None) -> int:
     di.add_argument("--buckets", type=_bounded_int(0, 100_000),
                     help="bucket the index table's base on the merge "
                          "key (exchange-free probe/upsert rounds)")
+    di.add_argument("--index-lsm", action="store_true",
+                    help="maintain the index by O(batch) delta appends "
+                         "instead of per-arrival base rewrites; probes "
+                         "read base (bucketed) + pending tail; fold "
+                         "with --compact-pending or `compact`")
+    di.add_argument("--compact-pending", type=_bounded_int(1, 100_000),
+                    help="with --index-lsm: fold the index once this "
+                         "many deltas accumulated")
     di.add_argument("--limit", type=int, default=20)
     di.set_defaults(fn=cmd_dedup_incremental)
 

@@ -123,9 +123,31 @@ def signature_index_rows_from_bands(bands: DataFrame,
                     "band", "band_sig", "rep_id"))
 
 
+def _index_hits(probe: DataFrame, new_bands: DataFrame,
+                index_bands: DataFrame, id_col: str) -> DataFrame:
+    """(id, band) rows of the batch that collide with ONE index frame
+    — bucket_key join when the frame carries the store's merge key
+    (bucketed store side stays exchange-free), (band, band_sig)
+    otherwise; self-hits excluded when rep_id rides along."""
+    if "bucket_key" in index_bands.columns:
+        if "rep_id" in index_bands.columns:
+            return (probe.join(
+                index_bands.select("bucket_key",
+                                   F.col("rep_id").alias("__rep")),
+                "bucket_key")
+                .filter(F.col("__rep") != F.col(id_col))
+                .select(id_col, "band"))
+        return (probe.join(index_bands.select("bucket_key"),
+                           "bucket_key").select(id_col, "band"))
+    return (new_bands.join(
+        index_bands.select("band", "band_sig"), ["band", "band_sig"])
+        .select(id_col, "band"))
+
+
 def incremental_near_dup_flags(new_docs: DataFrame, index_bands: DataFrame,
                                id_col: str,
-                               new_bands: DataFrame | None = None
+                               new_bands: DataFrame | None = None,
+                               pending_index_bands: DataFrame | None = None
                                ) -> DataFrame:
     """Classify each new-batch document against a band-signature index.
 
@@ -144,25 +166,23 @@ def incremental_near_dup_flags(new_docs: DataFrame, index_bands: DataFrame,
     then classifies exactly as the first run — without this, every
     replayed unique document would match its own signatures and flip
     to dup_vs_index. Returns (id, hits_index, verdict).
+
+    ``pending_index_bands`` is the LSM tail: when the index store is
+    maintained by O(batch) delta appends between folds, the committed
+    base probes exchange-free (bucketed scan) and the small pending
+    tail probes as a SEPARATE join (AQE broadcasts it) — a plain
+    union of the two frames would instead re-shuffle the whole base
+    per arrival, the exact cost the bucketed store exists to avoid.
     """
     if new_bands is None:
         new_bands = batch_bands(new_docs, id_col)
-    if "bucket_key" in index_bands.columns:
-        probe = new_bands.withColumn(
-            "bucket_key", F.concat_ws("|", F.col("band").cast("string"),
-                                      F.col("band_sig")))
-        if "rep_id" in index_bands.columns:
-            hits_src = (probe.join(
-                index_bands.select("bucket_key",
-                                   F.col("rep_id").alias("__rep")),
-                "bucket_key")
-                .filter(F.col("__rep") != F.col(id_col)))
-        else:
-            hits_src = probe.join(index_bands.select("bucket_key"),
-                                  "bucket_key")
-    else:
-        hits_src = new_bands.join(
-            index_bands.select("band", "band_sig"), ["band", "band_sig"])
+    probe = new_bands.withColumn(
+        "bucket_key", F.concat_ws("|", F.col("band").cast("string"),
+                                  F.col("band_sig")))
+    hits_src = _index_hits(probe, new_bands, index_bands, id_col)
+    if pending_index_bands is not None:
+        hits_src = hits_src.unionByName(
+            _index_hits(probe, new_bands, pending_index_bands, id_col))
     hits = (hits_src
             .groupBy(id_col)
             .agg(F.countDistinct("band").cast("long").alias("hits_index")))

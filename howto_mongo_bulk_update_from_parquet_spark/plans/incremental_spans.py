@@ -106,9 +106,29 @@ def gram_index_rows_from_grams(grams: DataFrame) -> DataFrame:
                       F.count(F.lit(1)).alias("n")))
 
 
+def _gram_hit_flag(grams: DataFrame, gram_index: DataFrame,
+                   flag: str) -> DataFrame:
+    """LEFT-join one index frame onto the batch windows, marking hits
+    in `flag` (self-hits excluded when rep_id rides along)."""
+    if "rep_id" in gram_index.columns:
+        return (grams.join(
+            gram_index.select("h", F.col("rep_id").alias("__rep")),
+            "h", "left")
+            .withColumn(flag,
+                        F.when(F.col("__rep").isNotNull()
+                               & (F.col("__rep") != F.col("doc_id")),
+                               F.lit(1)))
+            .drop("__rep"))
+    return grams.join(
+        gram_index.select("h").distinct().withColumn(flag, F.lit(1)),
+        "h", "left")
+
+
 def incremental_dup_spans(new_docs: DataFrame, gram_index: DataFrame,
                           k: int = K,
-                          new_grams: DataFrame | None = None) -> DataFrame:
+                          new_grams: DataFrame | None = None,
+                          pending_gram_index: DataFrame | None = None
+                          ) -> DataFrame:
     """Maximal duplicated spans of a new batch against a persisted
     k-gram index. ``gram_index`` needs only column h — exactly what
     the store holds; pass it pre-deduplicated (or bucket-stored) so
@@ -118,22 +138,21 @@ def incremental_dup_spans(new_docs: DataFrame, gram_index: DataFrame,
     folded in (streaming foreachBatch retry) reports the same spans
     as the first run instead of flagging every window as history-dup.
     Returns one row per span with idx_windows = how many of its
-    windows hit history."""
+    windows hit history.
+
+    ``pending_gram_index`` is the LSM tail (same posture as
+    `incremental_near_dup_flags`): the committed base probes through
+    its bucketed scan, the small pending tail probes as a separate
+    join, and a window counts as a history hit if EITHER matched."""
     grams = (new_grams if new_grams is not None
              else gram_windows(new_docs, k)[0])
-    if "rep_id" in gram_index.columns:
-        idx_flag = (grams.join(
-            gram_index.select("h", F.col("rep_id").alias("__rep")),
-            "h", "left")
-            .withColumn("__idx",
-                        F.when(F.col("__rep").isNotNull()
-                               & (F.col("__rep") != F.col("doc_id")),
-                               F.lit(1)))
-            .drop("__rep"))
-    else:
-        idx_flag = grams.join(
-            gram_index.select("h").distinct().withColumn("__idx", F.lit(1)),
-            "h", "left")
+    idx_flag = _gram_hit_flag(grams, gram_index, "__idx")
+    if pending_gram_index is not None:
+        idx_flag = _gram_hit_flag(idx_flag, pending_gram_index, "__idx2")
+        idx_flag = (idx_flag.withColumn(
+            "__idx", F.when((F.col("__idx") == 1)
+                            | (F.col("__idx2") == 1), F.lit(1)))
+            .drop("__idx2"))
     bc = grams.groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
     dw = (idx_flag.join(bc, "h")
           .filter((F.col("__idx") == 1) | (F.col("__n") > 1))

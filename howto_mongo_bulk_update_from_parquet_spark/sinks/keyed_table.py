@@ -1142,6 +1142,29 @@ def _foldable_deltas(spark: SparkSession, path: str,
     return run
 
 
+def read_pending_deltas(spark: SparkSession,
+                        path: str) -> DataFrame | None:
+    """Union of the committed pending deltas (above the folded-through
+    watermark) as ONE frame, or None when the table is fully folded.
+    For APPEND-ONLY consumers (e.g. the dedup signature/gram indexes,
+    whose keys are content-derived and never updated) this is the LSM
+    tail to probe ALONGSIDE the committed base: the base keeps its
+    bucketed exchange-free scan, the small tail joins separately —
+    `read_merged` would instead window-merge the union and destroy the
+    base's bucketing. Not for merge-semantics tables: no latest-wins,
+    no null-skip, no tombstone cut here."""
+    version, meta = _current_manifest(spark, path)
+    deltas = _complete_deltas(spark, path, floor=_meta_floor(meta))
+    if not deltas:
+        return None
+    parts = [spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
+             for v in deltas]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
     """Merge-on-read view: base (version 0) + all committed unfolded
     deltas, newest version wins per key with per-column null-skip —

@@ -98,6 +98,89 @@ def test_spans_mode_emits_spans_and_indexes_whole_batch(spark, tmp_path,
     assert rows3[0].idx_windows == rows3[0].n_windows
 
 
+def test_near_mode_lsm_index_appends_and_probes_tail(spark, tmp_path,
+                                                     capsys):
+    """--index-lsm: arrivals append O(batch) deltas instead of
+    rewriting the index base; the probe reads base + pending tail, so
+    a doc duplicating a TAIL-only survivor is still caught; the
+    threshold fold restores the clean bucketed base."""
+    import os
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        folded_through, read_merged)
+
+    idx = str(tmp_path / "lsm_index")
+    b1, b2, b3, b4 = (str(tmp_path / f"l_batch{i}") for i in (1, 2, 3, 4))
+    _write_batch(spark, b1, [(1, BASE)])
+    _write_batch(spark, b2, [(10, DIFF)])
+    _write_batch(spark, b3, [(20, DIFF), (21, OTHER)])  # 20 dups the TAIL
+    _write_batch(spark, b4, [(30, OTHER)])
+
+    # arrival 1 seeds the base (LSM needs a base to append against)
+    assert main(["dedup-incremental", "--mode", "near", "--index", idx,
+                 "--source", b1, "--update-index", "--buckets", "4",
+                 "--index-lsm"]) == 0
+    assert "seeded" in capsys.readouterr().out
+    # arrival 2 appends a delta — the base is untouched
+    assert main(["dedup-incremental", "--mode", "near", "--index", idx,
+                 "--source", b2, "--update-index", "--index-lsm"]) == 0
+    assert "appended (LSM)" in capsys.readouterr().out
+    assert [d for d in os.listdir(idx) if d.startswith("delta_")] \
+        == ["delta_00001"]
+    # arrival 3: doc 20 duplicates doc 10, whose signatures live ONLY
+    # in the pending tail — the tail probe must catch it
+    out3 = str(tmp_path / "l_out3")
+    assert main(["dedup-incremental", "--mode", "near", "--index", idx,
+                 "--source", b3, "--out", out3, "--update-index",
+                 "--index-lsm", "--compact-pending", "2"]) == 0
+    msg = capsys.readouterr().out
+    v3 = {r.doc_id: r.verdict for r in spark.read.parquet(out3).collect()}
+    assert v3 == {20: "dup_vs_index", 21: "unique"}
+    assert "folded (2 pending)" in msg
+    assert folded_through(spark, idx) == 2
+    # post-fold: the merged index carries every survivor exactly once
+    reps = {r.rep_id for r in read_merged(spark, idx, "bucket_key")
+            .select("rep_id").distinct().collect()}
+    assert reps == {1, 10, 21}
+    # arrival 4 probes the folded base (no tail) and still sees all
+    out4 = str(tmp_path / "l_out4")
+    assert main(["dedup-incremental", "--mode", "near", "--index", idx,
+                 "--source", b4, "--out", out4]) == 0
+    v4 = {r.doc_id: r.verdict for r in spark.read.parquet(out4).collect()}
+    assert v4 == {30: "dup_vs_index"}
+
+
+def test_spans_mode_lsm_tail_probe(spark, tmp_path, capsys):
+    idx = str(tmp_path / "lsm_gram")
+    b1 = str(tmp_path / "g_batch1")
+    b2 = str(tmp_path / "g_batch2")
+    b3 = str(tmp_path / "g_batch3")
+    _write_batch(spark, b1, [(1, "a b c d e f g h i j k l m n o p q r s "
+                                 "t u v w x y z a1 b1 c1 d1")])
+    assert main(["dedup-incremental", "--mode", "spans", "--index", idx,
+                 "--source", b1, "--update-index", "--index-lsm"]) == 0
+    capsys.readouterr()
+    _write_batch(spark, b2, [(10, "FRESH1 FRESH2 FRESH3 FRESH4 FRESH5 "
+                                  "FRESH6 FRESH7 FRESH8 FRESH9 FRESH10 "
+                                  "FRESH11 FRESH12 FRESH13 FRESH14")])
+    # arrival 2 appends its grams as a delta (spans mode indexes the
+    # whole batch)
+    assert main(["dedup-incremental", "--mode", "spans", "--index", idx,
+                 "--source", b2, "--update-index", "--index-lsm"]) == 0
+    assert "appended (LSM)" in capsys.readouterr().out
+    # arrival 3 repeats batch-2's run, which lives only in the tail
+    out3 = str(tmp_path / "g_out3")
+    _write_batch(spark, b3, [(30, "FRESH1 FRESH2 FRESH3 FRESH4 FRESH5 "
+                                  "FRESH6 FRESH7 FRESH8 FRESH9 FRESH10 "
+                                  "FRESH11 FRESH12 zz1 zz2 zz3 zz4 zz5 "
+                                  "zz6 zz7 zz8")])
+    assert main(["dedup-incremental", "--mode", "spans", "--index", idx,
+                 "--source", b3, "--out", out3]) == 0
+    rows = spark.read.parquet(out3).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 30
+    assert rows[0].span_start == 0 and rows[0].idx_windows > 0
+
+
 def test_cli_rejects_missing_columns_and_bad_source(tmp_path, spark, capsys):
     b = str(tmp_path / "badcols")
     spark.createDataFrame([(1, "x")], "id long, body string") \
