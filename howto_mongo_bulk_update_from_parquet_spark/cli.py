@@ -636,6 +636,12 @@ def cmd_dedup_incremental(args: argparse.Namespace) -> int:
               "verification reads colliding members from)",
               file=sys.stderr)
         return 2
+    if args.mode == "vec" and args.index_lsm:
+        print("--index-lsm supports modes near/spans (vec maintains "
+              "two stores via point lookups; its bases rewrite "
+              "bucketed, which is already exchange-free)",
+              file=sys.stderr)
+        return 2
     spark = get_spark("dedup-incremental")
     try:
         batch = spark.read.parquet(args.source)
@@ -788,6 +794,10 @@ def cmd_dedup_stream(args: argparse.Namespace) -> int:
               "verification reads colliding members from)",
               file=sys.stderr)
         return 2
+    if args.mode == "vec" and args.index_lsm:
+        print("--index-lsm supports modes near/spans only",
+              file=sys.stderr)
+        return 2
     spark = get_spark("dedup-stream")
     try:
         schema = spark.read.parquet(args.source).schema
@@ -809,7 +819,8 @@ def cmd_dedup_stream(args: argparse.Namespace) -> int:
         vec_col=args.vec_col, vectors_path=args.vectors,
         threshold=args.threshold,
         buckets=args.buckets, update_index=not args.no_update_index,
-        max_files_per_trigger=args.max_files_per_trigger)
+        max_files_per_trigger=args.max_files_per_trigger,
+        index_lsm=args.index_lsm, compact_pending=args.compact_pending)
     stores = (f"index {args.index} + vector store {args.vectors}"
               if args.mode == "vec" else f"index {args.index}")
     print(f"dedup-stream mode={args.mode}: drained {args.source}; "
@@ -1405,6 +1416,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="bucket the index base on its merge key")
     ds.add_argument("--no-update-index", action="store_true",
                     help="probe only; do not fold the batches in")
+    ds.add_argument("--index-lsm", action="store_true",
+                    help="fold each epoch as an O(batch) delta append "
+                         "(near/spans); probes read base + pending "
+                         "tail")
+    ds.add_argument("--compact-pending", type=_bounded_int(1, 100_000),
+                    help="with --index-lsm: fold the index once this "
+                         "many deltas accumulated")
     ds.add_argument("--max-files-per-trigger", type=_bounded_int(1),
                     help="cap files per micro-batch")
     ds.set_defaults(fn=cmd_dedup_stream)

@@ -49,7 +49,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sinks import fs as hfs
-from ..sinks.keyed_table import read_keyed_table, upsert_into_keyed_table
+from ..sinks.keyed_table import (_complete_deltas, append_delta, compact,
+                                 folded_through, read_keyed_table,
+                                 read_pending_deltas,
+                                 upsert_into_keyed_table)
 
 MODES = ("near", "spans", "vec")
 
@@ -64,13 +67,17 @@ def _index_or_none(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def dedup_batch_verdicts(docs: DataFrame, index: DataFrame | None,
-                         mode: str) -> tuple[DataFrame, DataFrame, str]:
+                         mode: str,
+                         pending: DataFrame | None = None
+                         ) -> tuple[DataFrame, DataFrame, str]:
     """(verdicts, index_rows, index_key) for one arriving batch of
     (doc_id, text) against the persisted index (None = empty). The
     shared core of the streaming job and any caller composing its own
     loop: the batch is signed ONCE (the band/gram frame drives both
     the probe and the fold), and the index side passes (merge key,
-    rep_id) so replays self-exclude."""
+    rep_id) so replays self-exclude. `pending` is the store's LSM
+    tail (`read_pending_deltas`) — probed as a separate small join so
+    the committed base keeps its bucketed scan."""
     from ..plans.dup_spans import gram_windows
     from ..plans.incremental_dedup import (batch_bands,
                                            incremental_near_dup_flags,
@@ -83,8 +90,12 @@ def dedup_batch_verdicts(docs: DataFrame, index: DataFrame | None,
         idx = (index.select("bucket_key", "rep_id") if index is not None
                else spark.createDataFrame(
                    [], "bucket_key string, rep_id long"))
+        pend = (pending.select("bucket_key", "rep_id")
+                if pending is not None and "bucket_key" in pending.columns
+                else None)
         out = incremental_near_dup_flags(docs, idx, "doc_id",
-                                         new_bands=bands)
+                                         new_bands=bands,
+                                         pending_index_bands=pend)
         survivors = out.filter(F.col("verdict") == "unique") \
                        .select("doc_id")
         return (out,
@@ -95,7 +106,13 @@ def dedup_batch_verdicts(docs: DataFrame, index: DataFrame | None,
         grams = gram_windows(docs)[0].localCheckpoint(eager=False)
         idx = (index.select("h", "rep_id") if index is not None
                else spark.createDataFrame([], "h string, rep_id long"))
-        out = incremental_dup_spans(docs, idx, new_grams=grams)
+        # dedupe the tail by gram: replayed deltas must not multiply
+        # the per-window LEFT join's rows
+        pend = (pending.groupBy("h").agg(F.min("rep_id").alias("rep_id"))
+                if pending is not None and "h" in pending.columns
+                else None)
+        out = incremental_dup_spans(docs, idx, new_grams=grams,
+                                    pending_gram_index=pend)
         return out, gram_index_rows_from_grams(grams), "h"
     raise ValueError(
         f"mode must be 'near' or 'spans' here, got {mode!r} "
@@ -112,7 +129,9 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
                          threshold: float | None = None,
                          buckets: int | None = None,
                          update_index: bool = True,
-                         max_files_per_trigger: int | None = None) -> None:
+                         max_files_per_trigger: int | None = None,
+                         index_lsm: bool = False,
+                         compact_pending: int | None = None) -> None:
     """Drain parquet document batches arriving under `source_dir`
     through the incremental-dedup cycle (availableNow trigger: one
     sweep of everything currently available — rerun or schedule for
@@ -142,8 +161,11 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
             return
         docs = batch_df.select(F.col(id_col).alias("doc_id"),
                                F.col(text_col).alias("text"))
+        index = _index_or_none(sess, index_path)
+        pending = (read_pending_deltas(sess, index_path)
+                   if index is not None else None)
         out, index_rows, index_key = dedup_batch_verdicts(
-            docs, _index_or_none(sess, index_path), mode)
+            docs, index, mode, pending=pending)
         # cache the verdict frame: the index fold's survivor filter
         # shares its plan, so the probe runs once per epoch
         out = out.persist()
@@ -152,7 +174,22 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
             # epoch rewrites the same files, not append-duplicates
             (out.write.mode("overwrite")
                 .parquet(hfs.join(verdicts_dir, f"epoch={int(epoch_id)}")))
-            if update_index:
+            if update_index and index_lsm and index is not None:
+                # LSM fold: O(batch) delta append per epoch. A crash
+                # between append and checkpoint-commit replays the
+                # epoch and appends the SAME rows again — a duplicate
+                # the probes tolerate (near: countDistinct; spans:
+                # gram-deduped tail) and the threshold fold's merge
+                # collapses, so the loop stays replay-idempotent.
+                append_delta(sess, index_rows, path=index_path,
+                             key=index_key)
+                if compact_pending:
+                    n_pend = len(_complete_deltas(
+                        sess, index_path,
+                        floor=folded_through(sess, index_path)))
+                    if n_pend >= compact_pending:
+                        compact(sess, index_path, index_key)
+            elif update_index:
                 upsert_into_keyed_table(sess, index_rows, path=index_path,
                                         key=index_key, updated_at_col=None,
                                         buckets=buckets)

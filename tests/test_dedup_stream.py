@@ -72,6 +72,38 @@ def test_stream_near_two_sweeps(spark, tmp_path):
     assert v3 == v2
 
 
+def test_stream_near_lsm_appends_and_probes_tail(spark, tmp_path):
+    """--index-lsm streaming: epochs append deltas (no base rewrite);
+    a later file duplicating a TAIL-only survivor is caught; the
+    threshold fold collapses the tail into a new base."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        folded_through, read_merged)
+
+    landing = os.path.join(str(tmp_path), "landing")
+    idx_path = os.path.join(str(tmp_path), "index")
+    os.makedirs(landing)
+    _write_batch(spark, landing, "b1", [(1, TEXTS[1])])
+    _run(spark, tmp_path, mode="near", buckets=4, index_lsm=True)
+    # first epoch seeded the base; no deltas yet
+    assert not [d for d in os.listdir(idx_path)
+                if d.startswith("delta_")]
+    _write_batch(spark, landing, "b2", [(10, TEXTS[2])])
+    _run(spark, tmp_path, mode="near", index_lsm=True)
+    assert [d for d in os.listdir(idx_path)
+            if d.startswith("delta_")] == ["delta_00001"]
+    # doc 20 duplicates doc 10 — tail-only history — and the fold
+    # threshold (2 pending) triggers after this epoch's append
+    _write_batch(spark, landing, "b3", [(20, TEXTS[2]), (21, TEXTS[3])])
+    _run(spark, tmp_path, mode="near", index_lsm=True, compact_pending=2)
+    v = {r["doc_id"]: r["verdict"] for r in spark.read.parquet(
+        os.path.join(str(tmp_path), "verdicts")).collect()}
+    assert v[20] == "dup_vs_index" and v[21] == "unique"
+    assert folded_through(spark, idx_path) == 2
+    reps = {r["rep_id"] for r in read_merged(spark, idx_path, "bucket_key")
+            .select("rep_id").distinct().collect()}
+    assert reps == {1, 10, 21}
+
+
 def test_stream_spans_mode(spark, tmp_path):
     landing = os.path.join(str(tmp_path), "landing")
     os.makedirs(landing)
