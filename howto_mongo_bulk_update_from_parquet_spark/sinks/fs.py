@@ -100,6 +100,16 @@ def copy_many(spark: SparkSession, srcs: list[str], dst_dir: str) -> None:
                       f"{dst_dir} failed")
 
 
+def dir_size(spark: SparkSession, path: str) -> int:
+    """Total bytes under `path` (0 for a missing path) — one
+    getContentSummary RPC, the cheap cardinality probe behind the
+    merged-read fast-path guard."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small text file (manifest-sized). A single-object PUT is
     atomic on S3; on HDFS the create+overwrite is a metadata op."""

@@ -1184,6 +1184,64 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
         base_version=version or None)
 
 
+# Pending-delta byte ceiling for the merged-read fast path: below it,
+# the delta KEY SET is broadcast-joined against the base (untouched
+# rows pass through without a shuffle; only delta-keyed rows enter the
+# per-key version window). Above it, the classic window-over-union
+# form runs — correct at any size, at the cost of shuffling the whole
+# base. 1 GiB of delta parquet distills to a far smaller distinct-key
+# frame, well inside broadcast range.
+FAST_MERGE_MAX_DELTA_BYTES = 1 << 30
+
+
+def _merged_fast(spark: SparkSession, path: str, key: str,
+                 base: DataFrame, deltas: list[int],
+                 predicate: Column | None) -> DataFrame:
+    """Merge-on-read WITHOUT shuffling the base: rows whose key
+    appears in no pending delta are the base rows verbatim (broadcast
+    ANTI join — no exchange on the base side); rows whose key does
+    appear run the exact same version-window/null-skip/tombstone
+    machinery as the classic form, but over base-hits ∪ deltas — a
+    frame bounded by the delta size, not the table. Per-arrival
+    merged reads therefore cost O(base scan + delta-sized shuffle)
+    instead of O(base shuffle), the difference between an LSM table
+    that can serve reads between folds at 100 TB and one that cannot.
+    Output rows and column order are identical to the classic form
+    (the equality is test-pinned both ways)."""
+    parts = []
+    for v in deltas:
+        d = spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
+        if predicate is not None:
+            d = d.filter(predicate)
+        parts.append(d.withColumn("__v", F.lit(v)))
+    dl = parts[0]
+    for p in parts[1:]:
+        dl = dl.unionByName(p, allowMissingColumns=True)
+    if predicate is not None:
+        base = base.filter(predicate)
+    dkeys = dl.select(key).filter(F.col(key).isNotNull()).distinct()
+    base_hits = (base.join(F.broadcast(dkeys), key)
+                 .withColumn("__v", F.lit(0)))
+    untouched = base.join(F.broadcast(dkeys), key, "left_anti")
+    allv = base_hits.unionByName(dl, allowMissingColumns=True)
+    allv = _apply_tombstones(allv, key)
+    cols = [c for c in allv.columns if c not in (key, "__v")]
+    w = Window.partitionBy(key).orderBy(F.col("__v").desc())
+    w_full = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    merged = (allv.select(
+        key, "__v",
+        *[F.first(c, ignorenulls=True).over(w_full).alias(c)
+          for c in cols],
+        F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == 1).drop("__rn", "__v"))
+    # column order must match the classic form (key first) so the two
+    # paths are byte-for-byte interchangeable to any consumer
+    untouched = untouched.select(
+        *[c for c in [key, *cols] if c in untouched.columns])
+    return untouched.unionByName(merged, allowMissingColumns=True)
+
+
 def _read_merged_through(spark: SparkSession, path: str, key: str,
                          deltas: list[int],
                          base_version: int | None = None,
@@ -1207,6 +1265,16 @@ def _read_merged_through(spark: SparkSession, path: str, key: str,
         base = _read_base(spark, path, base_version)
     else:
         base = _lsm_base(spark, path)
+    if base is not None and base_df is None and deltas:
+        # fast path: delta-key broadcast joins instead of shuffling
+        # the whole base through the version window — taken whenever
+        # the pending tail is small (the LSM contract), which is every
+        # call except bulk-load-sized deltas. base_df callers (pruned
+        # lookups, surgical folds) already read a bounded base.
+        total = sum(hfs.dir_size(spark, hfs.join(path, f"delta_{v:05d}"))
+                    for v in deltas)
+        if total <= FAST_MERGE_MAX_DELTA_BYTES:
+            return _merged_fast(spark, path, key, base, deltas, predicate)
     if base is not None:
         if predicate is not None:
             base = base.filter(predicate)
