@@ -137,6 +137,48 @@ LOOKUP_SLOTS = ["lookup_zonemap", "lookup_fullscan"]
 # foldable per arrival round.
 COMPACT_SLOTS = ["compact_pruned_arrival", "compact_full_arrival"]
 
+# Merged-read slots (r12): the full merge-on-read view (base + one
+# constant 2k-row pending delta) written to noop. `merged_view_fast`
+# is the broadcast-delta-keys decomposition (untouched base rows never
+# shuffle); `merged_view_classic` forces the window-over-union form
+# (whole base through the per-key version window). The pair measures
+# the read-between-folds cost the fast path exists to remove.
+MERGED_SLOTS = ["merged_view_fast", "merged_view_classic"]
+
+
+def _merged_view_factory(spark, data_dir: str, scratch: str, fast: bool):
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import (
+        keyed_table as kt)
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+
+    path = os.path.join(scratch, "kt_merged")
+    marker = os.path.join(path, "_SCALE_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        orders = load_table(spark, data_dir, "orders").select(
+            F.col("o_orderkey").alias("_id"), "o_totalprice",
+            "o_orderstatus")
+        kt.upsert_into_keyed_table(spark, orders, path=path, key="_id",
+                                   updated_at_col=None)
+        batch = (orders.filter(F.col("_id").between(0, 8000))
+                 .withColumn("o_totalprice", F.col("o_totalprice") + 1.0))
+        kt.append_delta(spark, batch, path=path, key="_id")
+        with open(marker, "w") as fh:
+            fh.write("1")
+
+    def run():
+        guard = kt.FAST_MERGE_MAX_DELTA_BYTES
+        try:
+            kt.FAST_MERGE_MAX_DELTA_BYTES = guard if fast else 0
+            (kt.read_merged(spark, path, "_id")
+             .write.format("noop").mode("overwrite").save())
+        finally:
+            kt.FAST_MERGE_MAX_DELTA_BYTES = guard
+    return run
+
 
 def _compact_factory(spark, data_dir: str, scratch: str, k: int,
                      pruned: bool):
@@ -364,7 +406,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--queries", default=",".join(
         QUERIES + SINK_SLOTS + LOOKUP_SLOTS + COMPACT_SLOTS
-        + [VEC_TUNED_SLOT]))
+        + MERGED_SLOTS + [VEC_TUNED_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -395,7 +437,7 @@ def main() -> None:
         # codegen / Python-worker warm-up outside the timed slots
         warm = next((n for n in names
                      if n not in SINK_SLOTS and n not in LOOKUP_SLOTS
-                     and n not in COMPACT_SLOTS
+                     and n not in COMPACT_SLOTS and n not in MERGED_SLOTS
                      and n != VEC_TUNED_SLOT), None)
         if warm:
             queries[warm](spark, out_dir).write.format("noop") \
@@ -413,6 +455,10 @@ def main() -> None:
                 thunk = _compact_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     k, pruned=("pruned" in q))
+            elif q in MERGED_SLOTS:
+                thunk = _merged_view_factory(
+                    spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
+                    fast=q.endswith("fast"))
             elif q == VEC_TUNED_SLOT:
                 thunk = _vec_dedup_tuned_thunk(spark, out_dir, k)
             else:
