@@ -21,14 +21,16 @@ idempotent.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
 from ..sinks.keyed_table import (append_delete_delta, append_delta, compact,
                                  compact_pruned, lookup_keyed_table,
-                                 read_keyed_table, scan_keyed_table,
-                                 upsert_into_keyed_table)
+                                 read_keyed_table, read_merged,
+                                 scan_keyed_table, upsert_into_keyed_table)
 from ..sources.parquet import load_table
 from .catalog import register
 from .reference_core import MERGE_DELETE_ORACLE
@@ -116,6 +118,55 @@ def q_keyed_zonemap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, target.filter(F.col("k") % 7 == 0).select("k"),
         path=path, key="k")
     return lookup_keyed_table(spark, path, "k", lo=100, hi=700)
+
+
+MERGED_READ_ORACLE = """
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey % 10 = 0
+            THEN CAST(o_totalprice AS DOUBLE) * 2
+            ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+       o_orderstatus AS status
+FROM orders
+WHERE o_orderkey % 7 <> 0
+"""
+
+
+@register("q_keyed_merged_read", MERGED_READ_ORACLE,
+          "merge-on-read BETWEEN folds through the broadcast fast "
+          "path: base + pending upsert delta + pending tombstone read "
+          "as one merged view without compacting — untouched rows "
+          "pass through unshuffled (r12)")
+def q_keyed_merged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `_merged_fast` (sinks/keyed_table.py): the
+    merged view served BETWEEN folds — null-skip upserts and
+    tombstones applied over the committed base with NO compaction —
+    through the broadcast decomposition (untouched base rows take the
+    anti-join branch, delta-keyed rows the version window). A wrong
+    branch split, a lost null-skip, or a resurrected tombstoned key is
+    a value-hash mismatch. The in-query guard pins that the fast path
+    (not the classic whole-base window) actually served the read. At
+    100 TB this is every read an LSM table answers between folds."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    path = tempfile.mkdtemp(prefix="keyed_mr_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None)
+    ups = (target.filter(F.col("k") % 10 == 0)
+           .select("k", (F.col("price") * 2).alias("price"),
+                   F.lit(None).cast("string").alias("status")))
+    append_delta(spark, ups, path=path, key="k")
+    append_delete_delta(
+        spark, target.filter(F.col("k") % 7 == 0).select("k"),
+        path=path, key="k")
+    out = read_merged(spark, path, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastHashJoin" not in plan or "LeftAnti" not in plan:
+        raise AssertionError(
+            "merged read did not take the broadcast fast path")
+    return out.select("k", "price", "status")
 
 
 ZONEMAP_SCAN_ORACLE = """
