@@ -510,9 +510,29 @@ def cmd_delete(args: argparse.Namespace) -> int:
               f"{keys.schema[args.key].dataType.simpleString()} — {hint}",
               file=sys.stderr)
         return 2
+    if args.tombstone and args.pruned:
+        print("--tombstone defers the physical delete (fold it later "
+              "with compact --pruned); --pruned deletes now — pick one",
+              file=sys.stderr)
+        return 2
     if args.tombstone:
         v = append_delete_delta(spark, keys, path=args.table, key=args.key)
         print(f"tombstone delta_{v:05d} appended to {args.table}")
+        return 0
+    if args.pruned:
+        # surgical delete on a range-layout table: tombstone the keys
+        # (O(keys) append) and fold immediately through the pruned
+        # compaction — only the files holding victims are rewritten,
+        # the rest carry by reference. Two commits; time travel shows
+        # the intermediate tombstoned state, same end state as the
+        # full rewrite.
+        import json as _json
+
+        from .sinks.keyed_table import compact_pruned
+        append_delete_delta(spark, keys, path=args.table, key=args.key)
+        _, stats = compact_pruned(spark, args.table, args.key)
+        print(_json.dumps({"deleted_via": "pruned fold", **stats},
+                          sort_keys=True))
         return 0
     _, n = delete_from_keyed_table(spark, keys, path=args.table,
                                    key=args.key, return_counts=True)
@@ -1287,6 +1307,10 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--tombstone", action="store_true",
                     help="append an LSM tombstone delta instead of "
                          "rewriting the base")
+    dl.add_argument("--pruned", action="store_true",
+                    help="surgical delete (range layout): tombstone + "
+                         "immediate pruned fold — only the files "
+                         "holding victims are rewritten")
     dl.set_defaults(fn=cmd_delete)
 
     cf = sub.add_parser(

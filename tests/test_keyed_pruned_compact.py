@@ -297,6 +297,27 @@ def test_cli_pruned_compact(spark, tmp_path, capsys):
                  "--pruned", "--buckets", "4"]) == 2
 
 
+def test_cli_delete_pruned(spark, tmp_path, capsys):
+    """delete --pruned: tombstone + immediate surgical fold — only the
+    victims' files rewrite, the rest carry by reference."""
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = _mk_range_table(spark, tmp_path)
+    assert main(["delete", "--table", path, "--key", "k",
+                 "--keys", "100,101", "--key-type", "long",
+                 "--pruned"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["pruned"] is True and out["files_carried"] == 7
+    got = read_keyed_table(spark, path)
+    assert got.count() == 398
+    assert got.filter(F.col("k").isin(100, 101)).count() == 0
+    # contradictory flags are a usage error
+    assert main(["delete", "--table", path, "--key", "k",
+                 "--keys", "5", "--tombstone", "--pruned"]) == 2
+
+
 def test_changefeed_then_pruned_compact(spark, tmp_path):
     """The streaming write path composes with the surgical fold: a
     checkpointed changefeed drains op-typed batches into deltas on a
