@@ -1194,9 +1194,44 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
 FAST_MERGE_MAX_DELTA_BYTES = 1 << 30
 
 
+def _hits_base(spark: SparkSession, path: str, key: str,
+               base: DataFrame, base_version: int | None,
+               deltas: list[int]) -> DataFrame:
+    """The base frame for the fast merge's HITS branch: only rows
+    whose key a pending delta could touch matter, so on a range-layout
+    base the branch reads just the files whose zone span some delta
+    key intersects — the same exact Spark-side span join the pruned
+    compaction uses (`_touched_base_files`; delta keys never collected
+    to the driver, touched names are O(files) driver state). A coarse
+    overall-[min,max] test would be useless here: one appended key
+    beyond the table's max stretches the bounds over every span. The
+    span join is one small eager job at plan time — the same class as
+    repartitionByRange's sampling — and cuts the fast path's second
+    base scan from O(table) to O(touched files). Every degraded case
+    (no version, no zone map on the key) returns `base` unchanged; the
+    broadcast semi join on the exact key set keeps correctness either
+    way."""
+    if not base_version:
+        return base
+    zmap = zm.read_zone_map(spark, _base_dir(path, base_version))
+    if zmap is None or key not in zmap.get("cols", {}):
+        return base
+    fmap = base_file_map(spark, path, base_version)
+    all_files = sorted(fmap)
+    touched = _touched_base_files(spark, path, key, deltas, zmap,
+                                  all_files)
+    if len(touched) >= len(all_files):
+        return base
+    if not touched:
+        return spark.createDataFrame([], base.schema)
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(*[fmap[f] for f in sorted(touched)]))
+
+
 def _merged_fast(spark: SparkSession, path: str, key: str,
                  base: DataFrame, deltas: list[int],
-                 predicate: Column | None) -> DataFrame:
+                 predicate: Column | None,
+                 base_version: int | None = None) -> DataFrame:
     """Merge-on-read WITHOUT shuffling the base: rows whose key
     appears in no pending delta are the base rows verbatim (broadcast
     ANTI join — no exchange on the base side); rows whose key does
@@ -1220,7 +1255,12 @@ def _merged_fast(spark: SparkSession, path: str, key: str,
     if predicate is not None:
         base = base.filter(predicate)
     dkeys = dl.select(key).filter(F.col(key).isNotNull()).distinct()
-    base_hits = (base.join(F.broadcast(dkeys), key)
+    # the HITS branch only needs rows a delta could touch — on a
+    # range-layout base it reads just the zone-map-admissible files
+    hits_src = _hits_base(spark, path, key, base, base_version, deltas)
+    if predicate is not None and hits_src is not base:
+        hits_src = hits_src.filter(predicate)
+    base_hits = (hits_src.join(F.broadcast(dkeys), key)
                  .withColumn("__v", F.lit(0)))
     untouched = base.join(F.broadcast(dkeys), key, "left_anti")
     allv = base_hits.unionByName(dl, allowMissingColumns=True)
@@ -1274,7 +1314,8 @@ def _read_merged_through(spark: SparkSession, path: str, key: str,
         total = sum(hfs.dir_size(spark, hfs.join(path, f"delta_{v:05d}"))
                     for v in deltas)
         if total <= FAST_MERGE_MAX_DELTA_BYTES:
-            return _merged_fast(spark, path, key, base, deltas, predicate)
+            return _merged_fast(spark, path, key, base, deltas, predicate,
+                                base_version=base_version)
     if base is not None:
         if predicate is not None:
             base = base.filter(predicate)

@@ -93,6 +93,47 @@ def test_fold_through_fast_path_matches_classic_fold(spark, tmp_path,
     assert _rows(d1) == _rows(d2)
 
 
+def test_range_table_hits_branch_pruned(spark, tmp_path, monkeypatch):
+    """On a range-layout base the fast merge's HITS branch reads only
+    the zone-map-admissible files (delta bounds from _KEYRANGE);
+    results stay identical to the classic form, including a tombstone
+    and an out-of-span insert."""
+    path = str(tmp_path / "rp")
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("val"))
+    upsert_into_keyed_table(spark, base, path=path, key="k",
+                            updated_at_col=None, range_files=8)
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=20, val=-20), Row(k=5_000, val=1)]), path=path, key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=21)]),
+                        path=path, key="k")
+    fast = read_merged(spark, path, "k")
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got_fast = sorted(tuple(r) for r in fast.collect())
+    monkeypatch.setattr(kt, "FAST_MERGE_MAX_DELTA_BYTES", 0)
+    got_classic = sorted(tuple(r) for r in
+                         read_merged(spark, path, "k").collect())
+    assert got_fast == got_classic
+    got = dict(got_fast)
+    assert got[20] == -20 and got[5_000] == 1 and 21 not in got
+    assert len(got) == 400
+    # the pruning decision itself: the span join touches only the
+    # files holding delta keys — an out-of-span insert (5000) touches
+    # nothing, so exactly the k∈{20,21} file(s) are admitted, NOT the
+    # whole table (an overall-[min,max] bound would admit all 8)
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import zonemap as zm
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        _base_dir, _touched_base_files, base_file_map,
+        current_base_version)
+    v = current_base_version(spark, path)
+    zmap = zm.read_zone_map(spark, _base_dir(path, v))
+    touched = _touched_base_files(
+        spark, path, "k", [1, 2], zmap,
+        sorted(base_file_map(spark, path, v)))
+    assert len(touched) == 1
+
+
 def test_lookup_unaffected(spark, tmp_path):
     """lookup passes an explicit base_df — fast-path dispatch must
     leave it on the classic (already-bounded) form and stay correct."""
