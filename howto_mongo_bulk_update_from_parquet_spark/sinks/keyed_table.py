@@ -1213,13 +1213,19 @@ def _hits_base(spark: SparkSession, path: str, key: str,
     way."""
     if not base_version:
         return base
-    zmap = zm.read_zone_map(spark, _base_dir(path, base_version))
-    if zmap is None or key not in zmap.get("cols", {}):
+    try:
+        zmap = zm.read_zone_map(spark, _base_dir(path, base_version))
+        if zmap is None or key not in zmap.get("cols", {}):
+            return base
+        fmap = base_file_map(spark, path, base_version)
+        all_files = sorted(fmap)
+        touched = _touched_base_files(spark, path, key, deltas, zmap,
+                                      all_files)
+    except Exception:
+        # a READ must never fail because its optional prune could not
+        # decide (corrupt sidecar, span cast anomaly) — the exact
+        # key-set join over the full base is always correct
         return base
-    fmap = base_file_map(spark, path, base_version)
-    all_files = sorted(fmap)
-    touched = _touched_base_files(spark, path, key, deltas, zmap,
-                                  all_files)
     if len(touched) >= len(all_files):
         return base
     if not touched:
@@ -1305,6 +1311,15 @@ def _read_merged_through(spark: SparkSession, path: str, key: str,
         base = _read_base(spark, path, base_version)
     else:
         base = _lsm_base(spark, path)
+    if base is not None and base_df is None and base_version \
+            and not deltas:
+        # fully folded VERSIONED table: the base IS the merged view
+        # (the sink's writers hold one row per key, tombstones are
+        # purged at fold) — running the version window over it would
+        # be an identity bought with a full-base shuffle. Legacy
+        # (pre-versioned) bases keep the window: their provenance is
+        # not the sink's to guarantee.
+        return base.filter(predicate) if predicate is not None else base
     if base is not None and base_df is None and deltas:
         # fast path: delta-key broadcast joins instead of shuffling
         # the whole base through the version window — taken whenever

@@ -134,6 +134,25 @@ def test_range_table_hits_branch_pruned(spark, tmp_path, monkeypatch):
     assert len(touched) == 1
 
 
+def test_folded_table_reads_base_directly(spark, tmp_path):
+    """read_merged on a fully folded versioned table returns the base
+    with NO version window (no Exchange, no Window in the plan) —
+    the identity was previously bought with a full-base shuffle."""
+    path = str(tmp_path / "folded")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val"))
+    upsert_into_keyed_table(spark, base, path=path, key="k",
+                            updated_at_col=None)
+    append_delta(spark, spark.createDataFrame([Row(k=1, val=-1)]),
+                 path=path, key="k")
+    compact(spark, path, "k")
+    out = read_merged(spark, path, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan
+    got = {r["k"]: r["val"] for r in out.collect()}
+    assert got[1] == -1 and len(got) == 100
+
+
 def test_lookup_unaffected(spark, tmp_path):
     """lookup passes an explicit base_df — fast-path dispatch must
     leave it on the classic (already-bounded) form and stay correct."""
