@@ -182,17 +182,26 @@ def newest_mtime(spark: SparkSession, path: str,
     sit past the cap) — callers deciding staleness must treat a
     truncated scan as fresh, never as evidence of death (ADVICE r10)."""
     fs, p = _fs_path(spark, path)
-    if not fs.exists(p):
-        return None, False
-    newest = fs.getFileStatus(p).getModificationTime()
-    for st in fs.listStatus(p):          # direct children incl. empty dirs
-        newest = max(newest, st.getModificationTime())
-    it = fs.listFiles(p, True)           # every file, all depths
-    seen = 0
-    while it.hasNext() and seen < max_entries:
-        newest = max(newest, it.next().getModificationTime())
-        seen += 1
-    return int(newest), bool(it.hasNext())
+    try:
+        if not fs.exists(p):
+            return None, False
+        newest = fs.getFileStatus(p).getModificationTime()
+        for st in fs.listStatus(p):      # direct children incl. empty dirs
+            newest = max(newest, st.getModificationTime())
+        it = fs.listFiles(p, True)       # every file, all depths
+        seen = 0
+        while it.hasNext() and seen < max_entries:
+            newest = max(newest, it.next().getModificationTime())
+            seen += 1
+        return int(newest), bool(it.hasNext())
+    except Exception:
+        # entries VANISHING mid-iteration (raised java-side from
+        # hasNext/next as runtime errors) mean a concurrent job is
+        # actively mutating the tree right now — the strongest
+        # possible liveness signal. Report it like a truncated scan:
+        # occupied, never stale (the same conservative direction as
+        # the max_entries cap; proven by tests/test_keyed_races.py).
+        return 0, True
 
 
 def probe_now_ms(spark: SparkSession, dir_path: str) -> int:

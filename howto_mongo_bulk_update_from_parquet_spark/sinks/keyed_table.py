@@ -109,6 +109,55 @@ def _claim_is_stale(spark: SparkSession, dst: str,
     return (now_ms - newest) > grace_ms
 
 
+def _is_vanished_snapshot_error(exc: BaseException) -> bool:
+    """True when `exc` says a file/dir this operation resolved from a
+    manifest snapshot no longer exists — under the commit protocol
+    that means concurrent writers advanced the table past the retain
+    window and retention deleted the snapshot mid-round: a concurrency
+    LOSS, not a permanent failure. (A caller-supplied bad path fails
+    at first resolution, before any snapshot was taken.)"""
+    from pyspark.errors import AnalysisException
+    if isinstance(exc, AnalysisException):
+        cond = None
+        try:
+            cond = exc.getCondition()
+        except Exception:                # older surface / detached JVM
+            pass
+        if cond == "PATH_NOT_FOUND":
+            return True
+        first = str(exc).split("\n", 1)[0]
+        return cond is None and "Path does not exist" in first
+    jexc = getattr(exc, "java_exception", None)
+    return jexc is not None and _java_chain_has_class(
+        jexc, "FileNotFoundException")
+
+
+def _vanished_snapshot_guard(fn):
+    """Wrap a snapshot-consuming WRITE operation so a snapshot retired
+    by concurrent commits surfaces as the retryable ConcurrentWriteError
+    the caller's retry loop already handles, not a raw java error. The
+    race is real: with retain_versions=2 a writer gets one commit of
+    grace; two racing commits during its round can retire the base it
+    resolved (proven by tests/test_keyed_races.py)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ConcurrentWriteError:
+            raise
+        except Exception as exc:
+            if _is_vanished_snapshot_error(exc):
+                raise ConcurrentWriteError(
+                    "this round's input snapshot vanished mid-operation "
+                    "(concurrent commits advanced the table past the "
+                    "retain window and retired it) — re-read and retry"
+                ) from exc
+            raise
+    return wrapped
+
+
 def _java_chain_has_class(jexc, suffix: str, max_depth: int = 32) -> bool:
     """Walk a Py4J java exception's getCause() chain comparing actual
     class names (getClass().getName()) against `suffix`."""
@@ -411,7 +460,13 @@ def _commit_version(spark: SparkSession, path: str, version: int,
             f"base version of {path} advanced to {published[-1]} while "
             f"this round (target {version}) was writing; its merge was "
             f"based on a stale snapshot — re-read and retry")
-    tmp = hfs.join(path, _manifest_name(version) + ".tmp")
+    # tmp name is PER-WRITER (uuid): two writers committing the same
+    # target version must not share one tmp path — the loser's rename
+    # would find it already consumed by the winner and die with a raw
+    # java error instead of the clean no-clobber loss below
+    import uuid
+    tmp = hfs.join(path,
+                   _manifest_name(version) + ".tmp." + uuid.uuid4().hex[:8])
     body = str(version)
     for k in sorted(meta or {}):
         body += f"\n{k}={meta[k]}"
@@ -537,6 +592,24 @@ _CONFLICT_CONDITIONS = frozenset({
 })
 
 
+def _is_temporary_interference(exc: BaseException, dst: str) -> bool:
+    """True when a failed write's error names a task file under THIS
+    destination's `_temporary` staging dir: two writers that both
+    passed the claim pre-check share one staging root, and the
+    winner's job-commit cleanup destroys the loser's in-flight task
+    files (surfacing as chmod/rename/missing-file task failures, not
+    as FileAlreadyExistsException — proven by the threaded race in
+    tests/test_keyed_races.py). Mapping it to the retryable conflict
+    is safe even for a false positive (e.g. disk trouble under
+    _temporary): the retry re-claims and fails permanently if the
+    cause was real."""
+    msg = str(exc)
+    leaf = dst.rstrip("/").rsplit("/", 1)[-1]
+    # no trailing slash on the marker: the staging ROOT itself can be
+    # the named victim ("cannot access '.../base_vN/_temporary'")
+    return f"{leaf}/_temporary" in msg
+
+
 def _run_claimed_write(dst: str, write) -> None:
     """Execute a claimed write, mapping both conflict signals — the
     pre-write already-exists AnalysisException and the Java-side
@@ -566,6 +639,12 @@ def _run_claimed_write(dst: str, write) -> None:
                 f"{dst} appeared during this round's write (concurrent "
                 f"writer, detected at job commit) — re-read and retry"
             ) from exc
+        if _is_temporary_interference(exc, dst):
+            raise ConcurrentWriteError(
+                f"{dst} task files were destroyed mid-job — a competing "
+                f"writer that passed the same claim pre-check committed "
+                f"first and cleaned the shared _temporary dir — re-read "
+                f"and retry") from exc
         raise
 
 
@@ -726,6 +805,7 @@ def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
     return meta
 
 
+@_vanished_snapshot_guard
 def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             path: str, key: str,
                             payload: list[str] | None = None,
@@ -1060,7 +1140,8 @@ def _append_delta_claiming(spark: SparkSession, src: DataFrame,
             else:
                 raise
         except Exception as exc:
-            if _is_path_exists_error(exc):
+            if _is_path_exists_error(exc) or _is_temporary_interference(
+                    exc, dst):
                 version += 1           # lost the race at job commit
             else:
                 raise
@@ -1572,6 +1653,7 @@ def scan_keyed_table(spark: SparkSession, path: str, *,
     return out
 
 
+@_vanished_snapshot_guard
 def compact(spark: SparkSession, path: str, key: str,
             n_files: int | None = None,
             retain_versions: int = 2,
@@ -1678,6 +1760,7 @@ def _touched_base_files(spark: SparkSession, path: str, key: str,
     return touched
 
 
+@_vanished_snapshot_guard
 def compact_pruned(spark: SparkSession, path: str, key: str,
                    retain_versions: int = 2,
                    materialize: bool = False
@@ -1797,6 +1880,7 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
 _TOMBSTONE = "__deleted"
 
 
+@_vanished_snapshot_guard
 def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
                             path: str, key: str,
                             retain_versions: int = 2,
