@@ -42,7 +42,7 @@ ROWS_ONLY = frozenset({
 # r9): an uncommitted artifact appearing mid-round — or a deploy
 # missing artifacts — must not silently shift the head order away
 # from what the committed repo state mandates.
-ATTESTED_THROUGH = 10
+ATTESTED_THROUGH = 12
 
 # Queries whose IMPLEMENTATION changed this round and therefore must
 # re-attest even though a previous round's driver run was green.
@@ -51,15 +51,16 @@ ATTESTED_THROUGH = 10
 # internal import closure intersects the round's diff and fails the
 # suite if any is missing here. Round 11's diff touches (a)
 # sinks/keyed_table.py (ADVICE-r10 claim/conflict/manifest edges,
-# vacuum, honor_buckets reads) — inside q_keyed_lsm_roundtrip's
-# closure by design; (b) plans/incremental_dedup.py (bucket_key probe
-# path + sign-once band reuse) and plans/incremental_spans.py
-# (hash-once gram reuse) — their catalog queries re-attest. The new
-# queries (q_curate_pipeline, q_incremental_vec_dedup) are
-# never-attested and take head slots automatically.
-FORCE_REATTEST: tuple[str, ...] = ("q_keyed_lsm_roundtrip",
-                                   "q_incremental_dedup",
-                                   "q_incremental_dup_spans")
+# Round 13 opens with the r12 artifacts committed and the pin bumped
+# to 12; the list below grows as the r13 diff touches query closures
+# (the guard test derives the mandatory set mechanically and fails
+# the suite if an entry is missing). The r13 diff so far touches
+# sinks/keyed_table.py (ADVICE r12 trailing-slash ref slice + legacy
+# fast-path gate) — every keyed-storage catalog query re-attests.
+FORCE_REATTEST: tuple[str, ...] = (
+    "q_keyed_lsm_roundtrip", "q_keyed_merged_read",
+    "q_keyed_pruned_compact", "q_keyed_zonemap_lookup",
+    "q_keyed_zonemap_scan")
 
 
 def _artifact_dir() -> str:

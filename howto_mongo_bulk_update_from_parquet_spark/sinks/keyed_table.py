@@ -1401,12 +1401,17 @@ def _read_merged_through(spark: SparkSession, path: str, key: str,
         # (pre-versioned) bases keep the window: their provenance is
         # not the sink's to guarantee.
         return base.filter(predicate) if predicate is not None else base
-    if base is not None and base_df is None and deltas:
+    if base is not None and base_df is None and base_version and deltas:
         # fast path: delta-key broadcast joins instead of shuffling
         # the whole base through the version window — taken whenever
         # the pending tail is small (the LSM contract), which is every
         # call except bulk-load-sized deltas. base_df callers (pruned
         # lookups, surgical folds) already read a bounded base.
+        # Gated on base_version like the fully-folded shortcut above:
+        # a legacy (_lsm_base) base may hold duplicate- or null-key
+        # rows the classic window collapses, but the left-anti
+        # "untouched" branch would pass through verbatim — a
+        # cardinality change (ADVICE r12).
         total = sum(hfs.dir_size(spark, hfs.join(path, f"delta_{v:05d}"))
                     for v in deltas)
         if total <= FAST_MERGE_MAX_DELTA_BYTES:
@@ -1844,9 +1849,14 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
     else:
         # flatten: an untouched file that is itself a ref keeps its
         # ORIGINAL owner dir, so resolution stays one hop deep no
-        # matter how many pruned folds chain
+        # matter how many pruned folds chain. fmap paths were built
+        # via hfs.join, which rstrips '/', so the slice prefix must
+        # be the normalized root — slicing with a trailing-slash
+        # `path` would chop the first character off every ref and
+        # brick the table (ADVICE r12).
         import json
-        refs = sorted(fmap[f][len(path) + 1:] for f in untouched)
+        root = path.rstrip("/")
+        refs = sorted(fmap[f][len(root) + 1:] for f in untouched)
         hfs.write_text(spark, hfs.join(dst, _CARRIED),
                        json.dumps({"version": 1, "refs": refs},
                                   separators=(",", ":")))

@@ -90,9 +90,14 @@ def dedup_batch_verdicts(docs: DataFrame, index: DataFrame | None,
         idx = (index.select("bucket_key", "rep_id") if index is not None
                else spark.createDataFrame(
                    [], "bucket_key string, rep_id long"))
-        pend = (pending.select("bucket_key", "rep_id")
-                if pending is not None and "bucket_key" in pending.columns
-                else None)
+        # mirror cli.py's guard: a pre-r12 index store's pending
+        # deltas carry bucket_key but no rep_id — selecting it
+        # unconditionally would kill the stream (ADVICE r12)
+        pend = None
+        if pending is not None and "bucket_key" in pending.columns:
+            pend = (pending.select("bucket_key", "rep_id")
+                    if "rep_id" in pending.columns
+                    else pending.select("bucket_key"))
         out = incremental_near_dup_flags(docs, idx, "doc_id",
                                          new_bands=bands,
                                          pending_index_bands=pend)

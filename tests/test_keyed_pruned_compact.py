@@ -418,3 +418,31 @@ def test_arrival_loop_converges(spark, tmp_path):
                                  with_stats=True)
     assert st["files_read"] < st["files_total"]
     assert out.collect()[0]["val"] == 5
+
+
+def test_trailing_slash_path_keeps_refs_intact(spark, tmp_path):
+    """ADVICE r12 (medium): fmap paths come from hfs.join (which
+    rstrips '/'), so slicing carried refs with a raw trailing-slash
+    `path` chopped the first character off every ref ('ase_v00001/…'),
+    bricking the table. The slice prefix must be the normalized root;
+    a second fold cycle through the carried refs must keep working."""
+    path = _mk_range_table(spark, tmp_path, name="slashtab")
+    slashed = path + "/"
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=20, val=-1, tag="x")]), path=slashed, key="k")
+    df, stats = compact_pruned(spark, slashed, "k")
+    assert stats["pruned"] is True and stats["files_carried"] >= 1
+    v = current_base_version(spark, path)
+    refs = _carried_refs(spark, path, v)
+    assert refs and all(r.startswith("base_v") for r in refs)
+    got = {r["k"]: r["val"] for r in read_keyed_table(spark, slashed)
+           .collect()}
+    assert got[20] == -1 and len(got) == 400
+    # the bricking scenario: every SUBSEQUENT read/fold resolved the
+    # corrupt refs — prove the next cycle is healthy too
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=350, val=-2, tag="y")]), path=slashed, key="k")
+    df2, stats2 = compact_pruned(spark, slashed, "k")
+    assert stats2["pruned"] is True
+    got2 = {r["k"]: r["val"] for r in df2.collect()}
+    assert got2[20] == -1 and got2[350] == -2 and len(got2) == 400
