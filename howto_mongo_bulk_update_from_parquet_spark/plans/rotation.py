@@ -60,7 +60,12 @@ ATTESTED_THROUGH = 12
 FORCE_REATTEST: tuple[str, ...] = (
     "q_keyed_lsm_roundtrip", "q_keyed_merged_read",
     "q_keyed_pruned_compact", "q_keyed_zonemap_lookup",
-    "q_keyed_zonemap_scan")
+    "q_keyed_zonemap_scan",
+    # vector_lsh.py gained rhp_bands_sql (oracle generator refactor —
+    # _RHP_BANDS_SQL is byte-identical) and incremental_vec.py moved
+    # to fixture-scale banding so its sf0.01 attestation can fail
+    "q_incremental_vec_dedup", "q_rhp_lsh_buckets", "q_rhp_lsh_pairs",
+    "q_vector_lsh_verified")
 
 
 def _artifact_dir() -> str:

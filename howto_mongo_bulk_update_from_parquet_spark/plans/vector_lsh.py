@@ -223,7 +223,14 @@ N_BANDS = 6
 BITS_PER_BAND = 6
 VERIFY_THRESHOLD = 0.45
 
-_RHP_BANDS_SQL = f"""
+def rhp_bands_sql(n_bands: int = N_BANDS,
+                  bits: int = BITS_PER_BAND) -> str:
+    """The (vec_id, band, bucket) oracle CTE for the md5-derived RHP
+    family at an arbitrary banding — callers tuning (n_bands, bits)
+    per query (see the BITS_PER_BAND tuning note in incremental_vec)
+    generate their oracle from the SAME deterministic hyperplanes the
+    Spark UDF signs with."""
+    return f"""
   WITH vals AS (
     SELECT vec_id,
            unnest(range(1, len(embedding) + 1)) AS j,
@@ -235,15 +242,18 @@ _RHP_BANDS_SQL = f"""
            CAST(ROUND(CAST(embedding[j] AS DOUBLE) * {SCALE}) AS BIGINT)
              * (CASE WHEN CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 1, 1)) AS INT) % 2 = 1
                      THEN 1 ELSE -1 END) AS p
-    FROM vals CROSS JOIN (SELECT unnest(range(0, {N_BANDS * BITS_PER_BAND})) AS i) i
+    FROM vals CROSS JOIN (SELECT unnest(range(0, {n_bands * bits})) AS i) i
   ),
   bits AS (
     SELECT vec_id, i, SUM(p) > 0 AS bit FROM prods GROUP BY vec_id, i
   )
-  SELECT vec_id, i // {BITS_PER_BAND} AS band,
-         CAST(SUM(CASE WHEN bit THEN CAST(POW(2, i % {BITS_PER_BAND}) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM bits GROUP BY vec_id, i // {BITS_PER_BAND}
+  SELECT vec_id, i // {bits} AS band,
+         CAST(SUM(CASE WHEN bit THEN CAST(POW(2, i % {bits}) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id, i // {bits}
 """
+
+
+_RHP_BANDS_SQL = rhp_bands_sql()
 
 VECTOR_LSH_VERIFIED_ORACLE = f"""
 WITH bands AS (
