@@ -298,6 +298,35 @@ def main() -> None:
     slowest = {n: round(v, 2)
                for n, v in sorted(timings.items(), key=lambda kv: -kv[1])[:10]}
 
+    # --- per-lane reporting (r12 verdict #3): single-DAG analytics vs
+    # multi-job storage/pipeline cycles vs streaming micro-batch, each
+    # with its own totals and over-2x count, plus the overlapping-set
+    # round-over-round delta — the composition-insensitive numbers.
+    from howto_mongo_bulk_update_from_parquet_spark.plans.lanes import (
+        LANES, lane_of)
+    lanes: dict[str, dict] = {}
+    for lane in LANES:
+        names = [n for n in timings if lane_of(n) == lane]
+        lane_spark = round(sum(timings[n] for n in names
+                               if timings[n] > 0), 3)
+        lane_duck = round(sum(duck[n] for n in names if n in duck), 3)
+        overlap = [n for n in names
+                   if timings.get(n, -1) > 0 and prior.get(n, 0) > 0]
+        lanes[lane] = {
+            "n": len(names),
+            "spark": lane_spark,
+            "duck": lane_duck,
+            "ratio": (round(lane_spark / lane_duck, 2)
+                      if lane_duck > 0 else None),
+            "n_over_2x": sum(1 for n in names if n in ratio
+                             and ratio[n] > 2.0),
+            # same-query set present in BOTH this and the prior
+            # committed artifact: the comparable round-over-round move
+            "overlap_n": len(overlap),
+            "overlap_spark": round(sum(timings[n] for n in overlap), 3),
+            "overlap_prior": round(sum(prior[n] for n in overlap), 3),
+        }
+
     duck_total = round(sum(duck.values()), 3)
     ref_mean = DUCK_REF_MEAN_SEC.get(layout, DUCK_REF_MEAN_SEC["single"])
     noise = round((duck_total / max(len(duck), 1)) / ref_mean, 2)
@@ -327,6 +356,7 @@ def main() -> None:
             "duck": duck,
             "ratio": ratio,
             "over_2x": over_2x,
+            "lanes": lanes,
             "duck_total": duck_total,
             "sf": sf,
             "layout": layout,
@@ -351,6 +381,13 @@ def main() -> None:
         "n_errors": sum(1 for v in timings.values() if v < 0),
         "duck_total": duck_total,
         "n_over_2x": len(over_2x),
+        # compact per-lane summary; full lane detail in BENCH_FULL.json.
+        # "analytics" is the comparable headline (single-DAG queries);
+        # "cycle"/"streaming" are multi-job / micro-batch slots whose
+        # DuckDB "ratio" is structural, not a plan property.
+        "lanes": {ln: {"n": d["n"], "spark": d["spark"],
+                       "duck": d["duck"], "o2x": d["n_over_2x"]}
+                  for ln, d in lanes.items()},
         "layout": layout,
         "noise": noise,
         "spark_noise": spark_noise,
