@@ -12,6 +12,8 @@ configuration (credentials, endpoints, committers all apply).
 
 from __future__ import annotations
 
+import os
+import re
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -25,6 +27,41 @@ def _fs_path(spark: SparkSession, path: str) -> tuple[Any, Any]:
     return fs, jpath
 
 
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+_default_fs_local: dict[int, bool] = {}
+
+
+def _local_path(spark: SparkSession, path: str) -> str | None:
+    """The OS path when `path` provably resolves to the LOCAL
+    filesystem, else None (caller goes through the JVM FileSystem).
+    Metadata READS (manifest/sidecar/zone-map parses) pay ~5 py4j
+    round trips ≈ tens of ms apiece through the Hadoop API — on local
+    paths that is pure overhead, and the read paths (point lookups,
+    plan-time prunes) issue several per call. Writes and mutations
+    stay JVM-side unconditionally: the commit protocol's
+    atomic-rename/no-clobber semantics are FileSystem-contracted and
+    not re-derived here. Scheme-less paths are local only when the
+    session's default FS is `file:` (on a cluster they resolve to
+    HDFS); `file:` URIs with a host authority fall back too."""
+    m = _SCHEME_RE.match(path)
+    if m:
+        scheme = path[:m.end() - 3].lower()
+        if scheme != "file":
+            return None
+        rest = path[m.end():]
+        if not rest.startswith("/"):
+            return None                  # authority component — JVM
+        return rest
+    key = id(spark)
+    is_local = _default_fs_local.get(key)
+    if is_local is None:
+        dfs = (spark._jsc.hadoopConfiguration().get("fs.defaultFS")
+               or "file:///")
+        is_local = dfs.startswith("file:")
+        _default_fs_local[key] = is_local
+    return path if is_local else None
+
+
 def join(path: str, *names: str) -> str:
     """URI-safe child-path join (os.path.join would break `s3a://`)."""
     out = path.rstrip("/")
@@ -34,12 +71,27 @@ def join(path: str, *names: str) -> str:
 
 
 def exists(spark: SparkSession, path: str) -> bool:
+    lp = _local_path(spark, path)
+    if lp is not None:
+        return os.path.exists(lp)
     fs, p = _fs_path(spark, path)
     return bool(fs.exists(p))
 
 
 def listdir(spark: SparkSession, path: str) -> list[str]:
     """Child entry names (files and dirs); [] for a missing path."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        try:
+            # Hadoop's ChecksumFileSystem hides its own `.<name>.crc`
+            # sidecars from listStatus; mirror that so both call
+            # paths list identically
+            return [n for n in os.listdir(lp)
+                    if not (n.startswith(".") and n.endswith(".crc"))]
+        except FileNotFoundError:
+            return []
+        except OSError:
+            pass                         # odd local state — JVM decides
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
         return []
@@ -223,6 +275,15 @@ def probe_now_ms(spark: SparkSession, dir_path: str) -> int:
 
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Contents of a small text file, or None if absent."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        try:
+            with open(lp, encoding="utf-8") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+        except OSError:
+            pass                         # odd local state — JVM decides
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
         return None

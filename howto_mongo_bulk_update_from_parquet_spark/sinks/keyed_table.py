@@ -1044,6 +1044,37 @@ def _write_delta_keyrange(spark: SparkSession, dst: str, key: str,
         pass
 
 
+def _deltas_key_range(spark: SparkSession, path: str, key: str,
+                      deltas: list[int]) -> tuple | None:
+    """Combined key [min,max] over the deltas' _KEYRANGE sidecars
+    (normalized like zone-map values), or None when any sidecar is
+    missing/unreadable/for another key — the caller then plans
+    without the bound. Empty deltas contribute nothing; all-empty
+    folds return the empty marker ("", "")-free (None, None) range
+    handled by the caller keeping zero shards."""
+    import json
+    lo = hi = None
+    for v in deltas:
+        txt = hfs.read_text(spark,
+                            hfs.join(path, f"delta_{v:05d}", _KEYRANGE))
+        if txt is None:
+            return None
+        try:
+            doc = json.loads(txt)
+        except ValueError:
+            return None
+        if doc.get("version") != 1 or doc.get("key") != key:
+            return None
+        if doc.get("rows") == 0:
+            continue
+        d_lo, d_hi = doc.get("min"), doc.get("max")
+        if d_lo is None or d_hi is None:
+            return None
+        lo = d_lo if lo is None or d_lo < lo else lo
+        hi = d_hi if hi is None or d_hi > hi else hi
+    return (lo, hi)
+
+
 def _delta_may_match(spark: SparkSession, path: str, v: int, key: str,
                      values: list | None, lo, hi) -> bool:
     """False only when the delta's recorded key range PROVES no probe
@@ -1295,13 +1326,34 @@ def _hits_base(spark: SparkSession, path: str, key: str,
     if not base_version:
         return base
     try:
-        zmap = zm.read_zone_map(spark, _base_dir(path, base_version))
-        if zmap is None or key not in zmap.get("cols", {}):
+        idx = zm.load_zone_map_index(spark, _base_dir(path, base_version))
+        if idx is None or key not in idx.cols:
             return base
         fmap = base_file_map(spark, path, base_version)
         all_files = sorted(fmap)
-        touched = _touched_base_files(spark, path, key, deltas, zmap,
-                                      all_files)
+        if idx.n_files == len(all_files):
+            # sharded-manifest fast plan: bound the shard reads by the
+            # deltas' recorded key range (their _KEYRANGE sidecars) —
+            # members of span-skipped shards are PROVEN untouched, so
+            # the per-read metadata parse is O(delta key span), not
+            # O(files). No usable delta range → all shards (correct,
+            # just unbounded).
+            rng = _deltas_key_range(spark, path, key, deltas)
+            if rng == (None, None):      # every delta empty
+                return spark.createDataFrame([], base.schema)
+            if rng is not None:
+                entries, _ = idx.entries_for(key, lo=rng[0], hi=rng[1])
+            else:
+                entries = idx.entries()
+            in_scope = {e["file"] for e in entries}
+            scoped = [f for f in all_files if f in in_scope]
+            touched = _touched_base_files(
+                spark, path, key, deltas,
+                {"cols": idx.cols, "files": entries}, scoped)
+        else:
+            zmap = {"cols": idx.cols, "files": idx.entries()}
+            touched = _touched_base_files(spark, path, key, deltas,
+                                          zmap, all_files)
     except Exception:
         # a READ must never fail because its optional prune could not
         # decide (corrupt sidecar, span cast anomaly) — the exact
@@ -1500,15 +1552,29 @@ def pruned_base_files(spark: SparkSession, path: str, key: str, *,
         raise FileNotFoundError(f"no versioned keyed table at {path}")
     base = _base_dir(path, version)
     all_files = sorted(base_file_map(spark, path, version))
-    zmap = zm.read_zone_map(spark, base)
-    if zmap is not None:
-        kept = zm.prune_files(zmap, key, values=values, lo=lo, hi=hi)
-        if kept is not None:
-            mapped = {e["file"] for e in zmap["files"]}
-            known = set(kept)
-            # a file the map has never seen is kept conservatively
-            return ([f for f in all_files
-                     if f in known or f not in mapped], len(all_files))
+    idx = zm.load_zone_map_index(spark, base)
+    if idx is not None and key in idx.cols:
+        if idx.n_files == len(all_files):
+            # the writer stats exactly the base's data files at commit
+            # (upsert) or carry (pruned fold) time, so a count match
+            # means full coverage — plan from the index, reading only
+            # span-intersecting shards (O(probe), not O(files))
+            kept = idx.prune(key, values=values, lo=lo, hi=hi)
+            if kept is not None:
+                known = set(kept)
+                return ([f for f in all_files if f in known],
+                        len(all_files))
+        else:
+            # partial/stale map (count mismatch) — materialize and
+            # keep unmapped files conservatively, exactly as before
+            zmap = {"cols": idx.cols, "files": idx.entries()}
+            kept = zm.prune_files(zmap, key, values=values, lo=lo, hi=hi)
+            if kept is not None:
+                mapped = {e["file"] for e in zmap["files"]}
+                known = set(kept)
+                return ([f for f in all_files
+                         if f in known or f not in mapped],
+                        len(all_files))
     buckets = int(meta.get("buckets", 0) or 0)
     if values is not None and buckets and meta.get("bucket_key") == key:
         ids = _bucket_ids_for_values(spark, path, key, list(values),
@@ -1628,9 +1694,19 @@ def scan_keyed_table(spark: SparkSession, path: str, *,
             f"lookup_keyed_table for key predicates (merge-aware)")
     fmap = base_file_map(spark, path, version)
     all_files = set(fmap)
-    zmap = zm.read_zone_map(spark, _base_dir(path, version))
+    idx = zm.load_zone_map_index(spark, _base_dir(path, version))
     kept = set(all_files)
-    if zmap is not None:
+    if idx is not None and idx.n_files == len(all_files):
+        # full coverage (see pruned_base_files) — per-column prunes
+        # straight off the index, each reading only its own
+        # span-intersecting shards
+        for col, (lo, hi) in where.items():
+            ks = idx.prune(col, lo=lo, hi=hi)
+            if ks is None:
+                continue                 # column not in the map
+            kept &= set(ks)
+    elif idx is not None:
+        zmap = {"cols": idx.cols, "files": idx.entries()}
         mapped = {e["file"] for e in zmap["files"]}
         unmapped = all_files - mapped
         for col, (lo, hi) in where.items():

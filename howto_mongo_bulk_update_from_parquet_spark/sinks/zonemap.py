@@ -17,14 +17,30 @@ Lake's users make between bucketing/partitioning and Z-ORDER
 clustering, carried here in the engine's own minimal form because the
 table-format jars are absent (see sinks/table_formats.py).
 
-The map is one JSON sidecar `_zonemap.json` INSIDE the versioned base
-directory, so it is committed, time-traveled, and garbage-collected
-with its base — a reader can never pair version N's stats with
-version M's files. Collection is one column-pruned scan of the
-just-written base (`_metadata.file_path` + the stat columns only —
-for a wide table this reads a few percent of the bytes, once, at
-write time); the collected list is O(files) driver state, the same
-bounded class as the engine's centroid/bounds tables.
+The map lives INSIDE the versioned base directory, so it is
+committed, time-traveled, and garbage-collected with its base — a
+reader can never pair version N's stats with version M's files.
+Collection is one column-pruned scan of the just-written base
+(`_metadata.file_path` + the stat columns only — for a wide table
+this reads a few percent of the bytes, once, at write time); the
+collected list is O(files) driver state, the same bounded class as
+the engine's centroid/bounds tables.
+
+Manifest sharding (r13, verdict item 4 — the Iceberg-manifest
+posture): up to SHARD_TARGET files the map is ONE JSON sidecar
+`_zonemap.json` (version 1 — the common case, zero extra round
+trips). Past that, `_zonemap.json` becomes a version-2 INDEX holding
+per-shard column spans, and the per-file entries split across
+`_zonemap_shard_NNNNN.json` files of SHARD_TARGET entries each.
+Entries are sorted by file name, which for the range layout's
+part-file naming is key order — so each shard covers a contiguous
+key slice and a point/range probe plans by reading the index plus
+the one or two intersecting shards: O(probe) driver parse, not
+O(files). At 100k files that is a ~200-entry index + one ~512-entry
+shard per lookup instead of re-parsing a multi-MB document
+(`ZoneMapIndex.prune`); writers and full-map consumers (pruned
+compaction's carry) still see the materialized whole via
+`read_zone_map`.
 
 Underscore-prefixed sidecars are invisible to Spark's parquet reader,
 so plain `spark.read.parquet(base)` consumers are unaffected.
@@ -42,6 +58,11 @@ from pyspark.sql import functions as F
 from . import fs as hfs
 
 ZONEMAP_FILE = "_zonemap.json"
+# Entries per shard file once the map splits (version 2). Also the
+# inline (version 1) ceiling: a map at or under this size stays one
+# sidecar with zero extra round trips.
+SHARD_TARGET = 512
+_SHARD_FMT = "_zonemap_shard_{:05d}.json"
 
 # dtypes the map can order client-side; anything else is recorded as
 # unprunable (the file list degrades to "keep all" for that column)
@@ -116,19 +137,173 @@ def collect_zone_map(spark: SparkSession, base_dir: str,
 
 def write_zone_map(spark: SparkSession, base_dir: str,
                    zmap: dict) -> None:
+    """Persist a zone map document. At or under SHARD_TARGET files it
+    is written inline (version 1, one sidecar). Past that it shards:
+    `_zonemap.json` becomes a version-2 index of per-shard column
+    spans and the entries split across `_zonemap_shard_NNNNN.json`
+    files, so planning a probe parses O(probe) bytes instead of
+    O(files). Shard files land BEFORE the index (a reader that sees
+    the index sees every shard it names); the base directory is
+    always a freshly claimed version slot, so no stale shards can
+    linger from a previous map."""
+    files = sorted(zmap["files"], key=lambda e: e["file"])
+    cols = zmap["cols"]
+    if len(files) <= SHARD_TARGET:
+        hfs.write_text(spark, hfs.join(base_dir, ZONEMAP_FILE),
+                       json.dumps({"version": 1, "cols": cols,
+                                   "files": files},
+                                  separators=(",", ":")))
+        return
+    shards = [files[i:i + SHARD_TARGET]
+              for i in range(0, len(files), SHARD_TARGET)]
+    index = []
+    for i, entries in enumerate(shards):
+        name = _SHARD_FMT.format(i)
+        hfs.write_text(spark, hfs.join(base_dir, name),
+                       json.dumps({"files": entries},
+                                  separators=(",", ":")))
+        spans: dict[str, Any] = {}
+        for c in cols:
+            mins = [e.get(f"min_{c}") for e in entries]
+            maxs = [e.get(f"max_{c}") for e in entries]
+            if any(v is None for v in mins) or any(v is None for v in maxs):
+                # a member with absent/null stats must always be kept
+                # — the shard cannot be span-skipped for this column
+                spans[c] = None
+            else:
+                spans[c] = [min(mins), max(maxs)]
+        index.append({"shard": name, "n": len(entries), "spans": spans})
     hfs.write_text(spark, hfs.join(base_dir, ZONEMAP_FILE),
-                   json.dumps(zmap, separators=(",", ":")))
+                   json.dumps({"version": 2, "cols": cols,
+                               "n_files": len(files), "shards": index},
+                              separators=(",", ":")))
 
 
 def read_zone_map(spark: SparkSession, base_dir: str) -> dict | None:
+    """The FULL materialized map (version-1 shape) regardless of the
+    stored layout — full-map consumers (pruned compaction's entry
+    carry, fallbacks) use this; probe planning should go through
+    `ZoneMapIndex` instead, which reads only intersecting shards."""
+    idx = load_zone_map_index(spark, base_dir)
+    if idx is None:
+        return None
+    return {"version": 1, "cols": idx.cols, "files": idx.entries()}
+
+
+def load_zone_map_index(spark: SparkSession,
+                        base_dir: str) -> "ZoneMapIndex | None":
     txt = hfs.read_text(spark, hfs.join(base_dir, ZONEMAP_FILE))
     if txt is None:
         return None
     try:
-        zmap = json.loads(txt)
+        doc = json.loads(txt)
     except ValueError:
         return None
-    return zmap if zmap.get("version") == 1 else None
+    if doc.get("version") not in (1, 2):
+        return None
+    return ZoneMapIndex(spark, base_dir, doc)
+
+
+def _may_hit(f_min: Any, f_max: Any, probe: list | None,
+             n_lo: Any, n_hi: Any) -> bool:
+    """Can [f_min, f_max] intersect the predicate (sorted equality
+    `probe`, or normalized closed range [n_lo, n_hi])? The single
+    interval test every prune level shares."""
+    if probe is not None:
+        i = bisect_left(probe, f_min)
+        return i < len(probe) and probe[i] <= f_max
+    if n_lo is not None and f_max < n_lo:
+        return False
+    if n_hi is not None and n_hi < f_min:
+        return False
+    return True
+
+
+class ZoneMapIndex:
+    """Lazy zone-map reader: parses the `_zonemap.json` head document
+    once and fetches shard files only when a probe's span requires
+    them (version-1 inline maps have everything in the head — zero
+    extra reads). `shards_read` counts fetches so tests and the scale
+    harness can pin the sub-linearity."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, doc: dict):
+        self._spark = spark
+        self._dir = base_dir
+        self._doc = doc
+        self._cache: dict[str, list[dict]] = {}
+        self.shards_read = 0
+
+    @property
+    def cols(self) -> dict[str, str]:
+        return self._doc.get("cols", {})
+
+    @property
+    def n_files(self) -> int:
+        if self._doc.get("version") == 1:
+            return len(self._doc["files"])
+        return self._doc["n_files"]
+
+    def _shard_entries(self, name: str) -> list[dict]:
+        if name not in self._cache:
+            txt = hfs.read_text(self._spark, hfs.join(self._dir, name))
+            if txt is None:
+                raise IOError(f"zone-map shard {name} named by the "
+                              f"index is missing under {self._dir} — "
+                              f"corrupt sidecar")
+            self._cache[name] = json.loads(txt)["files"]
+            self.shards_read += 1
+        return self._cache[name]
+
+    def entries(self) -> list[dict]:
+        """Every per-file entry (reads all shards — full-map path)."""
+        if self._doc.get("version") == 1:
+            return self._doc["files"]
+        out: list[dict] = []
+        for s in self._doc["shards"]:
+            out.extend(self._shard_entries(s["shard"]))
+        return out
+
+    def entries_for(self, col: str, *, values: list | None = None,
+                    lo: Any = None, hi: Any = None
+                    ) -> tuple[list[dict], bool] | None:
+        """(entries that may intersect the predicate on `col`,
+        complete) — reading only span-intersecting shards. `complete`
+        is True when every file NOT represented in the returned
+        entries is PROVEN non-intersecting (its shard's span missed
+        the probe); version-1 maps and read-everything cases return
+        the full entry list with complete=True trivially. None when
+        the map cannot answer for this column."""
+        if col not in self.cols:
+            return None
+        probe = sorted(norm_probe(v) for v in values) \
+            if values is not None else None
+        n_lo, n_hi = norm_probe(lo), norm_probe(hi)
+        if self._doc.get("version") == 1:
+            return self._doc["files"], True
+        out: list[dict] = []
+        for s in self._doc["shards"]:
+            span = s.get("spans", {}).get(col)
+            if span is not None and not _may_hit(span[0], span[1],
+                                                 probe, n_lo, n_hi):
+                continue                 # whole shard proven out
+            out.extend(self._shard_entries(s["shard"]))
+        return out, True
+
+    def prune(self, col: str, *, values: list | None = None,
+              lo: Any = None, hi: Any = None) -> list[str] | None:
+        """File names whose [min,max] for `col` may intersect the
+        predicate — `prune_files` semantics, but reading only the
+        shards whose span can matter. Files in skipped shards are
+        proven non-intersecting (the shard span bounds every member
+        with recorded stats, and members WITHOUT stats force the
+        span to None = never skipped). None when the map cannot
+        answer for this column."""
+        got = self.entries_for(col, values=values, lo=lo, hi=hi)
+        if got is None:
+            return None
+        entries, _ = got
+        return prune_files({"cols": self.cols, "files": entries}, col,
+                           values=values, lo=lo, hi=hi)
 
 
 def prune_files(zmap: dict, col: str, *,
@@ -159,16 +334,6 @@ def prune_files(zmap: dict, col: str, *,
         if f_min is None or f_max is None:
             kept.append(entry["file"])   # stats absent/null — keep
             continue
-        if probe is not None:
-            # any probe value inside [f_min, f_max]? (smallest probe
-            # >= f_min decides — probe list is sorted)
-            i = bisect_left(probe, f_min)
-            if i < len(probe) and probe[i] <= f_max:
-                kept.append(entry["file"])
-            continue
-        if n_lo is not None and f_max < n_lo:
-            continue
-        if n_hi is not None and n_hi < f_min:
-            continue
-        kept.append(entry["file"])
+        if _may_hit(f_min, f_max, probe, n_lo, n_hi):
+            kept.append(entry["file"])
     return kept

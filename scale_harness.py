@@ -145,6 +145,56 @@ COMPACT_SLOTS = ["compact_pruned_arrival", "compact_full_arrival"]
 # the read-between-folds cost the fast path exists to remove.
 MERGED_SLOTS = ["merged_view_fast", "merged_view_classic"]
 
+# Zone-map PLANNING slots (r13, verdict item 4): the driver-side cost
+# of turning a 3-key point probe into a kept-file list, isolated from
+# any data I/O — at 100 TB (~100k files) this is the metadata parse a
+# lookup pays before its first executor task. The file-count axis is
+# 80*k entries (x100 = 8,000 files, the verdict's target size),
+# synthesized as a real on-disk sidecar via the production writer.
+# `zonemap_plan_sharded` plans through ZoneMapIndex (index doc + only
+# the span-intersecting shards, O(probe) entry parse); `zonemap_plan_
+# fullparse` is the r12 baseline — materialize every entry, prune the
+# whole list (O(files) parse per plan). Timed body = 20 independent
+# plans (fresh parse each, as a driver serving lookups would pay
+# without a cache). Expect: fullparse grows ~linearly with the file
+# count, sharded stays near-flat.
+ZONEMAP_PLAN_SLOTS = ["zonemap_plan_sharded", "zonemap_plan_fullparse"]
+
+
+def _zonemap_plan_factory(spark, scratch: str, k: int, sharded: bool):
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import (
+        zonemap as zm)
+
+    n_files = 80 * k
+    d = os.path.join(scratch, f"zmplan_{n_files}")
+    marker = os.path.join(d, "_SCALE_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        rows_per = 100
+        entries = [{"file": f"part-{i:05d}.parquet", "rows": rows_per,
+                    "min_k": i * rows_per,
+                    "max_k": (i + 1) * rows_per - 1}
+                   for i in range(n_files)]
+        zm.write_zone_map(spark, d, {"version": 1,
+                                     "cols": {"k": "bigint"},
+                                     "files": entries})
+        with open(marker, "w") as fh:
+            fh.write(str(n_files))
+    span = 80 * k * 100
+
+    def run():
+        for it in range(20):
+            probes = [(it * 7919 + j * 104729) % span for j in range(3)]
+            if sharded:
+                idx = zm.load_zone_map_index(spark, d)
+                kept = idx.prune("k", values=probes)
+            else:
+                full = zm.read_zone_map(spark, d)
+                kept = zm.prune_files(full, "k", values=probes)
+            assert kept is not None and len(kept) <= 3
+    return run
+
 
 def _merged_view_factory(spark, data_dir: str, scratch: str, fast: bool):
     from pyspark.sql import functions as F
@@ -406,7 +456,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--queries", default=",".join(
         QUERIES + SINK_SLOTS + LOOKUP_SLOTS + COMPACT_SLOTS
-        + MERGED_SLOTS + [VEC_TUNED_SLOT]))
+        + MERGED_SLOTS + ZONEMAP_PLAN_SLOTS + [VEC_TUNED_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -438,6 +488,7 @@ def main() -> None:
         warm = next((n for n in names
                      if n not in SINK_SLOTS and n not in LOOKUP_SLOTS
                      and n not in COMPACT_SLOTS and n not in MERGED_SLOTS
+                     and n not in ZONEMAP_PLAN_SLOTS
                      and n != VEC_TUNED_SLOT), None)
         if warm:
             queries[warm](spark, out_dir).write.format("noop") \
@@ -459,6 +510,10 @@ def main() -> None:
                 thunk = _merged_view_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     fast=q.endswith("fast"))
+            elif q in ZONEMAP_PLAN_SLOTS:
+                thunk = _zonemap_plan_factory(
+                    spark, os.path.join(OUT_ROOT, f"scratch_x{k}"),
+                    k, sharded=q.endswith("sharded"))
             elif q == VEC_TUNED_SLOT:
                 thunk = _vec_dedup_tuned_thunk(spark, out_dir, k)
             else:

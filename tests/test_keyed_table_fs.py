@@ -219,3 +219,32 @@ def test_compact_single_write_versioned_base(spark, tmp_path):
     assert "delta_00001" not in os.listdir(path)        # prior fold GC'd
     assert {r["_id"] for r in read_merged(spark, path, "_id").collect()} == \
         {"a", "b", "c"}
+
+
+def test_local_path_resolution(spark, tmp_path):
+    """The metadata-read fast path must engage ONLY for provably-local
+    paths: bare paths under a file: default FS, file:///-style URIs
+    without an authority; every remote scheme (and authority-bearing
+    file: URIs) stays on the JVM FileSystem."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.fs import _local_path
+    assert _local_path(spark, "/tmp/x") == "/tmp/x"
+    assert _local_path(spark, f"file://{tmp_path}/y") == f"{tmp_path}/y"
+    assert _local_path(spark, "file:///a/b") == "/a/b"
+    assert _local_path(spark, "s3a://bucket/key") is None
+    assert _local_path(spark, "hdfs://nn/a") is None
+    assert _local_path(spark, "file://host/a") is None   # authority
+
+
+def test_fast_and_jvm_reads_agree(spark, tmp_path):
+    import os
+    d = str(tmp_path / "agree")
+    os.makedirs(d)
+    with open(os.path.join(d, "m.json"), "w") as fh:
+        fh.write('{"v": 1}\n')
+    # bare local path (fast) and file: URI (fast) and the JVM answer
+    # for the same file must agree modulo the trailing newline
+    bare = hfs.read_text(spark, os.path.join(d, "m.json"))
+    uri = hfs.read_text(spark, f"file://{d}/m.json")
+    assert bare.strip() == uri.strip() == '{"v": 1}'
+    assert hfs.read_text(spark, os.path.join(d, "absent")) is None
+    assert sorted(hfs.listdir(spark, d)) == ["m.json"]
