@@ -170,31 +170,40 @@ def q_keyed_merged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ZONEMAP_SCAN_ORACLE = """
-SELECT o_orderkey AS k,
-       CAST(o_totalprice AS DOUBLE) AS price,
-       o_orderstatus AS status
-FROM orders
-WHERE o_orderkey BETWEEN 2000 AND 9000
-  AND CAST(o_totalprice AS DOUBLE) >= 1000
+WITH merged AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey BETWEEN 400 AND 450 THEN 10.0
+              WHEN o_orderkey BETWEEN 900 AND 950 THEN 99999.0
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+         o_orderstatus AS status
+  FROM orders
+  WHERE NOT o_orderkey BETWEEN 500 AND 510
+)
+SELECT k, price, status FROM merged
+WHERE k BETWEEN 200 AND 1200 AND price >= 1000
 """
 
 
 @register("q_keyed_zonemap_scan", ZONEMAP_SCAN_ORACLE,
-          "multi-column zone-map scan of a fully folded range table: "
-          "ANDed range predicates on the key and a stats column prune "
-          "the base to the admissible files; in-query assert that "
-          "pruning engaged (r12)")
+          "multi-column zone-map scan of a LIVE range table (pending "
+          "upsert + tombstone deltas): pruned base minus delta keys "
+          "union the merged delta view, residual predicate on top; "
+          "in-query assert that pruning engaged (r12, delta-aware r13)")
 def q_keyed_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stats-column consumer of the multi-column zone map
     (`sinks/keyed_table.py::scan_keyed_table`): the writer records
     min/max for the key AND `stats_cols`; the scan intersects the
     per-column admissible file sets and applies the residual filter.
-    Non-key predicates are only sound on a fully folded table (a
-    pending delta could move a row into range while its base row sits
-    in a pruned file) — this table has no deltas by construction, the
-    production post-curation read posture. The in-query assertion
-    pins that the key predicate actually pruned files; a scan that
-    silently degrades to O(table) fails instead of passing slow."""
+    r13 (verdict item 5): the table deliberately carries PENDING
+    deltas — an upsert that moves keys 400-450 OUT of the price
+    range and keys 900-950 INTO it, plus a tombstone for 500-510
+    (all inside sf0.001's 0..1499 key space, so NO test scale is
+    vacuous) — so the scan exercises the delta-aware decomposition
+    (pruned base anti-joined on the broadcast delta key set, UNION
+    the fast merge of delta-touched keys) instead of requiring a
+    fold. The in-query assertions pin that the key predicate actually
+    pruned files AND that both deltas were seen; a scan that silently
+    degrades to O(table) fails instead of passing slow."""
     import tempfile
     orders = load_table(spark, sf_dir, "orders")
     target = orders.select(
@@ -205,11 +214,24 @@ def q_keyed_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert_into_keyed_table(spark, target, path=path, key="k",
                             updated_at_col=None, range_files=8,
                             stats_cols=["price"])
+    ups = (target.filter(F.col("k").between(400, 450))
+           .select("k", F.lit(10.0).alias("price"),
+                   F.lit(None).cast("string").alias("status"))
+           .unionByName(
+               target.filter(F.col("k").between(900, 950))
+               .select("k", F.lit(99999.0).alias("price"),
+                       F.lit(None).cast("string").alias("status"))))
+    append_delta(spark, ups, path=path, key="k")
+    append_delete_delta(
+        spark, target.filter(F.col("k").between(500, 510)).select("k"),
+        path=path, key="k")
     out, stats = scan_keyed_table(
-        spark, path, where={"k": (2000, 9000), "price": (1000.0, None)},
+        spark, path, where={"k": (200, 1200), "price": (1000.0, None)},
         with_stats=True)
     if not stats["files_read"] < stats["files_total"]:
         raise AssertionError(f"scan did not prune: {stats}")
+    if stats["deltas"] != 2:
+        raise AssertionError(f"scan missed pending deltas: {stats}")
     return out.select("k", "price", "status")
 
 

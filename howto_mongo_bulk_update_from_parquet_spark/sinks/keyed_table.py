@@ -1382,6 +1382,31 @@ def _merged_fast(spark: SparkSession, path: str, key: str,
     that can serve reads between folds at 100 TB and one that cannot.
     Output rows and column order are identical to the classic form
     (the equality is test-pinned both ways)."""
+    if predicate is not None:
+        base = base.filter(predicate)
+    dkeys, merged, cols = _merged_touched(spark, path, key, base,
+                                          deltas, predicate, base_version)
+    untouched = base.join(F.broadcast(dkeys), key, "left_anti")
+    # column order must match the classic form (key first) so the two
+    # paths are byte-for-byte interchangeable to any consumer
+    untouched = untouched.select(
+        *[c for c in [key, *cols] if c in untouched.columns])
+    return untouched.unionByName(merged, allowMissingColumns=True)
+
+
+def _merged_touched(spark: SparkSession, path: str, key: str,
+                    base: DataFrame, deltas: list[int],
+                    predicate: Column | None,
+                    base_version: int | None
+                    ) -> tuple[DataFrame, DataFrame, list[str]]:
+    """The delta-touched half of the fast merge: ``(dkeys, merged,
+    cols)`` — the distinct delta key set, the FULLY MERGED final rows
+    for exactly those keys (version window + null-skip + tombstone
+    cut over base-hits ∪ deltas, a frame bounded by the delta size),
+    and the non-key output columns. `base` must already carry
+    `predicate` (key-only) if any; the delta-aware stats scan uses
+    this branch directly, pairing it with its own zone-map-pruned
+    untouched branch."""
     parts = []
     for v in deltas:
         d = spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
@@ -1391,8 +1416,6 @@ def _merged_fast(spark: SparkSession, path: str, key: str,
     dl = parts[0]
     for p in parts[1:]:
         dl = dl.unionByName(p, allowMissingColumns=True)
-    if predicate is not None:
-        base = base.filter(predicate)
     dkeys = dl.select(key).filter(F.col(key).isNotNull()).distinct()
     # the HITS branch only needs rows a delta could touch — on a
     # range-layout base it reads just the zone-map-admissible files
@@ -1401,7 +1424,6 @@ def _merged_fast(spark: SparkSession, path: str, key: str,
         hits_src = hits_src.filter(predicate)
     base_hits = (hits_src.join(F.broadcast(dkeys), key)
                  .withColumn("__v", F.lit(0)))
-    untouched = base.join(F.broadcast(dkeys), key, "left_anti")
     allv = base_hits.unionByName(dl, allowMissingColumns=True)
     allv = _apply_tombstones(allv, key)
     cols = [c for c in allv.columns if c not in (key, "__v")]
@@ -1414,11 +1436,7 @@ def _merged_fast(spark: SparkSession, path: str, key: str,
           for c in cols],
         F.row_number().over(w).alias("__rn"))
         .filter(F.col("__rn") == 1).drop("__rn", "__v"))
-    # column order must match the classic form (key first) so the two
-    # paths are byte-for-byte interchangeable to any consumer
-    untouched = untouched.select(
-        *[c for c in [key, *cols] if c in untouched.columns])
-    return untouched.unionByName(merged, allowMissingColumns=True)
+    return dkeys, merged, cols
 
 
 def _read_merged_through(spark: SparkSession, path: str, key: str,
@@ -1664,15 +1682,23 @@ def scan_keyed_table(spark: SparkSession, path: str, *,
     precision, exactly like `lookup_keyed_table`.
 
     Unlike a key lookup, a NON-KEY predicate cannot be pushed through
-    the merge-on-read view: a pending delta could move a key's value
-    INTO the range while that key's base row sits in a pruned file, so
-    the merged row would surface with its null-skipped columns lost.
-    The scan therefore requires a FULLY FOLDED table (no committed
-    pending deltas — fold with `compact`/`compact_pruned` first) and
-    refuses otherwise; key-predicate reads on a live table belong to
-    `lookup_keyed_table`, which is merge-aware. At 100 TB this is the
-    post-curation read path: fold once, then every analytic range scan
-    on a stats column touches O(admissible files)."""
+    a pruned base read alone: a pending delta could move a key's value
+    INTO the range while that key's base row sits in a pruned file.
+    With pending deltas the scan therefore DECOMPOSES (r12 verdict
+    item 5) instead of refusing: rows whose key appears in NO delta
+    are final, so the zone-map-pruned base anti-joined against the
+    broadcast delta key set is exact for them; rows whose key IS
+    delta-touched get their fully merged view from the fast-merge
+    machinery (`_merged_touched` — base hits via the key-bounded
+    `_hits_base`, version window, null-skip, tombstone cut — a frame
+    bounded by the delta size, never stats-pruned); the residual
+    predicate runs on both branches. Equality with scan-after-fold is
+    test-pinned. The decomposition needs the merge key, which a range
+    table's manifest records (`range_key`); a legacy/un-keyed table
+    with pending deltas still refuses. At 100 TB this is the
+    post-curation read path: every analytic range scan on a stats
+    column touches O(admissible files + pending delta bytes), folded
+    or not."""
     if not where:
         raise ValueError("scan needs at least one column predicate")
     for col, (lo, hi) in where.items():
@@ -1685,13 +1711,13 @@ def scan_keyed_table(spark: SparkSession, path: str, *,
         raise FileNotFoundError(f"no versioned keyed table at {path}")
     floor = _meta_floor(meta)
     pending = _complete_deltas(spark, path, floor=floor)
-    if pending:
+    key = meta.get("range_key")
+    if pending and not key:
         raise ValueError(
-            f"{path} has pending deltas {pending} — a zone-map scan is "
-            f"only sound on a fully folded table (a delta can move a "
-            f"row into the predicate range while its base row sits in "
-            f"a pruned file); run compact first, or use "
-            f"lookup_keyed_table for key predicates (merge-aware)")
+            f"{path} has pending deltas {pending} and no recorded "
+            f"merge key (range_key) — the delta-aware decomposition "
+            f"needs one; run compact first, or use lookup_keyed_table "
+            f"for key predicates (merge-aware)")
     fmap = base_file_map(spark, path, version)
     all_files = set(fmap)
     idx = zm.load_zone_map_index(spark, _base_dir(path, version))
@@ -1727,10 +1753,30 @@ def scan_keyed_table(spark: SparkSession, path: str, *,
             pred = pred & (F.col(col) >= F.lit(lo))
         if hi is not None:
             pred = pred & (F.col(col) <= F.lit(hi))
-    out = df.filter(pred)
+    if pending:
+        # delta-aware decomposition (docstring): pruned-base rows not
+        # touched by any delta are final; delta-touched keys get the
+        # fast merge's bounded view. A key-range predicate in `where`
+        # (if any) is pushed into the merge as the key-only predicate
+        # _read_merged_through's contract allows.
+        key_pred = None
+        if key in where:
+            key_pred = _key_predicate(key, None, *where[key])
+        full_base = _read_base(spark, path, version)
+        if key_pred is not None:
+            full_base = full_base.filter(key_pred)
+        dkeys, merged, cols = _merged_touched(
+            spark, path, key, full_base, pending, key_pred, version)
+        untouched = df.join(F.broadcast(dkeys), key, "left_anti")
+        out = (untouched.filter(pred)
+               .unionByName(merged.filter(pred),
+                            allowMissingColumns=True))
+    else:
+        out = df.filter(pred)
     if with_stats:
         return out, {"files_total": len(all_files),
-                     "files_read": len(kept_names)}
+                     "files_read": len(kept_names),
+                     "deltas": len(pending)}
     return out
 
 

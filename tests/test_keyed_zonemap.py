@@ -304,17 +304,35 @@ def test_scan_secondary_column_prunes(spark, tmp_path):
     assert st3["files_read"] == 0 and out3.count() == 0
 
 
-def test_scan_refuses_pending_deltas(spark, tmp_path):
+def test_scan_with_pending_deltas_decomposes(spark, tmp_path):
+    """r12 verdict item 5: a scan between folds serves the pruned base
+    MINUS delta-touched keys UNION the merged view of delta keys —
+    equal to scan-after-fold, including a delta that moves a row INTO
+    the predicate range while its base row sits in a pruned file."""
     from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
         compact_pruned, scan_keyed_table)
 
     path = _mk_range_table(spark, tmp_path)
+    # k=10's base val is 20 (outside the probe range below); the delta
+    # moves it INTO range — and k=10's base row lives in the FIRST
+    # file, which the val-prune may drop
     append_delta(spark, spark.createDataFrame(
         [(10, 999, None)], "k long, val long, tag string"),
         path=path, key="k")
-    with pytest.raises(ValueError, match="pending deltas"):
-        scan_keyed_table(spark, path, where={"val": (0, 10)})
+    # k=332's base val (996) IS in range — the tombstone must cut it
+    append_delete_delta(spark, spark.createDataFrame([(332,)], "k long"),
+                        path=path, key="k")
+    live, st_live = scan_keyed_table(spark, path,
+                                     where={"val": (990, 1010)},
+                                     with_stats=True)
+    assert st_live["deltas"] == 2
+    live_rows = sorted((r["k"], r["val"]) for r in live.collect())
+    assert (10, 999) in live_rows
+    assert all(k != 332 for k, _ in live_rows)
     compact_pruned(spark, path, "k")
+    folded = scan_keyed_table(spark, path, where={"val": (990, 1010)})
+    assert live_rows == sorted((r["k"], r["val"])
+                               for r in folded.collect())
     # folded (and carried) table scans fine — including the carried
     # files, resolved by reference
     out, stats = scan_keyed_table(spark, path, where={"k": (0, 50)},
