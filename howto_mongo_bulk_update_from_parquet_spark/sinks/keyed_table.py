@@ -556,6 +556,44 @@ def _next_base_version(spark: SparkSession, path: str,
         return v
 
 
+def recover_dead_claims(spark: SparkSession, path: str) -> list[str]:
+    """Clear a dead writer's claim debris regardless of the staleness
+    grace window, returning the cleared names. Sound ONLY under an
+    exclusive-writer contract: the caller must know the previous
+    writer is dead — the restarting single-writer stream recovering
+    its OWN kill's debris is the canonical case (r13). Two classes:
+
+    - INCOMPLETE (no _SUCCESS) base/delta dirs — a kill mid-write.
+      Without clearing, the replayed epoch dies on the claim fence's
+      'fresh incomplete dir = live writer' conflict on every restart
+      until STALE_CLAIM_GRACE_MS expires.
+    - COMPLETE but UNPUBLISHED base dirs — a kill in the sliver
+      between the claimed write finishing (_SUCCESS lands) and the
+      manifest flip. The fence reads those as 'a racing writer about
+      to commit' (ConcurrentWriteError), which under single ownership
+      is the same dead debris. Published versions are never touched
+      (the manifest names them); COMPLETE deltas are never touched —
+      a delta's _SUCCESS IS its commit, there is no flip to miss.
+
+    Both classes are exactly what the grace-window machinery
+    (`_next_base_version`, `_claim_is_stale`) reclaims for CONCURRENT
+    writers — this just skips the wait the caller's ownership makes
+    unnecessary."""
+    published = set(_manifest_versions(spark, path))
+    cleared = []
+    for d in hfs.listdir(spark, path):
+        base_m = _BASE_RE.match(d)
+        if not (base_m or _DELTA_RE.match(d)):
+            continue
+        dst = hfs.join(path, d)
+        complete = hfs.exists(spark, hfs.join(dst, "_SUCCESS"))
+        if complete and (not base_m or int(base_m.group(1)) in published):
+            continue
+        hfs.delete(spark, dst)
+        cleared.append(d)
+    return cleared
+
+
 def _claim_base_slot(spark: SparkSession, path: str, version: int) -> str:
     """The claim fence both base writers share: a COMPLETE competing
     dir is a clean conflict, a fresh incomplete one is a live writer
@@ -760,10 +798,49 @@ def _meta_stats_cols(meta: dict[str, str]) -> list[str]:
     return [c for c in raw.split(",") if c]
 
 
+def _resolve_zorder(meta: dict[str, str], key: str,
+                    zorder_col: str | None) -> str | None:
+    """Effective secondary clustering column for a RANGE base — the
+    same inheritance rule as buckets/range_files: an explicit value
+    wins ('' = drop back to key-only sort); otherwise inherit the
+    current base's spec when its range key matches the merge key."""
+    if zorder_col is not None:
+        return zorder_col or None
+    if meta.get("range_key") == key:
+        return meta.get("zorder_col") or None
+    return None
+
+
+def _zorder_expr(df: DataFrame, key: str, col: str):
+    """Morton interleave of (key, col) min-max scaled to 16 bits each
+    — the write-side clustering expression for two-dimensional file
+    pruning. Both dimensions pass through a DOUBLE scale then a
+    BIGINT cast, so non-integer stats columns (prices, scores)
+    cluster too; layout needs no exactness (the zone map + residual
+    filter own correctness), it only needs every file to cover a
+    bounded (key, col) rectangle. The bounds aggregate is one tiny
+    job over `df` — callers persist the merge frame first so the
+    plan is not executed twice."""
+    from ..plans.reconcile import zorder2
+    b = df.agg(F.min(key).alias("kmin"), F.max(key).alias("kmax"),
+               F.min(col).alias("cmin"), F.max(col).alias("cmax")
+               ).first()
+    if b.kmin is None or b.cmin is None:
+        return None
+    k_span = float(b.kmax) - float(b.kmin) + 1.0
+    c_span = float(b.cmax) - float(b.cmin) + 1.0
+    x = ((F.col(key).cast("double") - float(b.kmin))
+         * 65536.0 / k_span).cast("bigint")
+    y = ((F.col(col).cast("double") - float(b.cmin))
+         * 65536.0 / c_span).cast("bigint")
+    return zorder2(x, y)
+
+
 def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
                          version: int, key: str, eff_buckets: int,
                          meta: dict[str, str], eff_range: int = 0,
-                         stats_cols: list[str] | None = None
+                         stats_cols: list[str] | None = None,
+                         eff_zorder: str | None = None
                          ) -> dict[str, str]:
     """Route to the bucketed, range-clustered, or plain claiming
     writer and keep the manifest's layout spec truthful for the base
@@ -773,7 +850,13 @@ def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
     (`_zonemap.json` inside the base dir) over the key plus
     `stats_cols` (inherited from the manifest's `zonemap_cols` when
     not given), so point/range lookups prune to the files that can
-    hold the key instead of scanning the base."""
+    hold the key instead of scanning the base. `eff_zorder` names a
+    SECONDARY clustering column (r12 verdict stretch): files then
+    cover bounded (key, col) z-rectangles instead of pure key slices,
+    making `scan_keyed_table` prunes selective on the stats column
+    too — key prunes widen ~√files in exchange, the classic Z-ORDER
+    trade (Delta OPTIMIZE ZORDER BY). Costs one extra pass for the
+    z-bounds, paid against a persisted frame."""
     meta = dict(meta)
     if eff_buckets:
         _write_claiming_base_bucketed(spark, df, path, version,
@@ -782,26 +865,51 @@ def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
         meta["bucket_key"] = key
         eff_range = 0
     else:
-        if eff_range:
-            df = (df.repartitionByRange(eff_range, F.col(key))
-                  .sortWithinPartitions(key))
-        _write_claiming_base(spark, df, path, version)
+        if eff_range and eff_zorder and eff_zorder in df.columns:
+            df = df.persist()
+            try:
+                z = _zorder_expr(df, key, eff_zorder)
+                if z is not None:
+                    clustered = (df.withColumn("__z", z)
+                                 .repartitionByRange(eff_range, "__z")
+                                 .sortWithinPartitions("__z")
+                                 .drop("__z"))
+                else:                        # empty/all-null dims
+                    clustered = (df.repartitionByRange(eff_range,
+                                                       F.col(key))
+                                 .sortWithinPartitions(key))
+                _write_claiming_base(spark, clustered, path, version)
+            finally:
+                df.unpersist()
+        else:
+            if eff_range:
+                df = (df.repartitionByRange(eff_range, F.col(key))
+                      .sortWithinPartitions(key))
+            _write_claiming_base(spark, df, path, version)
+            eff_zorder = None
         meta.pop("buckets", None)
         meta.pop("bucket_key", None)
     if eff_range:
         cols = stats_cols if stats_cols is not None \
             else _meta_stats_cols(meta)
         zm_cols = [key] + [c for c in cols if c != key]
+        if eff_zorder and eff_zorder not in zm_cols:
+            zm_cols.append(eff_zorder)       # the 2nd dim must be mapped
         zmap = zm.collect_zone_map(spark, _base_dir(path, version), zm_cols)
         if zmap:
             zm.write_zone_map(spark, _base_dir(path, version), zmap)
             meta["range_files"] = str(eff_range)
             meta["range_key"] = key
             meta["zonemap_cols"] = ",".join(zmap["cols"])
+            if eff_zorder:
+                meta["zorder_col"] = eff_zorder
+            else:
+                meta.pop("zorder_col", None)
             return meta
     meta.pop("range_files", None)
     meta.pop("range_key", None)
     meta.pop("zonemap_cols", None)
+    meta.pop("zorder_col", None)
     return meta
 
 
@@ -816,7 +924,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             return_counts: bool = False,
                             buckets: int | None = None,
                             range_files: int | None = None,
-                            stats_cols: list[str] | None = None):
+                            stats_cols: list[str] | None = None,
+                            zorder_col: str | None = None):
     """MERGE `source` into the keyed parquet table at `path` (created on
     first write). Returns the post-merge table DataFrame, or
     ``(df, counts)`` with the reference-style write-result counts
@@ -865,6 +974,7 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     old_floor = _meta_floor(meta)
     eff_buckets, eff_range = _resolve_layout(meta, key, buckets,
                                              range_files)
+    eff_zorder = _resolve_zorder(meta, key, zorder_col)
     cur_buckets = _resolve_buckets(meta, key, None)
     # mixed-path safety (same class as the r8 delete bug): a table
     # carrying un-compacted LSM deltas must fold them into the merge
@@ -908,7 +1018,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     meta = _write_base_and_meta(spark, out, path, new_version,
                                 key, eff_buckets, meta,
                                 eff_range=eff_range,
-                                stats_cols=stats_cols)
+                                stats_cols=stats_cols,
+                                eff_zorder=eff_zorder)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     result = spark.read.parquet(_base_dir(path, new_version))
@@ -1786,7 +1897,8 @@ def compact(spark: SparkSession, path: str, key: str,
             retain_versions: int = 2,
             buckets: int | None = None,
             range_files: int | None = None,
-            stats_cols: list[str] | None = None) -> DataFrame:
+            stats_cols: list[str] | None = None,
+            zorder_col: str | None = None) -> DataFrame:
     """Fold base + committed deltas into a new versioned base (ONE
     write + atomic manifest flip) whose manifest records the
     `folded_through` watermark. Readers ignore deltas at or below the
@@ -1812,6 +1924,7 @@ def compact(spark: SparkSession, path: str, key: str,
                                   base_version=version or None)
     eff_buckets, eff_range = _resolve_layout(meta, key, buckets,
                                              range_files)
+    eff_zorder = _resolve_zorder(meta, key, zorder_col)
     if n_files and not eff_buckets and not eff_range:
         merged = merged.repartition(n_files)
     new_version = _next_base_version(spark, path, version)
@@ -1822,7 +1935,8 @@ def compact(spark: SparkSession, path: str, key: str,
     # the natural way to cluster a table built through the LSM path
     meta = _write_base_and_meta(spark, merged, path, new_version, key,
                                 eff_buckets, meta, eff_range=eff_range,
-                                stats_cols=stats_cols)
+                                stats_cols=stats_cols,
+                                eff_zorder=eff_zorder)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
@@ -1960,6 +2074,11 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
     rewritten = _read_merged_through(spark, path, key, fold,
                                      base_df=base_df)
     n_out = max(1, len(touched))
+    # rewritten files are KEY-sorted even on a z-ordered table: the
+    # surgical fold rewrites a handful of files and must not pay the
+    # z-bounds pass; their zone-map entries are re-collected so every
+    # prune stays correct (just less val-selective for those files),
+    # and the next FULL compact re-z-orders the whole base
     rewritten = (rewritten.repartitionByRange(n_out, F.col(key))
                  .sortWithinPartitions(key))
     new_version = _next_base_version(spark, path, version)
@@ -2081,7 +2200,8 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
     # a bucketed/range table keeps its layout through a delete rewrite
     keep_buckets, keep_range = _resolve_layout(meta, key, None, None)
     meta = _write_base_and_meta(spark, remaining, path, new_version, key,
-                                keep_buckets, meta, eff_range=keep_range)
+                                keep_buckets, meta, eff_range=keep_range,
+                                eff_zorder=_resolve_zorder(meta, key, None))
     # count BEFORE the commit: _commit_version migrates away a legacy
     # root layout's files, which `target` may still lazily scan
     n_before = target.count() if return_counts else None

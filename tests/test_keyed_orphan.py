@@ -135,3 +135,75 @@ def test_consecutive_orphans_skipped(spark, tmp_path):
     assert current_base_version(spark, path) == 4
     assert not hfs.exists(spark, hfs.join(path, "base_v00002"))
     assert not hfs.exists(spark, hfs.join(path, "base_v00003"))
+
+
+def test_recover_dead_claims_clears_fresh_debris_only(spark, tmp_path):
+    """r13: a single-writer restart may clear its own kill's
+    incomplete claim dirs WITHOUT waiting out the staleness grace —
+    but must never touch committed versions or pending complete
+    deltas."""
+    import os
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        append_delta, read_merged, recover_dead_claims,
+        upsert_into_keyed_table)
+
+    path = str(tmp_path / "rdc")
+    upsert_into_keyed_table(
+        spark, spark.range(20).selectExpr("id AS k", "id * 2 AS v"),
+        path=path, key="k", updated_at_col=None)
+    append_delta(spark, spark.createDataFrame([(1, 99)], "k long, v long"),
+                 path=path, key="k")
+    # fresh kill debris: an incomplete base claim and an incomplete
+    # delta claim (no _SUCCESS), both younger than the grace window
+    os.makedirs(os.path.join(path, "base_v00002"))
+    with open(os.path.join(path, "base_v00002", "part-0.parquet"), "w"):
+        pass
+    os.makedirs(os.path.join(path, "delta_00002"))
+    cleared = recover_dead_claims(spark, path)
+    assert sorted(cleared) == ["base_v00002", "delta_00002"]
+    assert not os.path.exists(os.path.join(path, "base_v00002"))
+    # committed version + complete delta untouched, table healthy
+    assert os.path.exists(os.path.join(path, "base_v00001", "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "delta_00001", "_SUCCESS"))
+    got = {r["k"]: r["v"] for r in read_merged(spark, path, "k").collect()}
+    assert got[1] == 99 and len(got) == 20
+    # a second writer round claims the freed slot cleanly
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([(2, 77)], "k long, v long"),
+        path=path, key="k", updated_at_col=None)
+
+
+def test_recover_dead_claims_clears_complete_unpublished_base(spark,
+                                                              tmp_path):
+    """The kill-between-write-and-commit sliver: a COMPLETE base dir
+    the manifest never flipped to is dead debris under the exclusive-
+    writer contract and must clear — while complete DELTAS (whose
+    _SUCCESS is their commit) and published bases survive."""
+    import os
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        append_delta, read_merged, recover_dead_claims,
+        upsert_into_keyed_table)
+
+    path = str(tmp_path / "rdc2")
+    upsert_into_keyed_table(
+        spark, spark.range(10).selectExpr("id AS k", "id AS v"),
+        path=path, key="k", updated_at_col=None)
+    append_delta(spark, spark.createDataFrame([(1, 99)], "k long, v long"),
+                 path=path, key="k")
+    # complete-but-unpublished base: _SUCCESS present, no manifest
+    os.makedirs(os.path.join(path, "base_v00002"))
+    for f in ("part-0.parquet", "_SUCCESS"):
+        with open(os.path.join(path, "base_v00002", f), "w"):
+            pass
+    cleared = recover_dead_claims(spark, path)
+    assert cleared == ["base_v00002"]
+    assert os.path.exists(os.path.join(path, "base_v00001", "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "delta_00001", "_SUCCESS"))
+    got = {r["k"]: r["v"] for r in read_merged(spark, path, "k").collect()}
+    assert got[1] == 99 and len(got) == 10
+    # the freed slot is claimable again
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([(3, 33)], "k long, v long"),
+        path=path, key="k", updated_at_col=None)

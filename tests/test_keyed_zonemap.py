@@ -363,3 +363,48 @@ def test_predicate_validation(spark, tmp_path):
         lookup_keyed_table(spark, path, "k")
     with pytest.raises(ValueError):
         lookup_keyed_table(spark, path, "k", values=[1], lo=0)
+
+
+def test_zorder_layout_prunes_stats_column(spark, tmp_path):
+    """r12 verdict stretch: zorder_col clusters the range base on the
+    Morton interleave of (key, col), so files cover bounded (key, col)
+    rectangles — a stats-column scan prunes files on a z-ordered
+    table where the key-sorted layout reads everything, results
+    identical; the layout survives a fold; key lookups stay pruned."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        compact, lookup_keyed_table, scan_keyed_table, table_meta)
+
+    # val decorrelated from k: key-sorted files each span ~the whole
+    # val range (no stats prune), z-ordered files cover val slices
+    docs = spark.range(4000).selectExpr(
+        "id AS k", "CAST((id * 2654435761) % 10000 AS DOUBLE) AS val")
+    p_key = str(tmp_path / "ksorted")
+    p_z = str(tmp_path / "zordered")
+    upsert_into_keyed_table(spark, docs, path=p_key, key="k",
+                            updated_at_col=None, range_files=16,
+                            stats_cols=["val"])
+    upsert_into_keyed_table(spark, docs, path=p_z, key="k",
+                            updated_at_col=None, range_files=16,
+                            stats_cols=["val"], zorder_col="val")
+    where = {"val": (100.0, 600.0)}
+    out_k, st_k = scan_keyed_table(spark, p_key, where=where,
+                                   with_stats=True)
+    out_z, st_z = scan_keyed_table(spark, p_z, where=where,
+                                   with_stats=True)
+    assert st_z["files_read"] < st_k["files_read"], (st_z, st_k)
+    rows_k = sorted((r["k"], r["val"]) for r in out_k.collect())
+    rows_z = sorted((r["k"], r["val"]) for r in out_z.collect())
+    assert rows_k == rows_z and len(rows_z) > 0
+    # key lookups still prune (z-rectangles bound the key too)
+    _, st = lookup_keyed_table(spark, p_z, "k", values=[42],
+                               with_stats=True)
+    assert st["files_read"] < st["files_total"]
+    # the layout is inherited through a full fold
+    append_delta(spark, spark.createDataFrame(
+        [(42, 555.0)], "k long, val double"), path=p_z, key="k")
+    compact(spark, p_z, "k")
+    assert table_meta(spark, p_z).get("zorder_col") == "val"
+    out2, st2 = scan_keyed_table(spark, p_z, where=where, with_stats=True)
+    assert st2["files_read"] < st2["files_total"]
+    got = {r["k"]: r["val"] for r in out2.collect()}
+    assert got[42] == 555.0
