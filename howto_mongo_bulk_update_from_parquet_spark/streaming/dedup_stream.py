@@ -51,7 +51,7 @@ from pyspark.sql import types as T
 from ..sinks import fs as hfs
 from ..sinks.keyed_table import (_complete_deltas, append_delta, compact,
                                  folded_through, read_keyed_table,
-                                 read_pending_deltas,
+                                 read_pending_deltas, recover_dead_claims,
                                  upsert_into_keyed_table)
 
 MODES = ("near", "spans", "vec")
@@ -136,7 +136,8 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
                          update_index: bool = True,
                          max_files_per_trigger: int | None = None,
                          index_lsm: bool = False,
-                         compact_pending: int | None = None) -> None:
+                         compact_pending: int | None = None,
+                         processing_time: str | None = None):
     """Drain parquet document batches arriving under `source_dir`
     through the incremental-dedup cycle (availableNow trigger: one
     sweep of everything currently available — rerun or schedule for
@@ -147,17 +148,48 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
     Mode `vec` dedups embedding batches instead of text: `vec_col`
     replaces `text_col` and `vectors_path` names the keyed VECTOR
     store (the second store vec maintains — exact-cosine verification
-    point-looks-up colliding members there)."""
+    point-looks-up colliding members there).
+
+    `processing_time` (e.g. "1 seconds") switches to a CONTINUOUS
+    micro-batch trigger and returns the live StreamingQuery instead
+    of draining-and-returning — the long-running deployment form; the
+    caller stops it (or awaits termination). Returns None in the
+    default availableNow form."""
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
     if mode == "vec" and not vectors_path:
         raise ValueError("mode='vec' needs vectors_path (the keyed "
                          "vector store verification reads from)")
+    # single-writer restart recovery: the stream OWNS its stores, so a
+    # previous kill's incomplete claim dirs are this writer's own
+    # debris — clear them now instead of dying on the claim fence for
+    # the whole staleness grace window (keyed_table.recover_dead_claims)
+    for store in (index_path, vectors_path):
+        if store and hfs.exists(spark, store):
+            recover_dead_claims(spark, store)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
     stream = reader.parquet(source_dir)
+
+    def _fold_retrying(sess: SparkSession, store: str, fold) -> None:
+        """Run one store fold, retrying ONCE after clearing debris on
+        a claim-fence conflict. Sound only under this stream's
+        exclusive-writer contract: the sole 'concurrent writer' the
+        fence can be seeing is the previous incarnation's zombie job —
+        q.stop() can return while a killed epoch's write is still
+        landing files, re-creating the debris AFTER the start-time
+        recovery ran. A second conflict is a real foreign writer (a
+        mis-pointed store) and propagates."""
+        from ..sinks.keyed_table import ConcurrentWriteError
+        try:
+            fold()
+        except ConcurrentWriteError:
+            import time as _t
+            _t.sleep(2)                 # let the zombie's tasks settle
+            recover_dead_claims(sess, store)
+            fold()
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -186,8 +218,10 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
                 # the probes tolerate (near: countDistinct; spans:
                 # gram-deduped tail) and the threshold fold's merge
                 # collapses, so the loop stays replay-idempotent.
-                append_delta(sess, index_rows, path=index_path,
-                             key=index_key)
+                _fold_retrying(sess, index_path,
+                               lambda: append_delta(sess, index_rows,
+                                                    path=index_path,
+                                                    key=index_key))
                 if compact_pending:
                     n_pend = len(_complete_deltas(
                         sess, index_path,
@@ -195,9 +229,11 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
                     if n_pend >= compact_pending:
                         compact(sess, index_path, index_key)
             elif update_index:
-                upsert_into_keyed_table(sess, index_rows, path=index_path,
-                                        key=index_key, updated_at_col=None,
-                                        buckets=buckets)
+                _fold_retrying(sess, index_path, lambda:
+                               upsert_into_keyed_table(
+                                   sess, index_rows, path=index_path,
+                                   key=index_key, updated_at_col=None,
+                                   buckets=buckets))
         finally:
             out.unpersist()
 
@@ -228,17 +264,27 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
             (out.write.mode("overwrite")
                 .parquet(hfs.join(verdicts_dir, f"epoch={epoch_id}")))
             if update_index:
-                upsert_into_keyed_table(sess, index_rows, path=index_path,
-                                        key="idx_key", updated_at_col=None,
-                                        buckets=buckets)
-                upsert_into_keyed_table(sess, store_rows,
-                                        path=vectors_path,
-                                        key="member_id",
-                                        updated_at_col=None)
+                _fold_retrying(sess, index_path, lambda:
+                               upsert_into_keyed_table(
+                                   sess, index_rows, path=index_path,
+                                   key="idx_key", updated_at_col=None,
+                                   buckets=buckets))
+                _fold_retrying(sess, vectors_path, lambda:
+                               upsert_into_keyed_table(
+                                   sess, store_rows, path=vectors_path,
+                                   key="member_id", updated_at_col=None))
         finally:
             out.unpersist()
 
-    q = (stream.writeStream.foreachBatch(apply_batch)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True).start())
+    writer = (stream.writeStream.foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint))
+    if processing_time:
+        # continuous drain: micro-batches fire on the wall-clock
+        # cadence as files land; the caller owns the query lifecycle
+        # (stop/awaitTermination) — the checkpoint makes a kill at ANY
+        # point resumable with replay-idempotent epochs (test-pinned
+        # across a mid-stream stop/restart)
+        return writer.trigger(processingTime=processing_time).start()
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+    return None

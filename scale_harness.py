@@ -160,6 +160,55 @@ MERGED_SLOTS = ["merged_view_fast", "merged_view_classic"]
 # count, sharded stays near-flat.
 ZONEMAP_PLAN_SLOTS = ["zonemap_plan_sharded", "zonemap_plan_fullparse"]
 
+# Streaming dedup drain slot (r13, verdict item 6): one full
+# availableNow drain of the xK documents corpus, arriving as 4
+# parquet batch files, through stream_dedup_parquet (near mode, LSM
+# index appends + probe-the-tail). Fresh index/checkpoint per rep —
+# the measured work IS the drain: per-epoch signing, history probe,
+# verdict write, survivor fold. Copy-salted shingles make every copy
+# a disjoint corpus, so docs grow xK with ~linear candidate growth;
+# the slope measures whether the streaming cycle keeps up with corpus
+# growth (state = the band index, growing with survivors).
+DEDUP_STREAM_SLOT = "stream_dedup_drain"
+
+
+def _dedup_stream_factory(spark, data_dir: str, scratch: str):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+    from howto_mongo_bulk_update_from_parquet_spark.streaming.dedup_stream import (
+        stream_dedup_parquet)
+
+    landing = os.path.join(scratch, "dstream_landing")
+    marker = os.path.join(landing, "_SCALE_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(landing, ignore_errors=True)
+        docs = (load_table(spark, data_dir, "documents")
+                .select("doc_id", "text"))
+        # 4 arrival batches, deterministic split
+        for b in range(4):
+            (docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b)
+             .write.parquet(os.path.join(landing, f"b{b}")))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    runs = {"n": 0}
+
+    def run():
+        runs["n"] += 1
+        work = os.path.join(scratch, f"dstream_run{runs['n']}")
+        shutil.rmtree(work, ignore_errors=True)
+        stream_dedup_parquet(
+            spark, os.path.join(landing, "*"), schema=schema,
+            index_path=os.path.join(work, "index"),
+            verdicts_dir=os.path.join(work, "verdicts"),
+            checkpoint=os.path.join(work, "ckpt"),
+            mode="near", index_lsm=True, max_files_per_trigger=1)
+    return run
+
 
 def _zonemap_plan_factory(spark, scratch: str, k: int, sharded: bool):
     from howto_mongo_bulk_update_from_parquet_spark.sinks import (
@@ -456,7 +505,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--queries", default=",".join(
         QUERIES + SINK_SLOTS + LOOKUP_SLOTS + COMPACT_SLOTS
-        + MERGED_SLOTS + ZONEMAP_PLAN_SLOTS + [VEC_TUNED_SLOT]))
+        + MERGED_SLOTS + ZONEMAP_PLAN_SLOTS
+        + [DEDUP_STREAM_SLOT, VEC_TUNED_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -489,7 +539,7 @@ def main() -> None:
                      if n not in SINK_SLOTS and n not in LOOKUP_SLOTS
                      and n not in COMPACT_SLOTS and n not in MERGED_SLOTS
                      and n not in ZONEMAP_PLAN_SLOTS
-                     and n != VEC_TUNED_SLOT), None)
+                     and n not in (DEDUP_STREAM_SLOT, VEC_TUNED_SLOT)), None)
         if warm:
             queries[warm](spark, out_dir).write.format("noop") \
                 .mode("overwrite").save()
@@ -514,6 +564,9 @@ def main() -> None:
                 thunk = _zonemap_plan_factory(
                     spark, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     k, sharded=q.endswith("sharded"))
+            elif q == DEDUP_STREAM_SLOT:
+                thunk = _dedup_stream_factory(
+                    spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"))
             elif q == VEC_TUNED_SLOT:
                 thunk = _vec_dedup_tuned_thunk(spark, out_dir, k)
             else:

@@ -247,3 +247,85 @@ def test_near_pending_without_rep_id_is_tolerated(spark):
     v = {r["doc_id"]: r["verdict"] for r in out.collect()}
     assert key == "bucket_key"
     assert v[50] == "dup_vs_index" and v[51] == "unique"
+
+
+def test_processing_time_trigger_survives_kill_restart(spark, tmp_path):
+    """r12 verdict item 6 (liveness): a CONTINUOUS (processingTime)
+    drain processes arriving batches without availableNow's
+    plan-up-front sweep; killing the query mid-stream and restarting
+    on the same checkpoint resumes exactly where it stopped — later
+    files are processed once, earlier verdicts are untouched, and the
+    index state reflects every epoch exactly once."""
+    import os
+    import time
+
+    landing = os.path.join(str(tmp_path), "landing")
+    os.makedirs(landing)
+    _write_batch(spark, landing, "b1",
+                 [(1, TEXTS[1]), (2, TEXTS[2])])
+
+    def _start():
+        return stream_dedup_parquet(
+            spark, os.path.join(str(tmp_path), "landing", "*"),
+            schema=SCHEMA,
+            index_path=os.path.join(str(tmp_path), "index"),
+            verdicts_dir=os.path.join(str(tmp_path), "verdicts"),
+            checkpoint=os.path.join(str(tmp_path), "ckpt"),
+            mode="near", buckets=4, processing_time="1 seconds")
+
+    def _verdicts():
+        try:
+            return {r["doc_id"]: r["verdict"] for r in spark.read.parquet(
+                os.path.join(str(tmp_path), "verdicts")).collect()}
+        except Exception:  # noqa: BLE001 - dir not written yet
+            return {}
+
+    def _wait_for(q, pred, timeout=150):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            v = _verdicts()
+            if pred(v):
+                return v
+            if q.exception() is not None:
+                raise AssertionError(f"stream died: {q.exception()}")
+            time.sleep(0.5)
+        raise AssertionError(f"stream did not converge: {_verdicts()}")
+
+    q = _start()
+    assert q is not None                     # live query handle
+    try:
+        v1 = _wait_for(q, lambda v: {1, 2} <= set(v))
+        assert v1[1] == "unique" and v1[2] == "unique"
+        # second file arrives WHILE the query runs: the continuous
+        # trigger picks it up without a restart (liveness)
+        _write_batch(spark, landing, "b2", [(11, TEXTS[1])])
+        v2 = _wait_for(q, lambda v: 11 in v)
+        assert v2[11] == "dup_vs_index"
+    finally:
+        q.stop()                             # mid-stream kill
+    # arrivals while DOWN...
+    _write_batch(spark, landing, "b3", [(21, TEXTS[2]), (22, TEXTS[3])])
+    def _reps():
+        try:
+            return {r["rep_id"] for r in read_keyed_table(
+                spark, os.path.join(str(tmp_path), "index")).collect()}
+        except Exception:  # noqa: BLE001
+            return set()
+
+    q = _start()
+    try:
+        v3 = _wait_for(q, lambda v: {21, 22} <= set(v))
+        # verdicts land BEFORE the epoch's index fold — wait for the
+        # commit too, else the stop below races the upsert (the
+        # checkpoint would replay it on the next start; this test ends
+        # here, so observe the fold directly)
+        t0 = time.time()
+        while 22 not in _reps() and time.time() - t0 < 150:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert v3[21] == "dup_vs_index" and v3[22] == "unique"
+    # earlier epochs untouched; each doc verdict exactly once
+    assert v3[1] == "unique" and v3[11] == "dup_vs_index"
+    assert set(v3) == {1, 2, 11, 21, 22}
+    assert _reps() == {1, 2, 22}
