@@ -288,3 +288,53 @@ def q_keyed_pruned_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"pruned fold degraded to a full rewrite: {stats}")
     return read_keyed_table(spark, path).select("k", "price", "status")
+
+
+ZORDER_SCAN_ORACLE = """
+SELECT o_orderkey AS k,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       o_orderstatus AS status
+FROM orders
+WHERE CAST(o_totalprice AS DOUBLE) BETWEEN 1000 AND 20000
+"""
+
+
+@register("q_keyed_zorder_scan", ZORDER_SCAN_ORACLE,
+          "stats-column scan of a Z-ORDERED range table: the base "
+          "clusters on the Morton interleave of (key, price), so a "
+          "price-only predicate prunes files — in-query asserts the "
+          "prune beats the key-sorted layout's (r13)")
+def q_keyed_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of the `zorder_col` layout (r12 verdict stretch,
+    `sinks/keyed_table._write_base_and_meta`): `o_totalprice` is
+    decorrelated from the order key, so on a KEY-sorted range base a
+    price-only scan reads ~every file; on the z-ordered base each
+    file covers a bounded (key, price) rectangle and the same scan
+    prunes. The query builds BOTH layouts, asserts the z-ordered scan
+    reads strictly fewer files than the key-sorted one AND fewer than
+    the total (prune actually engaged), and returns the z-ordered
+    scan's rows for the oracle hash. At 100 TB this is Delta OPTIMIZE
+    ZORDER BY's read-side payoff, attested end to end."""
+    import tempfile
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    p_key = tempfile.mkdtemp(prefix="keyed_zs_k_")
+    p_z = tempfile.mkdtemp(prefix="keyed_zs_z_")
+    upsert_into_keyed_table(spark, target, path=p_key, key="k",
+                            updated_at_col=None, range_files=8,
+                            stats_cols=["price"])
+    upsert_into_keyed_table(spark, target, path=p_z, key="k",
+                            updated_at_col=None, range_files=8,
+                            stats_cols=["price"], zorder_col="price")
+    where = {"price": (1000.0, 20000.0)}
+    _, st_k = scan_keyed_table(spark, p_key, where=where, with_stats=True)
+    out, st_z = scan_keyed_table(spark, p_z, where=where, with_stats=True)
+    if not (st_z["files_read"] < st_z["files_total"]
+            and st_z["files_read"] < st_k["files_read"]):
+        raise AssertionError(
+            f"z-order scan did not out-prune the key-sorted layout: "
+            f"z={st_z} key_sorted={st_k}")
+    return out.select("k", "price", "status")

@@ -41,6 +41,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_pruned_compact",
     "q_keyed_zonemap_lookup",
     "q_keyed_zonemap_scan",
+    "q_keyed_zorder_scan",
 })
 
 LANES = ("analytics", "cycle", "streaming")
