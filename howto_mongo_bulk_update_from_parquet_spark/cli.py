@@ -81,15 +81,22 @@ def cmd_upsert(args: argparse.Namespace) -> int:
               "layouts (hash vs range) — choose one per table",
               file=sys.stderr)
         return 2
-    if ((args.buckets is not None or args.range_files is not None)
+    if args.zorder_col and args.buckets:
+        print("--zorder-col clusters a RANGE base (pair it with "
+              "--range-files, or a table already range-laid-out) — "
+              "a hash-bucketed base has no zone map to serve it",
+              file=sys.stderr)
+        return 2
+    if ((args.buckets is not None or args.range_files is not None
+            or args.zorder_col is not None)
             and (use_mongo or args.lsm)):
         # silently ignoring the flag would leave the user believing the
         # table is laid out while every round keeps paying the cost the
         # flag exists to eliminate
-        print("--buckets/--range-files only apply to the versioned "
-              "keyed-table base (not --lsm delta appends or the Mongo "
-              "sink); run a plain `upsert --table ...` round (or "
-              "`compact`) to lay out the base", file=sys.stderr)
+        print("--buckets/--range-files/--zorder-col only apply to the "
+              "versioned keyed-table base (not --lsm delta appends or "
+              "the Mongo sink); run a plain `upsert --table ...` round "
+              "(or `compact`) to lay out the base", file=sys.stderr)
         return 2
     spark = get_spark("upsert")
     src = spark.read.schema(PIPELINE_SCHEMA).parquet(args.path)
@@ -120,7 +127,8 @@ def cmd_upsert(args: argparse.Namespace) -> int:
                                                   n_files=cfg.n_partitions,
                                                   return_counts=True,
                                                   buckets=args.buckets,
-                                                  range_files=args.range_files)
+                                                  range_files=args.range_files,
+                                                  zorder_col=args.zorder_col)
             # every post-merge row is exactly one of matched / upserted /
             # untouched, so the total comes free from the merge's own
             # Observation — no second scan of the written table
@@ -272,7 +280,8 @@ def cmd_compact(args: argparse.Namespace) -> int:
                           sort_keys=True))
         return 0
     out = compact(spark, args.table, args.key, n_files=args.n_files,
-                  buckets=args.buckets, range_files=args.range_files)
+                  buckets=args.buckets, range_files=args.range_files,
+                  zorder_col=args.zorder_col)
     print(f"compacted {args.table}: {out.count()} rows")
     return 0
 
@@ -317,6 +326,8 @@ def cmd_table_info(args: argparse.Namespace) -> int:
         layout = (f"range ({meta['range_files']} files on "
                   f"{meta.get('range_key')}, zone map over "
                   f"{meta.get('zonemap_cols')})")
+        if meta.get("zorder_col"):
+            layout += f" z-ordered with {meta['zorder_col']}"
     else:
         layout = "plain"
     info = {
@@ -1179,6 +1190,12 @@ def main(argv: list[str] | None = None) -> int:
                         "(inherited; 0 drops it) — `lookup` point/range "
                         "reads then touch only the admissible files; "
                         "alternative to --buckets")
+    u.add_argument("--zorder-col", dest="zorder_col",
+                   help="secondary clustering column for a "
+                        "--range-files base: files cover bounded "
+                        "(key, col) z-rectangles so `scan` prunes on "
+                        "this column too (inherited; '' drops back to "
+                        "key-only sort)")
     u.add_argument("--lsm", action="store_true",
                    help="append a merge-on-read delta to the keyed "
                         "table instead of rewriting the base "
@@ -1245,6 +1262,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="(re-)range-cluster the folded base with a "
                          "zone map (inherited afterwards; 0 drops it); "
                          "alternative to --buckets")
+    cp.add_argument("--zorder-col", dest="zorder_col",
+                    help="secondary clustering column for the folded "
+                         "range base (see upsert --zorder-col)")
     cp.add_argument("--pruned", action="store_true",
                     help="surgical fold (range layout): rewrite only "
                          "the zone-map-touched base files, carry the "

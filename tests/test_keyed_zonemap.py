@@ -408,3 +408,32 @@ def test_zorder_layout_prunes_stats_column(spark, tmp_path):
     assert st2["files_read"] < st2["files_total"]
     got = {r["k"]: r["val"] for r in out2.collect()}
     assert got[42] == 555.0
+
+
+def test_cli_zorder_col(spark, tmp_path, capsys):
+    """CLI surface for the z-order layout: `compact --zorder-col`
+    (re-)clusters an existing range table; `table-info` reports the
+    layout; a subsequent CLI scan on the stats column prunes."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = str(tmp_path / "clizt")
+    docs = spark.range(2000).selectExpr(
+        "id AS k", "CAST((id * 2654435761) % 10000 AS DOUBLE) AS val")
+    upsert_into_keyed_table(spark, docs, path=path, key="k",
+                            updated_at_col=None, range_files=8,
+                            stats_cols=["val"])
+    assert main(["compact", "--table", path, "--key", "k",
+                 "--range-files", "8", "--zorder-col", "val"]) == 0
+    capsys.readouterr()
+    assert main(["table-info", "--table", path]) == 0
+    assert "z-ordered with val" in capsys.readouterr().out
+    assert main(["scan", "--table", path, "--where", "val:100:900"]) == 0
+    m = re.search(r"read (\d+)/8 base files", capsys.readouterr().out)
+    assert m and 0 < int(m.group(1)) < 8
+    # flag validation: z-order on a hash base is a contradiction
+    gen = str(tmp_path / "gen.parquet")
+    from howto_mongo_bulk_update_from_parquet_spark.sources.generate import (
+        generate_pipeline_data)
+    generate_pipeline_data(spark, 50, seed=1).write.parquet(gen)
+    assert main(["upsert", "--path", gen, "--table", str(tmp_path / "t2"),
+                 "--buckets", "4", "--zorder-col", "score"]) == 2
