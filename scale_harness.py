@@ -187,9 +187,15 @@ def _dedup_stream_factory(spark, data_dir: str, scratch: str):
         shutil.rmtree(landing, ignore_errors=True)
         docs = (load_table(spark, data_dir, "documents")
                 .select("doc_id", "text"))
-        # 4 arrival batches, deterministic split
+        # 4 arrival batches, deterministic split, ONE file each so
+        # maxFilesPerTrigger=1 below means one micro-batch per arrival
+        # (multi-file batch dirs would shred the drain into dozens of
+        # micro-batches, each paying the fixed epoch cost over a
+        # growing unfolded tail — measured 15x super-linear before
+        # this was pinned)
         for b in range(4):
             (docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b)
+             .coalesce(1)
              .write.parquet(os.path.join(landing, f"b{b}")))
         with open(marker, "w") as fh:
             fh.write("ok")
