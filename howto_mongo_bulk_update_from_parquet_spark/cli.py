@@ -342,6 +342,19 @@ def cmd_table_info(args: argparse.Namespace) -> int:
         "deltas_on_disk": deltas,
         "deltas_pending": pending,
         "deltas_folded_awaiting_gc": [v for v in deltas if v <= floor],
+        # claim debris: incomplete (no _SUCCESS) or complete-but-
+        # unpublished base/delta dirs. Racing writers resolve these
+        # through the grace-window fences; a SINGLE owner (a restarting
+        # stream) clears them via recover_dead_claims — this line is
+        # how an operator sees there is anything to decide about
+        "claim_debris": sorted(
+            d for d in hfs.listdir(spark, args.table)
+            if (d.startswith("base_v") or d.startswith("delta_"))
+            and (not hfs.exists(spark, hfs.join(args.table, d, "_SUCCESS"))
+                 or (d.startswith("base_v")
+                     and int(d.split("_v")[1]) not in
+                     _manifest_versions(spark, args.table)
+                     and int(d.split("_v")[1]) != version))),
     }
     zmap = zm.read_zone_map(spark, base)
     if zmap is not None:
@@ -427,11 +440,13 @@ def cmd_lookup(args: argparse.Namespace) -> int:
 
 
 def cmd_scan(args: argparse.Namespace) -> int:
-    """Zone-map-accelerated range scan of a FULLY FOLDED keyed table
-    on any stats column (r12): `--where col:lo:hi` (repeatable, ANDed;
-    leave lo or hi empty for an open bound). Values are compared in
-    the column's own dtype. Non-key predicates are unsound against
-    pending deltas, so the scan refuses them — fold first."""
+    """Zone-map-accelerated range scan of a keyed table on any stats
+    column (r12): `--where col:lo:hi` (repeatable, ANDed; leave lo or
+    hi empty for an open bound). Values are compared in the column's
+    own dtype. r13: tables WITH pending deltas are served by the
+    delta-aware decomposition (pruned base minus delta keys, union
+    the merged delta view) — no fold needed; only a table whose
+    manifest records no merge key still refuses."""
     import datetime
 
     from pyspark.sql import types as T
@@ -477,8 +492,10 @@ def cmd_scan(args: argparse.Namespace) -> int:
     except (ValueError, FileNotFoundError) as exc:
         print(str(exc), file=sys.stderr)
         return 2
+    extra = (f" + {stats['deltas']} pending deltas merged"
+             if stats.get("deltas") else "")
     print(f"scan {args.table}: read {stats['files_read']}/"
-          f"{stats['files_total']} base files")
+          f"{stats['files_total']} base files{extra}")
     return 0
 
 

@@ -229,6 +229,17 @@ def test_cli_table_info(spark, tmp_path, capsys):
     assert info["deltas_pending"] == [1]
     assert info["zonemap"]["rows"] == 400
     assert info["zonemap"]["spans"]["k"] == {"min": 0, "max": 399}
+    assert info["claim_debris"] == []
+    # debris becomes visible: an incomplete base claim + a complete
+    # but never-published base (the two recover_dead_claims classes)
+    import os
+    os.makedirs(os.path.join(path, "base_v00007"))
+    os.makedirs(os.path.join(path, "base_v00008"))
+    with open(os.path.join(path, "base_v00008", "_SUCCESS"), "w"):
+        pass
+    assert main(["table-info", "--table", path]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["claim_debris"] == ["base_v00007", "base_v00008"]
 
 
 def test_lookup_skips_nonintersecting_deltas(spark, tmp_path):
@@ -437,3 +448,20 @@ def test_cli_zorder_col(spark, tmp_path, capsys):
     generate_pipeline_data(spark, 50, seed=1).write.parquet(gen)
     assert main(["upsert", "--path", gen, "--table", str(tmp_path / "t2"),
                  "--buckets", "4", "--zorder-col", "score"]) == 2
+
+
+def test_cli_scan_live_table(spark, tmp_path, capsys):
+    """The CLI scan verb over a table WITH pending deltas — the r13
+    delta-aware decomposition reaches the command surface: the delta's
+    moved-into-range row appears, the prune still engages."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = _mk_range_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame(
+        [(10, 999, None)], "k long, val long, tag string"),
+        path=path, key="k")
+    assert main(["scan", "--table", path, "--where", "val:990:1010"]) == 0
+    out = capsys.readouterr().out
+    m = re.search(r"read (\d+)/8 base files", out)
+    assert m is not None
+    assert "k=10" in out or "10" in out   # the delta-moved row surfaced
