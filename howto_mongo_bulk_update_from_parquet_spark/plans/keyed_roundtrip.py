@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
 from ..sinks.keyed_table import (append_delete_delta, append_delta, compact,
-                                 compact_pruned, lookup_keyed_table,
-                                 read_keyed_table, read_merged,
-                                 scan_keyed_table, upsert_into_keyed_table)
+                                 compact_pruned, lookup_join_keyed_table,
+                                 lookup_keyed_table, read_keyed_table,
+                                 read_merged, scan_keyed_table,
+                                 upsert_into_keyed_table)
 from ..sources.parquet import load_table
 from .catalog import register
 from .reference_core import MERGE_DELETE_ORACLE
@@ -338,3 +339,60 @@ def q_keyed_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"z-order scan did not out-prune the key-sorted layout: "
             f"z={st_z} key_sorted={st_k}")
     return out.select("k", "price", "status")
+
+
+LOOKUP_JOIN_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(o_totalprice AS DOUBLE) * 2
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+         o_orderstatus AS status
+  FROM orders
+  WHERE o_orderkey % 7 <> 0
+),
+probes AS (
+  SELECT DISTINCT o_custkey * 4 AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+)
+SELECT m.k, m.price, m.status
+FROM merged m JOIN probes p ON m.k = p.k
+"""
+
+
+@register("q_keyed_lookup_join", LOOKUP_JOIN_ORACLE,
+          "bulk probe join (feature-store enrich): a DISTRIBUTED key "
+          "batch fetches its merged rows — span-pruned base read + "
+          "broadcast semi join, pending upsert/tombstone deltas "
+          "honored (r13)")
+def q_keyed_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `lookup_join_keyed_table`: the training-batch
+    enrich pattern at 100 TB — a batch of keys fetches its stored
+    features from the keyed table WITHOUT collecting the keys to the
+    driver (only their [min,max] plans the prune; membership is a
+    broadcast semi join). The table carries the same pending
+    upsert + tombstone deltas as q_keyed_zonemap_lookup, so the probe
+    exercises the merge: doubled prices surface, deleted keys and
+    absent probe keys don't match. The probe set (custkey*4 of urgent
+    orders) is value-scattered, so this query proves CORRECTNESS of
+    the bulk join; the span-prune payoff for clustered batches is
+    test-pinned in tests/test_keyed_zonemap.py."""
+    import tempfile
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    path = tempfile.mkdtemp(prefix="keyed_lj_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None, range_files=8)
+    ups = (target.filter(F.col("k") % 10 == 0)
+           .select("k", (F.col("price") * 2).alias("price"),
+                   F.lit(None).cast("string").alias("status")))
+    append_delta(spark, ups, path=path, key="k")
+    append_delete_delta(
+        spark, target.filter(F.col("k") % 7 == 0).select("k"),
+        path=path, key="k")
+    probes = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select((F.col("o_custkey") * 4).alias("k")).distinct())
+    return lookup_join_keyed_table(spark, path, "k", probes)

@@ -42,6 +42,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_zonemap_lookup",
     "q_keyed_zonemap_scan",
     "q_keyed_zorder_scan",
+    "q_keyed_lookup_join",
 })
 
 LANES = ("analytics", "cycle", "streaming")

@@ -1780,6 +1780,62 @@ def lookup_keyed_table(spark: SparkSession, path: str, key: str, *,
     return out
 
 
+def lookup_join_keyed_table(spark: SparkSession, path: str, key: str,
+                            probes: DataFrame, *,
+                            with_stats: bool = False):
+    """BULK point lookup: the merged rows for every key in `probes`
+    (a DataFrame carrying `key` — the feature-store enrich pattern,
+    where a training batch fetches its stored features). The
+    scalable twin of `lookup_keyed_table(values=[...])`: probe keys
+    stay DISTRIBUTED — only their [min,max] (one 2-value aggregate)
+    reaches the driver, to prune base files through the zone map and
+    skip non-intersecting pending deltas; membership itself is an
+    exact broadcast semi join, never a collected IN-list. Cost at
+    100 TB: O(span-admissible files + intersecting delta bytes +
+    |probes| broadcast), not O(table). On a range-clustered table a
+    clustered probe batch (the common case: "this shard's keys")
+    touches only its span's files; a scattered batch degrades to the
+    base scan with the join still exact. Returns the merged rows for
+    probe keys present in the table (absent keys simply don't match;
+    tombstoned keys are cut by the merge)."""
+    version, meta = _current_manifest(spark, path)
+    if not version:
+        version = current_base_version(spark, path)
+    floor = _meta_floor(meta)
+    pkeys = probes.select(key).filter(F.col(key).isNotNull()).distinct()
+    b = pkeys.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    if b.lo is None:                     # empty probe set
+        empty = spark.createDataFrame(
+            [], _read_base(spark, path, version).schema)
+        return (empty, {"files_total": 0, "files_read": 0, "deltas": 0,
+                        "deltas_total": 0}) if with_stats else empty
+    kept, total = pruned_base_files(spark, path, key, lo=b.lo, hi=b.hi,
+                                    version=version, meta=meta)
+    fmap = base_file_map(spark, path, version)
+    if kept:
+        base_df = (spark.read.option("mergeSchema", "true")
+                   .parquet(*[fmap[f] for f in kept]))
+    else:
+        base_df = spark.createDataFrame(
+            [], _read_base(spark, path, version).schema)
+    base_df = base_df.join(F.broadcast(pkeys), key, "left_semi")
+    deltas = _complete_deltas(spark, path, floor=floor)
+    read_deltas = [v for v in deltas
+                   if _delta_may_match(spark, path, v, key,
+                                       None, b.lo, b.hi)]
+    merged = _read_merged_through(spark, path, key, read_deltas,
+                                  base_df=base_df)
+    # the span admitted delta rows OUTSIDE the probe set — cut them
+    # after the merge (cutting before would be wrong only for rows the
+    # semi join above already restricted; this join is the exact gate)
+    out = merged.join(F.broadcast(pkeys), key, "left_semi")
+    if with_stats:
+        return out, {"files_total": total, "files_read": len(kept),
+                     "deltas": len(read_deltas),
+                     "deltas_total": len(deltas)}
+    return out
+
+
 def scan_keyed_table(spark: SparkSession, path: str, *,
                      where: dict[str, tuple],
                      with_stats: bool = False):

@@ -465,3 +465,37 @@ def test_cli_scan_live_table(spark, tmp_path, capsys):
     m = re.search(r"read (\d+)/8 base files", out)
     assert m is not None
     assert "k=10" in out or "10" in out   # the delta-moved row surfaced
+
+
+def test_lookup_join_bulk_probes(spark, tmp_path):
+    """Bulk probe join (r13): distributed probe keys enrich from the
+    merged view — span-pruned base read, exact broadcast semi join,
+    deltas and tombstones honored; absent keys don't match; scattered
+    probes stay correct without pruning."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        lookup_join_keyed_table)
+
+    path = _mk_range_table(spark, tmp_path)       # 400 keys, 8 files
+    append_delta(spark, spark.createDataFrame(
+        [(120, 999, None)], "k long, val long, tag string"),
+        path=path, key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=121)]),
+                        path=path, key="k")
+    # clustered probe batch: keys 100..140 (+ an absent key)
+    probes = spark.range(100, 141).select(F.col("id").alias("k")) \
+        .unionByName(spark.createDataFrame([Row(k=9_999)]))
+    out, st = lookup_join_keyed_table(spark, path, "k", probes,
+                                      with_stats=True)
+    got = {r["k"]: r["val"] for r in out.collect()}
+    assert st["files_read"] < st["files_total"]   # span prune engaged
+    assert got[120] == 999                        # delta merged
+    assert 121 not in got and 9_999 not in got    # tombstone + absent
+    assert len(got) == 40 and got[100] == 300     # 41 probed, -1 deleted
+    # scattered probes (full key span): no prune, still exact
+    scattered = spark.createDataFrame([Row(k=0), Row(k=399)])
+    out2 = lookup_join_keyed_table(spark, path, "k", scattered)
+    assert {r["k"] for r in out2.collect()} == {0, 399}
+    # empty probe set
+    empty = lookup_join_keyed_table(
+        spark, path, "k", spark.createDataFrame([], "k long"))
+    assert empty.count() == 0
