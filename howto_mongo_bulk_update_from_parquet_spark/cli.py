@@ -384,16 +384,21 @@ def cmd_lookup(args: argparse.Namespace) -> int:
 
     from pyspark.sql import types as T
 
-    from .sinks.keyed_table import lookup_keyed_table, table_key_dtype
+    from .sinks.keyed_table import (lookup_join_keyed_table,
+                                    lookup_keyed_table, table_key_dtype)
 
-    if args.values is None and args.lo is None and args.hi is None:
-        print("lookup needs --values or at least one of --lo/--hi",
-              file=sys.stderr)
+    n_forms = sum(x is not None for x in
+                  (args.values, args.probes,
+                   args.lo if args.lo is not None or args.hi is not None
+                   else None))
+    if args.values is None and args.probes is None \
+            and args.lo is None and args.hi is None:
+        print("lookup needs --values, --probes, or at least one of "
+              "--lo/--hi", file=sys.stderr)
         return 2
-    if args.values is not None and (args.lo is not None
-                                    or args.hi is not None):
-        print("pass either --values or a --lo/--hi range, not both",
-              file=sys.stderr)
+    if n_forms > 1 or (args.probes and (args.lo or args.hi)):
+        print("pass exactly one probe form: --values, --probes, or a "
+              "--lo/--hi range", file=sys.stderr)
         return 2
     spark = get_spark("lookup")
     dt = table_key_dtype(spark, args.table, args.key)
@@ -417,15 +422,22 @@ def cmd_lookup(args: argparse.Namespace) -> int:
         return s
 
     try:
-        kwargs = {}
-        if args.values is not None:
-            kwargs["values"] = [conv(v) for v in args.values.split(",")]
-        if args.lo is not None:
-            kwargs["lo"] = conv(args.lo)
-        if args.hi is not None:
-            kwargs["hi"] = conv(args.hi)
-        out, stats = lookup_keyed_table(spark, args.table, args.key,
-                                        with_stats=True, **kwargs)
+        if args.probes is not None:
+            # bulk form: a parquet of keys enriches from the merged
+            # view without collecting the key set to the driver
+            probes = spark.read.parquet(args.probes)
+            out, stats = lookup_join_keyed_table(
+                spark, args.table, args.key, probes, with_stats=True)
+        else:
+            kwargs = {}
+            if args.values is not None:
+                kwargs["values"] = [conv(v) for v in args.values.split(",")]
+            if args.lo is not None:
+                kwargs["lo"] = conv(args.lo)
+            if args.hi is not None:
+                kwargs["hi"] = conv(args.hi)
+            out, stats = lookup_keyed_table(spark, args.table, args.key,
+                                            with_stats=True, **kwargs)
         if args.out:
             out.write.mode(args.write_mode).parquet(args.out)
         else:
@@ -1301,6 +1313,11 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--key", default=PIPELINE_KEY)
     lk.add_argument("--values",
                     help="comma-separated key values (equality probe)")
+    lk.add_argument("--probes",
+                    help="parquet path of probe keys (bulk form: the "
+                         "key batch enriches from the merged view via "
+                         "a span-pruned broadcast semi join — keys "
+                         "never collect to the driver)")
     lk.add_argument("--lo", help="range lower bound (inclusive)")
     lk.add_argument("--hi", help="range upper bound (inclusive)")
     lk.add_argument("--out", help="write result parquet here "

@@ -499,3 +499,23 @@ def test_lookup_join_bulk_probes(spark, tmp_path):
     empty = lookup_join_keyed_table(
         spark, path, "k", spark.createDataFrame([], "k long"))
     assert empty.count() == 0
+
+
+def test_cli_lookup_probes(spark, tmp_path, capsys):
+    """CLI bulk form: --probes <parquet of keys> routes through
+    lookup_join_keyed_table; mutual exclusion with --values/--lo."""
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = _mk_range_table(spark, tmp_path)
+    probes = str(tmp_path / "probes.parquet")
+    spark.range(50, 80).select(F.col("id").alias("k")) \
+        .write.parquet(probes)
+    assert main(["lookup", "--table", path, "--key", "k",
+                 "--probes", probes]) == 0
+    out = capsys.readouterr().out
+    m = re.search(r"read (\d+)/8 base files", out)
+    assert m and 0 < int(m.group(1)) < 8
+    assert main(["lookup", "--table", path, "--key", "k",
+                 "--probes", probes, "--values", "1"]) == 2
+    assert main(["lookup", "--table", path, "--key", "k",
+                 "--probes", probes, "--lo", "1"]) == 2
