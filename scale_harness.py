@@ -123,7 +123,7 @@ SINK_SLOTS = ["sink_upsert_plain", "sink_upsert_bucketed"]
 # `lookup_fullscan` answers the identical probe by filtering the full
 # base read — the O(table) baseline the zone map exists to avoid.
 # The pair turns the skipping claim into a measured curve.
-LOOKUP_SLOTS = ["lookup_zonemap", "lookup_fullscan"]
+LOOKUP_SLOTS = ["lookup_zonemap", "lookup_fullscan", "lookup_join_bulk"]
 
 # Fold slots (r12): one LSM arrival round — append a CONSTANT-size
 # delta (copy-0 keys 0..8000, ~2k rows at every scale) and fold it —
@@ -319,11 +319,17 @@ def _compact_factory(spark, data_dir: str, scratch: str, k: int,
 
 
 def _lookup_factory(spark, data_dir: str, scratch: str, k: int,
-                    pruned: bool):
+                    mode: str):
+    """mode: 'zonemap' (pruned point lookup), 'fullscan' (the O(table)
+    baseline), 'join_bulk' (r13: a CLUSTERED 2k-key probe batch
+    through lookup_join_keyed_table — the feature-store enrich; its
+    span admits a constant key slice, so the timed cost should stay
+    ~flat while the table grows x100)."""
     from pyspark.sql import functions as F
 
     from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
-        lookup_keyed_table, read_keyed_table, upsert_into_keyed_table)
+        lookup_join_keyed_table, lookup_keyed_table, read_keyed_table,
+        upsert_into_keyed_table)
     from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
         load_table)
 
@@ -341,10 +347,14 @@ def _lookup_factory(spark, data_dir: str, scratch: str, k: int,
             fh.write(str(k))
     # copy-0 keys, present at every scale
     probes = [11, 50_011, 100_011]
+    bulk = (spark.range(40_000, 48_000, 4)        # 2k clustered keys
+            .select(F.col("id").alias("_id")))
 
     def run():
-        if pruned:
+        if mode == "zonemap":
             out = lookup_keyed_table(spark, path, "_id", values=probes)
+        elif mode == "join_bulk":
+            out = lookup_join_keyed_table(spark, path, "_id", bulk)
         else:
             out = read_keyed_table(spark, path).filter(
                 F.col("_id").isin(probes))
@@ -557,7 +567,8 @@ def main() -> None:
             elif q in LOOKUP_SLOTS:
                 thunk = _lookup_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
-                    k, pruned=q.endswith("zonemap"))
+                    k, mode=q.split("lookup_")[1].replace("join_bulk",
+                                                          "join_bulk"))
             elif q in COMPACT_SLOTS:
                 thunk = _compact_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
