@@ -519,3 +519,34 @@ def test_cli_lookup_probes(spark, tmp_path, capsys):
                  "--probes", probes, "--values", "1"]) == 2
     assert main(["lookup", "--table", path, "--key", "k",
                  "--probes", probes, "--lo", "1"]) == 2
+
+
+def test_pruned_delete_on_zordered_table(spark, tmp_path, capsys):
+    """The surgical delete path (tombstone + pruned fold) on a
+    Z-ORDERED table: key spans per file are wider, so the prune is
+    less selective but MUST stay correct; the layout (and its
+    manifest spec) survives the fold."""
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        scan_keyed_table, table_meta)
+
+    path = str(tmp_path / "zdel")
+    docs = spark.range(2000).selectExpr(
+        "id AS k", "CAST((id * 2654435761) % 10000 AS DOUBLE) AS val")
+    upsert_into_keyed_table(spark, docs, path=path, key="k",
+                            updated_at_col=None, range_files=8,
+                            stats_cols=["val"], zorder_col="val")
+    assert main(["delete", "--table", path, "--key", "k",
+                 "--keys", "100,101,102", "--key-type", "bigint",
+                 "--pruned"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["pruned"] is True
+    got = {r["k"] for r in read_keyed_table(spark, path).collect()}
+    assert not {100, 101, 102} & got and len(got) == 1997
+    assert table_meta(spark, path).get("zorder_col") == "val"
+    # the z-order's stats-column pruning still works post-fold
+    _, st = scan_keyed_table(spark, path, where={"val": (100.0, 600.0)},
+                             with_stats=True)
+    assert st["files_read"] < st["files_total"]
