@@ -512,23 +512,56 @@ def _commit_version(spark: SparkSession, path: str, version: int,
 
 def _write_claiming_base(spark: SparkSession, df: DataFrame, path: str,
                          version: int) -> None:
-    """Write `df` as `base_v{version}`, claiming the directory: a
-    COMPLETE competing write (has _SUCCESS) means another writer that
-    read the same snapshot already produced this version → clean
-    conflict before a byte of its data is touched. An incomplete dir
-    is cleared only when demonstrably STALE (untouched past the grace
-    window — a writer that died mid-job); a fresh one is presumed to
-    be a live concurrent writer mid-write and raises the same clean
-    conflict rather than clobbering its task files (ADVICE r9). The
-    write itself uses Spark's error-if-exists mode, so even a
-    claim→write race with a near-simultaneous writer fails loudly
-    instead of interleaving two jobs' files in one directory — and a
-    Java-side FileAlreadyExistsException at job commit (both writers
-    passed the pre-check) maps to the same ConcurrentWriteError
-    instead of crashing as a raw Py4JJavaError."""
+    """Write `df` as `base_v{version}`, claiming the slot ATOMICALLY
+    (r13): the data lands in a writer-PRIVATE hidden staging directory
+    (`.stage-base_vNNNNN-<uuid>`, no contention possible), and the
+    slot is taken by a single directory RENAME — exclusive on HDFS
+    (rename refuses an existing target) and on the local scheme
+    (rename(2) onto a non-empty directory fails). The loser of the
+    rename gets a clean ConcurrentWriteError and its staging is
+    removed. `_claim_base_slot` still runs first for the cheap early
+    conflicts and stale-debris clearing.
+
+    Why not error-if-exists into the slot directly (the pre-r13
+    protocol): two writers could BOTH pass Spark's existence pre-check
+    before either created the directory, and when their job lifetimes
+    did not overlap neither collision signal (_temporary interference,
+    FileAlreadyExists at commit) fired — both 'succeeded' into ONE
+    directory, and the pointer-CAS winner published a slot holding
+    both writers' row sets. Caught live by tests/test_keyed_races.py
+    (thread-0's rounds masked by duplicate stale rows, ~1-in-10 runs
+    under load). The staged rename closes the hole structurally: the
+    slot either does not exist or holds exactly one writer's complete
+    output — there is no window in which it is shared."""
     dst = _claim_base_slot(spark, path, version)
-    _run_claimed_write(
-        dst, lambda: df.write.mode("errorifexists").parquet(dst))
+    _staged_claimed_write(
+        spark, dst,
+        lambda staging: df.write.mode("errorifexists").parquet(staging))
+
+
+def _staged_claimed_write(spark: SparkSession, dst: str, write_to) -> None:
+    """Run `write_to(staging)` against a fresh private staging dir,
+    then atomically rename it onto `dst`; a False rename (slot taken
+    since the claim check) raises ConcurrentWriteError. Staging is
+    deleted on every non-renamed outcome; a process killed mid-write
+    leaks one `.stage-*` dir, swept by `recover_dead_claims` and
+    ignored by every reader (dot-prefixed, outside the base_v/delta_
+    name space)."""
+    import uuid
+    root = dst.rstrip("/")
+    parent, name = root.rsplit("/", 1)
+    staging = hfs.join(parent, f".stage-{name}-{uuid.uuid4().hex[:12]}")
+    renamed = False
+    try:
+        write_to(staging)
+        renamed = hfs.rename_no_clobber(spark, staging, dst)
+        if not renamed:
+            raise ConcurrentWriteError(
+                f"{dst} appeared during this round's write (a concurrent "
+                f"writer won the slot rename) — re-read and retry")
+    finally:
+        if not renamed:
+            hfs.delete(spark, staging)
 
 
 def _next_base_version(spark: SparkSession, path: str,
@@ -583,6 +616,12 @@ def recover_dead_claims(spark: SparkSession, path: str) -> list[str]:
     cleared = []
     for d in hfs.listdir(spark, path):
         base_m = _BASE_RE.match(d)
+        if d.startswith(".stage-"):
+            # a killed writer's private staging (never renamed into a
+            # slot) — invisible to readers, pure dead bytes
+            hfs.delete(spark, hfs.join(path, d))
+            cleared.append(d)
+            continue
         if not (base_m or _DELTA_RE.match(d)):
             continue
         dst = hfs.join(path, d)
@@ -726,14 +765,32 @@ def _write_claiming_base_bucketed(spark: SparkSession, df: DataFrame,
     the same Murmur3 function the bucketed writer uses, so each task
     emits (almost always) exactly one bucket's file."""
     dst = _claim_base_slot(spark, path, version)
-    name = _bucket_table_ident(path, version)
-    # a failed prior attempt may have left a catalog entry (external —
-    # dropping it never touches data files)
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    _run_claimed_write(
-        dst, lambda: (df.write.format("parquet")
-                      .bucketBy(buckets, key).sortBy(key)
-                      .option("path", dst).saveAsTable(name)))
+
+    def _ctas_into(staging: str) -> None:
+        # staged like the plain writer (r13 — the same two-writers-
+        # pass-the-precheck hole existed here: both DROPped the shared
+        # ident, both CTAS'd into the slot). The CTAS lands at the
+        # PRIVATE staging location under a staging-derived ident; the
+        # transient catalog entry is dropped before the rename
+        # (external — data untouched), and readers re-register the
+        # bucket spec over the committed dir lazily
+        # (_read_base_bucketed; bucket ids live in the FILE NAMES,
+        # which the rename preserves).
+        sname = _bucket_table_ident(staging, version)
+        spark.sql(f"DROP TABLE IF EXISTS {sname}")
+        try:
+            _run_claimed_write(
+                staging, lambda: (df.write.format("parquet")
+                                  .bucketBy(buckets, key).sortBy(key)
+                                  .option("path", staging)
+                                  .saveAsTable(sname)))
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {sname}")
+
+    _staged_claimed_write(spark, dst, _ctas_into)
+    # hygiene: a pre-staging round (or a failed old attempt) may have
+    # left the slot ident registered over a now-different location
+    spark.sql(f"DROP TABLE IF EXISTS {_bucket_table_ident(path, version)}")
 
 
 def _resolve_buckets(meta: dict[str, str], key: str,
@@ -1260,11 +1317,20 @@ def _append_delta_claiming(spark: SparkSession, src: DataFrame,
                 continue
             hfs.delete(spark, dst)
         try:
-            src.write.mode("errorifexists").parquet(dst)
+            # staged atomic claim (r13, same hole as the base writer:
+            # two appenders passing the existence pre-check with
+            # non-overlapping jobs both landed in ONE delta dir) —
+            # write private, rename-exclusive into the slot
+            _staged_claimed_write(
+                spark, dst,
+                lambda staging: src.write.mode("errorifexists")
+                                   .parquet(staging))
             if key is not None:
                 _write_delta_keyrange(spark, dst, key,
                                       spark.read.parquet(dst))
             return version
+        except ConcurrentWriteError:
+            version += 1               # a concurrent appender won the slot
         except AnalysisException as exc:
             # only the already-exists condition is a lost race; any
             # other analysis failure is permanent — retrying it 64

@@ -54,8 +54,12 @@ def test_racing_upsert_rounds_all_land(spark, tmp_path):
     for t in threads:
         t.join(timeout=300)
     assert not errors, errors
-    got = {r["k"]: r["round"]
-           for r in read_keyed_table(spark, path).collect()}
+    rows = read_keyed_table(spark, path).collect()
+    # exactly one row per key — the r13 lost-update bug produced a
+    # MIXED base directory (two writers' merges in one slot), whose
+    # duplicate rows a dict comprehension would silently mask
+    assert len(rows) == 30, sorted((r["k"], r["round"]) for r in rows)
+    got = {r["k"]: r["round"] for r in rows}
     # every key's final value is its thread's LAST round
     assert got == {k: 2 for k in range(30)}
     assert current_base_version(spark, path) >= 7   # 1 seed + 6 rounds
