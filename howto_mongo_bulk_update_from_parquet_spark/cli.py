@@ -81,6 +81,11 @@ def cmd_upsert(args: argparse.Namespace) -> int:
               "layouts (hash vs range) — choose one per table",
               file=sys.stderr)
         return 2
+    if args.buckets and args.target_file_mb:
+        print("--target-file-mb sizes the RANGE layout's files — it "
+              "contradicts --buckets (hash layout); choose one per "
+              "table", file=sys.stderr)
+        return 2
     if args.zorder_col and args.buckets:
         print("--zorder-col clusters a RANGE base (pair it with "
               "--range-files, or a table already range-laid-out) — "
@@ -88,15 +93,17 @@ def cmd_upsert(args: argparse.Namespace) -> int:
               file=sys.stderr)
         return 2
     if ((args.buckets is not None or args.range_files is not None
-            or args.zorder_col is not None)
+            or args.zorder_col is not None
+            or args.target_file_mb is not None)
             and (use_mongo or args.lsm)):
         # silently ignoring the flag would leave the user believing the
         # table is laid out while every round keeps paying the cost the
         # flag exists to eliminate
-        print("--buckets/--range-files/--zorder-col only apply to the "
-              "versioned keyed-table base (not --lsm delta appends or "
-              "the Mongo sink); run a plain `upsert --table ...` round "
-              "(or `compact`) to lay out the base", file=sys.stderr)
+        print("--buckets/--range-files/--zorder-col/--target-file-mb "
+              "only apply to the versioned keyed-table base (not --lsm "
+              "delta appends or the Mongo sink); run a plain `upsert "
+              "--table ...` round (or `compact`) to lay out the base",
+              file=sys.stderr)
         return 2
     spark = get_spark("upsert")
     src = spark.read.schema(PIPELINE_SCHEMA).parquet(args.path)
@@ -128,7 +135,12 @@ def cmd_upsert(args: argparse.Namespace) -> int:
                                                   return_counts=True,
                                                   buckets=args.buckets,
                                                   range_files=args.range_files,
-                                                  zorder_col=args.zorder_col)
+                                                  zorder_col=args.zorder_col,
+                                                  target_file_bytes=(
+                                                      args.target_file_mb
+                                                      * 1024 * 1024
+                                                      if args.target_file_mb
+                                                      is not None else None))
             # every post-merge row is exactly one of matched / upserted /
             # untouched, so the total comes free from the merge's own
             # Observation — no second scan of the written table
@@ -267,11 +279,18 @@ def cmd_compact(args: argparse.Namespace) -> int:
     re-layout flags (a re-layout is by definition a full rewrite)."""
     from .sinks.keyed_table import compact, compact_pruned
     spark = get_spark("compact")
+    if args.buckets and args.target_file_mb:
+        print("--target-file-mb sizes the RANGE layout's files — it "
+              "contradicts --buckets (hash layout); choose one per "
+              "table", file=sys.stderr)
+        return 2
     if args.pruned:
-        if args.n_files or args.buckets or args.range_files:
+        if (args.n_files or args.buckets or args.range_files
+                or args.target_file_mb is not None):
             print("--pruned folds in place; re-layout flags "
-                  "(--n-files/--buckets/--range-files) need a full "
-                  "compact", file=sys.stderr)
+                  "(--n-files/--buckets/--range-files/--target-file-mb) "
+                  "need a full compact (an inherited byte target still "
+                  "sizes the pruned rewrite)", file=sys.stderr)
             return 2
         out, stats = compact_pruned(spark, args.table, args.key,
                                     materialize=args.materialize)
@@ -281,7 +300,10 @@ def cmd_compact(args: argparse.Namespace) -> int:
         return 0
     out = compact(spark, args.table, args.key, n_files=args.n_files,
                   buckets=args.buckets, range_files=args.range_files,
-                  zorder_col=args.zorder_col)
+                  zorder_col=args.zorder_col,
+                  target_file_bytes=(args.target_file_mb * 1024 * 1024
+                                     if args.target_file_mb is not None
+                                     else None))
     print(f"compacted {args.table}: {out.count()} rows")
     return 0
 
@@ -328,6 +350,9 @@ def cmd_table_info(args: argparse.Namespace) -> int:
                   f"{meta.get('zonemap_cols')})")
         if meta.get("zorder_col"):
             layout += f" z-ordered with {meta['zorder_col']}"
+        if meta.get("target_file_bytes"):
+            layout += (f", auto-sized at "
+                       f"{meta['target_file_bytes']} bytes/file")
     else:
         layout = "plain"
     info = {
@@ -1225,6 +1250,13 @@ def main(argv: list[str] | None = None) -> int:
                         "(key, col) z-rectangles so `scan` prunes on "
                         "this column too (inherited; '' drops back to "
                         "key-only sort)")
+    u.add_argument("--target-file-mb", type=_bounded_int(0, 10_240),
+                   help="size range-layout files by BYTES instead of a "
+                        "pinned count: each write re-plans the file "
+                        "count from the table's observed size, so a "
+                        "growing table grows files in NUMBER, not in "
+                        "size (inherited; 0 drops back to the pinned "
+                        "--range-files count); alternative to --buckets")
     u.add_argument("--lsm", action="store_true",
                    help="append a merge-on-read delta to the keyed "
                         "table instead of rewriting the base "
@@ -1294,6 +1326,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--zorder-col", dest="zorder_col",
                     help="secondary clustering column for the folded "
                          "range base (see upsert --zorder-col)")
+    cp.add_argument("--target-file-mb", type=_bounded_int(0, 10_240),
+                    help="size the folded range base's files by bytes "
+                         "(see upsert --target-file-mb; inherited "
+                         "afterwards; 0 drops it)")
     cp.add_argument("--pruned", action="store_true",
                     help="surgical fold (range layout): rewrite only "
                          "the zone-map-touched base files, carry the "

@@ -162,6 +162,34 @@ def dir_size(spark: SparkSession, path: str) -> int:
     return int(fs.getContentSummary(p).getLength())
 
 
+def listdir_sizes(spark: SparkSession, path: str) -> dict[str, int]:
+    """{child file name: bytes} for the FILES directly under `path`
+    ({} for a missing path; subdirectories are skipped — callers size
+    flat base/delta dirs). One listStatus RPC (or one os.scandir on
+    provably-local paths, same fast-path contract as `listdir`), so
+    sizing a directory costs O(1) round trips and O(children) driver
+    state — the metadata class the adaptive file-sizing planner is
+    allowed to consume. `.crc` sidecars are filtered to match
+    listStatus on ChecksumFileSystem."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        try:
+            return {e.name: e.stat().st_size
+                    for e in os.scandir(lp)
+                    if e.is_file()
+                    and not (e.name.startswith(".")
+                             and e.name.endswith(".crc"))}
+        except FileNotFoundError:
+            return {}
+        except OSError:
+            pass                         # odd local state — JVM decides
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return {}
+    return {st.getPath().getName(): int(st.getLen())
+            for st in fs.listStatus(p) if st.isFile()}
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small text file (manifest-sized). A single-object PUT is
     atomic on S3; on HDFS the create+overwrite is a metadata op."""

@@ -51,6 +51,7 @@ pre-flip reader resolved alive until the next commit.
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -850,6 +851,101 @@ def _resolve_layout(meta: dict[str, str], key: str,
     return eff_buckets, eff_range
 
 
+# Seed file count for a range layout requested by byte target alone:
+# a fresh table has no observed bytes to plan from, so the first base
+# lands as this many files and the next fold re-plans from what it
+# measures on disk.
+_AUTOSIZE_SEED = 16
+
+
+def _resolve_target(meta: dict[str, str], key: str,
+                    target_file_bytes: int | None) -> int:
+    """Effective per-file byte target for the NEXT base — the same
+    inheritance rule as buckets/range_files: an explicit value wins
+    (0 = back to a pinned `range_files` count); otherwise inherit the
+    current base's spec when its range key matches the merge key."""
+    if target_file_bytes is not None:
+        return max(0, target_file_bytes)
+    if meta.get("range_key") == key:
+        try:
+            return int(meta.get("target_file_bytes", 0))
+        except ValueError:
+            return 0
+    return 0
+
+
+def _observed_base_bytes(spark: SparkSession, path: str,
+                         version: int) -> int:
+    """Data bytes of a base version, carried refs resolved — sizes
+    come from ONE listing per owner directory (the base's own dir
+    plus each directory a carried ref points into), never from
+    reading data: O(dirs) round trips + O(files) driver state, the
+    same bounded metadata class as the zone map."""
+    if not version:
+        return 0
+    by_dir: dict[str, set[str]] = {}
+    for name, full in base_file_map(spark, path, version).items():
+        d = full.rsplit("/", 1)[0]
+        by_dir.setdefault(d, set()).add(name)
+    total = 0
+    for d, names in by_dir.items():
+        sizes = hfs.listdir_sizes(spark, d)
+        total += sum(sz for n, sz in sizes.items() if n in names)
+    return total
+
+
+def _autosize_range(spark: SparkSession, path: str, version: int,
+                    fold: list[int], target: int, seed: int) -> int:
+    """File count for the next RANGE base under a byte target
+    (`target_file_bytes` — the Iceberg/Delta target-file-size posture):
+    observed bytes of the current base plus the foldable delta dirs,
+    divided by the target. A PINNED `range_files` count means a
+    growing table grows its FILES without bound — at 100 TB the zone
+    map stops pruning anything because every file spans a huge slice;
+    a byte target grows the COUNT instead and file size stays flat.
+    Planned from version N's on-disk footprint: the incoming source's
+    bytes are unknown before the write, so the count lags one commit
+    behind growth and the next fold corrects it — the same one-commit
+    self-correction the retention protocol uses. A fresh table has
+    nothing observed and lands as `seed` files."""
+    est = _observed_base_bytes(spark, path, version)
+    for v in fold:
+        est += hfs.dir_size(spark, hfs.join(path, f"delta_{v:05d}"))
+    if est <= 0:
+        return seed
+    return max(1, math.ceil(est / target))
+
+
+def _apply_autosize(spark: SparkSession, path: str, version: int,
+                    fold: list[int], meta: dict[str, str], key: str,
+                    eff_buckets: int, eff_range: int,
+                    buckets: int | None,
+                    target_file_bytes: int | None,
+                    range_files: int | None = None
+                    ) -> tuple[int, int, int]:
+    """(eff_buckets, eff_range, eff_target) after adaptive sizing.
+    `target_file_bytes` sizes the RANGE layout only: explicit together
+    with `buckets` is a contradiction (raise); explicit on a bucketed
+    table switches layout like `range_files` does; an inherited target
+    dies with the layout when `buckets=N`/`range_files=0` drops it."""
+    if buckets and target_file_bytes:
+        raise ValueError(
+            "target_file_bytes sizes the range layout — it contradicts "
+            "buckets (hash layout); choose one per table")
+    drops_layout = (eff_buckets and not target_file_bytes) \
+        or (range_files is not None and range_files == 0
+            and not target_file_bytes)
+    eff_target = 0 if drops_layout \
+        else _resolve_target(meta, key, target_file_bytes)
+    if eff_target and eff_buckets:       # explicit target switches layout
+        eff_buckets = 0
+    if eff_target:
+        eff_range = _autosize_range(spark, path, version, fold,
+                                    eff_target,
+                                    seed=eff_range or _AUTOSIZE_SEED)
+    return eff_buckets, eff_range, eff_target
+
+
 def _meta_stats_cols(meta: dict[str, str]) -> list[str]:
     raw = meta.get("zonemap_cols", "")
     return [c for c in raw.split(",") if c]
@@ -897,7 +993,8 @@ def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
                          version: int, key: str, eff_buckets: int,
                          meta: dict[str, str], eff_range: int = 0,
                          stats_cols: list[str] | None = None,
-                         eff_zorder: str | None = None
+                         eff_zorder: str | None = None,
+                         eff_target: int = 0
                          ) -> dict[str, str]:
     """Route to the bucketed, range-clustered, or plain claiming
     writer and keep the manifest's layout spec truthful for the base
@@ -962,11 +1059,16 @@ def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
                 meta["zorder_col"] = eff_zorder
             else:
                 meta.pop("zorder_col", None)
+            if eff_target:
+                meta["target_file_bytes"] = str(eff_target)
+            else:
+                meta.pop("target_file_bytes", None)
             return meta
     meta.pop("range_files", None)
     meta.pop("range_key", None)
     meta.pop("zonemap_cols", None)
     meta.pop("zorder_col", None)
+    meta.pop("target_file_bytes", None)
     return meta
 
 
@@ -982,7 +1084,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             buckets: int | None = None,
                             range_files: int | None = None,
                             stats_cols: list[str] | None = None,
-                            zorder_col: str | None = None):
+                            zorder_col: str | None = None,
+                            target_file_bytes: int | None = None):
     """MERGE `source` into the keyed parquet table at `path` (created on
     first write). Returns the post-merge table DataFrame, or
     ``(df, counts)`` with the reference-style write-result counts
@@ -1019,7 +1122,17 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     per table (hash scatters the key space, so a zone map there
     prunes nothing; `buckets=N` on a range table switches layout).
     `n_files` is ignored under the range layout — `range_files` IS
-    the file count."""
+    the file count.
+
+    `target_file_bytes=B` replaces the PINNED range file count with a
+    per-file byte target: each write re-plans the count from the
+    table's observed on-disk bytes (`_autosize_range`), so a growing
+    table grows its file COUNT while file size — and with it zone-map
+    prune selectivity — stays flat (a pinned count at 100 TB means
+    ever-fatter files whose [min,max] spans stop pruning anything).
+    Inherited like the other layout specs; 0 drops back to the pinned
+    count; `range_files` still seeds the first base (nothing observed
+    yet). Contradicts `buckets` (hash files aren't byte-ranged)."""
     from pyspark.sql import Observation
     schema_cols = source.columns if payload is None else [key, *payload]
     # ONE manifest resolution for the whole round: version, watermark
@@ -1044,6 +1157,9 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
             f"{path} has committed deltas beyond an in-flight append "
             f"(foldable run {fold} vs committed {pending}) — retry the "
             f"upsert after the appender finishes or times out")
+    eff_buckets, eff_range, eff_target = _apply_autosize(
+        spark, path, version, fold, meta, key, eff_buckets, eff_range,
+        buckets, target_file_bytes, range_files=range_files)
     if fold:
         target = _read_merged_through(spark, path, key, fold,
                                       base_version=version or None)
@@ -1076,7 +1192,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                                 key, eff_buckets, meta,
                                 eff_range=eff_range,
                                 stats_cols=stats_cols,
-                                eff_zorder=eff_zorder)
+                                eff_zorder=eff_zorder,
+                                eff_target=eff_target)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     result = spark.read.parquet(_base_dir(path, new_version))
@@ -2020,7 +2137,8 @@ def compact(spark: SparkSession, path: str, key: str,
             buckets: int | None = None,
             range_files: int | None = None,
             stats_cols: list[str] | None = None,
-            zorder_col: str | None = None) -> DataFrame:
+            zorder_col: str | None = None,
+            target_file_bytes: int | None = None) -> DataFrame:
     """Fold base + committed deltas into a new versioned base (ONE
     write + atomic manifest flip) whose manifest records the
     `folded_through` watermark. Readers ignore deltas at or below the
@@ -2047,6 +2165,9 @@ def compact(spark: SparkSession, path: str, key: str,
     eff_buckets, eff_range = _resolve_layout(meta, key, buckets,
                                              range_files)
     eff_zorder = _resolve_zorder(meta, key, zorder_col)
+    eff_buckets, eff_range, eff_target = _apply_autosize(
+        spark, path, version, fold, meta, key, eff_buckets, eff_range,
+        buckets, target_file_bytes, range_files=range_files)
     if n_files and not eff_buckets and not eff_range:
         merged = merged.repartition(n_files)
     new_version = _next_base_version(spark, path, version)
@@ -2058,7 +2179,8 @@ def compact(spark: SparkSession, path: str, key: str,
     meta = _write_base_and_meta(spark, merged, path, new_version, key,
                                 eff_buckets, meta, eff_range=eff_range,
                                 stats_cols=stats_cols,
-                                eff_zorder=eff_zorder)
+                                eff_zorder=eff_zorder,
+                                eff_target=eff_target)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
@@ -2195,7 +2317,26 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
             [], _read_base(spark, path, version).schema)
     rewritten = _read_merged_through(spark, path, key, fold,
                                      base_df=base_df)
+    # default: the rewritten group keeps its file count. Under a
+    # `target_file_bytes` table (inherited only — layout changes go
+    # through upsert/compact) the group is re-sized by observed bytes
+    # instead, so deltas ballooning a hot file SPLIT it at the fold
+    # that absorbs them rather than growing it without bound.
+    eff_target = _resolve_target(meta, key, None)
     n_out = max(1, len(touched))
+    if eff_target:
+        by_dir: dict[str, set[str]] = {}
+        for f in touched:
+            d = fmap[f].rsplit("/", 1)[0]
+            by_dir.setdefault(d, set()).add(f)
+        tb = 0
+        for d, names in by_dir.items():
+            sizes = hfs.listdir_sizes(spark, d)
+            tb += sum(sz for n, sz in sizes.items() if n in names)
+        for v in fold:
+            tb += hfs.dir_size(spark, hfs.join(path, f"delta_{v:05d}"))
+        if tb > 0:
+            n_out = max(1, math.ceil(tb / eff_target))
     # rewritten files are KEY-sorted even on a z-ordered table: the
     # surgical fold rewrites a handful of files and must not pay the
     # z-bounds pass; their zone-map entries are re-collected so every
