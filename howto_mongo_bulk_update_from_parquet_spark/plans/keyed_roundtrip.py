@@ -396,3 +396,68 @@ def q_keyed_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
               .select((F.col("o_custkey") * 4).alias("k")).distinct())
     return lookup_join_keyed_table(spark, path, "k", probes)
+
+
+AUTOSIZE_ORACLE = """
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey % 10 = 0
+            THEN CAST(o_totalprice AS DOUBLE) * 2
+            ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+       o_orderstatus AS status
+FROM orders
+"""
+
+
+@register("q_keyed_autosize", AUTOSIZE_ORACLE,
+          "adaptive file sizing (target_file_bytes): a growing range "
+          "table re-plans its file COUNT from observed bytes each fold "
+          "— in-query asserts the count grew and file size stayed "
+          "bounded (r13)")
+def q_keyed_autosize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `target_file_bytes` (`sinks/keyed_table.
+    _autosize_range`): the table starts with a 20% slice of orders as
+    ONE seeded file, absorbs the remaining 80% (the write after that
+    observes the grown footprint — the documented one-commit lag),
+    then a price-update round re-plans again. The query asserts the
+    file count grew strictly across the growth folds AND every data
+    file stayed within 4x the byte target (a pinned count would have
+    kept ONE ever-fatter file), then returns the merged rows for the
+    oracle hash — so a wrong re-plan that drops or duplicates rows
+    fails on values, not just on layout. At 100 TB this is the
+    Iceberg/Delta target-file-size discipline: file size — and with
+    it zone-map prune selectivity — stays flat while the table grows.
+    """
+    import tempfile
+
+    from ..sinks import fs as hfs
+    from ..sinks.keyed_table import _current_manifest, base_file_map
+
+    target_b = 8 * 1024
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    path = tempfile.mkdtemp(prefix="keyed_asz_")
+    upsert_into_keyed_table(spark, rows.filter(F.col("k") % 5 == 0),
+                            path=path, key="k", updated_at_col=None,
+                            range_files=1, target_file_bytes=target_b)
+    upsert_into_keyed_table(spark, rows.filter(F.col("k") % 5 != 0),
+                            path=path, key="k", updated_at_col=None)
+    v2, _ = _current_manifest(spark, path)
+    n2 = len(base_file_map(spark, path, v2))
+    ups = rows.filter(F.col("k") % 10 == 0).select(
+        "k", (F.col("price") * 2).alias("price"), "status")
+    upsert_into_keyed_table(spark, ups, path=path, key="k",
+                            updated_at_col=None)
+    v3, meta = _current_manifest(spark, path)
+    n3 = len(base_file_map(spark, path, v3))
+    sizes = hfs.listdir_sizes(spark, hfs.join(path, f"base_v{v3:05d}"))
+    fat = {n: s for n, s in sizes.items()
+           if not n.startswith("_") and s > 4 * target_b}
+    if not (n3 > n2 >= 1 and n3 > 1) or fat or \
+            meta.get("target_file_bytes") != str(target_b):
+        raise AssertionError(
+            f"autosize did not engage: files {n2}->{n3}, oversized "
+            f"{fat}, meta target {meta.get('target_file_bytes')}")
+    return read_keyed_table(spark, path).select("k", "price", "status")

@@ -43,6 +43,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_zonemap_scan",
     "q_keyed_zorder_scan",
     "q_keyed_lookup_join",
+    "q_keyed_autosize",
 })
 
 LANES = ("analytics", "cycle", "streaming")
