@@ -171,6 +171,62 @@ ZONEMAP_PLAN_SLOTS = ["zonemap_plan_sharded", "zonemap_plan_fullparse"]
 # growth (state = the band index, growing with survivors).
 DEDUP_STREAM_SLOT = "stream_dedup_drain"
 
+# Adaptive file-sizing slot (r13): the arrival round of
+# compact_pruned_arrival, but the pre-built base is sized by a FIXED
+# byte target instead of a hand-scaled 8*k file count — the planner
+# must grow the count itself as the table grows xK. The timed body is
+# the same constant-size append + pruned fold; the run ASSERTS that
+# the fold stayed pruned AND that no data file of the new base
+# exceeds 4x the target (the property a pinned count loses at scale:
+# ever-fatter files whose zone-map spans stop pruning). Expect the
+# same ~flat curve as compact_pruned_arrival — the target discipline
+# must not cost the surgical fold its O(touched) bound.
+AUTOSIZE_SLOT = "autosize_pruned_arrival"
+AUTOSIZE_TARGET = 512 * 1024
+
+
+def _autosize_factory(spark, data_dir: str, scratch: str, k: int):
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import fs as hfs
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        _base_dir, append_delta, compact_pruned, current_base_version,
+        upsert_into_keyed_table)
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+
+    path = os.path.join(scratch, "kt_autosize")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, data_dir, "orders").select(
+        F.col("o_orderkey").alias("_id"), "o_totalprice", "o_orderstatus")
+    upsert_into_keyed_table(spark, orders, path=path, key="_id",
+                            updated_at_col=None, range_files=4,
+                            target_file_bytes=AUTOSIZE_TARGET)
+    # the seed write plans blind (range_files=4 — deliberately wrong
+    # at every k); one more full round re-plans from observed bytes,
+    # so the timed arrivals start from a correctly-sized base. Both
+    # writes are untimed setup; pruned folds then keep every
+    # REWRITTEN group on target and carry the rest untouched.
+    upsert_into_keyed_table(spark, orders.filter(F.col("_id") == 0),
+                            path=path, key="_id", updated_at_col=None)
+    batch = (orders.filter(F.col("_id").between(0, 8000))
+             .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+             .localCheckpoint())
+
+    def run():
+        append_delta(spark, batch, path=path, key="_id")
+        _, stats = compact_pruned(spark, path, "_id")
+        if not (stats["pruned"] and stats["files_carried"] > 0):
+            raise AssertionError(f"fold not pruned: {stats}")
+        v = current_base_version(spark, path)
+        sizes = hfs.listdir_sizes(spark, _base_dir(path, v))
+        fat = {n: s for n, s in sizes.items()
+               if not n.startswith("_") and s > 4 * AUTOSIZE_TARGET}
+        if fat:
+            raise AssertionError(
+                f"autosized base has files past 4x target: {fat}")
+    return run
+
 
 def _dedup_stream_factory(spark, data_dir: str, scratch: str):
     from pyspark.sql import functions as F
@@ -522,7 +578,7 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(
         QUERIES + SINK_SLOTS + LOOKUP_SLOTS + COMPACT_SLOTS
         + MERGED_SLOTS + ZONEMAP_PLAN_SLOTS
-        + [DEDUP_STREAM_SLOT, VEC_TUNED_SLOT]))
+        + [DEDUP_STREAM_SLOT, VEC_TUNED_SLOT, AUTOSIZE_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -555,7 +611,8 @@ def main() -> None:
                      if n not in SINK_SLOTS and n not in LOOKUP_SLOTS
                      and n not in COMPACT_SLOTS and n not in MERGED_SLOTS
                      and n not in ZONEMAP_PLAN_SLOTS
-                     and n not in (DEDUP_STREAM_SLOT, VEC_TUNED_SLOT)), None)
+                     and n not in (DEDUP_STREAM_SLOT, VEC_TUNED_SLOT,
+                                   AUTOSIZE_SLOT)), None)
         if warm:
             queries[warm](spark, out_dir).write.format("noop") \
                 .mode("overwrite").save()
@@ -581,6 +638,10 @@ def main() -> None:
                 thunk = _zonemap_plan_factory(
                     spark, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     k, sharded=q.endswith("sharded"))
+            elif q == AUTOSIZE_SLOT:
+                thunk = _autosize_factory(
+                    spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
+                    k)
             elif q == DEDUP_STREAM_SLOT:
                 thunk = _dedup_stream_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"))
