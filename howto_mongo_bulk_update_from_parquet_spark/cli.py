@@ -399,6 +399,46 @@ def cmd_table_info(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_changes(args: argparse.Namespace) -> int:
+    """Change-data-feed read (r13, `sinks/changes.py`): the keyed
+    table's LSM delta files served back as versioned, op-typed change
+    rows — the downstream half of the arrival loop. Batch form prints
+    or writes the requested window; `--follow` runs the checkpointed
+    streaming form (availableNow: drains whatever landed since the
+    last run, exactly once per file)."""
+    from .sinks.changes import (ChangeHistoryUnavailable,
+                                read_table_changes, stream_table_changes)
+    spark = get_spark("changes")
+    if args.follow:
+        if not (args.out and args.checkpoint):
+            print("--follow needs --out and --checkpoint (a feed "
+                  "without a durable sink and offset log re-reads "
+                  "everything every run)", file=sys.stderr)
+            return 2
+        q = (stream_table_changes(spark, args.table)
+             .writeStream.format("parquet")
+             .option("checkpointLocation", args.checkpoint)
+             .option("path", args.out)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        print(f"changes of {args.table} drained into {args.out} "
+              f"(checkpoint {args.checkpoint})")
+        return 0
+    try:
+        out = read_table_changes(spark, args.table, after=args.after,
+                                 until=args.until)
+    except ChangeHistoryUnavailable as exc:
+        print(f"change history unavailable: {exc}", file=sys.stderr)
+        return 2
+    if args.out:
+        out.write.mode("errorifexists").parquet(args.out)
+        print(f"wrote changes of {args.table} (after={args.after}) "
+              f"to {args.out}")
+    else:
+        out.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_lookup(args: argparse.Namespace) -> int:
     """Point/range read of a keyed table through its data-skipping
     index (r12): the range layout's zone map or the hash layout's
@@ -1384,6 +1424,27 @@ def main(argv: list[str] | None = None) -> int:
                            "map (JSON)")
     ti.add_argument("--table", required=True, help="keyed table path")
     ti.set_defaults(fn=cmd_table_info)
+
+    ch = sub.add_parser(
+        "changes", help="change-data-feed read: the table's LSM "
+                        "deltas as versioned, op-typed change rows — "
+                        "O(changes), never O(table)")
+    ch.add_argument("--table", required=True, help="keyed table path")
+    ch.add_argument("--after", type=int, default=0,
+                    help="emit changes ABOVE this delta version "
+                         "(default 0 = everything still on disk)")
+    ch.add_argument("--until", type=int,
+                    help="inclusive upper version (default: newest "
+                         "complete delta)")
+    ch.add_argument("--out", help="write the change rows to this "
+                                  "parquet dir instead of printing")
+    ch.add_argument("--follow", action="store_true",
+                    help="streaming form: availableNow drain of new "
+                         "deltas through a checkpointed file stream "
+                         "into --out (requires --out + --checkpoint)")
+    ch.add_argument("--checkpoint", help="checkpoint dir for --follow")
+    ch.add_argument("--limit", type=int, default=20)
+    ch.set_defaults(fn=cmd_changes)
 
     dl = sub.add_parser(
         "delete", help="delete rows from a keyed table by key "

@@ -461,3 +461,73 @@ def q_keyed_autosize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"autosize did not engage: files {n2}->{n3}, oversized "
             f"{fat}, meta target {meta.get('target_file_bytes')}")
     return read_keyed_table(spark, path).select("k", "price", "status")
+
+
+TABLE_CHANGES_ORACLE = """
+SELECT o_orderkey AS k,
+       CAST(o_totalprice AS DOUBLE) * 2 AS price,
+       o_orderstatus AS status,
+       CAST(1 AS INTEGER) AS _change_version,
+       'U' AS _change_op
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey AS k,
+       CAST(NULL AS DOUBLE) AS price,
+       CAST(NULL AS VARCHAR) AS status,
+       CAST(2 AS INTEGER) AS _change_version,
+       'D' AS _change_op
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT CAST(o_orderkey + 20000000 AS BIGINT) AS k,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       o_orderstatus AS status,
+       CAST(3 AS INTEGER) AS _change_version,
+       'U' AS _change_op
+FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+@register("q_keyed_table_changes", TABLE_CHANGES_ORACLE,
+          "change-data-feed read served from the LSM delta files: "
+          "three arrivals (update / tombstone / insert) come back as "
+          "versioned, op-typed change rows — O(changes), never "
+          "O(table) (r13)")
+def q_keyed_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `sinks/changes.read_table_changes` (the Delta
+    CDF posture: the LSM arrival log IS the feed). Three arrivals
+    land on a keyed base — a price-doubling upsert delta, a tombstone
+    delta, an insert delta of brand-new keys — and the feed must
+    return exactly those rows tagged (_change_version, _change_op),
+    with tombstones carrying NULL payloads and no base row leaking
+    in. A wrong version order, op type, or a feed that rescans the
+    base instead of the deltas surfaces as a value-hash mismatch. At
+    100 TB the read costs O(requested change bytes): it opens only
+    the requested delta directories, zero shuffle, zero base I/O —
+    the downstream-consumer half of the arrival loop (the reference
+    emits only upsert counts; cf src/func/mongo.py write results)."""
+    import tempfile
+
+    from ..sinks.changes import read_table_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    path = tempfile.mkdtemp(prefix="keyed_cdf_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None, range_files=4)
+    append_delta(spark,
+                 target.filter(F.col("k") % 10 == 0)
+                 .select("k", (F.col("price") * 2).alias("price"),
+                         "status"),
+                 path=path, key="k")
+    append_delete_delta(
+        spark, target.filter(F.col("k") % 7 == 0).select("k"),
+        path=path, key="k")
+    append_delta(spark,
+                 target.filter(F.col("k") % 13 == 0)
+                 .select((F.col("k") + 20000000).cast("bigint").alias("k"),
+                         "price", "status"),
+                 path=path, key="k")
+    return read_table_changes(spark, path)

@@ -44,6 +44,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_zorder_scan",
     "q_keyed_lookup_join",
     "q_keyed_autosize",
+    "q_keyed_table_changes",
 })
 
 LANES = ("analytics", "cycle", "streaming")

@@ -1,0 +1,177 @@
+"""Change-data-feed reads for the keyed table, served from the LSM
+delta files themselves — O(changes), never O(table).
+
+The reference's pipeline is write-only: downstream consumers that
+want "what changed" must re-diff whole snapshots (cf
+/root/reference/src/func/mongo.py — the upsert result counts are the
+only change signal it emits). The engine already has that after-the-
+fact form (`operators/diff.py::diff_snapshots`, one full-outer join —
+O(both snapshots)). This module adds the cheap form a 100 TB table
+needs: the LSM arrival path (`append_delta` / `append_delete_delta`)
+already materializes every change as a numbered, committed,
+key-normalized delta directory — `delta_{v:05d}` IS the change log.
+Serving CDC from those files costs O(requested change bytes) and
+zero shuffle: this is Delta Lake's Change Data Feed posture, where
+the transaction log's actions double as the feed.
+
+Availability contract: delta files live until their fold's watermark
+passes them AND one more commit lands (`_gc_folded_deltas`), or until
+an age-based `vacuum`. A consumer that polls within that window never
+misses a change; one that falls behind gets `ChangeHistoryUnavailable`
+naming the reclaimed versions — and can rebuild from a snapshot diff
+(`diff_snapshots` over retained versions), the standard CDC recovery.
+Changes made by full `upsert_into_keyed_table` rounds rewrite the
+base WITHOUT a delta file, so they are invisible to this feed — the
+arrival architecture that wants a feed writes through the LSM path
+(the CLI's `upsert --lsm` / `delete --tombstone`), which is also the
+only path that scales per-arrival cost at 100 TB.
+
+Emission order: strictly by delta version, truncated at the first
+gap or incomplete (claimed, mid-write) slot — the same contiguity
+discipline as `_foldable_deltas`, so a consumer can never observe
+change v+1 before a concurrent appender finishes v.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import fs as hfs
+from .keyed_table import (_TOMBSTONE, _delta_versions, _lsm_base,
+                          folded_through)
+
+#: system columns appended to every change row (Delta CDF analogs:
+#: _commit_version / _change_type)
+VERSION_COL = "_change_version"
+OP_COL = "_change_op"
+
+
+class ChangeHistoryUnavailable(RuntimeError):
+    """The requested change window reaches versions whose delta files
+    were already reclaimed (folded + GC'd or vacuumed). Recover by
+    snapshot-diffing retained versions (`operators/diff.py`) and
+    resuming the feed from the current watermark."""
+
+
+def _complete(spark: SparkSession, path: str, v: int) -> bool:
+    return hfs.exists(spark,
+                      hfs.join(path, f"delta_{v:05d}", "_SUCCESS"))
+
+
+def read_table_changes(spark: SparkSession, path: str, *,
+                       after: int = 0,
+                       until: int | None = None) -> DataFrame:
+    """Change rows of delta versions in (after, until] — each row the
+    key-normalized upsert payload (op 'U') or tombstone (op 'D', all
+    payload columns NULL) exactly as the arrival committed it, plus
+    `_change_version` / `_change_op`. Reads ONLY the requested delta
+    directories (one column-complete union; schema evolution across
+    deltas surfaces as NULLs on the older rows, the same
+    `mergeSchema` posture as the fold). `after=0` = everything still
+    on disk; `until=None` = through the newest complete delta.
+
+    Raises `ChangeHistoryUnavailable` when the window reaches
+    versions already reclaimed; truncates (never errors) at a live
+    appender's incomplete slot so emission stays contiguous."""
+    floor = folded_through(spark, path)
+    present = _delta_versions(spark, path)
+    known_max = max(present[-1] if present else 0, floor)
+    hi = known_max if until is None else min(until, known_max)
+    have = set(present)
+    versions: list[int] = []
+    missing: list[int] = []
+    for v in range(after + 1, hi + 1):
+        if v not in have:
+            if v <= floor:
+                missing.append(v)        # folded AND reclaimed
+                continue
+            break                        # gap above the floor: stop
+        if not _complete(spark, path, v):
+            break                        # live appender mid-write
+        versions.append(v)
+    if missing:
+        raise ChangeHistoryUnavailable(
+            f"delta versions {missing} of {path} were already "
+            f"reclaimed (folded through {floor}); snapshot-diff the "
+            f"retained versions and resume the feed above "
+            f"{max(missing)}")
+    if not versions:
+        base = _lsm_base(spark, path)
+        if base is None:
+            raise ValueError(f"no keyed table at {path}")
+        empty = spark.createDataFrame([], base.schema)
+        return (empty
+                .withColumn(VERSION_COL, F.lit(None).cast("int"))
+                .withColumn(OP_COL, F.lit(None).cast("string")))
+    parts = []
+    for v in versions:
+        d = spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
+        parts.append(d.withColumn(VERSION_COL, F.lit(v)))
+    allv = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    if _TOMBSTONE in allv.columns:
+        op = F.when(F.col(_TOMBSTONE), F.lit("D")).otherwise(F.lit("U"))
+        allv = allv.withColumn(OP_COL, op).drop(_TOMBSTONE)
+    else:
+        allv = allv.withColumn(OP_COL, F.lit("U"))
+    cols = [c for c in allv.columns if c not in (VERSION_COL, OP_COL)]
+    return allv.select(*cols, VERSION_COL, OP_COL)
+
+
+def changes_schema(spark: SparkSession, path: str) -> T.StructType:
+    """The unified schema a change STREAM must declare up front: the
+    table's current columns plus the tombstone marker (streaming file
+    sources cannot mergeSchema per batch). Payload columns absent
+    from an individual delta file — tombstones, pre-evolution batches
+    — read as NULL under this schema, matching the batch reader."""
+    base = _lsm_base(spark, path)
+    if base is None:
+        raise ValueError(f"no keyed table at {path}")
+    fields = [T.StructField(f.name, f.dataType, True)
+              for f in base.schema.fields if f.name != _TOMBSTONE]
+    fields.append(T.StructField(_TOMBSTONE, T.BooleanType(), True))
+    return T.StructType(fields)
+
+
+def stream_table_changes(spark: SparkSession, path: str,
+                         schema: T.StructType | None = None,
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
+    """The feed as a Structured Streaming source: a file stream over
+    `delta_*` directories (claimed slots publish by ATOMIC RENAME, so
+    a directory's files appear to the source's listing all at once;
+    `_`-prefixed sidecars are invisible to the parquet reader). Each
+    micro-batch carries whatever new delta files landed, tagged with
+    `_change_version` parsed from the file path and `_change_op` from
+    the tombstone marker — the downstream half of the arrival loop: a
+    consumer keeps a materialized view, search index, or cache in
+    step with the table without ever rescanning the base.
+
+    GC discipline: the checkpoint remembers PROCESSED files, so
+    folding + reclaiming deltas the stream already drained is safe;
+    a stream stopped for longer than the retention window loses the
+    reclaimed versions (restart it after a snapshot rebuild — same
+    contract as the batch reader). At 100 TB the source lists O(delta
+    dirs) per trigger; fold cadence bounds that listing exactly as it
+    bounds the merge-on-read tail."""
+    if schema is None:
+        schema = changes_schema(spark, path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    raw = reader.parquet(hfs.join(path, "delta_*"))
+    version = F.regexp_extract(F.col("_metadata.file_path"),
+                               r"delta_(\d{5})/", 1).cast("int")
+    op = (F.when(F.col(_TOMBSTONE), F.lit("D")).otherwise(F.lit("U"))
+          if _TOMBSTONE in raw.columns else F.lit("U"))
+    out = (raw.withColumn(VERSION_COL, version)
+              .withColumn(OP_COL, op))
+    if _TOMBSTONE in out.columns:
+        out = out.drop(_TOMBSTONE)
+    cols = [c for c in out.columns if c not in (VERSION_COL, OP_COL)]
+    return out.select(*cols, VERSION_COL, OP_COL)

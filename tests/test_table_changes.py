@@ -1,0 +1,172 @@
+"""Change-data-feed over the keyed table's LSM deltas
+(`sinks/changes.py`): batch windows, op typing, contiguity at a live
+claim, reclamation errors, schema evolution, and the streaming form
+(drain, incremental pickup across restarts, fold-behind-the-stream
+safety).
+"""
+
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from howto_mongo_bulk_update_from_parquet_spark.sinks import fs as hfs
+from howto_mongo_bulk_update_from_parquet_spark.sinks.changes import (
+    OP_COL, VERSION_COL, ChangeHistoryUnavailable, changes_schema,
+    read_table_changes, stream_table_changes)
+from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+    append_delete_delta, append_delta, compact, upsert_into_keyed_table)
+
+
+def _mk_table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [Row(k=i, v=float(i), tag=f"t{i % 3}") for i in range(20)])
+    upsert_into_keyed_table(spark, base, path=path, key="k",
+                            updated_at_col=None)
+    return path
+
+
+def test_batch_changes_versions_and_ops(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    ups1 = spark.createDataFrame([Row(k=1, v=10.0, tag="u")])
+    ups2 = spark.createDataFrame([Row(k=2, v=20.0, tag=None)],
+                                 "k bigint, v double, tag string")
+    append_delta(spark, ups1, path=path, key="k")
+    append_delta(spark, ups2, path=path, key="k")
+    append_delete_delta(spark,
+                        spark.createDataFrame([Row(k=3)]),
+                        path=path, key="k")
+    out = read_table_changes(spark, path).orderBy(VERSION_COL).collect()
+    assert [(r["k"], r[VERSION_COL], r[OP_COL]) for r in out] == [
+        (1, 1, "U"), (2, 2, "U"), (3, 3, "D")]
+    # tombstone rows carry NULL payload
+    assert out[2]["v"] is None and out[2]["tag"] is None
+    # windowing: (1, 2] = exactly the second delta
+    win = read_table_changes(spark, path, after=1, until=2).collect()
+    assert [(r["k"], r[VERSION_COL]) for r in win] == [(2, 2)]
+    # beyond history: empty with the feed schema
+    assert read_table_changes(spark, path, after=3).count() == 0
+
+
+def test_changes_survive_fold_one_commit_then_raise(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=1, v=10.0, tag="u")]),
+                 path=path, key="k")
+    compact(spark, path, "k")
+    # folded deltas keep their files for one more commit — still served
+    out = read_table_changes(spark, path).collect()
+    assert [(r["k"], r[VERSION_COL]) for r in out] == [(1, 1)]
+    # the next committing operation GC's them
+    append_delta(spark, spark.createDataFrame([Row(k=2, v=20.0, tag="w")]),
+                 path=path, key="k")
+    compact(spark, path, "k")
+    with pytest.raises(ChangeHistoryUnavailable, match=r"\[1"):
+        read_table_changes(spark, path)
+    # ...but a feed resuming above the reclaimed window still works
+    out = read_table_changes(spark, path, after=1).collect()
+    assert [(r["k"], r[VERSION_COL]) for r in out] == [(2, 2)]
+
+
+def test_truncates_at_incomplete_claim(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=1, v=1.0, tag="a")]),
+                 path=path, key="k")
+    # fake a live appender mid-write on slot 2 (claimed, no _SUCCESS)
+    d2 = hfs.join(path, "delta_00002")
+    hfs.write_text(spark, hfs.join(d2, "part-0.parquet.tmp"), "x")
+    spark.createDataFrame([Row(k=9, v=9.0, tag="z")]) \
+        .write.parquet(hfs.join(path, "delta_00003"))
+    out = read_table_changes(spark, path).collect()
+    # emission stops BEFORE the gap: v3 must not surface ahead of v2
+    assert [(r["k"], r[VERSION_COL]) for r in out] == [(1, 1)]
+
+
+def test_schema_evolution_nulls_old_rows(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=1, v=1.0, tag="a")]),
+                 path=path, key="k")
+    append_delta(spark,
+                 spark.createDataFrame(
+                     [Row(k=2, v=2.0, tag="b", extra="new")]),
+                 path=path, key="k")
+    out = read_table_changes(spark, path).orderBy(VERSION_COL).collect()
+    assert out[0]["extra"] is None and out[1]["extra"] == "new"
+
+
+def test_stream_drain_and_incremental_pickup(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=1, v=10.0, tag="u")]),
+                 path=path, key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=3)]),
+                        path=path, key="k")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = changes_schema(spark, path)
+
+    def drain():
+        q = (stream_table_changes(spark, path, schema=schema)
+             .writeStream.format("parquet")
+             .option("checkpointLocation", ckpt)
+             .option("path", sink)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(sink)
+    assert sorted((r["k"], r[VERSION_COL], r[OP_COL])
+                  for r in got.collect()) == [(1, 1, "U"), (3, 2, "D")]
+    # a later arrival is picked up incrementally on the SAME checkpoint
+    append_delta(spark, spark.createDataFrame([Row(k=5, v=50.0, tag="n")]),
+                 path=path, key="k")
+    drain()
+    got = spark.read.parquet(sink)
+    assert sorted((r["k"], r[VERSION_COL], r[OP_COL])
+                  for r in got.collect()) == [
+        (1, 1, "U"), (3, 2, "D"), (5, 3, "U")]
+    # folding + GC behind the stream re-delivers nothing (processed
+    # files are checkpointed by name, not re-listed content)
+    compact(spark, path, "k")
+    append_delta(spark, spark.createDataFrame([Row(k=6, v=60.0, tag="n")]),
+                 path=path, key="k")
+    compact(spark, path, "k")            # GC's v1..v3 files
+    drain()
+    got = spark.read.parquet(sink)
+    assert sorted((r["k"], r[VERSION_COL], r[OP_COL])
+                  for r in got.collect()) == [
+        (1, 1, "U"), (3, 2, "D"), (5, 3, "U"), (6, 4, "U")]
+
+
+def test_cli_changes_batch_and_follow(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    path = _mk_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=1, v=10.0, tag="u")]),
+                 path=path, key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=3)]),
+                        path=path, key="k")
+    out_dir = str(tmp_path / "feed_out")
+    rc = main(["changes", "--table", path, "--out", out_dir])
+    assert rc == 0
+    got = spark.read.parquet(out_dir)
+    assert sorted((r["k"], r[VERSION_COL], r[OP_COL])
+                  for r in got.collect()) == [(1, 1, "U"), (3, 2, "D")]
+    # follow form: incremental drain on a checkpoint
+    f_out = str(tmp_path / "follow_out")
+    ckpt = str(tmp_path / "follow_ckpt")
+    rc = main(["changes", "--table", path, "--follow",
+               "--out", f_out, "--checkpoint", ckpt])
+    assert rc == 0
+    assert spark.read.parquet(f_out).count() == 2
+    append_delta(spark, spark.createDataFrame([Row(k=7, v=7.0, tag="x")]),
+                 path=path, key="k")
+    rc = main(["changes", "--table", path, "--follow",
+               "--out", f_out, "--checkpoint", ckpt])
+    assert rc == 0
+    assert sorted((r["k"], r[VERSION_COL])
+                  for r in spark.read.parquet(f_out).collect()) == [
+        (1, 1), (3, 2), (7, 3)]
+    # missing flags gate
+    rc = main(["changes", "--table", path, "--follow"])
+    assert rc == 2
+    assert "--checkpoint" in capsys.readouterr().err
