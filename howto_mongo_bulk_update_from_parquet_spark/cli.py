@@ -86,6 +86,11 @@ def cmd_upsert(args: argparse.Namespace) -> int:
               "contradicts --buckets (hash layout); choose one per "
               "table", file=sys.stderr)
         return 2
+    if args.bloom_cols and args.buckets:
+        print("--bloom-cols indexes a RANGE base's files — a "
+              "hash-bucketed base has no file-skipping scan to serve",
+              file=sys.stderr)
+        return 2
     if args.zorder_col and args.buckets:
         print("--zorder-col clusters a RANGE base (pair it with "
               "--range-files, or a table already range-laid-out) — "
@@ -94,7 +99,8 @@ def cmd_upsert(args: argparse.Namespace) -> int:
         return 2
     if ((args.buckets is not None or args.range_files is not None
             or args.zorder_col is not None
-            or args.target_file_mb is not None)
+            or args.target_file_mb is not None
+            or args.bloom_cols is not None)
             and (use_mongo or args.lsm)):
         # silently ignoring the flag would leave the user believing the
         # table is laid out while every round keeps paying the cost the
@@ -136,6 +142,12 @@ def cmd_upsert(args: argparse.Namespace) -> int:
                                                   buckets=args.buckets,
                                                   range_files=args.range_files,
                                                   zorder_col=args.zorder_col,
+                                                  bloom_cols=(
+                                                      [c for c in
+                                                       args.bloom_cols
+                                                       .split(",") if c]
+                                                      if args.bloom_cols
+                                                      is not None else None),
                                                   target_file_bytes=(
                                                       args.target_file_mb
                                                       * 1024 * 1024
@@ -286,7 +298,8 @@ def cmd_compact(args: argparse.Namespace) -> int:
         return 2
     if args.pruned:
         if (args.n_files or args.buckets or args.range_files
-                or args.target_file_mb is not None):
+                or args.target_file_mb is not None
+                or args.bloom_cols is not None):
             print("--pruned folds in place; re-layout flags "
                   "(--n-files/--buckets/--range-files/--target-file-mb) "
                   "need a full compact (an inherited byte target still "
@@ -301,6 +314,8 @@ def cmd_compact(args: argparse.Namespace) -> int:
     out = compact(spark, args.table, args.key, n_files=args.n_files,
                   buckets=args.buckets, range_files=args.range_files,
                   zorder_col=args.zorder_col,
+                  bloom_cols=([c for c in args.bloom_cols.split(",") if c]
+                              if args.bloom_cols is not None else None),
                   target_file_bytes=(args.target_file_mb * 1024 * 1024
                                      if args.target_file_mb is not None
                                      else None))
@@ -353,6 +368,8 @@ def cmd_table_info(args: argparse.Namespace) -> int:
         if meta.get("target_file_bytes"):
             layout += (f", auto-sized at "
                        f"{meta['target_file_bytes']} bytes/file")
+        if meta.get("bloom_cols"):
+            layout += f", bloom-indexed on {meta['bloom_cols']}"
     else:
         layout = "plain"
     info = {
@@ -1290,6 +1307,12 @@ def main(argv: list[str] | None = None) -> int:
                         "(key, col) z-rectangles so `scan` prunes on "
                         "this column too (inherited; '' drops back to "
                         "key-only sort)")
+    u.add_argument("--bloom-cols", dest="bloom_cols",
+                   help="comma-separated columns to bloom-index on a "
+                        "range base: equality `scan` probes then skip "
+                        "files the value cannot be in — the zone "
+                        "map's complement for high-cardinality "
+                        "unsorted columns (inherited; '' drops it)")
     u.add_argument("--target-file-mb", type=_bounded_int(0, 10_240),
                    help="size range-layout files by BYTES instead of a "
                         "pinned count: each write re-plans the file "
@@ -1366,6 +1389,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--zorder-col", dest="zorder_col",
                     help="secondary clustering column for the folded "
                          "range base (see upsert --zorder-col)")
+    cp.add_argument("--bloom-cols", dest="bloom_cols",
+                    help="comma-separated bloom-index columns for the "
+                         "folded range base (see upsert --bloom-cols; "
+                         "inherited; '' drops it)")
     cp.add_argument("--target-file-mb", type=_bounded_int(0, 10_240),
                     help="size the folded range base's files by bytes "
                          "(see upsert --target-file-mb; inherited "

@@ -531,3 +531,69 @@ def q_keyed_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "price", "status"),
                  path=path, key="k")
     return read_table_changes(spark, path)
+
+
+BLOOM_SCAN_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         md5(CAST(o_orderkey AS VARCHAR)) AS uid,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+bounds AS (SELECT MIN(k) AS kmin, MAX(k) AS kmax FROM t),
+probes AS (
+  SELECT kmin AS pk FROM bounds
+  UNION ALL SELECT kmax FROM bounds
+  UNION ALL
+  SELECT MIN(k) FROM t, bounds
+  WHERE k > CAST(FLOOR((kmin + kmax) / 2.0) AS BIGINT)
+)
+SELECT t.k, t.uid, t.price
+FROM t WHERE t.k IN (SELECT pk FROM probes)
+"""
+
+
+@register("q_keyed_bloom_scan", BLOOM_SCAN_ORACLE,
+          "per-file bloom index: equality probes on a high-cardinality "
+          "md5 column skip files min/max cannot — in-query asserts the "
+          "prune engaged on every probe (r13)")
+def q_keyed_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `sinks/bloom_index.py` through `scan_keyed_
+    table`: the base carries a bloom index on `uid = md5(orderkey)` —
+    a uniformly-scattered column whose per-file [min,max] admits
+    every file, the exact shape zone maps cannot prune. Three point
+    probes (uid of the min / mid / max key) each run as an equality
+    scan; the query asserts each probe read FEWER files than the
+    base holds and that the bloom engaged (`bloom_cols_used`), then
+    returns the matched rows for the oracle hash — so a false
+    negative (lost row), a hash-parity break between build and probe,
+    or an index that silently never engages all fail the driver gate.
+    At 100 TB this is Delta's bloom-filter-index read path: an
+    equality needle costs O(admissible files), not a table scan."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("uid"),
+        F.col("o_totalprice").cast("double").alias("price"))
+    path = tempfile.mkdtemp(prefix="keyed_bl_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None, range_files=8,
+                            bloom_cols=["uid"])
+    b = target.agg(F.min("k").alias("kmin"), F.max("k").alias("kmax")
+                   ).first()
+    mid = (b.kmin + b.kmax) // 2
+    k3 = target.filter(F.col("k") > mid).agg(F.min("k")).first()[0]
+    parts = []
+    for pk in (b.kmin, b.kmax, k3):
+        probe = target.filter(F.col("k") == pk).select("uid").first()[0]
+        out, st = scan_keyed_table(spark, path,
+                                   where={"uid": (probe, probe)},
+                                   with_stats=True)
+        if not (st["bloom_cols_used"] == ["uid"]
+                and st["files_read"] < st["files_total"]):
+            raise AssertionError(
+                f"bloom prune did not engage for k={pk}: {st}")
+        parts.append(out.select("k", "uid", "price"))
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])

@@ -45,6 +45,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_lookup_join",
     "q_keyed_autosize",
     "q_keyed_table_changes",
+    "q_keyed_bloom_scan",
 })
 
 LANES = ("analytics", "cycle", "streaming")

@@ -60,6 +60,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..operators.merge import keyed_upsert, prepare_source
+from . import bloom_index as bloom
 from . import fs as hfs
 from . import zonemap as zm
 
@@ -964,6 +965,20 @@ def _resolve_zorder(meta: dict[str, str], key: str,
     return None
 
 
+def _resolve_bloom(meta: dict[str, str], key: str,
+                   bloom_cols: list[str] | None) -> list[str]:
+    """Effective bloom-index columns for a RANGE base — the same
+    inheritance rule as the other layout specs: an explicit list wins
+    ([] drops the index); otherwise inherit the current base's spec
+    when its range key matches the merge key."""
+    if bloom_cols is not None:
+        return list(bloom_cols)
+    if meta.get("range_key") == key:
+        raw = meta.get("bloom_cols", "")
+        return [c for c in raw.split(",") if c]
+    return []
+
+
 def _zorder_expr(df: DataFrame, key: str, col: str):
     """Morton interleave of (key, col) min-max scaled to 16 bits each
     — the write-side clustering expression for two-dimensional file
@@ -994,7 +1009,8 @@ def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
                          meta: dict[str, str], eff_range: int = 0,
                          stats_cols: list[str] | None = None,
                          eff_zorder: str | None = None,
-                         eff_target: int = 0
+                         eff_target: int = 0,
+                         eff_bloom: list[str] | None = None
                          ) -> dict[str, str]:
     """Route to the bucketed, range-clustered, or plain claiming
     writer and keep the manifest's layout spec truthful for the base
@@ -1063,12 +1079,30 @@ def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
                 meta["target_file_bytes"] = str(eff_target)
             else:
                 meta.pop("target_file_bytes", None)
+            # bloom index on top of the range layout: equality-probe
+            # file skipping for high-cardinality columns the min/max
+            # map cannot prune (collected like the zone map — one
+            # column-pruned job over the just-written base)
+            bl = [c for c in (eff_bloom or [])
+                  if c in df.columns]
+            if bl:
+                rows = bloom.collect_bloom_index(
+                    spark, _base_dir(path, version), bl)
+                if rows is not None:
+                    bloom.write_bloom_index(
+                        spark, _base_dir(path, version), rows)
+                    meta["bloom_cols"] = ",".join(bl)
+                else:
+                    meta.pop("bloom_cols", None)
+            else:
+                meta.pop("bloom_cols", None)
             return meta
     meta.pop("range_files", None)
     meta.pop("range_key", None)
     meta.pop("zonemap_cols", None)
     meta.pop("zorder_col", None)
     meta.pop("target_file_bytes", None)
+    meta.pop("bloom_cols", None)
     return meta
 
 
@@ -1085,7 +1119,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             range_files: int | None = None,
                             stats_cols: list[str] | None = None,
                             zorder_col: str | None = None,
-                            target_file_bytes: int | None = None):
+                            target_file_bytes: int | None = None,
+                            bloom_cols: list[str] | None = None):
     """MERGE `source` into the keyed parquet table at `path` (created on
     first write). Returns the post-merge table DataFrame, or
     ``(df, counts)`` with the reference-style write-result counts
@@ -1145,6 +1180,7 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     eff_buckets, eff_range = _resolve_layout(meta, key, buckets,
                                              range_files)
     eff_zorder = _resolve_zorder(meta, key, zorder_col)
+    eff_bloom = _resolve_bloom(meta, key, bloom_cols)
     cur_buckets = _resolve_buckets(meta, key, None)
     # mixed-path safety (same class as the r8 delete bug): a table
     # carrying un-compacted LSM deltas must fold them into the merge
@@ -1193,7 +1229,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                                 eff_range=eff_range,
                                 stats_cols=stats_cols,
                                 eff_zorder=eff_zorder,
-                                eff_target=eff_target)
+                                eff_target=eff_target,
+                                eff_bloom=eff_bloom)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     result = spark.read.parquet(_base_dir(path, new_version))
@@ -2090,6 +2127,21 @@ def scan_keyed_table(spark: SparkSession, path: str, *,
             if ks is None:
                 continue                 # column not in the map
             kept &= set(ks) | unmapped
+    # bloom-index prune for EQUALITY predicates (lo == hi): the
+    # complement of the zone map — a high-cardinality unsorted
+    # column's per-file [min,max] spans ~everything (min/max keeps
+    # every file), but its bloom drops every file that cannot hold
+    # the probe value. No false negatives by construction; unindexed
+    # files stay kept; the residual filter owns correctness either way
+    bloom_used = []
+    for col, (lo, hi) in where.items():
+        if lo is None or lo != hi:
+            continue
+        bf = bloom.bloom_kept_files(spark, _base_dir(path, version),
+                                    col, lo, all_files)
+        if bf is not None:
+            kept &= bf
+            bloom_used.append(col)
     kept_names = sorted(kept)
     if kept_names:
         df = (spark.read.option("mergeSchema", "true")
@@ -2126,7 +2178,8 @@ def scan_keyed_table(spark: SparkSession, path: str, *,
     if with_stats:
         return out, {"files_total": len(all_files),
                      "files_read": len(kept_names),
-                     "deltas": len(pending)}
+                     "deltas": len(pending),
+                     "bloom_cols_used": bloom_used}
     return out
 
 
@@ -2138,7 +2191,8 @@ def compact(spark: SparkSession, path: str, key: str,
             range_files: int | None = None,
             stats_cols: list[str] | None = None,
             zorder_col: str | None = None,
-            target_file_bytes: int | None = None) -> DataFrame:
+            target_file_bytes: int | None = None,
+            bloom_cols: list[str] | None = None) -> DataFrame:
     """Fold base + committed deltas into a new versioned base (ONE
     write + atomic manifest flip) whose manifest records the
     `folded_through` watermark. Readers ignore deltas at or below the
@@ -2165,6 +2219,7 @@ def compact(spark: SparkSession, path: str, key: str,
     eff_buckets, eff_range = _resolve_layout(meta, key, buckets,
                                              range_files)
     eff_zorder = _resolve_zorder(meta, key, zorder_col)
+    eff_bloom = _resolve_bloom(meta, key, bloom_cols)
     eff_buckets, eff_range, eff_target = _apply_autosize(
         spark, path, version, fold, meta, key, eff_buckets, eff_range,
         buckets, target_file_bytes, range_files=range_files)
@@ -2180,7 +2235,8 @@ def compact(spark: SparkSession, path: str, key: str,
                                 eff_buckets, meta, eff_range=eff_range,
                                 stats_cols=stats_cols,
                                 eff_zorder=eff_zorder,
-                                eff_target=eff_target)
+                                eff_target=eff_target,
+                                eff_bloom=eff_bloom)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
@@ -2377,6 +2433,28 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
     zm.write_zone_map(spark, dst, {
         "version": 1, "cols": zmap["cols"],
         "files": sorted(entries, key=lambda e: e["file"])})
+    # bloom index rides the same carry discipline as the zone map:
+    # carried files keep their rows verbatim (possibly built under
+    # older sizing — the prober handles per-row params), rewritten
+    # files are re-stats'd with a scan of only themselves
+    bl_cols = [c for c in meta.get("bloom_cols", "").split(",") if c]
+    if bl_cols:
+        idx_parts = []
+        old_idx = bloom.read_bloom_index(spark, _base_dir(path, version))
+        if old_idx is not None:
+            idx_parts.append(
+                old_idx.filter(F.col("file").isin(list(carried_names))))
+        if new_files:
+            fresh = bloom.collect_bloom_index(
+                spark, dst, bl_cols,
+                paths=[hfs.join(dst, f) for f in new_files])
+            if fresh is not None:
+                idx_parts.append(fresh)
+        if idx_parts:
+            merged_idx = idx_parts[0]
+            for p in idx_parts[1:]:
+                merged_idx = merged_idx.unionByName(p)
+            bloom.write_bloom_index(spark, dst, merged_idx)
     meta["folded_through"] = str(fold[-1])
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
