@@ -55,7 +55,7 @@ def _positions(col: F.Column, m_bits: int, n_hashes: int) -> F.Column:
 def collect_bloom_index(spark: SparkSession, base_dir: str,
                         cols: list[str],
                         paths: list[str] | None = None,
-                        m_bits: int = M_BITS,
+                        m_bits: int | None = None,
                         n_hashes: int = N_HASHES) -> DataFrame | None:
     """Per-file sparse bloom bitsets for `cols` over the parquet files
     of `base_dir` (or the explicit `paths` subset — the pruned fold
@@ -63,11 +63,23 @@ def collect_bloom_index(spark: SparkSession, base_dir: str,
     positions per (file, value), fold to (file, word) with bit_or,
     pack to a map per file. Returns the sidecar rows (file, col,
     dtype, m_bits, n_hashes, words) or None when no column is
-    usable."""
+    usable.
+
+    `m_bits=None` (the default) AUTO-SIZES from the data: ~14 bits per
+    value of the fullest file, rounded up to a power of two, floored
+    at 2^16 — a fixed size silently degrades as files grow (at 19k
+    values in 64 Kib the fp rate is ~26%, measured: 24 of 80 files
+    passed a probe that belonged to 1). The sizing count is one
+    cheap grouped-count job; the per-file cost lands in the sidecar's
+    recorded params, so mixed sizings across folds stay probe-safe."""
     df = spark.read.parquet(*(paths if paths else [base_dir]))
     usable = [c for c in cols if c in df.columns]
     if not usable:
         return None
+    if m_bits is None:
+        n_max = (df.groupBy(F.col("_metadata.file_path"))
+                 .count().agg(F.max("count")).first()[0]) or 1
+        m_bits = max(M_BITS, 1 << (14 * int(n_max)).bit_length())
     dtypes = dict(df.dtypes)
     parts = []
     for c in usable:

@@ -171,6 +171,54 @@ ZONEMAP_PLAN_SLOTS = ["zonemap_plan_sharded", "zonemap_plan_fullparse"]
 # growth (state = the band index, growing with survivors).
 DEDUP_STREAM_SLOT = "stream_dedup_drain"
 
+# Bloom-index slots (r13): one EQUALITY scan probing uid =
+# md5(orderkey) of a fixed copy-0 key against a range base built from
+# the xK orders (setup untimed). The uid column is uniformly
+# scattered, so every file's [min,max] admits the probe — the zone
+# map prunes NOTHING here by construction. `scan_bloom` consults the
+# per-file bloom sidecar and should read ~1 file at every scale
+# (in-run asserted); `scan_bloom_noindex` is the same probe on an
+# identical table WITHOUT the index — the O(table) read the bloom
+# exists to avoid. The pair turns the equality-skipping claim into a
+# measured curve.
+BLOOM_SLOTS = ["scan_bloom", "scan_bloom_noindex"]
+
+
+def _bloom_scan_factory(spark, data_dir: str, scratch: str, k: int,
+                        indexed: bool):
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        scan_keyed_table, upsert_into_keyed_table)
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+
+    tag = "idx" if indexed else "noidx"
+    path = os.path.join(scratch, f"kt_bloom_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, data_dir, "orders").select(
+        F.col("o_orderkey").alias("_id"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("uid"),
+        "o_totalprice")
+    upsert_into_keyed_table(
+        spark, orders, path=path, key="_id", updated_at_col=None,
+        range_files=8 * k, bloom_cols=(["uid"] if indexed else None))
+    # copy-0 key 1000 exists at every scale; its md5 is scale-invariant
+    probe = orders.filter(F.col("_id") == 1000).select("uid").first()[0]
+
+    def run():
+        out, st = scan_keyed_table(spark, path,
+                                   where={"uid": (probe, probe)},
+                                   with_stats=True)
+        n = out.count()
+        if n != 1:
+            raise AssertionError(f"probe returned {n} rows")
+        if indexed and not (st["bloom_cols_used"] == ["uid"]
+                            and st["files_read"] <= 4):
+            raise AssertionError(f"bloom did not engage: {st}")
+    return run
+
+
 # Adaptive file-sizing slot (r13): the arrival round of
 # compact_pruned_arrival, but the pre-built base is sized by a FIXED
 # byte target instead of a hand-scaled 8*k file count — the planner
@@ -578,6 +626,7 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(
         QUERIES + SINK_SLOTS + LOOKUP_SLOTS + COMPACT_SLOTS
         + MERGED_SLOTS + ZONEMAP_PLAN_SLOTS
+        + BLOOM_SLOTS
         + [DEDUP_STREAM_SLOT, VEC_TUNED_SLOT, AUTOSIZE_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -611,6 +660,7 @@ def main() -> None:
                      if n not in SINK_SLOTS and n not in LOOKUP_SLOTS
                      and n not in COMPACT_SLOTS and n not in MERGED_SLOTS
                      and n not in ZONEMAP_PLAN_SLOTS
+                     and n not in BLOOM_SLOTS
                      and n not in (DEDUP_STREAM_SLOT, VEC_TUNED_SLOT,
                                    AUTOSIZE_SLOT)), None)
         if warm:
@@ -638,6 +688,10 @@ def main() -> None:
                 thunk = _zonemap_plan_factory(
                     spark, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     k, sharded=q.endswith("sharded"))
+            elif q in BLOOM_SLOTS:
+                thunk = _bloom_scan_factory(
+                    spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
+                    k, indexed=(q == "scan_bloom"))
             elif q == AUTOSIZE_SLOT:
                 thunk = _autosize_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
