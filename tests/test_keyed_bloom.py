@@ -165,3 +165,37 @@ def test_mixed_params_probe_no_false_negative(spark, tmp_path):
         got = scan_keyed_table(spark, path,
                                where={"uid": (probe, probe)}).collect()
         assert [r["k"] for r in got] == [k]
+
+
+def test_all_layout_specs_compose(spark, tmp_path):
+    """target_file_bytes + zorder_col + bloom_cols on one table:
+    inherited together, folded together, and each consumer still
+    engages (autosized count, z-rectangle stats prune, bloom
+    equality prune)."""
+    path = str(tmp_path / "ctab")
+    docs = _docs(spark).withColumn("score", (F.col("k") % 977)
+                                   .cast("double"))
+    upsert_into_keyed_table(spark, docs, path=path, key="k",
+                            updated_at_col=None, range_files=2,
+                            target_file_bytes=32 * 1024,
+                            zorder_col="score", bloom_cols=["uid"],
+                            stats_cols=["score"])
+    upsert_into_keyed_table(spark, docs.limit(1), path=path, key="k",
+                            updated_at_col=None)
+    meta = table_meta(spark, path)
+    assert meta["target_file_bytes"] == str(32 * 1024)
+    assert meta["zorder_col"] == "score"
+    assert meta["bloom_cols"] == "uid"
+    assert int(meta["range_files"]) > 2     # autosize re-planned
+    # z-ordered stats prune engages...
+    _, st = scan_keyed_table(spark, path, where={"score": (0.0, 50.0)},
+                             with_stats=True)
+    assert st["files_read"] < st["files_total"]
+    # ...and the bloom equality prune on the same base
+    probe = _uid(spark, 4242)
+    out, st2 = scan_keyed_table(spark, path,
+                                where={"uid": (probe, probe)},
+                                with_stats=True)
+    assert st2["bloom_cols_used"] == ["uid"]
+    assert st2["files_read"] < st2["files_total"]
+    assert [r["k"] for r in out.collect()] == [4242]
