@@ -456,6 +456,30 @@ def cmd_changes(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_maintain_view(args: argparse.Namespace) -> int:
+    """Incremental materialized-view maintenance (r13,
+    `sinks/views.py`): apply the source table's changes since the
+    view's recorded offset to a grouped COUNT/SUM view — snapshot
+    bootstrap on first run, differential increments after (pre-image
+    retractions; decimal-exact). Run it on the drain-then-fold
+    cadence: pre-images need unfolded deltas, so maintain BEFORE
+    `compact` (the feed errors with guidance otherwise)."""
+    from .sinks.changes import ChangeHistoryUnavailable
+    from .sinks.views import maintain_grouped_view
+    spark = get_spark("maintain-view")
+    import json as _json
+    try:
+        st = maintain_grouped_view(spark, table_path=args.table,
+                                   key=args.key, view_path=args.view,
+                                   group_col=args.group_col,
+                                   sum_col=args.sum_col)
+    except ChangeHistoryUnavailable as exc:
+        print(f"cannot maintain incrementally: {exc}", file=sys.stderr)
+        return 2
+    print(_json.dumps(st, sort_keys=True))
+    return 0
+
+
 def cmd_lookup(args: argparse.Namespace) -> int:
     """Point/range read of a keyed table through its data-skipping
     index (r12): the range layout's zone map or the hash layout's
@@ -1472,6 +1496,17 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--checkpoint", help="checkpoint dir for --follow")
     ch.add_argument("--limit", type=int, default=20)
     ch.set_defaults(fn=cmd_changes)
+
+    mv = sub.add_parser(
+        "maintain-view", help="apply a table's new changes to a "
+                              "grouped COUNT/SUM materialized view "
+                              "(bootstrap, then O(changes) increments)")
+    mv.add_argument("--table", required=True, help="source keyed table")
+    mv.add_argument("--key", default=PIPELINE_KEY)
+    mv.add_argument("--view", required=True, help="view keyed table path")
+    mv.add_argument("--group-col", required=True, dest="group_col")
+    mv.add_argument("--sum-col", required=True, dest="sum_col")
+    mv.set_defaults(fn=cmd_maintain_view)
 
     dl = sub.add_parser(
         "delete", help="delete rows from a keyed table by key "

@@ -597,3 +597,86 @@ def q_keyed_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"bloom prune did not engage for k={pk}: {st}")
         parts.append(out.select("k", "uid", "price"))
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+VIEW_MAINTAIN_ORACLE = """
+WITH fin AS (
+  SELECT CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(o_custkey + 1000000 AS BIGINT)
+              ELSE CAST(o_custkey AS BIGINT) END AS g,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(o_totalprice AS DOUBLE) * 2
+              ELSE CAST(o_totalprice AS DOUBLE) END AS val
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT CAST(o_custkey AS BIGINT), CAST(o_totalprice AS DOUBLE)
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM fin GROUP BY g
+"""
+
+
+@register("q_keyed_view_maintain", VIEW_MAINTAIN_ORACLE,
+          "incremental materialized view over the change feed: "
+          "snapshot bootstrap, then one differential window (move + "
+          "delete + insert via pre-image retractions) — view equals "
+          "the full recompute, exactly (r13)")
+def q_keyed_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `sinks/views.maintain_grouped_view` + the feed's
+    pre-image enrichment (`sinks/changes.py::with_preimage`): a
+    grouped COUNT/SUM view bootstraps from the orders snapshot, then
+    three LSM arrivals land — a group-moving price update, a
+    tombstone batch, an insert batch — and ONE maintenance call
+    applies the whole multi-version window differentially (+post
+    groups, -pre groups; decimal-exact, so incremental == recompute
+    bit-for-bit). The query asserts the increment round was NOT a
+    re-bootstrap, reached offset 3, and that a follow-up call is a
+    no-op (offset idempotence), then returns the live view rows for
+    the oracle hash. At 100 TB the round costs O(changes in the
+    window + touched groups): the source table is never rescanned
+    after bootstrap — the derived-table pattern that keeps dashboards
+    and feature aggregates in step with an LSM-ingested table."""
+    import tempfile
+
+    from ..sinks.views import maintain_grouped_view, read_grouped_view
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("bigint").alias("g"),
+        F.col("o_totalprice").cast("double").alias("val"))
+    tp = tempfile.mkdtemp(prefix="keyed_vm_t_")
+    vp = tempfile.mkdtemp(prefix="keyed_vm_v_")
+    upsert_into_keyed_table(spark, rows, path=tp, key="k",
+                            updated_at_col=None)
+    st = maintain_grouped_view(spark, table_path=tp, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val")
+    if not st.get("bootstrap"):
+        raise AssertionError(f"expected a bootstrap round: {st}")
+    append_delta(spark,
+                 rows.filter(F.col("k") % 10 == 0)
+                 .select("k", (F.col("g") + 1000000).alias("g"),
+                         (F.col("val") * 2).alias("val")),
+                 path=tp, key="k")
+    append_delete_delta(
+        spark, rows.filter(F.col("k") % 7 == 0).select("k"),
+        path=tp, key="k")
+    append_delta(spark,
+                 rows.filter(F.col("k") % 13 == 0)
+                 .select((F.col("k") + 20000000).alias("k"), "g", "val"),
+                 path=tp, key="k")
+    st = maintain_grouped_view(spark, table_path=tp, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val")
+    if st.get("bootstrap") or st["applied_through"] != 3 \
+            or st["changes"] <= 0:
+        raise AssertionError(f"increment round wrong: {st}")
+    st2 = maintain_grouped_view(spark, table_path=tp, key="k",
+                                view_path=vp, group_col="g",
+                                sum_col="val")
+    if st2["groups_touched"] != 0 or st2["changes"] != 0:
+        raise AssertionError(f"re-run was not a no-op: {st2}")
+    return read_grouped_view(spark, vp, "g")

@@ -46,6 +46,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_autosize",
     "q_keyed_table_changes",
     "q_keyed_bloom_scan",
+    "q_keyed_view_maintain",
 })
 
 LANES = ("analytics", "cycle", "streaming")

@@ -41,13 +41,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import fs as hfs
-from .keyed_table import (_TOMBSTONE, _delta_versions, _lsm_base,
+from .keyed_table import (_TOMBSTONE, _complete_deltas, _delta_versions,
+                          _hits_base, _lsm_base, _merged_touched,
+                          _read_base, current_base_version,
                           folded_through)
 
 #: system columns appended to every change row (Delta CDF analogs:
 #: _commit_version / _change_type)
 VERSION_COL = "_change_version"
 OP_COL = "_change_op"
+#: struct of the changed keys' payload AS OF just before their change
+#: version (Delta CDF's update_preimage, carried as a column instead
+#: of separate rows); NULL = the key did not exist (an insert)
+PRE_COL = "_change_pre"
 
 
 class ChangeHistoryUnavailable(RuntimeError):
@@ -64,7 +70,9 @@ def _complete(spark: SparkSession, path: str, v: int) -> bool:
 
 def read_table_changes(spark: SparkSession, path: str, *,
                        after: int = 0,
-                       until: int | None = None) -> DataFrame:
+                       until: int | None = None,
+                       with_preimage: bool = False,
+                       key: str | None = None) -> DataFrame:
     """Change rows of delta versions in (after, until] — each row the
     key-normalized upsert payload (op 'U') or tombstone (op 'D', all
     payload columns NULL) exactly as the arrival committed it, plus
@@ -74,9 +82,27 @@ def read_table_changes(spark: SparkSession, path: str, *,
     `mergeSchema` posture as the fold). `after=0` = everything still
     on disk; `until=None` = through the newest complete delta.
 
+    `with_preimage=True` (requires `key`) adds `_change_pre`: a struct
+    of the key's payload AS OF just before its change version — Delta
+    CDF's update_preimage, the retraction half an incremental
+    consumer (view maintenance, differential aggregation) needs. The
+    pre-state of version v is base + committed deltas below v,
+    computed ONLY for v's keys: base reads prune to the files whose
+    zone span the keys hit (`_hits_base`), earlier-delta keys merge
+    through the bounded fast-merge branch (`_merged_touched`) — cost
+    O(changed keys + admissible files) per version, never O(table).
+    NULL `_change_pre` = the key did not exist (an insert); a key
+    deleted by an EARLIER served delta also pre-images as NULL.
+    Pre-images need UNFOLDED deltas (a fold bakes them into the
+    base), so a window reaching at or below the watermark raises —
+    drain the feed before compacting, the same cadence contract the
+    streaming form's GC note states.
+
     Raises `ChangeHistoryUnavailable` when the window reaches
     versions already reclaimed; truncates (never errors) at a live
     appender's incomplete slot so emission stays contiguous."""
+    if with_preimage and not key:
+        raise ValueError("with_preimage needs the merge key")
     floor = folded_through(spark, path)
     present = _delta_versions(spark, path)
     known_max = max(present[-1] if present else 0, floor)
@@ -99,27 +125,82 @@ def read_table_changes(spark: SparkSession, path: str, *,
             f"reclaimed (folded through {floor}); snapshot-diff the "
             f"retained versions and resume the feed above "
             f"{max(missing)}")
+    if with_preimage and versions and versions[0] <= floor:
+        raise ChangeHistoryUnavailable(
+            f"pre-images need unfolded deltas, but version "
+            f"{versions[0]} is at or below the folded-through "
+            f"watermark {floor} of {path} — its pre-state is baked "
+            f"into the base; drain the feed before compacting")
     if not versions:
         base = _lsm_base(spark, path)
         if base is None:
             raise ValueError(f"no keyed table at {path}")
         empty = spark.createDataFrame([], base.schema)
-        return (empty
-                .withColumn(VERSION_COL, F.lit(None).cast("int"))
-                .withColumn(OP_COL, F.lit(None).cast("string")))
-    parts = []
-    for v in versions:
-        d = spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
-        parts.append(d.withColumn(VERSION_COL, F.lit(v)))
+        out = (empty
+               .withColumn(VERSION_COL, F.lit(None).cast("int"))
+               .withColumn(OP_COL, F.lit(None).cast("string")))
+        if with_preimage:
+            pcols = [c for c in base.columns if c != key]
+            out = out.withColumn(PRE_COL, F.lit(None).cast(
+                "struct<" + ",".join(
+                    f"{c}:{dict(base.dtypes)[c]}" for c in pcols) + ">"))
+        return out
+    deltas = {v: spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
+              for v in versions}
+    version_now = current_base_version(spark, path)
+    base = (_read_base(spark, path, version_now) if version_now
+            else _lsm_base(spark, path))
+    if base is None:                     # deltas-only table
+        base = spark.createDataFrame([], deltas[versions[0]].schema)
+    # the full payload schema (base + every served delta): a window
+    # holding only tombstones must still emit the table's payload
+    # columns as NULLs, and schema-evolved windows stay column-complete
+    ptypes: dict[str, str] = {c: t for c, t in base.dtypes
+                              if c != _TOMBSTONE}
+    for d in deltas.values():
+        for c, t in d.dtypes:
+            if c not in ptypes and c != _TOMBSTONE:
+                ptypes[c] = t
+    if with_preimage:
+        committed = _complete_deltas(spark, path, floor=floor)
+        pcols: list[str] = [c for c in ptypes if c != key]
+        for v in versions:
+            d = deltas[v]
+            kdf = d.select(key).filter(F.col(key).isNotNull()).distinct()
+            hits = _hits_base(spark, path, key, base,
+                              version_now or None, [v])
+            base_rows = hits.join(F.broadcast(kdf), key)
+            earlier = [e for e in committed if e < v]
+            if earlier:
+                dkeys, merged, _ = _merged_touched(
+                    spark, path, key, base, earlier, None,
+                    version_now or None)
+                pre = (base_rows.join(F.broadcast(dkeys), key,
+                                      "left_anti")
+                       .unionByName(merged.join(F.broadcast(kdf), key),
+                                    allowMissingColumns=True))
+            else:
+                pre = base_rows
+            pre = pre.select(key, F.struct(
+                *[(F.col(c) if c in pre.columns
+                   else F.lit(None)).alias(c) for c in pcols]
+            ).alias(PRE_COL))
+            deltas[v] = d.join(pre, key, "left")
+    parts = [deltas[v].withColumn(VERSION_COL, F.lit(v))
+             for v in versions]
     allv = reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    for c, t in ptypes.items():
+        if c not in allv.columns:
+            allv = allv.withColumn(c, F.lit(None).cast(t))
     if _TOMBSTONE in allv.columns:
         op = F.when(F.col(_TOMBSTONE), F.lit("D")).otherwise(F.lit("U"))
         allv = allv.withColumn(OP_COL, op).drop(_TOMBSTONE)
     else:
         allv = allv.withColumn(OP_COL, F.lit("U"))
-    cols = [c for c in allv.columns if c not in (VERSION_COL, OP_COL)]
-    return allv.select(*cols, VERSION_COL, OP_COL)
+    tail = [VERSION_COL, OP_COL] + ([PRE_COL] if with_preimage else [])
+    cols = [c for c in allv.columns if c not in tail]
+    return allv.select(*cols, *tail)
 
 
 def changes_schema(spark: SparkSession, path: str) -> T.StructType:

@@ -1120,7 +1120,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             stats_cols: list[str] | None = None,
                             zorder_col: str | None = None,
                             target_file_bytes: int | None = None,
-                            bloom_cols: list[str] | None = None):
+                            bloom_cols: list[str] | None = None,
+                            table_props: dict[str, str] | None = None):
     """MERGE `source` into the keyed parquet table at `path` (created on
     first write). Returns the post-merge table DataFrame, or
     ``(df, counts)`` with the reference-style write-result counts
@@ -1167,7 +1168,16 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     ever-fatter files whose [min,max] spans stop pruning anything).
     Inherited like the other layout specs; 0 drops back to the pinned
     count; `range_files` still seeds the first base (nothing observed
-    yet). Contradicts `buckets` (hash files aren't byte-ranged)."""
+    yet). Contradicts `buckets` (hash files aren't byte-ranged).
+
+    `table_props` attaches user key/value pairs to the COMMITTED
+    manifest (Delta table-properties posture): they flip atomically
+    with the data version, so a consumer that records its progress as
+    a property (e.g. the view-maintenance feed offset) can never
+    observe data without its matching property or vice versa.
+    `user.`-prefixed keys only — engine-reserved names are refused;
+    properties persist until overwritten (set a key to '' to drop
+    it)."""
     from pyspark.sql import Observation
     schema_cols = source.columns if payload is None else [key, *payload]
     # ONE manifest resolution for the whole round: version, watermark
@@ -1196,6 +1206,17 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     eff_buckets, eff_range, eff_target = _apply_autosize(
         spark, path, version, fold, meta, key, eff_buckets, eff_range,
         buckets, target_file_bytes, range_files=range_files)
+    if table_props:
+        for k, v in table_props.items():
+            if not k.startswith("user."):
+                raise ValueError(
+                    f"table property {k!r} must be 'user.'-prefixed — "
+                    f"bare names are reserved for the engine's layout "
+                    f"and watermark keys")
+            if v == "":
+                meta.pop(k, None)
+            else:
+                meta[k] = str(v)
     if fold:
         target = _read_merged_through(spark, path, key, fold,
                                       base_version=version or None)

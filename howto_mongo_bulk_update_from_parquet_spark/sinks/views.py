@@ -1,0 +1,167 @@
+"""Incremental materialized-view maintenance over the change feed —
+a grouped COUNT/SUM view kept in step with its keyed source table at
+O(changes in the window), never O(table).
+
+The differential form (DBSP / Materialize posture, carried on the
+engine's own primitives): every change event contributes
++1/+value under its POST-state group and -1/-value under its
+PRE-state group (`_change_pre`, the retraction half the feed's
+pre-image enrichment exists for). Contributions telescope across a
+multi-version window — a key updated in v1 then v4 nets to
+(-oldest pre, +newest post) — so one maintenance call applies any
+backlog exactly. Sums run in DECIMAL, so the incremental total is
+bit-identical to a full recompute (order-independent exact
+arithmetic, the engine's standard oracle discipline).
+
+Null-skip semantics: an upsert delta row with a NULL payload column
+means "keep the old value" in the table's merge, so the true
+post-image is `coalesce(change, pre)` per column — applied here
+before contributing, or a partial update would silently retract a
+value it never replaced.
+
+The view itself is a keyed table (group = merge key), so it gets the
+full commit protocol, time travel, and layouts for free. The feed
+offset rides the view's own manifest as a `user.` table property —
+data and offset flip in ONE atomic commit, so a crash between "apply"
+and "record progress" cannot double-count (re-running re-reads from
+the committed offset). Groups whose count reaches zero stay as
+cnt=0 rows (one commit per maintenance round, no second delete
+commit to crash between); `read_grouped_view` filters them.
+
+Cadence contract: pre-images need unfolded deltas, so maintenance
+must drain before the source folds (the feed raises with guidance
+otherwise) — the same drain-then-fold loop the incremental dedup
+pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .changes import OP_COL, PRE_COL, VERSION_COL, read_table_changes
+from .keyed_table import (_complete_deltas, _current_manifest,
+                          _meta_floor, _read_merged_through,
+                          current_base_version, read_merged, table_meta,
+                          upsert_into_keyed_table)
+
+OFFSET_PROP = "user.feed_offset"
+_DEC = "decimal(38,6)"
+
+
+def view_offset(spark: SparkSession, view_path: str) -> int:
+    """Last source delta version this view has applied (0 = never)."""
+    if not current_base_version(spark, view_path):
+        return 0
+    try:
+        return int(table_meta(spark, view_path).get(OFFSET_PROP, 0) or 0)
+    except ValueError:
+        return 0
+
+
+def maintain_grouped_view(spark: SparkSession, *, table_path: str,
+                          key: str, view_path: str, group_col: str,
+                          sum_col: str) -> dict:
+    """Apply the source table's changes SINCE the view's recorded
+    offset to the (group_col -> cnt, total) view. One atomic view
+    commit per call carrying the new offset. Returns
+    {applied_through, groups_touched, changes} — groups_touched is
+    the incrementality evidence a caller can assert on (it is
+    bounded by the window's change rows, not by the view).
+
+    FIRST call (no view yet) BOOTSTRAPS from a snapshot: full
+    groupBy of the table's merged state as of one consistent
+    (base version, committed deltas) resolution, offset = the newest
+    delta that state includes — O(table) exactly once, the standard
+    snapshot-then-follow consumer pattern (changes made by full
+    upsert rounds never reach the feed, so a feed-only view of a
+    pre-loaded table would silently start empty). NULL groups are
+    not tracked (the view's merge key cannot be null)."""
+    if not current_base_version(spark, view_path):
+        version, meta = _current_manifest(spark, table_path)
+        floor = _meta_floor(meta)
+        committed = _complete_deltas(spark, table_path, floor=floor)
+        state = _read_merged_through(spark, table_path, key, committed,
+                                     base_version=version or None)
+        snap = (state.filter(F.col(group_col).isNotNull())
+                .groupBy(group_col)
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.coalesce(F.sum(F.col(sum_col).cast(_DEC)),
+                                F.lit(0).cast(_DEC)).alias("total")))
+        newest = committed[-1] if committed else floor
+        upsert_into_keyed_table(spark, snap, path=view_path,
+                                key=group_col, updated_at_col=None,
+                                table_props={OFFSET_PROP: str(newest)})
+        return {"applied_through": int(newest),
+                "groups_touched": int(snap.count()),
+                "changes": -1, "bootstrap": True}
+    off = view_offset(spark, view_path)
+    changes = read_table_changes(spark, table_path, after=off,
+                                 with_preimage=True, key=key)
+    served = changes.agg(F.max(VERSION_COL)).first()[0]
+    if served is None:
+        return {"applied_through": off, "groups_touched": 0,
+                "changes": 0}
+    # null-skip post-image, then the differential contributions
+    post_g = F.coalesce(F.col(group_col), F.col(f"{PRE_COL}.{group_col}"))
+    post_v = F.coalesce(F.col(sum_col), F.col(f"{PRE_COL}.{sum_col}"))
+    add = (changes.filter(F.col(OP_COL) == "U")
+           .select(post_g.alias("__g"),
+                   F.lit(1).cast("long").alias("__c"),
+                   F.coalesce(post_v.cast(_DEC),
+                              F.lit(0).cast(_DEC)).alias("__t")))
+    retract = (changes.filter(F.col(PRE_COL).isNotNull())
+               .select(F.col(f"{PRE_COL}.{group_col}").alias("__g"),
+                       F.lit(-1).cast("long").alias("__c"),
+                       (-F.coalesce(
+                           F.col(f"{PRE_COL}.{sum_col}").cast(_DEC),
+                           F.lit(0).cast(_DEC))).alias("__t")))
+    # localCheckpoint: the contribution frame is O(touched groups) and
+    # feeds BOTH the semi join and the full outer below — materializing
+    # it cuts the shared lineage (self-join ambiguity) and computes the
+    # feed read once
+    delta = (add.unionByName(retract)
+             .filter(F.col("__g").isNotNull())
+             .groupBy("__g")
+             .agg(F.sum("__c").alias("__dc"), F.sum("__t").alias("__dt"))
+             .localCheckpoint())
+    if current_base_version(spark, view_path):
+        cur = read_merged(spark, view_path, group_col)
+    else:
+        cur = spark.createDataFrame(
+            [], f"{group_col} {dict(delta.dtypes)['__g']}, "
+                f"cnt long, total {_DEC}")
+    cur = (cur.alias("c")
+           .join(F.broadcast(delta.alias("s")),
+                 F.col(f"c.{group_col}") == F.col("s.__g"), "semi"))
+    merged = (cur.alias("c")
+              .join(delta.alias("d"),
+                    F.col(f"c.{group_col}") == F.col("d.__g"),
+                    "full_outer")
+              .select(
+                  F.coalesce(F.col(f"c.{group_col}"), F.col("d.__g"))
+                   .alias(group_col),
+                  (F.coalesce(F.col("c.cnt"), F.lit(0))
+                   + F.coalesce(F.col("d.__dc"), F.lit(0)))
+                  .alias("cnt"),
+                  (F.coalesce(F.col("c.total"), F.lit(0).cast(_DEC))
+                   + F.coalesce(F.col("d.__dt"), F.lit(0).cast(_DEC)))
+                  .cast(_DEC).alias("total")))
+    n_touched = merged.count()
+    upsert_into_keyed_table(spark, merged, path=view_path,
+                            key=group_col, updated_at_col=None,
+                            table_props={OFFSET_PROP: str(served)})
+    return {"applied_through": int(served),
+            "groups_touched": int(n_touched),
+            "changes": changes.count()}
+
+
+def read_grouped_view(spark: SparkSession, view_path: str,
+                      group_col: str) -> DataFrame:
+    """The view's live rows: cnt > 0 (zero-count groups are retained
+    debris of one-commit maintenance rounds), total surfaced as
+    DOUBLE for consumer/oracle parity."""
+    return (read_merged(spark, view_path, group_col)
+            .filter(F.col("cnt") > 0)
+            .select(group_col, "cnt",
+                    F.col("total").cast("double").alias("total")))

@@ -1,0 +1,220 @@
+"""Pre-image feed enrichment + incremental grouped-view maintenance
+(`sinks/changes.py::with_preimage`, `sinks/views.py`). Covers:
+pre-image exactness incl. multi-version chaining and
+deleted-by-earlier keys, the fold guard, table properties, snapshot
+bootstrap, differential increments equal to a full recompute (exact
+decimal), group moves / deletes / inserts / null-skip partial
+updates, telescoped multi-version windows, idempotent re-runs, and
+crash-safe offsets (offset flips atomically with the view commit).
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from howto_mongo_bulk_update_from_parquet_spark.sinks.changes import (
+    PRE_COL, VERSION_COL, ChangeHistoryUnavailable, read_table_changes)
+from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+    append_delete_delta, append_delta, compact, read_merged, table_meta,
+    upsert_into_keyed_table)
+from howto_mongo_bulk_update_from_parquet_spark.sinks.views import (
+    maintain_grouped_view, read_grouped_view, view_offset)
+
+
+def _mk_table(spark, tmp_path, n=12):
+    path = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [Row(k=i, g=i % 3, val=float(i)) for i in range(n)])
+    upsert_into_keyed_table(spark, base, path=path, key="k",
+                            updated_at_col=None)
+    return path
+
+
+def _recompute(spark, path):
+    return sorted(
+        (r.g, r.cnt, float(r.total)) for r in
+        read_merged(spark, path, "k").groupBy("g").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("val").cast("decimal(38,6)"))
+             .cast("double").alias("total")).collect())
+
+
+def _view(spark, vp):
+    return sorted((r.g, r.cnt, r.total) for r in
+                  read_grouped_view(spark, vp, "g").collect())
+
+
+def test_preimages_exact_and_chained(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=1, g=9, val=11.0)]),
+                 path=path, key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=2)]),
+                        path=path, key="k")
+    append_delta(spark, spark.createDataFrame([Row(k=100, g=5, val=1.0)]),
+                 path=path, key="k")
+    append_delta(spark, spark.createDataFrame([Row(k=1, g=4, val=12.0)]),
+                 path=path, key="k")
+    out = {(r["k"], r[VERSION_COL]):
+           (r[PRE_COL]["g"], r[PRE_COL]["val"]) if r[PRE_COL] else None
+           for r in read_table_changes(spark, path, with_preimage=True,
+                                       key="k").collect()}
+    assert out[(1, 1)] == (1, 1.0)       # update: base state
+    assert out[(2, 2)] == (2, 2.0)       # delete carries what died
+    assert out[(100, 3)] is None         # insert: no pre
+    assert out[(1, 4)] == (9, 11.0)      # chained: v1's POST state
+
+
+def test_preimage_of_key_deleted_earlier_is_null(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    append_delete_delta(spark, spark.createDataFrame([Row(k=5)]),
+                        path=path, key="k")
+    append_delta(spark, spark.createDataFrame([Row(k=5, g=7, val=50.0)]),
+                 path=path, key="k")
+    out = {r[VERSION_COL]: r[PRE_COL]
+           for r in read_table_changes(spark, path, with_preimage=True,
+                                       key="k").collect()}
+    assert out[1] is not None            # the delete saw the base row
+    assert out[2] is None                # re-insert after tombstone
+
+
+def test_preimage_requires_unfolded(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    append_delta(spark, spark.createDataFrame([Row(k=1, g=9, val=1.0)]),
+                 path=path, key="k")
+    compact(spark, path, "k")
+    with pytest.raises(ChangeHistoryUnavailable, match="unfolded"):
+        read_table_changes(spark, path, with_preimage=True, key="k")
+    # plain (post-only) reads of the retained folded delta still work
+    assert read_table_changes(spark, path).count() == 1
+
+
+def test_table_props_roundtrip_and_guard(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(k=1, v=1.0)])
+    upsert_into_keyed_table(spark, df, path=path, key="k",
+                            updated_at_col=None,
+                            table_props={"user.owner": "me"})
+    assert table_meta(spark, path)["user.owner"] == "me"
+    # carried through later rounds, droppable with ''
+    upsert_into_keyed_table(spark, df, path=path, key="k",
+                            updated_at_col=None)
+    assert table_meta(spark, path)["user.owner"] == "me"
+    upsert_into_keyed_table(spark, df, path=path, key="k",
+                            updated_at_col=None,
+                            table_props={"user.owner": ""})
+    assert "user.owner" not in table_meta(spark, path)
+    with pytest.raises(ValueError, match="user"):
+        upsert_into_keyed_table(spark, df, path=path, key="k",
+                                updated_at_col=None,
+                                table_props={"range_files": "9"})
+
+
+def test_bootstrap_then_increments_match_recompute(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val")
+    assert st.get("bootstrap") and st["groups_touched"] == 3
+    assert _view(spark, vp) == _recompute(spark, path)
+    # one window with a group move, a delete, an insert, and a
+    # null-skip partial update (g=None keeps the old group)
+    append_delta(spark, spark.createDataFrame([Row(k=1, g=9, val=11.0)]),
+                 path=path, key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=2)]),
+                        path=path, key="k")
+    append_delta(spark,
+                 spark.createDataFrame([Row(k=100, g=5, val=100.0)]),
+                 path=path, key="k")
+    append_delta(spark,
+                 spark.createDataFrame([Row(k=3, g=None, val=30.0)],
+                                       "k bigint, g bigint, val double"),
+                 path=path, key="k")
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val")
+    assert st["applied_through"] == 4 and st["changes"] == 4
+    assert _view(spark, vp) == _recompute(spark, path)
+    # idempotent: nothing new, nothing touched
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val")
+    assert st["groups_touched"] == 0 and st["changes"] == 0
+
+
+def test_telescoped_multi_version_window(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    # the same key changes three times before one maintenance call
+    for g, v in ((7, 1.0), (8, 2.0), (7, 3.0)):
+        append_delta(spark,
+                     spark.createDataFrame([Row(k=1, g=g, val=v)]),
+                     path=path, key="k")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    assert _view(spark, vp) == _recompute(spark, path)
+    # group 8 was entered and left within the window: nets to zero
+    assert all(g != 8 for g, _, _ in _view(spark, vp))
+
+
+def test_group_emptied_then_refilled(spark, tmp_path):
+    path = str(tmp_path / "src")
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, g=1, val=10.0)]),
+        path=path, key="k", updated_at_col=None)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=1)]),
+                        path=path, key="k")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    assert _view(spark, vp) == []        # cnt=0 rows filtered
+    append_delta(spark, spark.createDataFrame([Row(k=2, g=1, val=5.0)]),
+                 path=path, key="k")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    assert _view(spark, vp) == [(1, 1, 5.0)]
+
+
+def test_offset_commits_atomically_with_view(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    append_delta(spark, spark.createDataFrame([Row(k=1, g=9, val=1.0)]),
+                 path=path, key="k")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    assert view_offset(spark, vp) == 1
+    # the offset lives in the view's committed manifest — time travel
+    # to the bootstrap version shows the OLD offset with the OLD data
+    # (one atomic flip; no window where they disagree)
+    assert table_meta(spark, vp)["user.feed_offset"] == "1"
+
+
+def test_cli_maintain_view(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    rc = main(["maintain-view", "--table", path, "--key", "k",
+               "--view", vp, "--group-col", "g", "--sum-col", "val"])
+    assert rc == 0
+    assert '"bootstrap": true' in capsys.readouterr().out
+    append_delta(spark, spark.createDataFrame([Row(k=1, g=9, val=1.0)]),
+                 path=path, key="k")
+    rc = main(["maintain-view", "--table", path, "--key", "k",
+               "--view", vp, "--group-col", "g", "--sum-col", "val"])
+    assert rc == 0
+    assert '"applied_through": 1' in capsys.readouterr().out
+    assert _view(spark, vp) == _recompute(spark, path)
+    # folded-away pre-images: clear error instead of silent corruption
+    append_delta(spark, spark.createDataFrame([Row(k=2, g=9, val=2.0)]),
+                 path=path, key="k")
+    compact(spark, path, "k")
+    rc = main(["maintain-view", "--table", path, "--key", "k",
+               "--view", vp, "--group-col", "g", "--sum-col", "val"])
+    assert rc == 2
+    assert "unfolded" in capsys.readouterr().err
