@@ -219,6 +219,58 @@ def _bloom_scan_factory(spark, data_dir: str, scratch: str, k: int,
     return run
 
 
+# View-maintenance slot (r13): one feed round — a constant-size
+# arrival (copy-0 keys 0..8000) lands as an LSM delta and ONE
+# maintain_grouped_view call applies it differentially to a grouped
+# COUNT/SUM view over the xK orders (bootstrap is untimed setup).
+# The increment costs O(changes + touched groups): pre-images read
+# zone-span-pruned base hits, retract/add contributions are exact
+# decimal, and the source table is never rescanned — so the timed
+# cost should stay ~flat while the table grows x100. The run asserts
+# the round was incremental (not a re-bootstrap) and that the view
+# stays offset-consistent.
+VIEW_SLOT = "view_maintain_arrival"
+
+
+def _view_maintain_factory(spark, data_dir: str, scratch: str, k: int):
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        append_delta, upsert_into_keyed_table)
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.views import (
+        maintain_grouped_view)
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+
+    tp = os.path.join(scratch, "kt_view_src")
+    vp = os.path.join(scratch, "kt_view_agg")
+    shutil.rmtree(tp, ignore_errors=True)
+    shutil.rmtree(vp, ignore_errors=True)
+    orders = load_table(spark, data_dir, "orders").select(
+        F.col("o_orderkey").alias("_id"),
+        F.col("o_custkey").cast("bigint").alias("g"),
+        F.col("o_totalprice").cast("double").alias("val"))
+    upsert_into_keyed_table(spark, orders, path=tp, key="_id",
+                            updated_at_col=None, range_files=8 * k)
+    st = maintain_grouped_view(spark, table_path=tp, key="_id",
+                               view_path=vp, group_col="g",
+                               sum_col="val")
+    if not st.get("bootstrap"):
+        raise AssertionError(f"setup bootstrap failed: {st}")
+    batch = (orders.filter(F.col("_id").between(0, 8000))
+             .withColumn("val", F.col("val") + 1.0)
+             .localCheckpoint())
+
+    def run():
+        append_delta(spark, batch, path=tp, key="_id")
+        st = maintain_grouped_view(spark, table_path=tp, key="_id",
+                                   view_path=vp, group_col="g",
+                                   sum_col="val")
+        if st.get("bootstrap") or st["changes"] <= 0:
+            raise AssertionError(f"round was not incremental: {st}")
+    return run
+
+
 # Adaptive file-sizing slot (r13): the arrival round of
 # compact_pruned_arrival, but the pre-built base is sized by a FIXED
 # byte target instead of a hand-scaled 8*k file count — the planner
@@ -627,7 +679,8 @@ def main() -> None:
         QUERIES + SINK_SLOTS + LOOKUP_SLOTS + COMPACT_SLOTS
         + MERGED_SLOTS + ZONEMAP_PLAN_SLOTS
         + BLOOM_SLOTS
-        + [DEDUP_STREAM_SLOT, VEC_TUNED_SLOT, AUTOSIZE_SLOT]))
+        + [DEDUP_STREAM_SLOT, VEC_TUNED_SLOT, AUTOSIZE_SLOT,
+           VIEW_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -662,7 +715,7 @@ def main() -> None:
                      and n not in ZONEMAP_PLAN_SLOTS
                      and n not in BLOOM_SLOTS
                      and n not in (DEDUP_STREAM_SLOT, VEC_TUNED_SLOT,
-                                   AUTOSIZE_SLOT)), None)
+                                   AUTOSIZE_SLOT, VIEW_SLOT)), None)
         if warm:
             queries[warm](spark, out_dir).write.format("noop") \
                 .mode("overwrite").save()
@@ -688,6 +741,10 @@ def main() -> None:
                 thunk = _zonemap_plan_factory(
                     spark, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     k, sharded=q.endswith("sharded"))
+            elif q == VIEW_SLOT:
+                thunk = _view_maintain_factory(
+                    spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
+                    k)
             elif q in BLOOM_SLOTS:
                 thunk = _bloom_scan_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
