@@ -86,6 +86,12 @@ def cmd_upsert(args: argparse.Namespace) -> int:
               "contradicts --buckets (hash layout); choose one per "
               "table", file=sys.stderr)
         return 2
+    if args.check and (use_mongo or args.lsm):
+        print("--check records a constraint in the keyed-table "
+              "manifest (appends ENFORCE inherited constraints "
+              "automatically); set it on a plain `upsert --table` "
+              "round", file=sys.stderr)
+        return 2
     if args.bloom_cols and args.buckets:
         print("--bloom-cols indexes a RANGE base's files — a "
               "hash-bucketed base has no file-skipping scan to serve",
@@ -148,6 +154,12 @@ def cmd_upsert(args: argparse.Namespace) -> int:
                                                        .split(",") if c]
                                                       if args.bloom_cols
                                                       is not None else None),
+                                                  checks=(
+                                                      dict(c.split("=", 1)
+                                                           for c in
+                                                           args.check)
+                                                      if args.check
+                                                      else None),
                                                   target_file_bytes=(
                                                       args.target_file_mb
                                                       * 1024 * 1024
@@ -1331,6 +1343,12 @@ def main(argv: list[str] | None = None) -> int:
                         "(key, col) z-rectangles so `scan` prunes on "
                         "this column too (inherited; '' drops back to "
                         "key-only sort)")
+    u.add_argument("--check", action="append", metavar="NAME=EXPR",
+                   help="write-time CHECK constraint on the keyed "
+                        "table (repeatable; recorded in the manifest, "
+                        "enforced on every later write batch before "
+                        "commit; NAME= drops it). SQL CHECK semantics: "
+                        "NULL passes")
     u.add_argument("--bloom-cols", dest="bloom_cols",
                    help="comma-separated columns to bloom-index on a "
                         "range base: equality `scan` probes then skip "

@@ -680,3 +680,53 @@ def q_keyed_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     if st2["groups_touched"] != 0 or st2["changes"] != 0:
         raise AssertionError(f"re-run was not a no-op: {st2}")
     return read_grouped_view(spark, vp, "g")
+
+
+@register("q_keyed_constraints", AUTOSIZE_ORACLE,
+          "write-time CHECK constraints: a violating batch is refused "
+          "BEFORE commit (in-query assert: raised + zero trace), valid "
+          "writes flow — table contents oracle-exact (r13)")
+def q_keyed_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of the keyed table's CHECK constraints
+    (`sinks/keyed_table._enforce_checks` — Delta constraint posture):
+    the table carries `price > 0` and `status IS NOT NULL`; a valid
+    price-doubling delta lands, then a NEGATED-price batch must raise
+    `ConstraintViolation` and leave NO delta directory behind (the
+    table never holds a violating row, even transiently). The query
+    asserts both, folds, and returns the merged rows — so enforcement
+    that silently skips (violations admitted) or over-fires (valid
+    rows rejected) both surface as a value-hash mismatch against the
+    oracle. SQL CHECK semantics: NULL passes, demanded non-null is an
+    explicit constraint. At 100 TB the enforcement is one violation
+    scan of the WRITE BATCH (O(batch)), never of the table."""
+    import tempfile
+
+    from ..sinks import fs as hfs
+    from ..sinks.keyed_table import ConstraintViolation
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    path = tempfile.mkdtemp(prefix="keyed_ck_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None,
+                            checks={"pos_price": "price > 0",
+                                    "status_set": "status IS NOT NULL"})
+    append_delta(spark,
+                 target.filter(F.col("k") % 10 == 0)
+                 .select("k", (F.col("price") * 2).alias("price"),
+                         "status"),
+                 path=path, key="k")
+    bad = (target.filter(F.col("k") % 5 == 0)
+           .select("k", (-F.col("price")).alias("price"), "status"))
+    try:
+        append_delta(spark, bad, path=path, key="k")
+        raise AssertionError("violating batch was accepted")
+    except ConstraintViolation:
+        pass
+    if hfs.exists(spark, hfs.join(path, "delta_00002")):
+        raise AssertionError("violating batch left a delta behind")
+    compact(spark, path, "k")
+    return read_keyed_table(spark, path).select("k", "price", "status")

@@ -47,6 +47,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_table_changes",
     "q_keyed_bloom_scan",
     "q_keyed_view_maintain",
+    "q_keyed_constraints",
 })
 
 LANES = ("analytics", "cycle", "streaming")

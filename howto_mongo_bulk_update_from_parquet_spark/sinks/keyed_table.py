@@ -965,6 +965,62 @@ def _resolve_zorder(meta: dict[str, str], key: str,
     return None
 
 
+class ConstraintViolation(ValueError):
+    """A write batch broke a table CHECK constraint — refused BEFORE
+    anything commits, so the table never holds a violating row."""
+
+
+_CHECK_PREFIX = "check."
+
+
+def _resolve_checks(meta: dict[str, str],
+                    checks: dict[str, str] | None) -> dict[str, str]:
+    """Effective CHECK constraints for the next commit — explicit dict
+    wins ({} drops all, a '' value drops one); otherwise inherit the
+    manifest's `check.<name>` entries. Unlike the layout specs these
+    are not keyed to the merge key: a constraint outlives re-layouts."""
+    inherited = {k[len(_CHECK_PREFIX):]: v for k, v in meta.items()
+                 if k.startswith(_CHECK_PREFIX)}
+    if checks is None:
+        return inherited
+    out = dict(inherited)
+    for name, expr in checks.items():
+        if expr == "":
+            out.pop(name, None)
+        else:
+            out[name] = expr
+    return out
+
+
+def _enforce_checks(df: DataFrame, checks: dict[str, str],
+                    what: str) -> None:
+    """Refuse `df` if any row violates any CHECK (Delta constraint
+    posture: enforced on the WRITE BATCH, before commit — existing
+    rows were checked by the writes that created them). SQL CHECK
+    semantics: a row violates only when the expression is FALSE —
+    NULL/UNKNOWN passes, which is also what lets a null-skip partial
+    update (NULL = keep the old value) through a value constraint;
+    demand non-null explicitly with `col IS NOT NULL`. One combined
+    violation scan per write; the error carries one example row with
+    the constraints it broke."""
+    if not checks:
+        return
+    import functools
+    conds = {name: F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+             for name, expr in checks.items()}
+    bad = df.filter(~functools.reduce(lambda a, b: a & b,
+                                      conds.values()))
+    probe = (bad.select(F.struct(*df.columns).alias("__row"),
+                        *[c.alias(f"__ok_{n}") for n, c in conds.items()])
+             .limit(1).collect())
+    if probe:
+        r = probe[0]
+        broken = sorted(n for n in conds if not r[f"__ok_{n}"])
+        raise ConstraintViolation(
+            f"{what} violates CHECK constraint(s) {broken}: example "
+            f"row {r['__row'].asDict()}")
+
+
 def _resolve_bloom(meta: dict[str, str], key: str,
                    bloom_cols: list[str] | None) -> list[str]:
     """Effective bloom-index columns for a RANGE base — the same
@@ -1121,7 +1177,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             zorder_col: str | None = None,
                             target_file_bytes: int | None = None,
                             bloom_cols: list[str] | None = None,
-                            table_props: dict[str, str] | None = None):
+                            table_props: dict[str, str] | None = None,
+                            checks: dict[str, str] | None = None):
     """MERGE `source` into the keyed parquet table at `path` (created on
     first write). Returns the post-merge table DataFrame, or
     ``(df, counts)`` with the reference-style write-result counts
@@ -1217,6 +1274,13 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                 meta.pop(k, None)
             else:
                 meta[k] = str(v)
+    eff_checks = _resolve_checks(meta, checks)
+    _enforce_checks(prepare_source(source, key, dedup_order_by),
+                    eff_checks, "upsert source")
+    for k in [k for k in meta if k.startswith(_CHECK_PREFIX)]:
+        del meta[k]
+    for n, e in eff_checks.items():
+        meta[_CHECK_PREFIX + n] = e
     if fold:
         target = _read_merged_through(spark, path, key, fold,
                                       base_version=version or None)
@@ -1539,6 +1603,8 @@ def append_delta(spark: SparkSession, source: DataFrame, *, path: str,
     Returns the delta version number. The source is normalized first
     (null-key drop + latest-per-key, reference notes 3/5)."""
     src = prepare_source(source, key, dedup_order_by)
+    _enforce_checks(src, _resolve_checks(table_meta(spark, path), None),
+                    "delta append")
     return _append_delta_claiming(spark, src, path, key=key)
 
 
