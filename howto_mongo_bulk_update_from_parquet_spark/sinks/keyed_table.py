@@ -2625,11 +2625,20 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
                 .distinct())
     remaining = target.join(del_keys, key, "left_anti")
     new_version = _next_base_version(spark, path, version)
-    # a bucketed/range table keeps its layout through a delete rewrite
+    # a bucketed/range table keeps its FULL layout spec through a
+    # delete rewrite — byte target (re-planned from observed bytes,
+    # like any fold) and bloom index included: dropping them here
+    # would silently degrade every later read (caught by
+    # test_keyed_checks/test_keyed_bloom delete-survival cases)
     keep_buckets, keep_range = _resolve_layout(meta, key, None, None)
+    keep_buckets, keep_range, keep_target = _apply_autosize(
+        spark, path, version, fold, meta, key, keep_buckets, keep_range,
+        None, None)
     meta = _write_base_and_meta(spark, remaining, path, new_version, key,
                                 keep_buckets, meta, eff_range=keep_range,
-                                eff_zorder=_resolve_zorder(meta, key, None))
+                                eff_zorder=_resolve_zorder(meta, key, None),
+                                eff_target=keep_target,
+                                eff_bloom=_resolve_bloom(meta, key, None))
     # count BEFORE the commit: _commit_version migrates away a legacy
     # root layout's files, which `target` may still lazily scan
     n_before = target.count() if return_counts else None

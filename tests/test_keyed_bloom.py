@@ -199,3 +199,33 @@ def test_all_layout_specs_compose(spark, tmp_path):
     assert st2["bloom_cols_used"] == ["uid"]
     assert st2["files_read"] < st2["files_total"]
     assert [r["k"] for r in out.collect()] == [4242]
+
+
+def test_delete_rewrite_keeps_target_and_bloom(spark, tmp_path):
+    """A versioned delete rewrite must carry the FULL layout spec —
+    byte target re-planned, bloom re-collected — not silently drop
+    them from the manifest (regression: the delete path once omitted
+    eff_target/eff_bloom and every later read degraded)."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        delete_from_keyed_table)
+    path = str(tmp_path / "dtab")
+    upsert_into_keyed_table(spark, _docs(spark), path=path, key="k",
+                            updated_at_col=None, range_files=4,
+                            target_file_bytes=32 * 1024,
+                            bloom_cols=["uid"])
+    delete_from_keyed_table(
+        spark, _docs(spark).filter(F.col("k") % 9 == 0).select("k"),
+        path=path, key="k")
+    meta = table_meta(spark, path)
+    assert meta["target_file_bytes"] == str(32 * 1024)
+    assert meta["bloom_cols"] == "uid"
+    probe = _uid(spark, 7001)
+    out, st = scan_keyed_table(spark, path, where={"uid": (probe, probe)},
+                               with_stats=True)
+    assert st["bloom_cols_used"] == ["uid"]
+    assert st["files_read"] < st["files_total"]
+    assert [r["k"] for r in out.collect()] == [7001]
+    # deleted keys' uids are gone
+    gone = _uid(spark, 9 * 5)
+    assert scan_keyed_table(spark, path,
+                            where={"uid": (gone, gone)}).count() == 0
