@@ -32,6 +32,12 @@ Cadence contract: pre-images need unfolded deltas, so maintenance
 must drain before the source folds (the feed raises with guidance
 otherwise) — the same drain-then-fold loop the incremental dedup
 pipeline runs.
+
+Concurrency: maintenance never retries internally — a racing
+maintainer's commit loses the view's manifest CAS and raises
+ConcurrentWriteError, and the RE-RUN re-reads the fresh offset, so a
+stale (state, offset) pair can never overwrite a newer one
+(race-pinned in tests/test_view_maintenance.py).
 """
 
 from __future__ import annotations

@@ -218,3 +218,47 @@ def test_cli_maintain_view(spark, tmp_path, capsys):
                "--view", vp, "--group-col", "g", "--sum-col", "val"])
     assert rc == 2
     assert "unfolded" in capsys.readouterr().err
+
+
+def test_concurrent_maintainers_never_double_count(spark, tmp_path):
+    """Two maintainers racing over the same change window: the view
+    upsert's manifest CAS lets at most one commit per round; losers
+    get ConcurrentWriteError (never a silent stale re-commit, because
+    maintenance has no internal retry — a re-RUN re-reads the fresh
+    offset). After the dust settles one more call converges the view
+    to the exact recompute — no change applied twice."""
+    import threading
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        ConcurrentWriteError)
+
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    for i in range(4):
+        append_delta(spark,
+                     spark.createDataFrame([Row(k=i, g=7 + i, val=1.0)]),
+                     path=path, key="k")
+    outcomes = []
+
+    def worker():
+        try:
+            st = maintain_grouped_view(spark, table_path=path, key="k",
+                                       view_path=vp, group_col="g",
+                                       sum_col="val")
+            outcomes.append(("ok", st["applied_through"]))
+        except ConcurrentWriteError:
+            outcomes.append(("conflict", None))
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert any(o == "ok" for o, _ in outcomes)
+    # convergence: one more (serial) round, then exact equality
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    assert _view(spark, vp) == _recompute(spark, path)
+    assert view_offset(spark, vp) == 4
