@@ -98,3 +98,12 @@ def test_violation_message_names_example_row(spark, tmp_path):
         append_delta(spark,
                      spark.createDataFrame([Row(k=9, val=-1.0, tag="x")]),
                      path=path, key="k")
+
+
+def test_cli_check_gates_and_set(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    # --check on --lsm appends: constraints are SET on table rounds
+    rc = main(["upsert", "--path", str(tmp_path), "--table",
+               str(tmp_path / "t"), "--lsm", "--check", "c=val > 0"])
+    assert rc == 2
+    assert "constraint" in capsys.readouterr().err
