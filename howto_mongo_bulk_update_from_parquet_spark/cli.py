@@ -569,6 +569,46 @@ def cmd_lookup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _parse_where_specs(spark, table: str, specs) -> dict | int:
+    """`col:lo:hi` specs (cmd_scan / cmd_delete --where) -> the
+    scan_keyed_table `where` dict, values cast to each column's own
+    dtype; returns an exit code int on user error."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from .sinks.keyed_table import table_key_dtype
+
+    def conv(v: str, dt):
+        if isinstance(dt, (T.ByteType, T.ShortType,
+                           T.IntegerType, T.LongType)):
+            return int(v)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return float(v)
+        if isinstance(dt, T.DateType):
+            return datetime.date.fromisoformat(v)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return datetime.datetime.fromisoformat(v)
+        return v
+
+    where = {}
+    for spec in specs:
+        col, sep, bounds = spec.partition(":")
+        lo_s, sep2, hi_s = bounds.partition(":")
+        if not sep or not sep2:
+            print(f"--where wants col:lo:hi, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        dt = table_key_dtype(spark, table, col)
+        if dt is None:
+            print(f"no keyed table at {table} (or no column "
+                  f"{col!r})", file=sys.stderr)
+            return 2
+        where[col] = (conv(lo_s, dt) if lo_s else None,
+                      conv(hi_s, dt) if hi_s else None)
+    return where
+
+
 def cmd_scan(args: argparse.Namespace) -> int:
     """Zone-map-accelerated range scan of a keyed table on any stats
     column (r12): `--where col:lo:hi` (repeatable, ANDed; leave lo or
@@ -577,42 +617,13 @@ def cmd_scan(args: argparse.Namespace) -> int:
     delta-aware decomposition (pruned base minus delta keys, union
     the merged delta view) — no fold needed; only a table whose
     manifest records no merge key still refuses."""
-    import datetime
-
-    from pyspark.sql import types as T
-
-    from .sinks.keyed_table import scan_keyed_table, table_key_dtype
+    from .sinks.keyed_table import scan_keyed_table
 
     spark = get_spark("scan")
-
-    def conv(s: str, dt):
-        if isinstance(dt, (T.ByteType, T.ShortType,
-                           T.IntegerType, T.LongType)):
-            return int(s)
-        if isinstance(dt, (T.FloatType, T.DoubleType)):
-            return float(s)
-        if isinstance(dt, T.DateType):
-            return datetime.date.fromisoformat(s)
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            return datetime.datetime.fromisoformat(s)
-        return s
-
+    where = _parse_where_specs(spark, args.table, args.where)
+    if isinstance(where, int):
+        return where
     try:
-        where = {}
-        for spec in args.where:
-            col, sep, bounds = spec.partition(":")
-            lo_s, sep2, hi_s = bounds.partition(":")
-            if not sep or not sep2:
-                print(f"--where wants col:lo:hi, got {spec!r}",
-                      file=sys.stderr)
-                return 2
-            dt = table_key_dtype(spark, args.table, col)
-            if dt is None:
-                print(f"no keyed table at {args.table} (or no column "
-                      f"{col!r})", file=sys.stderr)
-                return 2
-            where[col] = (conv(lo_s, dt) if lo_s else None,
-                          conv(hi_s, dt) if hi_s else None)
         out, stats = scan_keyed_table(spark, args.table, where=where,
                                       with_stats=True)
         if args.out:
@@ -641,11 +652,34 @@ def cmd_delete(args: argparse.Namespace) -> int:
     from .sinks.keyed_table import (append_delete_delta,
                                     delete_from_keyed_table,
                                     table_key_dtype)
-    if not args.keys and not args.keys_path:
-        print("delete requires --keys or --keys-path", file=sys.stderr)
+    n_src = sum(bool(x) for x in (args.keys, args.keys_path,
+                                  args.where))
+    if n_src != 1:
+        print("delete requires exactly one of --keys, --keys-path, "
+              "--where", file=sys.stderr)
         return 2
     spark = get_spark("delete")
-    if args.keys_path:
+    if args.where:
+        # predicate delete (retention/GDPR sweeps): derive the victim
+        # keys through the data-skipping scan — zone map + bloom prune
+        # the base, pending deltas merge in — then delete by key
+        # through the chosen path. O(admissible files + delta bytes)
+        # to find victims, never a full-table scan on a laid-out table.
+        from .sinks.keyed_table import scan_keyed_table
+        where = _parse_where_specs(spark, args.table, args.where)
+        if isinstance(where, int):
+            return where
+        try:
+            matched = scan_keyed_table(spark, args.table, where=where)
+        except (ValueError, FileNotFoundError) as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        if args.key not in matched.columns:
+            print(f"table rows carry no key column {args.key!r}",
+                  file=sys.stderr)
+            return 2
+        keys = matched.select(args.key)
+    elif args.keys_path:
         keys = spark.read.parquet(args.keys_path).select(args.key)
     else:
         vals = [(v,) for v in args.keys.split(",")]
@@ -1533,6 +1567,13 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--key", default=PIPELINE_KEY)
     dl.add_argument("--keys", help="comma-separated key values")
     dl.add_argument("--keys-path", help="parquet of keys (overrides --keys)")
+    dl.add_argument("--where", action="append", metavar="COL:LO:HI",
+                    help="predicate delete: victims found through the "
+                         "data-skipping scan (zone map + bloom prune; "
+                         "pending deltas merged), then deleted by key "
+                         "(repeatable, ANDed; empty LO/HI = open "
+                         "bound; COL:V:V = equality). Alternative to "
+                         "--keys/--keys-path")
     dl.add_argument("--key-type", default="string",
                     help="cast for --keys values (e.g. long)")
     dl.add_argument("--tombstone", action="store_true",

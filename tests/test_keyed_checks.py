@@ -107,3 +107,33 @@ def test_cli_check_gates_and_set(spark, tmp_path, capsys):
                str(tmp_path / "t"), "--lsm", "--check", "c=val > 0"])
     assert rc == 2
     assert "constraint" in capsys.readouterr().err
+
+
+def test_cli_delete_where_predicate(spark, tmp_path, capsys):
+    """Predicate delete: --where derives victims through the
+    data-skipping scan, then deletes by key (tombstone or rewrite)."""
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    path = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id").alias("_id"), (F.col("id") % 10).alias("bucket"),
+        F.rand(3).alias("v"))
+    upsert_into_keyed_table(spark, df, path=path, key="_id",
+                            updated_at_col=None, range_files=4,
+                            stats_cols=["bucket"])
+    rc = main(["delete", "--table", path, "--key", "_id",
+               "--where", "bucket:7:7"])
+    assert rc == 0
+    assert "deleted 20 row(s)" in capsys.readouterr().out
+    assert read_merged(spark, path, "_id").count() == 180
+    # exactly-one-source gate
+    rc = main(["delete", "--table", path, "--key", "_id",
+               "--keys", "1", "--where", "bucket:1:1"])
+    assert rc == 2
+    assert "exactly one" in capsys.readouterr().err
+    # tombstone form composes
+    rc = main(["delete", "--table", path, "--key", "_id",
+               "--where", "bucket:8:8", "--tombstone"])
+    assert rc == 0
+    assert read_merged(spark, path, "_id").count() == 160
