@@ -484,8 +484,9 @@ def cmd_maintain_view(args: argparse.Namespace) -> int:
         st = maintain_grouped_view(spark, table_path=args.table,
                                    key=args.key, view_path=args.view,
                                    group_col=args.group_col,
-                                   sum_col=args.sum_col)
-    except ChangeHistoryUnavailable as exc:
+                                   sum_col=args.sum_col,
+                                   track_minmax=args.minmax)
+    except (ChangeHistoryUnavailable, ValueError) as exc:
         print(f"cannot maintain incrementally: {exc}", file=sys.stderr)
         return 2
     print(_json.dumps(st, sort_keys=True))
@@ -1558,6 +1559,10 @@ def main(argv: list[str] | None = None) -> int:
     mv.add_argument("--view", required=True, help="view keyed table path")
     mv.add_argument("--group-col", required=True, dest="group_col")
     mv.add_argument("--sum-col", required=True, dest="sum_col")
+    mv.add_argument("--minmax", action="store_true",
+                    help="also track per-group MIN/MAX (monotone "
+                         "tightening is free; a retracted extremum "
+                         "recomputes only the flagged groups)")
     mv.set_defaults(fn=cmd_maintain_view)
 
     dl = sub.add_parser(

@@ -730,3 +730,92 @@ def q_keyed_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("violating batch left a delta behind")
     compact(spark, path, "k")
     return read_keyed_table(spark, path).select("k", "price", "status")
+
+
+VIEW_MINMAX_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS g,
+         CAST(o_totalprice AS DOUBLE) AS val
+  FROM orders
+),
+ins AS (
+  SELECT k + 20000000 AS k, g, val + 5 AS val FROM t WHERE k % 13 = 0
+),
+allr AS (SELECT * FROM t UNION ALL SELECT * FROM ins),
+victims AS (
+  SELECT k FROM (
+    SELECT k, ROW_NUMBER() OVER (PARTITION BY g
+                                 ORDER BY val DESC, k) AS rn
+    FROM allr WHERE g % 5 = 0) WHERE rn = 1
+),
+fin AS (SELECT * FROM allr WHERE k NOT IN (SELECT k FROM victims))
+SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total,
+       MIN(val) AS vmin, MAX(val) AS vmax
+FROM fin GROUP BY g
+"""
+
+
+@register("q_keyed_view_minmax", VIEW_MINMAX_ORACLE,
+          "MIN/MAX view maintenance: monotone inserts stay "
+          "pure-differential (in-query: 0 recomputes), deleting each "
+          "victim group's MAX forces the bounded recompute path — "
+          "both attested against one oracle (r13)")
+def q_keyed_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `track_minmax` view maintenance — BOTH paths of
+    the non-invertible-aggregate problem: round 1 is pure inserts
+    (new keys, no pre-images), so the monotone least/greatest path
+    must apply with ZERO group recomputes (asserted — a maintainer
+    that secretly rescans fails here); round 2 deletes each g%5
+    group's current MAXIMUM row (computed by the same deterministic
+    window both engines run), invalidating those extremes, so the
+    recompute path must engage (asserted > 0) and rebuild exactly the
+    flagged groups from the offset-consistent merged state. The final
+    view hashes against a plain GROUP BY MIN/MAX oracle, so a stale
+    extremum, a resurrected emptied-group value, or a drifted total
+    all fail on values. At 100 TB: inserts cost O(changes); extremum
+    retractions cost O(flagged groups' rows) — the structural bound
+    for MIN/MAX without per-group heaps."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..sinks.views import maintain_grouped_view, read_grouped_view
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("bigint").alias("g"),
+        F.col("o_totalprice").cast("double").alias("val"))
+    tp = tempfile.mkdtemp(prefix="keyed_mm_t_")
+    vp = tempfile.mkdtemp(prefix="keyed_mm_v_")
+    upsert_into_keyed_table(spark, rows, path=tp, key="k",
+                            updated_at_col=None)
+    maintain_grouped_view(spark, table_path=tp, key="k", view_path=vp,
+                          group_col="g", sum_col="val",
+                          track_minmax=True)
+    append_delta(spark,
+                 rows.filter(F.col("k") % 13 == 0)
+                 .select((F.col("k") + 20000000).alias("k"), "g",
+                         (F.col("val") + 5).alias("val")),
+                 path=tp, key="k")
+    st1 = maintain_grouped_view(spark, table_path=tp, key="k",
+                                view_path=vp, group_col="g",
+                                sum_col="val", track_minmax=True)
+    if st1["recomputed_groups"] != 0:
+        raise AssertionError(
+            f"insert-only round must stay pure-differential: {st1}")
+    state = read_merged(spark, tp, "k")
+    w = Window.partitionBy("g").orderBy(F.col("val").desc(),
+                                        F.col("k").asc())
+    victims = (state.filter(F.col("g") % 5 == 0)
+               .withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).select("k"))
+    append_delete_delta(spark, victims, path=tp, key="k")
+    st2 = maintain_grouped_view(spark, table_path=tp, key="k",
+                                view_path=vp, group_col="g",
+                                sum_col="val", track_minmax=True)
+    if st2["recomputed_groups"] <= 0:
+        raise AssertionError(
+            f"deleting group maxima must engage the recompute: {st2}")
+    return read_grouped_view(spark, vp, "g")

@@ -48,6 +48,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_bloom_scan",
     "q_keyed_view_maintain",
     "q_keyed_constraints",
+    "q_keyed_view_minmax",
 })
 
 LANES = ("analytics", "cycle", "streaming")

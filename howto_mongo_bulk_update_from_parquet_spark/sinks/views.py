@@ -45,7 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .changes import OP_COL, PRE_COL, VERSION_COL, read_table_changes
+from .changes import (OP_COL, PRE_COL, VERSION_COL,
+                      ChangeHistoryUnavailable, read_table_changes)
 from .keyed_table import (_complete_deltas, _current_manifest,
                           _meta_floor, _read_merged_through,
                           current_base_version, read_merged, table_meta,
@@ -67,13 +68,14 @@ def view_offset(spark: SparkSession, view_path: str) -> int:
 
 def maintain_grouped_view(spark: SparkSession, *, table_path: str,
                           key: str, view_path: str, group_col: str,
-                          sum_col: str) -> dict:
+                          sum_col: str,
+                          track_minmax: bool = False) -> dict:
     """Apply the source table's changes SINCE the view's recorded
-    offset to the (group_col -> cnt, total) view. One atomic view
-    commit per call carrying the new offset. Returns
-    {applied_through, groups_touched, changes} — groups_touched is
-    the incrementality evidence a caller can assert on (it is
-    bounded by the window's change rows, not by the view).
+    offset to the (group_col -> cnt, total[, vmin, vmax]) view. One
+    atomic view commit per call carrying the new offset. Returns
+    {applied_through, groups_touched, changes[, recomputed_groups]} —
+    groups_touched is the incrementality evidence a caller can assert
+    on (bounded by the window's change rows, not by the view).
 
     FIRST call (no view yet) BOOTSTRAPS from a snapshot: full
     groupBy of the table's merged state as of one consistent
@@ -82,18 +84,36 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     snapshot-then-follow consumer pattern (changes made by full
     upsert rounds never reach the feed, so a feed-only view of a
     pre-loaded table would silently start empty). NULL groups are
-    not tracked (the view's merge key cannot be null)."""
+    not tracked (the view's merge key cannot be null).
+
+    `track_minmax=True` adds vmin/vmax. MIN/MAX are not self-
+    decrementing: added values tighten extremes monotonically
+    (least/greatest — free), but a RETRACTED value at or beyond a
+    group's current extremum invalidates it, and the true new
+    extremum needs the group's surviving rows — the classic
+    non-invertible-aggregate recompute. Only the flagged groups
+    recompute, from the table's merged state AS OF the window's end
+    version (never the live head — a racing appender's newer deltas
+    must not leak into a state committed under this offset; if a
+    concurrent fold already swallowed that state, the round aborts
+    cleanly for a re-run). Typical rounds retract no extremum and
+    stay pure-differential — `recomputed_groups` in the stats is the
+    evidence. A view must be bootstrapped with the same
+    `track_minmax` it is maintained with (enforced)."""
     if not current_base_version(spark, view_path):
         version, meta = _current_manifest(spark, table_path)
         floor = _meta_floor(meta)
         committed = _complete_deltas(spark, table_path, floor=floor)
         state = _read_merged_through(spark, table_path, key, committed,
                                      base_version=version or None)
+        aggs = [F.count(F.lit(1)).alias("cnt"),
+                F.coalesce(F.sum(F.col(sum_col).cast(_DEC)),
+                           F.lit(0).cast(_DEC)).alias("total")]
+        if track_minmax:
+            aggs += [F.min(F.col(sum_col).cast("double")).alias("vmin"),
+                     F.max(F.col(sum_col).cast("double")).alias("vmax")]
         snap = (state.filter(F.col(group_col).isNotNull())
-                .groupBy(group_col)
-                .agg(F.count(F.lit(1)).alias("cnt"),
-                     F.coalesce(F.sum(F.col(sum_col).cast(_DEC)),
-                                F.lit(0).cast(_DEC)).alias("total")))
+                .groupBy(group_col).agg(*aggs))
         newest = committed[-1] if committed else floor
         upsert_into_keyed_table(spark, snap, path=view_path,
                                 key=group_col, updated_at_col=None,
@@ -111,17 +131,21 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     # null-skip post-image, then the differential contributions
     post_g = F.coalesce(F.col(group_col), F.col(f"{PRE_COL}.{group_col}"))
     post_v = F.coalesce(F.col(sum_col), F.col(f"{PRE_COL}.{sum_col}"))
+    pre_v = F.col(f"{PRE_COL}.{sum_col}")
     add = (changes.filter(F.col(OP_COL) == "U")
            .select(post_g.alias("__g"),
                    F.lit(1).cast("long").alias("__c"),
                    F.coalesce(post_v.cast(_DEC),
-                              F.lit(0).cast(_DEC)).alias("__t")))
+                              F.lit(0).cast(_DEC)).alias("__t"),
+                   post_v.cast("double").alias("__v"),
+                   F.lit(None).cast("double").alias("__r")))
     retract = (changes.filter(F.col(PRE_COL).isNotNull())
                .select(F.col(f"{PRE_COL}.{group_col}").alias("__g"),
                        F.lit(-1).cast("long").alias("__c"),
-                       (-F.coalesce(
-                           F.col(f"{PRE_COL}.{sum_col}").cast(_DEC),
-                           F.lit(0).cast(_DEC))).alias("__t")))
+                       (-F.coalesce(pre_v.cast(_DEC),
+                                    F.lit(0).cast(_DEC))).alias("__t"),
+                       F.lit(None).cast("double").alias("__v"),
+                       pre_v.cast("double").alias("__r")))
     # localCheckpoint: the contribution frame is O(touched groups) and
     # feeds BOTH the semi join and the full outer below — materializing
     # it cuts the shared lineage (self-join ambiguity) and computes the
@@ -129,45 +153,133 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     delta = (add.unionByName(retract)
              .filter(F.col("__g").isNotNull())
              .groupBy("__g")
-             .agg(F.sum("__c").alias("__dc"), F.sum("__t").alias("__dt"))
+             .agg(F.sum("__c").alias("__dc"), F.sum("__t").alias("__dt"),
+                  F.min("__v").alias("__wmin"),
+                  F.max("__v").alias("__wmax"),
+                  F.min("__r").alias("__rmin"),
+                  F.max("__r").alias("__rmax"))
              .localCheckpoint())
-    if current_base_version(spark, view_path):
-        cur = read_merged(spark, view_path, group_col)
-    else:
-        cur = spark.createDataFrame(
-            [], f"{group_col} {dict(delta.dtypes)['__g']}, "
-                f"cnt long, total {_DEC}")
+    cur = read_merged(spark, view_path, group_col)
+    if track_minmax != ("vmin" in cur.columns):
+        raise ValueError(
+            f"view at {view_path} was bootstrapped with "
+            f"track_minmax={'vmin' in cur.columns} — maintain it the "
+            f"same way (a mismatch would silently stale the extremes)")
     cur = (cur.alias("c")
            .join(F.broadcast(delta.alias("s")),
                  F.col(f"c.{group_col}") == F.col("s.__g"), "semi"))
+    new_cnt = (F.coalesce(F.col("c.cnt"), F.lit(0))
+               + F.coalesce(F.col("d.__dc"), F.lit(0)))
+    cols = [F.coalesce(F.col(f"c.{group_col}"), F.col("d.__g"))
+             .alias(group_col),
+            new_cnt.alias("cnt"),
+            (F.coalesce(F.col("c.total"), F.lit(0).cast(_DEC))
+             + F.coalesce(F.col("d.__dt"), F.lit(0).cast(_DEC)))
+            .cast(_DEC).alias("total")]
+    if track_minmax:
+        # monotone fast path: added values only TIGHTEN extremes.
+        # A retraction at/beyond the current extremum invalidates it
+        # (flag for recompute); empty groups null out. The STORED
+        # extremes count only while the stored cnt > 0: an emptied
+        # group's row physically keeps its last extremes (the view
+        # upsert's null-skip merge would treat written NULLs as
+        # "keep old"), so a refill must start fresh from the window's
+        # own values, never least/greatest against the stale ones
+        # (caught by test_minmax_group_emptied_and_refilled).
+        cur_vmin = F.when(F.col("c.cnt") > 0, F.col("c.vmin"))
+        cur_vmax = F.when(F.col("c.cnt") > 0, F.col("c.vmax"))
+        rc = (new_cnt > 0) & (
+            (cur_vmin.isNotNull() & F.col("d.__rmin").isNotNull()
+             & (F.col("d.__rmin") <= cur_vmin))
+            | (cur_vmax.isNotNull() & F.col("d.__rmax").isNotNull()
+               & (F.col("d.__rmax") >= cur_vmax))
+            # a retraction against a group the view has no extremes
+            # for (fresh or emptied group) cannot be patched locally
+            | (cur_vmin.isNull() & F.col("d.__rmin").isNotNull()))
+        cols += [
+            F.when(new_cnt <= 0, F.lit(None).cast("double"))
+             .otherwise(F.least(cur_vmin, F.col("d.__wmin")))
+             .alias("vmin"),
+            F.when(new_cnt <= 0, F.lit(None).cast("double"))
+             .otherwise(F.greatest(cur_vmax, F.col("d.__wmax")))
+             .alias("vmax"),
+            F.coalesce(rc, F.lit(False)).alias("__rc")]
     merged = (cur.alias("c")
               .join(delta.alias("d"),
                     F.col(f"c.{group_col}") == F.col("d.__g"),
                     "full_outer")
-              .select(
-                  F.coalesce(F.col(f"c.{group_col}"), F.col("d.__g"))
-                   .alias(group_col),
-                  (F.coalesce(F.col("c.cnt"), F.lit(0))
-                   + F.coalesce(F.col("d.__dc"), F.lit(0)))
-                  .alias("cnt"),
-                  (F.coalesce(F.col("c.total"), F.lit(0).cast(_DEC))
-                   + F.coalesce(F.col("d.__dt"), F.lit(0).cast(_DEC)))
-                  .cast(_DEC).alias("total")))
+              .select(*cols))
+    n_rc = 0
+    if track_minmax:
+        merged = merged.localCheckpoint()
+        rc_keys = [r[group_col] for r in
+                   merged.filter(F.col("__rc")).select(group_col)
+                   .collect()]        # bounded by the window's groups
+        n_rc = len(rc_keys)
+        if rc_keys:
+            version, meta = _current_manifest(spark, table_path)
+            floor = _meta_floor(meta)
+            if floor > served:
+                raise ChangeHistoryUnavailable(
+                    f"a concurrent fold advanced {table_path} past "
+                    f"offset {served} mid-round — re-run the "
+                    f"maintenance (nothing was committed)")
+            window = [v for v in
+                      _complete_deltas(spark, table_path, floor=floor)
+                      if v <= served]
+            state = _read_merged_through(spark, table_path, key, window,
+                                         base_version=version or None)
+            rc_df = spark.createDataFrame(
+                [(g,) for g in rc_keys],
+                f"{group_col} {dict(merged.dtypes)[group_col]}")
+            rc_agg = (state.join(F.broadcast(rc_df), group_col)
+                      .groupBy(group_col)
+                      .agg(F.count(F.lit(1)).alias("cnt"),
+                           F.coalesce(F.sum(F.col(sum_col).cast(_DEC)),
+                                      F.lit(0).cast(_DEC)).alias("total"),
+                           F.min(F.col(sum_col).cast("double"))
+                            .alias("vmin"),
+                           F.max(F.col(sum_col).cast("double"))
+                            .alias("vmax")))
+            # groups whose every row died recompute to NO rows: keep
+            # them as cnt=0 (the view's standard zero-group debris)
+            rc_full = (rc_df.alias("k")
+                       .join(rc_agg.alias("a"),
+                             F.col(f"k.{group_col}")
+                             == F.col(f"a.{group_col}"), "left")
+                       .select(
+                           F.col(f"k.{group_col}").alias(group_col),
+                           F.coalesce(F.col("a.cnt"), F.lit(0))
+                            .alias("cnt"),
+                           F.coalesce(F.col("a.total"),
+                                      F.lit(0).cast(_DEC)).alias("total"),
+                           F.col("a.vmin").alias("vmin"),
+                           F.col("a.vmax").alias("vmax")))
+            merged = (merged.filter(~F.col("__rc")).drop("__rc")
+                      .unionByName(rc_full))
+        else:
+            merged = merged.drop("__rc")
     n_touched = merged.count()
     upsert_into_keyed_table(spark, merged, path=view_path,
                             key=group_col, updated_at_col=None,
                             table_props={OFFSET_PROP: str(served)})
-    return {"applied_through": int(served),
-            "groups_touched": int(n_touched),
-            "changes": changes.count()}
+    out = {"applied_through": int(served),
+           "groups_touched": int(n_touched),
+           "changes": changes.count()}
+    if track_minmax:
+        out["recomputed_groups"] = n_rc
+    return out
 
 
 def read_grouped_view(spark: SparkSession, view_path: str,
                       group_col: str) -> DataFrame:
     """The view's live rows: cnt > 0 (zero-count groups are retained
     debris of one-commit maintenance rounds), total surfaced as
-    DOUBLE for consumer/oracle parity."""
-    return (read_merged(spark, view_path, group_col)
-            .filter(F.col("cnt") > 0)
-            .select(group_col, "cnt",
-                    F.col("total").cast("double").alias("total")))
+    DOUBLE for consumer/oracle parity; vmin/vmax included when the
+    view tracks them."""
+    v = read_merged(spark, view_path, group_col).filter(F.col("cnt") > 0)
+    cols = [group_col, "cnt",
+            F.col("total").cast("double").alias("total")]
+    if "vmin" in v.columns:
+        cols += ["vmin", "vmax"]
+    return v.select(*cols)

@@ -262,3 +262,102 @@ def test_concurrent_maintainers_never_double_count(spark, tmp_path):
                           view_path=vp, group_col="g", sum_col="val")
     assert _view(spark, vp) == _recompute(spark, path)
     assert view_offset(spark, vp) == 4
+
+
+def _view_mm(spark, vp):
+    return sorted((r.g, r.cnt, r.total, r.vmin, r.vmax) for r in
+                  read_grouped_view(spark, vp, "g").collect())
+
+
+def _recompute_mm(spark, path):
+    return sorted(
+        (r.g, r.cnt, float(r.total), r.vmin, r.vmax) for r in
+        read_merged(spark, path, "k").groupBy("g").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("val").cast("decimal(38,6)"))
+             .cast("double").alias("total"),
+            F.min("val").alias("vmin"),
+            F.max("val").alias("vmax")).collect())
+
+
+def test_minmax_monotone_path_no_recompute(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
+                          group_col="g", sum_col="val",
+                          track_minmax=True)
+    # pure inserts: no pre-images, no retraction — never a recompute
+    append_delta(spark,
+                 spark.createDataFrame([Row(k=50, g=1, val=50.0),
+                                        Row(k=51, g=2, val=-9.0)]),
+                 path=path, key="k")
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val", track_minmax=True)
+    assert st["recomputed_groups"] == 0
+    assert _view_mm(spark, vp) == _recompute_mm(spark, path)
+
+
+def test_minmax_extremum_retraction_recomputes(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)          # g = k % 3, val = k
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
+                          group_col="g", sum_col="val",
+                          track_minmax=True)
+    # k=11 is group 2's MAX (val 11.0): deleting it must recompute
+    append_delete_delta(spark, spark.createDataFrame([Row(k=11)]),
+                        path=path, key="k")
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val", track_minmax=True)
+    assert st["recomputed_groups"] == 1
+    assert _view_mm(spark, vp) == _recompute_mm(spark, path)
+    # an interior retraction (k=5, val 5.0 — neither extremum of
+    # group 2 which now spans 2..8) stays pure-differential
+    append_delete_delta(spark, spark.createDataFrame([Row(k=5)]),
+                        path=path, key="k")
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val", track_minmax=True)
+    assert st["recomputed_groups"] == 0
+    assert _view_mm(spark, vp) == _recompute_mm(spark, path)
+
+
+def test_minmax_group_emptied_and_refilled(spark, tmp_path):
+    path = str(tmp_path / "src")
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, g=1, val=10.0),
+                                      Row(k=2, g=1, val=20.0)]),
+        path=path, key="k", updated_at_col=None)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
+                          group_col="g", sum_col="val",
+                          track_minmax=True)
+    append_delete_delta(spark, spark.createDataFrame([Row(k=1), Row(k=2)]),
+                        path=path, key="k")
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val", track_minmax=True)
+    # fully-emptied group: nulled extremes, no recompute needed
+    assert st["recomputed_groups"] == 0
+    assert _view_mm(spark, vp) == []
+    append_delta(spark, spark.createDataFrame([Row(k=3, g=1, val=7.0)]),
+                 path=path, key="k")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
+                          group_col="g", sum_col="val",
+                          track_minmax=True)
+    assert _view_mm(spark, vp) == [(1, 1, 7.0, 7.0, 7.0)]
+
+
+def test_minmax_mode_mismatch_guard(spark, tmp_path):
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
+                          group_col="g", sum_col="val",
+                          track_minmax=True)
+    append_delta(spark, spark.createDataFrame([Row(k=99, g=1, val=9.0)]),
+                 path=path, key="k")
+    with pytest.raises(ValueError, match="track_minmax"):
+        maintain_grouped_view(spark, table_path=path, key="k",
+                              view_path=vp, group_col="g",
+                              sum_col="val")
