@@ -98,8 +98,16 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     concurrent fold already swallowed that state, the round aborts
     cleanly for a re-run). Typical rounds retract no extremum and
     stay pure-differential — `recomputed_groups` in the stats is the
-    evidence. A view must be bootstrapped with the same
-    `track_minmax` it is maintained with (enforced)."""
+    evidence. Recompute-round cost, stated precisely: the
+    offset-consistent state is one merged read of the table with a
+    broadcast semi filter (I/O O(table bytes scanned) map-side, no
+    shuffle beyond the flagged groups' rows; a group-span base prune
+    would be UNSOUND here — a group-moving partial update's key can
+    sit in another group's file and still owe this group its
+    null-skip lookback). That is the structural bound for MIN/MAX
+    without per-group heaps; SUM/COUNT rounds never pay it. A view
+    must be bootstrapped with the same `track_minmax` it is
+    maintained with (enforced)."""
     if not current_base_version(spark, view_path):
         version, meta = _current_manifest(spark, table_path)
         floor = _meta_floor(meta)
