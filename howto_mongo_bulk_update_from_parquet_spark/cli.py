@@ -86,6 +86,12 @@ def cmd_upsert(args: argparse.Namespace) -> int:
               "contradicts --buckets (hash layout); choose one per "
               "table", file=sys.stderr)
         return 2
+    if args.schema_mode and (use_mongo or args.lsm):
+        print("--schema-mode is recorded in the keyed-table manifest "
+              "(appends ENFORCE the inherited mode automatically); "
+              "set it on a plain `upsert --table` round",
+              file=sys.stderr)
+        return 2
     if args.check and (use_mongo or args.lsm):
         print("--check records a constraint in the keyed-table "
               "manifest (appends ENFORCE inherited constraints "
@@ -160,6 +166,8 @@ def cmd_upsert(args: argparse.Namespace) -> int:
                                                            args.check)
                                                       if args.check
                                                       else None),
+                                                  schema_mode=(
+                                                      args.schema_mode),
                                                   target_file_bytes=(
                                                       args.target_file_mb
                                                       * 1024 * 1024
@@ -1378,6 +1386,13 @@ def main(argv: list[str] | None = None) -> int:
                         "(key, col) z-rectangles so `scan` prunes on "
                         "this column too (inherited; '' drops back to "
                         "key-only sort)")
+    u.add_argument("--schema-mode", dest="schema_mode",
+                   choices=["merge", "strict"],
+                   help="strict: refuse write batches introducing "
+                        "columns the table lacks (Delta schema "
+                        "enforcement; recorded + inherited); merge "
+                        "(default): widen, old rows read the new "
+                        "column as NULL")
     u.add_argument("--check", action="append", metavar="NAME=EXPR",
                    help="write-time CHECK constraint on the keyed "
                         "table (repeatable; recorded in the manifest, "

@@ -1178,7 +1178,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                             target_file_bytes: int | None = None,
                             bloom_cols: list[str] | None = None,
                             table_props: dict[str, str] | None = None,
-                            checks: dict[str, str] | None = None):
+                            checks: dict[str, str] | None = None,
+                            schema_mode: str | None = None):
     """MERGE `source` into the keyed parquet table at `path` (created on
     first write). Returns the post-merge table DataFrame, or
     ``(df, counts)`` with the reference-style write-result counts
@@ -1277,6 +1278,13 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     eff_checks = _resolve_checks(meta, checks)
     _enforce_checks(prepare_source(source, key, dedup_order_by),
                     eff_checks, "upsert source")
+    eff_schema_mode = _resolve_schema_mode(meta, schema_mode)
+    _enforce_schema_mode(spark, path, schema_cols, eff_schema_mode,
+                         "upsert source", updated_at_col=updated_at_col)
+    if eff_schema_mode == "strict":
+        meta[_SCHEMA_MODE_KEY] = "strict"
+    else:
+        meta.pop(_SCHEMA_MODE_KEY, None)
     for k in [k for k in meta if k.startswith(_CHECK_PREFIX)]:
         del meta[k]
     for n, e in eff_checks.items():
@@ -1603,8 +1611,11 @@ def append_delta(spark: SparkSession, source: DataFrame, *, path: str,
     Returns the delta version number. The source is normalized first
     (null-key drop + latest-per-key, reference notes 3/5)."""
     src = prepare_source(source, key, dedup_order_by)
-    _enforce_checks(src, _resolve_checks(table_meta(spark, path), None),
-                    "delta append")
+    meta = table_meta(spark, path)
+    _enforce_checks(src, _resolve_checks(meta, None), "delta append")
+    _enforce_schema_mode(spark, path, src.columns,
+                         _resolve_schema_mode(meta, None),
+                         "delta append")
     return _append_delta_claiming(spark, src, path, key=key)
 
 
@@ -2665,27 +2676,80 @@ def append_delete_delta(spark: SparkSession, keys: DataFrame, *,
     return _append_delta_claiming(spark, src, path, key=key)
 
 
-def table_key_dtype(spark: SparkSession, path: str, key: str):
-    """Declared Spark DataType of `key` in the table's current schema
-    — committed base first, else the newest pending delta, else the
-    legacy root layout; None when no table exists (first write defines
-    the type). Lets callers refuse a mistyped key batch BEFORE an
-    unreadable delta lands (ADVICE r8: a string-typed tombstone on a
-    long-keyed table breaks every subsequent `read_merged` at the
-    unionByName type-resolution step)."""
+def table_schema(spark: SparkSession, path: str):
+    """The table's current declared schema (StructType) — committed
+    base first, else the newest pending delta, else the legacy root
+    layout; None when no table exists (first write defines it). One
+    parquet-footer read, no data."""
     version = current_base_version(spark, path)
     if version:
-        schema = _read_base(spark, path, version).schema
-    else:
-        deltas = _delta_versions(spark, path)
-        if deltas:
-            schema = spark.read.parquet(
-                hfs.join(path, f"delta_{deltas[-1]:05d}")).schema
-        elif _legacy_root_has_data(spark, path):
-            schema = spark.read.parquet(path).schema
-        else:
-            return None
+        return _read_base(spark, path, version).schema
+    deltas = _delta_versions(spark, path)
+    if deltas:
+        return spark.read.parquet(
+            hfs.join(path, f"delta_{deltas[-1]:05d}")).schema
+    if _legacy_root_has_data(spark, path):
+        return spark.read.parquet(path).schema
+    return None
+
+
+def table_key_dtype(spark: SparkSession, path: str, key: str):
+    """Declared Spark DataType of `key` in the table's current schema
+    (None when no table exists — first write defines the type). Lets
+    callers refuse a mistyped key batch BEFORE an unreadable delta
+    lands (ADVICE r8: a string-typed tombstone on a long-keyed table
+    breaks every subsequent `read_merged` at the unionByName
+    type-resolution step)."""
+    schema = table_schema(spark, path)
+    if schema is None:
+        return None
     return schema[key].dataType if key in schema.names else None
+
+
+class SchemaViolation(ValueError):
+    """A write batch carries columns the table does not have while
+    the manifest pins `schema.mode=strict` — refused BEFORE anything
+    commits (Delta schema-enforcement posture; the default mode,
+    merge, widens the schema and reads old rows as NULL)."""
+
+
+_SCHEMA_MODE_KEY = "schema.mode"
+
+
+def _resolve_schema_mode(meta: dict[str, str],
+                         schema_mode: str | None) -> str:
+    if schema_mode is not None:
+        if schema_mode not in ("merge", "strict"):
+            raise ValueError(
+                f"schema_mode must be 'merge' or 'strict', "
+                f"got {schema_mode!r}")
+        return schema_mode
+    return meta.get(_SCHEMA_MODE_KEY, "merge")
+
+
+def _enforce_schema_mode(spark: SparkSession, path: str,
+                         source_cols: list[str], mode: str, what: str,
+                         updated_at_col: str | None = None) -> None:
+    """Under `strict`, refuse a batch introducing columns the table's
+    current schema lacks. Column REMOVAL is always fine (absent
+    columns merge as null-skip). The tombstone marker and the
+    configured updatedAt column are engine-managed, never
+    "new". First write defines the schema unconditionally."""
+    if mode != "strict":
+        return
+    schema = table_schema(spark, path)
+    if schema is None:
+        return
+    known = set(schema.names) | {_TOMBSTONE}
+    if updated_at_col:
+        known.add(updated_at_col)
+    extra = sorted(c for c in source_cols if c not in known)
+    if extra:
+        raise SchemaViolation(
+            f"{what} introduces column(s) {extra} but {path} pins "
+            f"schema.mode=strict — evolve the schema explicitly with "
+            f"one schema_mode='merge' upsert round (re-pin "
+            f"'strict' afterwards), or drop the columns")
 
 
 def _apply_tombstones(allv: DataFrame, key: str) -> DataFrame:
