@@ -819,3 +819,74 @@ def q_keyed_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"deleting group maxima must engage the recompute: {st2}")
     return read_grouped_view(spark, vp, "g")
+
+
+SCHEMA_STRICT_ORACLE = """
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey % 10 = 0
+            THEN CAST(o_totalprice AS DOUBLE) * 2
+            ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+       o_orderstatus AS status,
+       CASE WHEN o_orderkey % 13 = 0 THEN 'N'
+            ELSE CAST(NULL AS VARCHAR) END AS flag
+FROM orders
+"""
+
+
+@register("q_keyed_schema_strict", SCHEMA_STRICT_ORACLE,
+          "schema enforcement + explicit evolution: strict refuses an "
+          "unknown column with zero trace (in-query assert), one merge "
+          "round evolves, strict re-pins — final table oracle-exact "
+          "(r13)")
+def q_keyed_schema_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `schema.mode=strict` (`sinks/keyed_table.
+    _enforce_schema_mode` — Delta schema-enforcement posture) plus the
+    EVOLUTION path: the strict table refuses a batch carrying an
+    unknown column (asserted: raised AND no delta directory landed),
+    one explicit merge round adds `flag` for k%13==0 (a PARTIAL
+    payload — null-skip must keep every other column), strict re-pins
+    via an empty metadata round, a price-doubling delta lands under
+    the evolved schema, and the fold's result hashes against the
+    oracle — so enforcement that leaks a column, an evolution that
+    clobbers untouched payloads, or a re-pin that forgets the evolved
+    column all fail on values. At 100 TB enforcement is one footer
+    read + a column-set check per batch — O(1) data cost."""
+    import tempfile
+
+    from ..sinks import fs as hfs
+    from ..sinks.keyed_table import SchemaViolation
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    path = tempfile.mkdtemp(prefix="keyed_sm_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None, schema_mode="strict")
+    wide = target.limit(1).select("k", "price", "status",
+                                  F.lit(1).alias("rogue"))
+    try:
+        append_delta(spark, wide, path=path, key="k")
+        raise AssertionError("strict admitted an unknown column")
+    except SchemaViolation:
+        pass
+    if hfs.exists(spark, hfs.join(path, "delta_00001")):
+        raise AssertionError("refused batch left a delta behind")
+    upsert_into_keyed_table(spark,
+                            target.filter(F.col("k") % 13 == 0)
+                            .select("k", F.lit("N").alias("flag")),
+                            path=path, key="k", updated_at_col=None,
+                            schema_mode="merge")
+    empty = spark.createDataFrame([], "k bigint, price double, "
+                                      "status string, flag string")
+    upsert_into_keyed_table(spark, empty, path=path, key="k",
+                            updated_at_col=None, schema_mode="strict")
+    append_delta(spark,
+                 target.filter(F.col("k") % 10 == 0)
+                 .select("k", (F.col("price") * 2).alias("price"),
+                         "status"),
+                 path=path, key="k")
+    compact(spark, path, "k")
+    return read_keyed_table(spark, path).select("k", "price", "status",
+                                                "flag")

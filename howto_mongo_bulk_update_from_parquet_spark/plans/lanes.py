@@ -49,6 +49,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_view_maintain",
     "q_keyed_constraints",
     "q_keyed_view_minmax",
+    "q_keyed_schema_strict",
 })
 
 LANES = ("analytics", "cycle", "streaming")
