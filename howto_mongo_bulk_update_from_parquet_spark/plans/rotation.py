@@ -42,30 +42,27 @@ ROWS_ONLY = frozenset({
 # r9): an uncommitted artifact appearing mid-round — or a deploy
 # missing artifacts — must not silently shift the head order away
 # from what the committed repo state mandates.
-ATTESTED_THROUGH = 12
+ATTESTED_THROUGH = 13
 
 # Queries whose IMPLEMENTATION changed this round and therefore must
 # re-attest even though a previous round's driver run was green.
 # Reviewed each round — and MECHANICALLY GUARDED since round 10:
 # tests/test_rotation_guard.py derives the queries whose package-
 # internal import closure intersects the round's diff and fails the
-# suite if any is missing here. Round 11's diff touches (a)
-# sinks/keyed_table.py (ADVICE-r10 claim/conflict/manifest edges,
-# Round 13 opens with the r12 artifacts committed and the pin bumped
-# to 12; the list below grows as the r13 diff touches query closures
-# (the guard test derives the mandatory set mechanically and fails
-# the suite if an entry is missing). The r13 diff so far touches
-# sinks/keyed_table.py (ADVICE r12 trailing-slash ref slice + legacy
-# fast-path gate) — every keyed-storage catalog query re-attests.
+# suite if any is missing here.
+# Round 14 opens with the r13 artifacts committed and the pin bumped
+# to 13; the list grows as the r14 diff touches query closures (the
+# guard test derives the mandatory set mechanically and fails the
+# suite if an entry is missing). The r14 diff touches
+# sinks/keyed_table.py (ADVICE r13 CHECK-padding/new-check history
+# scan/strict-mode persistence; writer lease) and sinks/views.py +
+# sinks/changes.py (auto re-bootstrap, AVG/multi-agg views) — every
+# keyed-storage catalog query re-attests.
 FORCE_REATTEST: tuple[str, ...] = (
-    "q_keyed_lsm_roundtrip", "q_keyed_merged_read",
-    "q_keyed_pruned_compact", "q_keyed_zonemap_lookup",
-    "q_keyed_zonemap_scan",
-    # vector_lsh.py gained rhp_bands_sql (oracle generator refactor —
-    # _RHP_BANDS_SQL is byte-identical) and incremental_vec.py moved
-    # to fixture-scale banding so its sf0.01 attestation can fail
-    "q_incremental_vec_dedup", "q_rhp_lsh_buckets", "q_rhp_lsh_pairs",
-    "q_vector_lsh_verified")
+    "q_keyed_constraints", "q_keyed_schema_strict",
+    "q_keyed_view_maintain", "q_keyed_view_minmax",
+    "q_keyed_table_changes",
+)
 
 
 def _artifact_dir() -> str:
