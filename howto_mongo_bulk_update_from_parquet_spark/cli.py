@@ -98,6 +98,13 @@ def cmd_upsert(args: argparse.Namespace) -> int:
               "automatically); set it on a plain `upsert --table` "
               "round", file=sys.stderr)
         return 2
+    if args.check and any("=" not in c for c in args.check):
+        # a raw dict(split('=')) ValueError traceback is not a usage
+        # message (ADVICE r13)
+        bad = next(c for c in args.check if "=" not in c)
+        print(f"--check takes NAME=EXPR (use NAME= to drop one); "
+              f"got {bad!r}", file=sys.stderr)
+        return 2
     if args.bloom_cols and args.buckets:
         print("--bloom-cols indexes a RANGE base's files — a "
               "hash-bucketed base has no file-skipping scan to serve",
@@ -452,7 +459,14 @@ def cmd_changes(args: argparse.Namespace) -> int:
                   "without a durable sink and offset log re-reads "
                   "everything every run)", file=sys.stderr)
             return 2
-        q = (stream_table_changes(spark, args.table)
+        try:
+            stream = stream_table_changes(spark, args.table)
+        except ValueError as exc:
+            # e.g. the table does not exist — a usage error, not a
+            # traceback (ADVICE r13)
+            print(f"cannot follow changes: {exc}", file=sys.stderr)
+            return 2
+        q = (stream
              .writeStream.format("parquet")
              .option("checkpointLocation", args.checkpoint)
              .option("path", args.out)
@@ -1387,12 +1401,15 @@ def main(argv: list[str] | None = None) -> int:
                         "this column too (inherited; '' drops back to "
                         "key-only sort)")
     u.add_argument("--schema-mode", dest="schema_mode",
-                   choices=["merge", "strict"],
+                   choices=["merge", "strict", "unpin"],
                    help="strict: refuse write batches introducing "
                         "columns the table lacks (Delta schema "
                         "enforcement; recorded + inherited); merge "
                         "(default): widen, old rows read the new "
-                        "column as NULL")
+                        "column as NULL — on a strict table an "
+                        "explicit merge evolves THIS batch only, the "
+                        "pin survives; unpin: widen and remove the "
+                        "recorded strict pin")
     u.add_argument("--check", action="append", metavar="NAME=EXPR",
                    help="write-time CHECK constraint on the keyed "
                         "table (repeatable; recorded in the manifest, "

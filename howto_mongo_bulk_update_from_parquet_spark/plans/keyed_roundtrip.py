@@ -836,21 +836,24 @@ FROM orders
 @register("q_keyed_schema_strict", SCHEMA_STRICT_ORACLE,
           "schema enforcement + explicit evolution: strict refuses an "
           "unknown column with zero trace (in-query assert), one merge "
-          "round evolves, strict re-pins — final table oracle-exact "
-          "(r13)")
+          "round evolves while the strict pin SURVIVES (r14 — no "
+          "re-pin round) — final table oracle-exact")
 def q_keyed_schema_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attestation of `schema.mode=strict` (`sinks/keyed_table.
     _enforce_schema_mode` — Delta schema-enforcement posture) plus the
     EVOLUTION path: the strict table refuses a batch carrying an
     unknown column (asserted: raised AND no delta directory landed),
     one explicit merge round adds `flag` for k%13==0 (a PARTIAL
-    payload — null-skip must keep every other column), strict re-pins
-    via an empty metadata round, a price-doubling delta lands under
-    the evolved schema, and the fold's result hashes against the
-    oracle — so enforcement that leaks a column, an evolution that
-    clobbers untouched payloads, or a re-pin that forgets the evolved
-    column all fail on values. At 100 TB enforcement is one footer
-    read + a column-set check per batch — O(1) data cost."""
+    payload — null-skip must keep every other column) WITHOUT
+    dropping the recorded strict pin (ADVICE r13: Delta's mergeSchema
+    is a per-write override, not a table-mode change — asserted via
+    manifest AND by a second rogue column being refused with no
+    re-pin round), a price-doubling delta lands under the evolved
+    schema, and the fold's result hashes against the oracle — so
+    enforcement that leaks a column, an evolution that clobbers
+    untouched payloads, or a pin lost to the merge round all fail
+    in-query or on values. At 100 TB enforcement is one footer read +
+    a column-set check per batch — O(1) data cost."""
     import tempfile
 
     from ..sinks import fs as hfs
@@ -878,10 +881,17 @@ def q_keyed_schema_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
                             .select("k", F.lit("N").alias("flag")),
                             path=path, key="k", updated_at_col=None,
                             schema_mode="merge")
-    empty = spark.createDataFrame([], "k bigint, price double, "
-                                      "status string, flag string")
-    upsert_into_keyed_table(spark, empty, path=path, key="k",
-                            updated_at_col=None, schema_mode="strict")
+    from ..sinks.keyed_table import table_meta
+    if table_meta(spark, path).get("schema.mode") != "strict":
+        raise AssertionError("merge round dropped the strict pin")
+    rogue2 = target.limit(1).select("k", "price", "status",
+                                    F.lit(1).alias("rogue2"))
+    try:
+        append_delta(spark, rogue2, path=path, key="k")
+        raise AssertionError("pin lost: rogue2 admitted after merge "
+                             "round with no re-pin")
+    except SchemaViolation:
+        pass
     append_delta(spark,
                  target.filter(F.col("k") % 10 == 0)
                  .select("k", (F.col("price") * 2).alias("price"),

@@ -62,6 +62,12 @@ FORCE_REATTEST: tuple[str, ...] = (
     "q_keyed_constraints", "q_keyed_schema_strict",
     "q_keyed_view_maintain", "q_keyed_view_minmax",
     "q_keyed_table_changes",
+    # keyed_table.py is in every storage query's closure — the whole
+    # family re-attests (guard-derived)
+    "q_keyed_lsm_roundtrip", "q_keyed_merged_read",
+    "q_keyed_pruned_compact", "q_keyed_zonemap_lookup",
+    "q_keyed_zonemap_scan", "q_keyed_zorder_scan",
+    "q_keyed_lookup_join", "q_keyed_autosize", "q_keyed_bloom_scan",
 )
 
 

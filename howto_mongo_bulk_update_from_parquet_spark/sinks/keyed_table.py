@@ -983,6 +983,8 @@ def _resolve_checks(meta: dict[str, str],
                  if k.startswith(_CHECK_PREFIX)}
     if checks is None:
         return inherited
+    if not checks:          # explicit {} = drop all (ADVICE r13)
+        return {}
     out = dict(inherited)
     for name, expr in checks.items():
         if expr == "":
@@ -993,19 +995,32 @@ def _resolve_checks(meta: dict[str, str],
 
 
 def _enforce_checks(df: DataFrame, checks: dict[str, str],
-                    what: str) -> None:
+                    what: str,
+                    table_fields: "T.StructType | None" = None) -> None:
     """Refuse `df` if any row violates any CHECK (Delta constraint
-    posture: enforced on the WRITE BATCH, before commit — existing
-    rows were checked by the writes that created them). SQL CHECK
+    posture: enforced on the WRITE BATCH, before commit — a NEW check
+    name additionally scans the existing table state at the call site
+    that introduces it, Delta ADD-CONSTRAINT posture). SQL CHECK
     semantics: a row violates only when the expression is FALSE —
     NULL/UNKNOWN passes, which is also what lets a null-skip partial
     update (NULL = keep the old value) through a value constraint;
-    demand non-null explicitly with `col IS NOT NULL`. One combined
-    violation scan per write; the error carries one example row with
-    the constraints it broke."""
+    demand non-null explicitly with `col IS NOT NULL`. A
+    partial-payload batch (the null-skip pattern) may legitimately
+    OMIT columns a check references: `table_fields` pads those with
+    typed NULLs first, so absent == NULL == passes — the batch must
+    not crash with an unresolved-column error (ADVICE r13). One
+    combined violation scan per write; the error carries one example
+    row with the constraints it broke."""
     if not checks:
         return
     import functools
+    if table_fields is not None:
+        missing = [f for f in table_fields
+                   if f.name not in df.columns]
+        if missing:
+            df = df.select("*", *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in missing])
     conds = {name: F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
              for name, expr in checks.items()}
     bad = df.filter(~functools.reduce(lambda a, b: a & b,
@@ -1275,15 +1290,26 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                 meta.pop(k, None)
             else:
                 meta[k] = str(v)
+    inherited_checks = _resolve_checks(meta, None)
     eff_checks = _resolve_checks(meta, checks)
     _enforce_checks(prepare_source(source, key, dedup_order_by),
-                    eff_checks, "upsert source")
+                    eff_checks, "upsert source",
+                    table_fields=(table_schema(spark, path)
+                                  if eff_checks else None))
+    new_check_names = sorted(n for n in eff_checks
+                             if inherited_checks.get(n) != eff_checks[n])
     eff_schema_mode = _resolve_schema_mode(meta, schema_mode)
     _enforce_schema_mode(spark, path, schema_cols, eff_schema_mode,
                          "upsert source", updated_at_col=updated_at_col)
-    if eff_schema_mode == "strict":
+    # Persistence is driven by the EXPLICIT argument, not the
+    # effective batch mode (ADVICE r13): one schema_mode='merge'
+    # round evolves the schema for that batch while the recorded
+    # strict pin survives (Delta posture — mergeSchema does not
+    # disable table-level enforcement); only schema_mode='unpin'
+    # removes the pin persistently.
+    if schema_mode == "strict":
         meta[_SCHEMA_MODE_KEY] = "strict"
-    else:
+    elif schema_mode == "unpin":
         meta.pop(_SCHEMA_MODE_KEY, None)
     for k in [k for k in meta if k.startswith(_CHECK_PREFIX)]:
         del meta[k]
@@ -1309,6 +1335,18 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                           dedup_order_by=dedup_order_by,
                           updated_at_col=updated_at_col,
                           observation=obs)
+    if new_check_names and (version or fold
+                            or _legacy_root_has_data(spark, path)):
+        # Delta ADD-CONSTRAINT posture (ADVICE r13): a check name
+        # introduced on a table with existing rows validates HISTORY,
+        # not just the batch — scan the post-merge state (existing ∪
+        # batch after null-skip resolution, exactly what will commit)
+        # for the new names before anything writes. Inherited checks
+        # stay batch-only: their history was validated by the writes
+        # (or the introduction scan) that created it.
+        _enforce_checks(merged,
+                        {n: eff_checks[n] for n in new_check_names},
+                        "existing table state (new CHECK)")
     # bucketed writes split files by bucket id, range writes by key
     # range — an n_files repartition would only fight the layout
     out = merged.repartition(n_files) \
@@ -1612,7 +1650,10 @@ def append_delta(spark: SparkSession, source: DataFrame, *, path: str,
     (null-key drop + latest-per-key, reference notes 3/5)."""
     src = prepare_source(source, key, dedup_order_by)
     meta = table_meta(spark, path)
-    _enforce_checks(src, _resolve_checks(meta, None), "delta append")
+    chk = _resolve_checks(meta, None)
+    _enforce_checks(src, chk, "delta append",
+                    table_fields=(table_schema(spark, path)
+                                  if chk else None))
     _enforce_schema_mode(spark, path, src.columns,
                          _resolve_schema_mode(meta, None),
                          "delta append")
@@ -2718,12 +2759,16 @@ _SCHEMA_MODE_KEY = "schema.mode"
 
 def _resolve_schema_mode(meta: dict[str, str],
                          schema_mode: str | None) -> str:
+    """Effective enforcement mode for THIS batch. 'merge' and 'unpin'
+    both evolve the schema for the batch; they differ only in what is
+    recorded afterwards ('merge' leaves the strict pin in place,
+    'unpin' removes it — ADVICE r13)."""
     if schema_mode is not None:
-        if schema_mode not in ("merge", "strict"):
+        if schema_mode not in ("merge", "strict", "unpin"):
             raise ValueError(
-                f"schema_mode must be 'merge' or 'strict', "
+                f"schema_mode must be 'merge', 'strict' or 'unpin', "
                 f"got {schema_mode!r}")
-        return schema_mode
+        return "merge" if schema_mode == "unpin" else schema_mode
     return meta.get(_SCHEMA_MODE_KEY, "merge")
 
 
@@ -2748,8 +2793,9 @@ def _enforce_schema_mode(spark: SparkSession, path: str,
         raise SchemaViolation(
             f"{what} introduces column(s) {extra} but {path} pins "
             f"schema.mode=strict — evolve the schema explicitly with "
-            f"one schema_mode='merge' upsert round (re-pin "
-            f"'strict' afterwards), or drop the columns")
+            f"one schema_mode='merge' upsert round (the strict pin "
+            f"survives; schema_mode='unpin' removes it), or drop "
+            f"the columns")
 
 
 def _apply_tombstones(allv: DataFrame, key: str) -> DataFrame:

@@ -92,6 +92,79 @@ def test_inherit_drop_one_and_all(spark, tmp_path):
     assert table_meta(spark, path)["check.tag_set"] == "tag IS NOT NULL"
 
 
+def test_partial_payload_omitting_checked_column_passes(spark, tmp_path):
+    """ADVICE r13 (medium): a null-skip partial batch may OMIT a
+    column a CHECK references — absent == NULL == passes, same as the
+    explicit-NULL row; it must not crash with an unresolved-column
+    AnalysisException."""
+    path = _mk(spark, tmp_path)                 # check: val > 0
+    append_delta(spark,
+                 spark.createDataFrame([Row(k=1, tag="patched")],
+                                       "k bigint, tag string"),
+                 path=path, key="k")
+    merged = {r["k"]: r for r in read_merged(spark, path, "k").collect()}
+    assert merged[1]["tag"] == "patched" and merged[1]["val"] == 2.0
+    # upsert path too
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=2, tag="up")],
+                                     "k bigint, tag string"),
+        path=path, key="k", updated_at_col=None)
+    # ...and an omitted column under IS NOT NULL behaves like the
+    # explicit NULL it stands for: refused
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=3, val=3.0, tag="t")]),
+        path=path, key="k", updated_at_col=None,
+        checks={"tag_set": "tag IS NOT NULL"})
+    with pytest.raises(ConstraintViolation, match="tag_set"):
+        append_delta(spark,
+                     spark.createDataFrame([Row(k=4, val=4.0)],
+                                           "k bigint, val double"),
+                     path=path, key="k")
+
+
+def test_empty_dict_drops_all_checks(spark, tmp_path):
+    """ADVICE r13: checks={} is the documented drop-all form."""
+    path = _mk(spark, tmp_path)
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=7, val=7.0, tag="z")]),
+        path=path, key="k", updated_at_col=None, checks={})
+    assert not [k for k in table_meta(spark, path) if k.startswith("check.")]
+    append_delta(spark,
+                 spark.createDataFrame([Row(k=8, val=-8.0, tag="n")]),
+                 path=path, key="k")            # negative now fine
+
+
+def test_new_check_validates_existing_rows(spark, tmp_path):
+    """ADVICE r13: introducing a CHECK on a table whose HISTORY
+    violates it is refused (Delta ADD CONSTRAINT validates existing
+    data) — the batch alone passing is not enough."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(k=1, val=-1.0), Row(k=2, val=2.0)])
+    upsert_into_keyed_table(spark, df, path=path, key="k",
+                            updated_at_col=None)
+    good = spark.createDataFrame([Row(k=3, val=3.0)])
+    with pytest.raises(ConstraintViolation, match="existing table state"):
+        upsert_into_keyed_table(spark, good, path=path, key="k",
+                                updated_at_col=None,
+                                checks={"pos_val": "val > 0"})
+    # nothing committed — the violating constraint is not recorded
+    assert "check.pos_val" not in table_meta(spark, path)
+    # an update round that FIXES the history lands with the check
+    fix = spark.createDataFrame([Row(k=1, val=1.0), Row(k=3, val=3.0)])
+    upsert_into_keyed_table(spark, fix, path=path, key="k",
+                            updated_at_col=None,
+                            checks={"pos_val": "val > 0"})
+    assert table_meta(spark, path)["check.pos_val"] == "val > 0"
+
+
+def test_cli_check_requires_eq(spark, tmp_path, capsys):
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    rc = main(["upsert", "--path", str(tmp_path), "--table",
+               str(tmp_path / "t"), "--check", "no_equals_here"])
+    assert rc == 2
+    assert "NAME=EXPR" in capsys.readouterr().err
+
+
 def test_violation_message_names_example_row(spark, tmp_path):
     path = _mk(spark, tmp_path)
     with pytest.raises(ConstraintViolation, match="'k': 9"):

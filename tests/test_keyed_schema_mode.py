@@ -40,23 +40,36 @@ def test_strict_blocks_new_columns_everywhere(spark, tmp_path):
     assert read_merged(spark, path, "k").count() == 2
 
 
-def test_merge_round_evolves_then_repin(spark, tmp_path):
+def test_merge_round_evolves_without_dropping_pin(spark, tmp_path):
+    """ADVICE r13: one explicit schema_mode='merge' round is a BATCH
+    override (Delta posture — mergeSchema doesn't disable table-level
+    enforcement); the recorded strict pin survives with no re-pin
+    round required."""
     path = _mk(spark, tmp_path)
     wide = spark.createDataFrame([Row(k=3, v=3.0, extra="x")])
     upsert_into_keyed_table(spark, wide, path=path, key="k",
                             updated_at_col=None, schema_mode="merge")
-    assert "schema.mode" not in table_meta(spark, path)
-    upsert_into_keyed_table(spark, spark.createDataFrame([Row(k=4, v=4.0)]),
-                            path=path, key="k", updated_at_col=None,
-                            schema_mode="strict")
+    assert table_meta(spark, path)["schema.mode"] == "strict"
     # `extra` is now part of the schema — strict admits it
     append_delta(spark, spark.createDataFrame([Row(k=5, v=5.0, extra="y")]),
                  path=path, key="k")
-    # ...but a genuinely new column is refused again
+    # ...but a genuinely new column is refused with NO re-pin round
     with pytest.raises(SchemaViolation, match="more"):
         append_delta(spark,
                      spark.createDataFrame([Row(k=6, v=6.0, more=1)]),
                      path=path, key="k")
+
+
+def test_unpin_removes_enforcement_persistently(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=3, v=3.0, extra="x")]),
+        path=path, key="k", updated_at_col=None, schema_mode="unpin")
+    assert "schema.mode" not in table_meta(spark, path)
+    # widening now flows with no explicit mode at all
+    append_delta(spark,
+                 spark.createDataFrame([Row(k=6, v=6.0, more=1)]),
+                 path=path, key="k")
 
 
 def test_default_stays_merge(spark, tmp_path):
