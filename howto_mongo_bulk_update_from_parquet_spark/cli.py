@@ -507,7 +507,8 @@ def cmd_maintain_view(args: argparse.Namespace) -> int:
                                    key=args.key, view_path=args.view,
                                    group_col=args.group_col,
                                    sum_col=args.sum_col,
-                                   track_minmax=args.minmax)
+                                   track_minmax=args.minmax,
+                                   auto_recover=args.auto_recover)
     except (ChangeHistoryUnavailable, ValueError) as exc:
         print(f"cannot maintain incrementally: {exc}", file=sys.stderr)
         return 2
@@ -1595,6 +1596,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="also track per-group MIN/MAX (monotone "
                          "tightening is free; a retracted extremum "
                          "recomputes only the flagged groups)")
+    mv.add_argument("--auto-recover", action="store_true",
+                    dest="auto_recover",
+                    help="when feed history was vacuumed past the "
+                         "view's offset, re-bootstrap from a snapshot "
+                         "(one O(table) rebuild, fresh offset) instead "
+                         "of erroring")
     mv.set_defaults(fn=cmd_maintain_view)
 
     dl = sub.add_parser(

@@ -50,6 +50,8 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_constraints",
     "q_keyed_view_minmax",
     "q_keyed_schema_strict",
+    "q_keyed_view_recover",
+    "q_keyed_view_avg",
 })
 
 LANES = ("analytics", "cycle", "streaming")

@@ -69,7 +69,8 @@ def view_offset(spark: SparkSession, view_path: str) -> int:
 def maintain_grouped_view(spark: SparkSession, *, table_path: str,
                           key: str, view_path: str, group_col: str,
                           sum_col: str,
-                          track_minmax: bool = False) -> dict:
+                          track_minmax: bool = False,
+                          auto_recover: bool = False) -> dict:
     """Apply the source table's changes SINCE the view's recorded
     offset to the (group_col -> cnt, total[, vmin, vmax]) view. One
     atomic view commit per call carrying the new offset. Returns
@@ -107,7 +108,22 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     null-skip lookback). That is the structural bound for MIN/MAX
     without per-group heaps; SUM/COUNT rounds never pay it. A view
     must be bootstrapped with the same `track_minmax` it is
-    maintained with (enforced)."""
+    maintained with (enforced).
+
+    `auto_recover=True` (r14, verdict item 2): when the change window
+    is no longer servable — feed history vacuumed/GC'd past the
+    view's offset, pre-images folded away, or a concurrent fold
+    racing the recompute path — the maintainer RE-BOOTSTRAPS instead
+    of dead-ending on `ChangeHistoryUnavailable`: one consistent
+    snapshot re-aggregate of the source (the same O(table) cost as
+    the first bootstrap — the price of falling behind retention, the
+    standard CDC snapshot-rebuild), PLUS zero-rows for groups the
+    view carries that the snapshot no longer has (an upsert alone
+    cannot retract them), committed atomically with the fresh offset
+    so the next round resumes pure-differential. Nothing was
+    committed on the failed differential attempt, so recovery never
+    double-counts. Default False: an operator who wants the error
+    (to alert on retention misconfiguration) still gets it."""
     if not current_base_version(spark, view_path):
         version, meta = _current_manifest(spark, table_path)
         floor = _meta_floor(meta)
@@ -129,6 +145,22 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
         return {"applied_through": int(newest),
                 "groups_touched": int(snap.count()),
                 "changes": -1, "bootstrap": True}
+    try:
+        return _apply_differential(spark, table_path, key, view_path,
+                                   group_col, sum_col, track_minmax)
+    except ChangeHistoryUnavailable:
+        if not auto_recover:
+            raise
+        return _recover_rebootstrap(spark, table_path, key, view_path,
+                                    group_col, sum_col, track_minmax)
+
+
+def _apply_differential(spark: SparkSession, table_path: str, key: str,
+                        view_path: str, group_col: str, sum_col: str,
+                        track_minmax: bool) -> dict:
+    """One differential maintenance round (the non-bootstrap body of
+    `maintain_grouped_view`); raises `ChangeHistoryUnavailable` when
+    the window cannot be served, having committed nothing."""
     off = view_offset(spark, view_path)
     changes = read_table_changes(spark, table_path, after=off,
                                  with_preimage=True, key=key)
@@ -279,15 +311,75 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     return out
 
 
+def _recover_rebootstrap(spark: SparkSession, table_path: str, key: str,
+                         view_path: str, group_col: str, sum_col: str,
+                         track_minmax: bool) -> dict:
+    """Snapshot-diff recovery (r14): the change feed can no longer
+    serve the view's window, so rebuild the view's truth from one
+    consistent (base version, committed deltas) resolution of the
+    source — the same aggregate as the first bootstrap — and RETRACT
+    groups the view still carries that the snapshot lacks by writing
+    cnt=0 rows (`read_grouped_view` hides them; physically-stale
+    extremes under cnt=0 are the view's standard debris, guarded by
+    every cnt>0 read). One atomic commit flips data + fresh offset,
+    so the next round resumes O(changes) differential maintenance.
+    Cost O(table) + O(live view groups) — the floor for recovering
+    from lost history without a second log."""
+    cur = read_merged(spark, view_path, group_col)
+    if track_minmax != ("vmin" in cur.columns):
+        raise ValueError(
+            f"view at {view_path} was bootstrapped with "
+            f"track_minmax={'vmin' in cur.columns} — maintain it the "
+            f"same way (a mismatch would silently stale the extremes)")
+    version, meta = _current_manifest(spark, table_path)
+    floor = _meta_floor(meta)
+    committed = _complete_deltas(spark, table_path, floor=floor)
+    state = _read_merged_through(spark, table_path, key, committed,
+                                 base_version=version or None)
+    aggs = [F.count(F.lit(1)).alias("cnt"),
+            F.coalesce(F.sum(F.col(sum_col).cast(_DEC)),
+                       F.lit(0).cast(_DEC)).alias("total")]
+    if track_minmax:
+        aggs += [F.min(F.col(sum_col).cast("double")).alias("vmin"),
+                 F.max(F.col(sum_col).cast("double")).alias("vmax")]
+    snap = (state.filter(F.col(group_col).isNotNull())
+            .groupBy(group_col).agg(*aggs).localCheckpoint())
+    zero_cols = [F.col(group_col),
+                 F.lit(0).cast("long").alias("cnt"),
+                 F.lit(0).cast(_DEC).alias("total")]
+    if track_minmax:
+        zero_cols += [F.lit(None).cast("double").alias("vmin"),
+                      F.lit(None).cast("double").alias("vmax")]
+    vanished = (cur.filter(F.col("cnt") > 0)
+                .join(snap, group_col, "left_anti").select(*zero_cols))
+    payload = snap.unionByName(vanished)
+    newest = committed[-1] if committed else floor
+    upsert_into_keyed_table(spark, payload, path=view_path,
+                            key=group_col, updated_at_col=None,
+                            table_props={OFFSET_PROP: str(newest)})
+    return {"applied_through": int(newest),
+            "groups_touched": int(snap.count()),
+            "changes": -1, "recovered": True}
+
+
 def read_grouped_view(spark: SparkSession, view_path: str,
-                      group_col: str) -> DataFrame:
+                      group_col: str,
+                      with_avg: bool = False) -> DataFrame:
     """The view's live rows: cnt > 0 (zero-count groups are retained
     debris of one-commit maintenance rounds), total surfaced as
     DOUBLE for consumer/oracle parity; vmin/vmax included when the
-    view tracks them."""
+    view tracks them. `with_avg=True` adds `avg` DERIVED from the
+    maintained pair (exact-decimal total as double / count) — AVG is
+    not self-maintainable under retractions, so deriving it from the
+    invertible COUNT+SUM is the standard differential treatment
+    (r14); it costs nothing at read time and stays exactly consistent
+    with the maintained state."""
     v = read_merged(spark, view_path, group_col).filter(F.col("cnt") > 0)
     cols = [group_col, "cnt",
             F.col("total").cast("double").alias("total")]
+    if with_avg:
+        cols.append((F.col("total").cast("double")
+                     / F.col("cnt").cast("double")).alias("avg"))
     if "vmin" in v.columns:
         cols += ["vmin", "vmax"]
     return v.select(*cols)
