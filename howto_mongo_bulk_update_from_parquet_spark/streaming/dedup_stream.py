@@ -160,12 +160,43 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
     if mode == "vec" and not vectors_path:
         raise ValueError("mode='vec' needs vectors_path (the keyed "
                          "vector store verification reads from)")
-    # single-writer restart recovery: the stream OWNS its stores, so a
-    # previous kill's incomplete claim dirs are this writer's own
-    # debris — clear them now instead of dying on the claim fence for
-    # the whole staleness grace window (keyed_table.recover_dead_claims)
-    for store in (index_path, vectors_path):
-        if store and hfs.exists(spark, store):
+    # Writer lease (r14): the drain's exclusive-writer contract over
+    # its stores — the thing that makes the force-clears below SOUND —
+    # is now enforced, not assumed. Identity is the CHECKPOINT path
+    # (the true identity of "the same logical writer"): a kill/restart
+    # with the same checkpoint re-acquires its own lease immediately;
+    # a second drain misconfigured onto the same store fails fast with
+    # WriterLeaseHeld BEFORE touching any claims, instead of sweeping
+    # the live writer's staging. Renewed every epoch; released on the
+    # availableNow form's clean return (the continuous form's lease
+    # expires by TTL after a kill — which the restart then breaks).
+    import hashlib
+
+    from ..sinks.lease import (acquire_writer_lease,
+                               release_writer_lease, renew_writer_lease)
+    lease_owner = "drain-" + hashlib.sha1(
+        checkpoint.encode()).hexdigest()[:16]
+    stores = [s for s in (index_path, vectors_path) if s]
+    held: list[str] = []
+    try:
+        for store in stores:
+            # unconditional: the lease dir (dot-prefixed, invisible to
+            # readers and the claim machinery) may PRE-EXIST the table
+            # it guards — a drain must hold the lease from its first
+            # idle second, not from its first committed epoch
+            acquire_writer_lease(spark, store, owner=lease_owner)
+            held.append(store)
+    except BaseException:
+        for store in held:
+            release_writer_lease(spark, store, lease_owner)
+        raise
+    # single-writer restart recovery: the stream OWNS its stores (now
+    # lease-proven), so a previous kill's incomplete claim dirs are
+    # this writer's own debris — clear them now instead of dying on
+    # the claim fence for the whole staleness grace window
+    # (keyed_table.recover_dead_claims)
+    for store in stores:
+        if hfs.exists(spark, store):
             recover_dead_claims(spark, store)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -193,6 +224,11 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
+        # heartbeat; a renew failure means the lease expired and was
+        # taken over — exclusivity is gone, so failing the stream
+        # BEFORE any claim/fold work is the contract
+        for store in held:
+            renew_writer_lease(sess, store, lease_owner)
         if mode == "vec":
             _apply_vec_batch(sess, batch_df, int(epoch_id))
             return
@@ -283,8 +319,15 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
         # cadence as files land; the caller owns the query lifecycle
         # (stop/awaitTermination) — the checkpoint makes a kill at ANY
         # point resumable with replay-idempotent epochs (test-pinned
-        # across a mid-stream stop/restart)
+        # across a mid-stream stop/restart). The lease is NOT released
+        # here: it guards the live query and expires by TTL after a
+        # kill (a same-checkpoint restart breaks its own stale lease
+        # reentrantly, without the wait).
         return writer.trigger(processingTime=processing_time).start()
-    q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
+    try:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        for store in held:
+            release_writer_lease(spark, store, lease_owner)
     return None

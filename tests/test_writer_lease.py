@@ -1,0 +1,144 @@
+"""Writer lease (`sinks/lease.py`, r14 verdict item 3): the stream
+drain's exclusive-writer contract over its stores is enforced — a
+second drain on one store fails fast with `WriterLeaseHeld` instead
+of force-clearing (and thereby corrupting) the live writer's claim
+staging; a kill/restart with the same checkpoint re-acquires its own
+lease reentrantly with no TTL wait."""
+
+import os
+import time
+
+import pytest
+
+from howto_mongo_bulk_update_from_parquet_spark.sinks.lease import (
+    WriterLeaseHeld, acquire_writer_lease, release_writer_lease,
+    renew_writer_lease)
+
+
+def test_acquire_conflict_release_cycle(spark, tmp_path):
+    t = str(tmp_path / "store")
+    acquire_writer_lease(spark, t, owner="a")
+    with pytest.raises(WriterLeaseHeld, match="leased to writer 'a'"):
+        acquire_writer_lease(spark, t, owner="b")
+    release_writer_lease(spark, t, "a")
+    acquire_writer_lease(spark, t, owner="b")     # free again
+    release_writer_lease(spark, t, "b")
+
+
+def test_reentrant_same_owner(spark, tmp_path):
+    t = str(tmp_path / "store")
+    acquire_writer_lease(spark, t, owner="a")
+    # the same logical writer (restart on the same checkpoint)
+    # re-acquires immediately — no TTL wait, no error
+    acquire_writer_lease(spark, t, owner="a")
+    renew_writer_lease(spark, t, "a")
+    release_writer_lease(spark, t, "a")
+
+
+def test_expired_lease_is_broken(spark, tmp_path):
+    t = str(tmp_path / "store")
+    acquire_writer_lease(spark, t, owner="dead", ttl_ms=500)
+    time.sleep(2.0)
+    acquire_writer_lease(spark, t, owner="next")  # breaks the corpse
+    # ...and the dead writer discovers the takeover on its heartbeat
+    with pytest.raises(WriterLeaseHeld, match="taken over"):
+        renew_writer_lease(spark, t, "dead")
+    release_writer_lease(spark, t, "next")
+
+
+def test_release_is_owner_checked_and_idempotent(spark, tmp_path):
+    t = str(tmp_path / "store")
+    acquire_writer_lease(spark, t, owner="a")
+    release_writer_lease(spark, t, "not-a")       # no-op, not a theft
+    with pytest.raises(WriterLeaseHeld):
+        acquire_writer_lease(spark, t, owner="not-a")
+    release_writer_lease(spark, t, "a")
+    release_writer_lease(spark, t, "a")           # idempotent
+
+
+def test_two_drains_one_store_clean_loser(spark, tmp_path):
+    """The verdict's Done criterion: drain A live on a store, drain B
+    (different checkpoint = different logical writer) pointed at the
+    SAME index store loses CLEANLY — WriterLeaseHeld, zero swept
+    claims, index state exactly A's — and A keeps draining."""
+    from pyspark.sql import types as T
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        read_keyed_table)
+    from howto_mongo_bulk_update_from_parquet_spark.streaming.dedup_stream import (
+        stream_dedup_parquet)
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "pack my box with five dozen liquor jugs right now",
+        3: "sphinx of black quartz judge my vow they said loudly",
+    }
+    landing = os.path.join(str(tmp_path), "landing")
+    os.makedirs(landing)
+    index = os.path.join(str(tmp_path), "index")
+    verdicts = os.path.join(str(tmp_path), "verdicts")
+
+    def _write(name, rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.parquet(os.path.join(landing, name)))
+
+    def _verdicts():
+        try:
+            return {r["doc_id"]: r["verdict"]
+                    for r in spark.read.parquet(verdicts).collect()}
+        except Exception:  # noqa: BLE001 - not written yet
+            return {}
+
+    _write("b1", [(1, texts[1]), (2, texts[2])])
+    q = stream_dedup_parquet(
+        spark, os.path.join(landing, "*"), schema=schema,
+        index_path=index, verdicts_dir=verdicts,
+        checkpoint=os.path.join(str(tmp_path), "ckpt_a"),
+        mode="near", buckets=4, processing_time="1 seconds")
+    try:
+        t0 = time.time()
+        while len(_verdicts()) < 2 and time.time() - t0 < 150:
+            if q.exception() is not None:
+                raise AssertionError(f"drain A died: {q.exception()}")
+            time.sleep(0.5)
+        assert {1, 2} <= set(_verdicts())
+
+        def _reps():
+            try:
+                return {r["rep_id"] for r in
+                        read_keyed_table(spark, index).collect()}
+            except FileNotFoundError:    # epoch's fold still landing
+                return set()
+
+        t0 = time.time()
+        while _reps() != {1, 2} and time.time() - t0 < 150:
+            time.sleep(0.5)
+        reps_before = _reps()
+        assert reps_before == {1, 2}
+        # drain B: different checkpoint, same index store — must lose
+        # fast and touch NOTHING
+        with pytest.raises(WriterLeaseHeld, match="second drain"):
+            stream_dedup_parquet(
+                spark, os.path.join(landing, "*"), schema=schema,
+                index_path=index,
+                verdicts_dir=os.path.join(str(tmp_path), "verdicts_b"),
+                checkpoint=os.path.join(str(tmp_path), "ckpt_b"),
+                mode="near", buckets=4)
+        assert not os.path.exists(
+            os.path.join(str(tmp_path), "verdicts_b"))
+        reps_mid = {r["rep_id"]
+                    for r in read_keyed_table(spark, index).collect()}
+        assert reps_mid == reps_before       # zero swept / zero writes
+        # A is still the writer: a new file drains normally
+        _write("b2", [(11, texts[1]), (12, texts[3])])
+        t0 = time.time()
+        while 12 not in _verdicts() and time.time() - t0 < 150:
+            if q.exception() is not None:
+                raise AssertionError(f"drain A died: {q.exception()}")
+            time.sleep(0.5)
+        v = _verdicts()
+        assert v[11] == "dup_vs_index" and v[12] == "unique"
+    finally:
+        q.stop()
