@@ -1086,3 +1086,89 @@ def q_keyed_view_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                           group_col="g", sum_col="val",
                           track_minmax=True)
     return read_grouped_view(spark, vp, "g", with_avg=True)
+
+
+SQL_SCAN_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status
+  FROM orders
+),
+fin AS (
+  SELECT k, status,
+         CASE WHEN k % 13 = 0 THEN price + 5
+              WHEN k % 10 = 0 THEN price * 2
+              ELSE price END AS price
+  FROM t
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total,
+       MIN(price) AS pmin, MAX(price) AS pmax
+FROM fin GROUP BY status
+"""
+
+
+@register("q_keyed_sql_scan", SQL_SCAN_ORACLE,
+          "pure spark.sql over the keyed table: merged state "
+          "registered as a temp view, snapshot-consistent across a "
+          "post-registration arrival (in-query assert), re-registered "
+          "head oracle-exact (r14)")
+def q_keyed_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `sinks/keyed_table.register_sql_view` (r14
+    verdict item 8 — the SQL migration surface): the keyed table's
+    merged state (base + an unfolded price-doubling delta) is
+    registered as a temp view and queried with PURE SQL TEXT — no
+    DataFrame API in the consumer's hands. Snapshot consistency is
+    asserted in-query: a delta committed AFTER registration must NOT
+    change what the registered view serves (same aggregate before and
+    after the arrival — the time-travel discipline every reader gets,
+    now from SQL), while RE-registering surfaces it. The final
+    re-registered aggregate hashes against the oracle, so a view that
+    leaks post-registration arrivals, drops the merge-on-read deltas,
+    or breaks null-skip merge semantics under SQL all fail. At 100 TB
+    the view is the same plan as `read_merged` — registration adds
+    one manifest read, zero data cost."""
+    import tempfile
+
+    from ..sinks.keyed_table import register_sql_view
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    path = tempfile.mkdtemp(prefix="keyed_sql_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None)
+    append_delta(spark,
+                 target.filter(F.col("k") % 10 == 0)
+                 .select("k", (F.col("price") * 2).alias("price"),
+                         "status"),
+                 path=path, key="k")
+    import uuid as _uuid
+    view = f"keyed_sql_{_uuid.uuid4().hex[:8]}"
+    register_sql_view(spark, path, "k", view)
+    sql_text = f"""
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total,
+               MIN(price) AS pmin, MAX(price) AS pmax
+        FROM {view} GROUP BY status"""
+    before = {r["status"]: (r["cnt"], r["total"])
+              for r in spark.sql(sql_text).collect()}
+    # an arrival AFTER registration: the registered view must not move
+    append_delta(spark,
+                 target.filter(F.col("k") % 13 == 0)
+                 .select("k", (F.col("price") + 5).alias("price"),
+                         "status"),
+                 path=path, key="k")
+    after = {r["status"]: (r["cnt"], r["total"])
+             for r in spark.sql(sql_text).collect()}
+    if before != after:
+        raise AssertionError(
+            f"registered view leaked a post-registration arrival: "
+            f"{before} vs {after}")
+    register_sql_view(spark, path, "k", view)     # refresh = see it
+    out = spark.sql(sql_text)
+    spark.catalog.dropTempView(view)
+    return out

@@ -52,6 +52,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_schema_strict",
     "q_keyed_view_recover",
     "q_keyed_view_avg",
+    "q_keyed_sql_scan",
 })
 
 LANES = ("analytics", "cycle", "streaming")

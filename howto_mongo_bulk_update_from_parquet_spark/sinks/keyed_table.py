@@ -1766,6 +1766,21 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
         base_version=version or None)
 
 
+def register_sql_view(spark: SparkSession, path: str, key: str,
+                      name: str) -> None:
+    """Expose the table's merged state to `spark.sql` as a temp view
+    (r14, verdict item 8 — the migration surface dashboards need: a
+    consumer keeps its SQL text and switches only the registration).
+    The view is SNAPSHOT-CONSISTENT: `read_merged` resolves ONE
+    (base version, committed-delta list) pair eagerly, so arrivals
+    committed after registration are invisible until the caller
+    re-registers — the same time-travel discipline as every other
+    reader, now reachable from pure SQL. Registration costs one
+    manifest read; queries over the view plan through the merged
+    read's normal fast-merge/broadcast machinery."""
+    read_merged(spark, path, key).createOrReplaceTempView(name)
+
+
 # Pending-delta byte ceiling for the merged-read fast path: below it,
 # the delta KEY SET is broadcast-joined against the base (untouched
 # rows pass through without a shuffle; only delta-keyed rows enter the
