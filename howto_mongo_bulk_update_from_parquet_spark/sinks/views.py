@@ -48,8 +48,9 @@ from pyspark.sql import functions as F
 from .changes import (OP_COL, PRE_COL, VERSION_COL,
                       ChangeHistoryUnavailable, read_table_changes)
 from .keyed_table import (_complete_deltas, _current_manifest,
-                          _meta_floor, _read_merged_through,
-                          current_base_version, read_merged, table_meta,
+                          _delta_versions, _meta_floor,
+                          _read_merged_through, current_base_version,
+                          folded_through, read_merged, table_meta,
                           upsert_into_keyed_table)
 
 OFFSET_PROP = "user.feed_offset"
@@ -136,8 +137,10 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
         if track_minmax:
             aggs += [F.min(F.col(sum_col).cast("double")).alias("vmin"),
                      F.max(F.col(sum_col).cast("double")).alias("vmax")]
+        # materialize the snapshot once: the write AND the stats count
+        # both read it (O(groups) rows — the view itself)
         snap = (state.filter(F.col(group_col).isNotNull())
-                .groupBy(group_col).agg(*aggs))
+                .groupBy(group_col).agg(*aggs).localCheckpoint())
         newest = committed[-1] if committed else floor
         upsert_into_keyed_table(spark, snap, path=view_path,
                                 key=group_col, updated_at_col=None,
@@ -162,9 +165,29 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
     `maintain_grouped_view`); raises `ChangeHistoryUnavailable` when
     the window cannot be served, having committed nothing."""
     off = view_offset(spark, view_path)
+    # no-op fast path (r14 trim): two metadata listings decide whether
+    # anything landed above the offset — a scheduled maintainer
+    # polling an idle table must not pay feed construction (whose
+    # pre-image plan runs eager per-version span joins) to learn
+    # "nothing new"
+    newest_known = max([folded_through(spark, table_path),
+                        *_delta_versions(spark, table_path)] or [0])
+    if newest_known <= off:
+        return {"applied_through": off, "groups_touched": 0,
+                "changes": 0}
+    # ONE materialization of the enriched feed window (r14 trim): the
+    # round consumes it three times (served-version probe, the
+    # contribution build, the stats count) and its plan is expensive
+    # to EXECUTE repeatedly (per-version pre-image joins). The window
+    # is O(changes) rows — the same bound the round's shuffles already
+    # carry — so checkpointing it locally is free at scale and cuts
+    # two full feed re-executions per arrival.
     changes = read_table_changes(spark, table_path, after=off,
-                                 with_preimage=True, key=key)
-    served = changes.agg(F.max(VERSION_COL)).first()[0]
+                                 with_preimage=True,
+                                 key=key).localCheckpoint()
+    stats = changes.agg(F.max(VERSION_COL).alias("__v"),
+                        F.count(F.lit(1)).alias("__n")).first()
+    served, n_changes = stats["__v"], int(stats["__n"])
     if served is None:
         return {"applied_through": off, "groups_touched": 0,
                 "changes": 0}
@@ -299,13 +322,17 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
                       .unionByName(rc_full))
         else:
             merged = merged.drop("__rc")
+    else:
+        # same one-materialization discipline as the minmax branch:
+        # the stats count and the view upsert both read it
+        merged = merged.localCheckpoint()
     n_touched = merged.count()
     upsert_into_keyed_table(spark, merged, path=view_path,
                             key=group_col, updated_at_col=None,
                             table_props={OFFSET_PROP: str(served)})
     out = {"applied_through": int(served),
            "groups_touched": int(n_touched),
-           "changes": changes.count()}
+           "changes": n_changes}
     if track_minmax:
         out["recomputed_groups"] = n_rc
     return out
