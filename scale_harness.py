@@ -158,7 +158,55 @@ MERGED_SLOTS = ["merged_view_fast", "merged_view_classic"]
 # plans (fresh parse each, as a driver serving lookups would pay
 # without a cache). Expect: fullparse grows ~linearly with the file
 # count, sharded stays near-flat.
-ZONEMAP_PLAN_SLOTS = ["zonemap_plan_sharded", "zonemap_plan_fullparse"]
+ZONEMAP_PLAN_SLOTS = ["zonemap_plan_sharded", "zonemap_plan_fullparse",
+                      "zonemap_plan_100k"]
+
+# Noise sentinel (r14, verdict item 6): every slot's committed number
+# must be able to defend itself. The same fixed CPU-bound Spark probe
+# bench.py calibrates (hash-agg over a generated 20M range, no I/O,
+# no Python workers) runs before AND after each slot's reps; the
+# worse of the two, relative to the idle-box calibration, is the
+# slot's recorded `noise`. A slot whose noise exceeds the threshold
+# is re-run once and the cleaner attempt is committed — the r13
+# stream_dedup_drain x100 episode (reps [185 s, 42 s] under builder
+# CPU steal, no way to tell from the artifact) is exactly what this
+# closes.
+SPARK_PROBE_REF_SEC = 0.13       # bench.py's idle-box calibration
+NOISY_PROBE_FACTOR = 3.0
+MAX_SLOT_ATTEMPTS = 2
+
+
+def spark_probe(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(0, 20_000_000, 1, 32).selectExpr(
+        "sum(hash(id)) AS h", "count(1) AS n").collect()
+    return time.perf_counter() - t0
+
+
+def timed_slot(spark, thunk, repeats: int) -> dict:
+    """Run one slot's reps bracketed by calibration probes; retry the
+    whole slot once when the bracket shows CPU steal. Returns the
+    committed record {sec, reps, noise[, attempts]}."""
+    attempts = []
+    for _ in range(MAX_SLOT_ATTEMPTS):
+        p0 = spark_probe(spark)
+        reps = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            thunk()
+            reps.append(round(time.perf_counter() - t0, 3))
+        p1 = spark_probe(spark)
+        noise = round(max(p0, p1) / SPARK_PROBE_REF_SEC, 2)
+        attempts.append({"sec": min(reps), "reps": reps,
+                         "noise": noise})
+        if noise <= NOISY_PROBE_FACTOR:
+            break
+    best = min(attempts,
+               key=lambda r: (r["noise"] > NOISY_PROBE_FACTOR, r["sec"]))
+    if len(attempts) > 1:
+        best = dict(best)
+        best["attempts"] = len(attempts)
+    return best
 
 # Streaming dedup drain slot (r13, verdict item 6): one full
 # availableNow drain of the xK documents corpus, arriving as 4
@@ -372,11 +420,13 @@ def _dedup_stream_factory(spark, data_dir: str, scratch: str):
     return run
 
 
-def _zonemap_plan_factory(spark, scratch: str, k: int, sharded: bool):
+def _zonemap_plan_factory(spark, scratch: str, k: int, sharded: bool,
+                          n_files: int | None = None):
     from howto_mongo_bulk_update_from_parquet_spark.sinks import (
         zonemap as zm)
 
-    n_files = 80 * k
+    if n_files is None:
+        n_files = 80 * k
     d = os.path.join(scratch, f"zmplan_{n_files}")
     marker = os.path.join(d, "_SCALE_READY")
     if not os.path.exists(marker):
@@ -392,7 +442,7 @@ def _zonemap_plan_factory(spark, scratch: str, k: int, sharded: bool):
                                      "files": entries})
         with open(marker, "w") as fh:
             fh.write(str(n_files))
-    span = 80 * k * 100
+    span = n_files * 100
 
     def run():
         for it in range(20):
@@ -737,6 +787,13 @@ def main() -> None:
                 thunk = _merged_view_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     fast=q.endswith("fast"))
+            elif q == "zonemap_plan_100k":
+                # verdict item 7 (r14): planning cost alone at an
+                # extrapolated 100k-file table — stats rows only, no
+                # data, factor-independent (synthesized once)
+                thunk = _zonemap_plan_factory(
+                    spark, os.path.join(OUT_ROOT, "scratch_zm100k"),
+                    k, sharded=True, n_files=100_000)
             elif q in ZONEMAP_PLAN_SLOTS:
                 thunk = _zonemap_plan_factory(
                     spark, os.path.join(OUT_ROOT, f"scratch_x{k}"),
@@ -762,13 +819,12 @@ def main() -> None:
                 thunk = (lambda fn=queries[q]:
                          fn(spark, out_dir).write.format("noop")
                          .mode("overwrite").save())
-            reps = []
-            for _ in range(args.repeats):
-                t0 = time.perf_counter()
-                thunk()
-                reps.append(round(time.perf_counter() - t0, 3))
-            results[q][str(k)] = {"sec": min(reps), "reps": reps}
-            print(f"[scale] x{k} {q}: {min(reps):.2f}s {reps}",
+            rec = timed_slot(spark, thunk, args.repeats)
+            results[q][str(k)] = rec
+            print(f"[scale] x{k} {q}: {rec['sec']:.2f}s "
+                  f"{rec['reps']} noise={rec['noise']}"
+                  + (f" attempts={rec['attempts']}"
+                     if "attempts" in rec else ""),
                   flush=True)
 
     import math
