@@ -163,6 +163,22 @@ def read_table_changes(spark: SparkSession, path: str, *,
                 ptypes[c] = t
     if with_preimage:
         committed = _complete_deltas(spark, path, floor=floor)
+        # The enriched form's payload surface must be the TABLE's —
+        # base + every committed delta — not just base + window
+        # deltas: a column that arrived via an earlier unfolded delta
+        # (schema evolution on the LSM path) is part of every key's
+        # pre-state, and a consumer grouping by it (a second view
+        # over the same feed) coalesces post with pre on it. One
+        # footer read per non-window committed delta — bounded by the
+        # fold cadence, no data cost. (Found by
+        # test_two_views_one_table_independent_offsets, r14.)
+        for e in committed:
+            if e not in deltas:
+                edf = spark.read.parquet(
+                    hfs.join(path, f"delta_{e:05d}"))
+                for c, t in edf.dtypes:
+                    if c not in ptypes and c != _TOMBSTONE:
+                        ptypes[c] = t
         pcols: list[str] = [c for c in ptypes if c != key]
         # NOTE (r14, measured): batching the per-version base reads
         # into one union-of-keys scan + localCheckpoint was tried and

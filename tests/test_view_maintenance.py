@@ -457,3 +457,58 @@ def test_read_view_with_derived_avg(spark, tmp_path):
             F.sum(F.col("val").cast("decimal(38,6)"))
              .cast("double").alias("total")).collect())
     assert got == want
+
+
+def test_two_views_one_table_independent_offsets(spark, tmp_path):
+    """r14 (verdict gap b): multiple views per table — each view's
+    offset rides its OWN manifest, so two views over one feed
+    maintain independently, including at staggered cadences, as long
+    as the drain-then-fold contract holds for the laggard."""
+    path = _mk_table(spark, tmp_path)            # k, g=k%3, val
+    va = str(tmp_path / "view_by_g")
+    vb = str(tmp_path / "view_by_parity")
+    # view B groups by a different column, materialized on the table
+    # as its own payload column so the feed serves both
+    append_delta(spark,
+                 spark.createDataFrame(
+                     [Row(k=i, p=i % 2) for i in range(12)],
+                     "k bigint, p bigint"),
+                 path=path, key="k")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=va,
+                          group_col="g", sum_col="val")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=vb,
+                          group_col="p", sum_col="val")
+    # arrival 1: only view A applies it
+    append_delta(spark, spark.createDataFrame([Row(k=1, g=9, val=11.0)]),
+                 path=path, key="k")
+    sta = maintain_grouped_view(spark, table_path=path, key="k",
+                                view_path=va, group_col="g",
+                                sum_col="val")
+    assert sta["changes"] == 1
+    # arrival 2: B now catches up over BOTH pending versions in one
+    # telescoped window; A applies just the new one
+    append_delete_delta(spark, spark.createDataFrame([Row(k=2)]),
+                        path=path, key="k")
+    stb = maintain_grouped_view(spark, table_path=path, key="k",
+                                view_path=vb, group_col="p",
+                                sum_col="val")
+    sta = maintain_grouped_view(spark, table_path=path, key="k",
+                                view_path=va, group_col="g",
+                                sum_col="val")
+    assert stb["changes"] == 2 and sta["changes"] == 1
+    state = read_merged(spark, path, "k")
+    want_a = sorted(
+        (r.g, r.cnt, float(r.total)) for r in
+        state.groupBy("g").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("val").cast("decimal(38,6)"))
+             .cast("double").alias("total")).collect())
+    want_b = sorted(
+        (r.p, r.cnt, float(r.total)) for r in
+        state.groupBy("p").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("val").cast("decimal(38,6)"))
+             .cast("double").alias("total")).collect())
+    assert _view(spark, va) == want_a
+    assert sorted((r.p, r.cnt, r.total) for r in
+                  read_grouped_view(spark, vb, "p").collect()) == want_b
