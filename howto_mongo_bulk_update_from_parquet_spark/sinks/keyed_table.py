@@ -591,7 +591,8 @@ def _next_base_version(spark: SparkSession, path: str,
         return v
 
 
-def recover_dead_claims(spark: SparkSession, path: str) -> list[str]:
+def recover_dead_claims(spark: SparkSession, path: str,
+                        lease_owner: str | None = None) -> list[str]:
     """Clear a dead writer's claim debris regardless of the staleness
     grace window, returning the cleared names. Sound ONLY under an
     exclusive-writer contract: the caller must know the previous
@@ -613,7 +614,22 @@ def recover_dead_claims(spark: SparkSession, path: str) -> list[str]:
     Both classes are exactly what the grace-window machinery
     (`_next_base_version`, `_claim_is_stale`) reclaims for CONCURRENT
     writers — this just skips the wait the caller's ownership makes
-    unnecessary."""
+    unnecessary.
+
+    r14: the exclusive-writer contract is now CHECKED against the
+    table's writer lease (`sinks/lease.py`) — when a LIVE lease is
+    held by someone other than `lease_owner`, the sweep refuses with
+    `WriterLeaseHeld` instead of deleting what may be the live
+    writer's in-flight staging. An expired or absent lease keeps the
+    pre-lease behavior (the caller's ownership claim stands)."""
+    from .lease import WriterLeaseHeld, _holder, _is_expired
+    holder, holder_ttl = _holder(spark, path)
+    if (holder is not None and holder != lease_owner
+            and not _is_expired(spark, path, holder_ttl)):
+        raise WriterLeaseHeld(
+            f"refusing to force-clear claims on {path}: writer lease "
+            f"held live by {holder!r} — its staging may be in flight; "
+            f"stop that writer or let the lease expire")
     published = set(_manifest_versions(spark, path))
     cleared = []
     for d in hfs.listdir(spark, path):

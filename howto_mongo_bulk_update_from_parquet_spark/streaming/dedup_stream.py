@@ -197,7 +197,7 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
     # (keyed_table.recover_dead_claims)
     for store in stores:
         if hfs.exists(spark, store):
-            recover_dead_claims(spark, store)
+            recover_dead_claims(spark, store, lease_owner=lease_owner)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
@@ -219,7 +219,7 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
         except ConcurrentWriteError:
             import time as _t
             _t.sleep(2)                 # let the zombie's tasks settle
-            recover_dead_claims(sess, store)
+            recover_dead_claims(sess, store, lease_owner=lease_owner)
             fold()
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -142,3 +142,26 @@ def test_two_drains_one_store_clean_loser(spark, tmp_path):
         assert v[11] == "dup_vs_index" and v[12] == "unique"
     finally:
         q.stop()
+
+
+def test_recover_refuses_under_foreign_live_lease(spark, tmp_path):
+    """r14: the force-clear itself checks the lease — a batch
+    operator cannot sweep a live drain's staging, even calling
+    `recover_dead_claims` directly."""
+    from pyspark.sql import Row
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        recover_dead_claims, upsert_into_keyed_table)
+
+    t = str(tmp_path / "store")
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, v=1.0)]), path=t,
+        key="k", updated_at_col=None)
+    acquire_writer_lease(spark, t, owner="live-drain")
+    with pytest.raises(WriterLeaseHeld, match="in flight"):
+        recover_dead_claims(spark, t)
+    # the holder itself may sweep...
+    recover_dead_claims(spark, t, lease_owner="live-drain")
+    release_writer_lease(spark, t, "live-drain")
+    # ...and with the lease gone the unleased form works again
+    recover_dead_claims(spark, t)
