@@ -425,6 +425,14 @@ def cmd_table_info(args: argparse.Namespace) -> int:
                      _manifest_versions(spark, args.table)
                      and int(d.split("_v")[1]) != version))),
     }
+    from .sinks.lease import _holder, _is_expired
+    holder, ttl = _holder(spark, args.table)
+    if holder is not None:
+        # who owns the exclusive-writer lease and whether it is live —
+        # the thing that decides if claim_debris may be force-cleared
+        info["writer_lease"] = {
+            "owner": holder, "ttl_ms": ttl,
+            "live": not _is_expired(spark, args.table, ttl)}
     zmap = zm.read_zone_map(spark, base)
     if zmap is not None:
         spans = {}

@@ -165,3 +165,26 @@ def test_recover_refuses_under_foreign_live_lease(spark, tmp_path):
     release_writer_lease(spark, t, "live-drain")
     # ...and with the lease gone the unleased form works again
     recover_dead_claims(spark, t)
+
+
+def test_table_info_surfaces_lease(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import Row
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        upsert_into_keyed_table)
+
+    t = str(tmp_path / "store")
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, v=1.0)]), path=t,
+        key="k", updated_at_col=None)
+    acquire_writer_lease(spark, t, owner="drain-abc")
+    assert main(["table-info", "--table", t]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["writer_lease"]["owner"] == "drain-abc"
+    assert info["writer_lease"]["live"] is True
+    release_writer_lease(spark, t, "drain-abc")
+    assert main(["table-info", "--table", t]) == 0
+    assert "writer_lease" not in json.loads(capsys.readouterr().out)
