@@ -305,6 +305,50 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Arbitrary SQL text over registered keyed tables and parquet
+    directories (r14) — the `register_sql_view` surface as a CLI
+    verb: a dashboard keeps its SQL and swaps only the registration
+    flags. `--keyed NAME=PATH:KEY` registers a keyed table's merged
+    state (snapshot-consistent: resolved once at registration);
+    `--view NAME=DIR` a plain parquet directory. The result shows
+    (default) or lands as parquet with --out."""
+    from .sinks.keyed_table import register_sql_view
+    spark = get_spark("sql")
+    for spec in args.keyed or []:
+        if "=" not in spec or ":" not in spec.split("=", 1)[1]:
+            print(f"--keyed takes NAME=PATH:KEY, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        name, rest = spec.split("=", 1)
+        path, key = rest.rsplit(":", 1)
+        try:
+            register_sql_view(spark, path, key, name)
+        except FileNotFoundError as exc:
+            print(f"cannot register {name!r}: {exc}", file=sys.stderr)
+            return 2
+    for spec in args.view or []:
+        if "=" not in spec:
+            print(f"--view takes NAME=DIR, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        name, d = spec.split("=", 1)
+        try:
+            spark.read.parquet(d).createOrReplaceTempView(name)
+        except Exception as exc:  # noqa: BLE001 - surface as usage
+            print(f"cannot register {name!r}: {exc}", file=sys.stderr)
+            return 2
+    df = spark.sql(args.text)
+    if args.explain:
+        df.explain("formatted")
+    if args.out:
+        df.write.mode("errorifexists").parquet(args.out)
+        print(f"wrote result to {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Fold the LSM keyed table's base + deltas into one new versioned
     base (single write + atomic manifest flip) and drop the deltas —
@@ -1490,6 +1534,22 @@ def main(argv: list[str] | None = None) -> int:
                         "logically-identical query from its "
                         "materialized result until an input changes")
     q.set_defaults(fn=cmd_query)
+
+    sq = sub.add_parser(
+        "sql", help="run SQL text over registered keyed tables / "
+                    "parquet dirs (snapshot-consistent temp views)")
+    sq.add_argument("--text", required=True, help="the SQL to run")
+    sq.add_argument("--keyed", action="append", metavar="NAME=PATH:KEY",
+                    help="register a keyed table's merged state as "
+                         "view NAME (repeatable)")
+    sq.add_argument("--view", action="append", metavar="NAME=DIR",
+                    help="register a parquet directory as view NAME "
+                         "(repeatable)")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--explain", action="store_true")
+    sq.add_argument("--out", help="write the result as parquet "
+                                  "instead of showing it")
+    sq.set_defaults(fn=cmd_sql)
 
     cp = sub.add_parser(
         "compact", help="fold the keyed table's deltas into a new "

@@ -413,3 +413,36 @@ def test_cli_changefeed_schema_evolution_mid_feed(spark, tmp_path):
     # and the merged view over the new base still carries it
     assert {r.k: (r.v, r.score)
             for r in read_merged(spark, table, "k").collect()} == got
+
+
+def test_cli_sql_verb(spark, tmp_path, capsys):
+    """r14: `sql` runs text over a registered keyed table's merged
+    state (including a pending delta) and plain parquet views."""
+    from pyspark.sql import Row
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        append_delta, upsert_into_keyed_table)
+
+    t = str(tmp_path / "kt")
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)]),
+        path=t, key="k", updated_at_col=None)
+    append_delta(spark, spark.createDataFrame([Row(k=2, v=20.0),
+                                               Row(k=3, v=3.0)]),
+                 path=t, key="k")
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame([Row(k=1, tag="a"), Row(k=2, tag="b"),
+                           Row(k=3, tag="c")]).write.parquet(dim)
+    rc = main(["sql", "--keyed", f"kt={t}:k", "--view", f"dim={dim}",
+               "--text",
+               "SELECT d.tag, SUM(kt.v) AS s FROM kt "
+               "JOIN dim d ON kt.k = d.k GROUP BY d.tag ORDER BY tag"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "20.0" in out and "3.0" in out and "1.0" in out
+    # usage errors exit 2, not tracebacks
+    assert main(["sql", "--keyed", "bad-spec", "--text", "SELECT 1"]) == 2
+    assert "NAME=PATH:KEY" in capsys.readouterr().err
+    assert main(["sql", "--keyed", f"x={tmp_path}/nope:k",
+                 "--text", "SELECT 1"]) == 2
