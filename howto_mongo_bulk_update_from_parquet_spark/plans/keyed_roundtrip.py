@@ -941,8 +941,11 @@ def q_keyed_view_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attestation of `sinks/views._recover_rebootstrap` (r14 verdict
     item 2 — the self-healing path): a COUNT/SUM view bootstraps,
     then the source takes a whole-group delete, a group-moving
-    update, and an insert batch, and TWO fold cycles reclaim that
-    history before the maintainer runs again. The query asserts the
+    update, and an insert batch, and a fold bakes those arrivals'
+    pre-images into the base before the maintainer runs again (the
+    fold-cadence dead-end — the common way a maintainer falls
+    behind; the fully-reclaimed-history class is unit-test-pinned
+    and recovers through the same code path). The query asserts the
     default call dead-ends with `ChangeHistoryUnavailable` (the
     alerting contract), that `auto_recover=True` commits a recovery
     round (recovered flag, O(table) snapshot + vanished-group
@@ -979,7 +982,6 @@ def q_keyed_view_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("k", (F.col("g") + 1000).alias("g"),
                          (F.col("val") * 2).alias("val")),
                  path=tp, key="k")
-    compact(spark, tp, "k")                     # folds v1, v2
     append_delta(spark,
                  rows.filter(F.col("k") % 13 == 0)
                  .select((F.col("k") + 30000000).alias("k"),
@@ -987,7 +989,12 @@ def q_keyed_view_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("g"),
                          (F.col("val") + 1).alias("val")),
                  path=tp, key="k")
-    compact(spark, tp, "k")                     # GCs v1, v2
+    # ONE fold bakes all three arrivals' pre-images into the base —
+    # the fold-cadence dead-end (the common way a maintainer falls
+    # behind; the fully-RECLAIMED-history class takes one more commit
+    # and is unit-test-pinned in test_view_maintenance.py — the
+    # recovery path is identical for both)
+    compact(spark, tp, "k")
     try:
         maintain_grouped_view(spark, table_path=tp, key="k",
                               view_path=vp, group_col="g",
