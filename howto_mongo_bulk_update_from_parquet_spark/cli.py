@@ -555,10 +555,12 @@ def cmd_maintain_view(args: argparse.Namespace) -> int:
     spark = get_spark("maintain-view")
     import json as _json
     try:
+        sc = [c for c in args.sum_col.split(",") if c]
         st = maintain_grouped_view(spark, table_path=args.table,
                                    key=args.key, view_path=args.view,
                                    group_col=args.group_col,
-                                   sum_col=args.sum_col,
+                                   sum_col=(sc[0] if len(sc) == 1
+                                            else sc),
                                    track_minmax=args.minmax,
                                    auto_recover=args.auto_recover)
     except (ChangeHistoryUnavailable, ValueError) as exc:
@@ -1659,7 +1661,10 @@ def main(argv: list[str] | None = None) -> int:
     mv.add_argument("--key", default=PIPELINE_KEY)
     mv.add_argument("--view", required=True, help="view keyed table path")
     mv.add_argument("--group-col", required=True, dest="group_col")
-    mv.add_argument("--sum-col", required=True, dest="sum_col")
+    mv.add_argument("--sum-col", required=True, dest="sum_col",
+                    help="value column to SUM (comma-list maintains "
+                         "one total — and minmax pair — per column, "
+                         "all through one feed read)")
     mv.add_argument("--minmax", action="store_true",
                     help="also track per-group MIN/MAX (monotone "
                          "tightening is free; a retracted extremum "

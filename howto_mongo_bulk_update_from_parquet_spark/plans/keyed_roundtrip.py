@@ -1024,45 +1024,54 @@ def q_keyed_view_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
 VIEW_AVG_ORACLE = """
 WITH t AS (
   SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS g,
-         CAST(o_totalprice AS DOUBLE) AS val
+         CAST(o_totalprice AS DOUBLE) AS val,
+         CAST(o_orderkey % 97 AS DOUBLE) AS w
   FROM orders
 ),
 fin AS (
-  SELECT k, g, CASE WHEN k % 10 = 0 THEN val * 2 ELSE val END AS val
+  SELECT k, g,
+         CASE WHEN k % 10 = 0 THEN val * 2 ELSE val END AS val, w
   FROM t WHERE k % 7 <> 0
 )
 SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt,
-       CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total_val,
+       CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS total_w,
        CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS avg,
-       MIN(val) AS vmin, MAX(val) AS vmax
+         / CAST(COUNT(*) AS DOUBLE) AS avg_val,
+       CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_w,
+       MIN(val) AS vmin_val, MAX(val) AS vmax_val,
+       MIN(w) AS vmin_w, MAX(w) AS vmax_w
 FROM fin GROUP BY g
 """
 
 
 @register("q_keyed_view_avg", VIEW_AVG_ORACLE,
-          "multi-aggregate view: COUNT+SUM+AVG+MIN+MAX maintained "
-          "through one feed read per round, AVG derived from the "
-          "invertible pair — mixed delete/update arrivals, "
-          "oracle-exact (r14)")
+          "multi-aggregate MULTI-COLUMN view: COUNT + per-column "
+          "SUM/AVG/MIN/MAX maintained through one feed read per "
+          "round; a partial update touching one column must leave "
+          "the other's aggregates exactly unmoved — oracle-exact "
+          "(r14)")
 def q_keyed_view_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Attestation of the multi-aggregate view surface (r14 verdict
-    item 4): one maintained view carries COUNT, SUM, MIN and MAX
-    (track_minmax) and serves AVG derived from the maintained
-    COUNT+SUM pair (`read_grouped_view(with_avg=True)`) — AVG is not
-    self-maintainable under retractions, so SUM/COUNT derivation is
-    the standard differential treatment (exact: decimal total over
-    exact count, both engines compute the same double division).
-    The window mixes tombstone deletes (k%7) with in-place value
-    updates (k%10 doubles val — each update RETRACTS its pre-image,
-    potentially invalidating a group extremum, so both the monotone
-    and recompute MIN/MAX paths exercise under the same oracle).
-    All five aggregates hash against one GROUP BY recompute; a
-    drifted total, a stale extremum, or an avg inconsistent with its
-    own cnt/total all fail on values. At 100 TB: same O(changes)
-    posture as the COUNT/SUM view — the added aggregates ride the
-    SAME feed read and the same one-commit round, not a second
-    pipeline."""
+    """Attestation of the multi-aggregate, MULTI-COLUMN view surface
+    (r14 verdict item 4): one maintained view carries COUNT plus SUM,
+    MIN and MAX for TWO value columns (`sum_col=['val', 'w']`,
+    track_minmax) and serves per-column AVG derived from the
+    maintained COUNT+SUM pairs (`read_grouped_view(with_avg=True)`)
+    — AVG is not self-maintainable under retractions, so SUM/COUNT
+    derivation is the standard differential treatment (exact:
+    decimal total over exact count, both engines compute the same
+    double division). The window mixes tombstone deletes (k%7) with
+    PARTIAL updates (k%10 doubles `val` while OMITTING `w` — the
+    null-skip post-image per column means w's (−pre, +pre)
+    contributions must cancel exactly; a maintainer that retracts
+    what it never replaced drifts total_w and fails the hash). Each
+    update also retracts val's pre-image, potentially invalidating a
+    group extremum, so the monotone and recompute MIN/MAX paths both
+    exercise under the same oracle. All nine aggregates hash against
+    one GROUP BY recompute. At 100 TB: every added column rides the
+    SAME feed read, delta aggregation, and one-commit round — N
+    aggregates cost one pipeline, not N."""
     import tempfile
 
     from ..sinks.views import maintain_grouped_view, read_grouped_view
@@ -1071,26 +1080,28 @@ def q_keyed_view_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = orders.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_custkey").cast("bigint").alias("g"),
-        F.col("o_totalprice").cast("double").alias("val"))
+        F.col("o_totalprice").cast("double").alias("val"),
+        (F.col("o_orderkey") % 97).cast("double").alias("w"))
     tp = tempfile.mkdtemp(prefix="keyed_va_t_")
     vp = tempfile.mkdtemp(prefix="keyed_va_v_")
     upsert_into_keyed_table(spark, rows, path=tp, key="k",
                             updated_at_col=None)
     maintain_grouped_view(spark, table_path=tp, key="k", view_path=vp,
-                          group_col="g", sum_col="val",
+                          group_col="g", sum_col=["val", "w"],
                           track_minmax=True)
     append_delete_delta(spark, rows.filter(F.col("k") % 7 == 0)
                         .select("k"), path=tp, key="k")
     # k%70 keys are deleted above — updating them would RE-INSERT
     # after the tombstone (clean-slate semantics); keep them dead so
-    # the oracle's delete-then-update order holds
+    # the oracle's delete-then-update order holds. The update batch
+    # OMITS w entirely: the null-skip partial-payload pattern.
     append_delta(spark,
                  rows.filter((F.col("k") % 10 == 0)
                              & (F.col("k") % 7 != 0))
                  .select("k", "g", (F.col("val") * 2).alias("val")),
                  path=tp, key="k")
     maintain_grouped_view(spark, table_path=tp, key="k", view_path=vp,
-                          group_col="g", sum_col="val",
+                          group_col="g", sum_col=["val", "w"],
                           track_minmax=True)
     return read_grouped_view(spark, vp, "g", with_avg=True)
 

@@ -57,6 +57,61 @@ OFFSET_PROP = "user.feed_offset"
 _DEC = "decimal(38,6)"
 
 
+def _sum_cols(sum_col) -> tuple[list[str], dict[str, tuple[str, str, str]]]:
+    """Normalize `sum_col` (str | list[str]) to (columns, per-column
+    stored names (total, vmin, vmax)). A STRING keeps the legacy
+    single-column names; a LIST — even of one — uses `_<col>`
+    suffixes, so the stored schema is deterministic from the call
+    shape (r14 multi-aggregate views: N value columns ride ONE feed
+    read, one delta aggregation, one view commit)."""
+    if isinstance(sum_col, str):
+        return [sum_col], {sum_col: ("total", "vmin", "vmax")}
+    cols = list(sum_col)
+    if not cols:
+        raise ValueError("sum_col must name at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate sum_col entries: {cols}")
+    return cols, {c: (f"total_{c}", f"vmin_{c}", f"vmax_{c}")
+                  for c in cols}
+
+
+def _snapshot_aggs(cols: list[str], names: dict, track_minmax: bool):
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c in cols:
+        aggs.append(F.coalesce(F.sum(F.col(c).cast(_DEC)),
+                               F.lit(0).cast(_DEC)).alias(names[c][0]))
+    if track_minmax:
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(names[c][1]),
+                     F.max(F.col(c).cast("double")).alias(names[c][2])]
+    return aggs
+
+
+def _check_view_shape(cur_columns, cols: list[str], names: dict,
+                      track_minmax: bool, view_path: str) -> None:
+    """Refuse a maintenance call whose (sum columns, minmax mode)
+    disagree with what the view was bootstrapped with — a silent
+    mismatch would stale or orphan stored aggregates."""
+    want = ["cnt"] + [names[c][0] for c in cols]
+    if track_minmax:
+        want += [n for c in cols for n in names[c][1:]]
+    missing = [n for n in want if n not in cur_columns]
+    had_minmax = any(c == "vmin" or c.startswith("vmin_")
+                     for c in cur_columns)
+    # exact-set match on the totals: a call maintaining a SUBSET of
+    # the stored columns would silently stale the rest
+    stored_tots = {c for c in cur_columns
+                   if c == "total" or c.startswith("total_")}
+    if (missing or (track_minmax != had_minmax)
+            or stored_tots != {names[c][0] for c in cols}):
+        raise ValueError(
+            f"view at {view_path} was bootstrapped with a different "
+            f"shape (stored columns {sorted(cur_columns)}; this call "
+            f"wants {want}, track_minmax={track_minmax}) — maintain "
+            f"a view with the sum_col/track_minmax it was created "
+            f"with")
+
+
 def view_offset(spark: SparkSession, view_path: str) -> int:
     """Last source delta version this view has applied (0 = never)."""
     if not current_base_version(spark, view_path):
@@ -111,6 +166,19 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     must be bootstrapped with the same `track_minmax` it is
     maintained with (enforced).
 
+    `sum_col` may be a LIST of columns (r14): every listed column
+    gets its own maintained SUM (`total_<col>`) and, under
+    `track_minmax`, its own extremes (`vmin_<col>`/`vmax_<col>`) —
+    all riding the SAME feed read, the same delta aggregation, and
+    the same one-commit round, not a pipeline per aggregate. A
+    null-skip partial update that touches only SOME columns
+    contributes (−pre, +pre) = 0 for the untouched ones (the
+    coalesce post-image per column), exactly matching the merge. The
+    per-group recompute fires when ANY column's extremum is
+    retracted and rebuilds every tracked aggregate of the flagged
+    groups. A string `sum_col` keeps the original single-column
+    names (total/vmin/vmax); the shape is enforced on every call.
+
     `auto_recover=True` (r14, verdict item 2): when the change window
     is no longer servable — feed history vacuumed/GC'd past the
     view's offset, pre-images folded away, or a concurrent fold
@@ -125,18 +193,14 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     committed on the failed differential attempt, so recovery never
     double-counts. Default False: an operator who wants the error
     (to alert on retention misconfiguration) still gets it."""
+    cols_, names = _sum_cols(sum_col)
     if not current_base_version(spark, view_path):
         version, meta = _current_manifest(spark, table_path)
         floor = _meta_floor(meta)
         committed = _complete_deltas(spark, table_path, floor=floor)
         state = _read_merged_through(spark, table_path, key, committed,
                                      base_version=version or None)
-        aggs = [F.count(F.lit(1)).alias("cnt"),
-                F.coalesce(F.sum(F.col(sum_col).cast(_DEC)),
-                           F.lit(0).cast(_DEC)).alias("total")]
-        if track_minmax:
-            aggs += [F.min(F.col(sum_col).cast("double")).alias("vmin"),
-                     F.max(F.col(sum_col).cast("double")).alias("vmax")]
+        aggs = _snapshot_aggs(cols_, names, track_minmax)
         # materialize the snapshot once: the write AND the stats count
         # both read it (O(groups) rows — the view itself)
         snap = (state.filter(F.col(group_col).isNotNull())
@@ -191,43 +255,45 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
     if served is None:
         return {"applied_through": off, "groups_touched": 0,
                 "changes": 0}
-    # null-skip post-image, then the differential contributions
+    cols_, names = _sum_cols(sum_col)
+    # null-skip post-image, then the differential contributions —
+    # every value column rides this ONE pass (per-column __t/__v/__r
+    # channels, indexed to keep generated names collision-free)
     post_g = F.coalesce(F.col(group_col), F.col(f"{PRE_COL}.{group_col}"))
-    post_v = F.coalesce(F.col(sum_col), F.col(f"{PRE_COL}.{sum_col}"))
-    pre_v = F.col(f"{PRE_COL}.{sum_col}")
-    add = (changes.filter(F.col(OP_COL) == "U")
-           .select(post_g.alias("__g"),
-                   F.lit(1).cast("long").alias("__c"),
-                   F.coalesce(post_v.cast(_DEC),
-                              F.lit(0).cast(_DEC)).alias("__t"),
-                   post_v.cast("double").alias("__v"),
-                   F.lit(None).cast("double").alias("__r")))
-    retract = (changes.filter(F.col(PRE_COL).isNotNull())
-               .select(F.col(f"{PRE_COL}.{group_col}").alias("__g"),
-                       F.lit(-1).cast("long").alias("__c"),
-                       (-F.coalesce(pre_v.cast(_DEC),
-                                    F.lit(0).cast(_DEC))).alias("__t"),
-                       F.lit(None).cast("double").alias("__v"),
-                       pre_v.cast("double").alias("__r")))
+    add_sel = [post_g.alias("__g"), F.lit(1).cast("long").alias("__c")]
+    ret_sel = [F.col(f"{PRE_COL}.{group_col}").alias("__g"),
+               F.lit(-1).cast("long").alias("__c")]
+    for i, c in enumerate(cols_):
+        post_v = F.coalesce(F.col(c), F.col(f"{PRE_COL}.{c}"))
+        pre_v = F.col(f"{PRE_COL}.{c}")
+        add_sel += [F.coalesce(post_v.cast(_DEC),
+                               F.lit(0).cast(_DEC)).alias(f"__t{i}"),
+                    post_v.cast("double").alias(f"__v{i}"),
+                    F.lit(None).cast("double").alias(f"__r{i}")]
+        ret_sel += [(-F.coalesce(pre_v.cast(_DEC),
+                                 F.lit(0).cast(_DEC))).alias(f"__t{i}"),
+                    F.lit(None).cast("double").alias(f"__v{i}"),
+                    pre_v.cast("double").alias(f"__r{i}")]
+    add = changes.filter(F.col(OP_COL) == "U").select(*add_sel)
+    retract = changes.filter(F.col(PRE_COL).isNotNull()).select(*ret_sel)
     # localCheckpoint: the contribution frame is O(touched groups) and
     # feeds BOTH the semi join and the full outer below — materializing
     # it cuts the shared lineage (self-join ambiguity) and computes the
     # feed read once
+    delta_aggs = [F.sum("__c").alias("__dc")]
+    for i in range(len(cols_)):
+        delta_aggs += [F.sum(f"__t{i}").alias(f"__dt{i}"),
+                       F.min(f"__v{i}").alias(f"__wmin{i}"),
+                       F.max(f"__v{i}").alias(f"__wmax{i}"),
+                       F.min(f"__r{i}").alias(f"__rmin{i}"),
+                       F.max(f"__r{i}").alias(f"__rmax{i}")]
     delta = (add.unionByName(retract)
              .filter(F.col("__g").isNotNull())
-             .groupBy("__g")
-             .agg(F.sum("__c").alias("__dc"), F.sum("__t").alias("__dt"),
-                  F.min("__v").alias("__wmin"),
-                  F.max("__v").alias("__wmax"),
-                  F.min("__r").alias("__rmin"),
-                  F.max("__r").alias("__rmax"))
+             .groupBy("__g").agg(*delta_aggs)
              .localCheckpoint())
     cur = read_merged(spark, view_path, group_col)
-    if track_minmax != ("vmin" in cur.columns):
-        raise ValueError(
-            f"view at {view_path} was bootstrapped with "
-            f"track_minmax={'vmin' in cur.columns} — maintain it the "
-            f"same way (a mismatch would silently stale the extremes)")
+    _check_view_shape(cur.columns, cols_, names, track_minmax,
+                      view_path)
     cur = (cur.alias("c")
            .join(F.broadcast(delta.alias("s")),
                  F.col(f"c.{group_col}") == F.col("s.__g"), "semi"))
@@ -235,10 +301,12 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
                + F.coalesce(F.col("d.__dc"), F.lit(0)))
     cols = [F.coalesce(F.col(f"c.{group_col}"), F.col("d.__g"))
              .alias(group_col),
-            new_cnt.alias("cnt"),
-            (F.coalesce(F.col("c.total"), F.lit(0).cast(_DEC))
-             + F.coalesce(F.col("d.__dt"), F.lit(0).cast(_DEC)))
-            .cast(_DEC).alias("total")]
+            new_cnt.alias("cnt")]
+    for i, c in enumerate(cols_):
+        cols.append(
+            (F.coalesce(F.col(f"c.{names[c][0]}"), F.lit(0).cast(_DEC))
+             + F.coalesce(F.col(f"d.__dt{i}"), F.lit(0).cast(_DEC)))
+            .cast(_DEC).alias(names[c][0]))
     if track_minmax:
         # monotone fast path: added values only TIGHTEN extremes.
         # A retraction at/beyond the current extremum invalidates it
@@ -248,25 +316,31 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
         # upsert's null-skip merge would treat written NULLs as
         # "keep old"), so a refill must start fresh from the window's
         # own values, never least/greatest against the stale ones
-        # (caught by test_minmax_group_emptied_and_refilled).
-        cur_vmin = F.when(F.col("c.cnt") > 0, F.col("c.vmin"))
-        cur_vmax = F.when(F.col("c.cnt") > 0, F.col("c.vmax"))
-        rc = (new_cnt > 0) & (
-            (cur_vmin.isNotNull() & F.col("d.__rmin").isNotNull()
-             & (F.col("d.__rmin") <= cur_vmin))
-            | (cur_vmax.isNotNull() & F.col("d.__rmax").isNotNull()
-               & (F.col("d.__rmax") >= cur_vmax))
-            # a retraction against a group the view has no extremes
-            # for (fresh or emptied group) cannot be patched locally
-            | (cur_vmin.isNull() & F.col("d.__rmin").isNotNull()))
-        cols += [
-            F.when(new_cnt <= 0, F.lit(None).cast("double"))
-             .otherwise(F.least(cur_vmin, F.col("d.__wmin")))
-             .alias("vmin"),
-            F.when(new_cnt <= 0, F.lit(None).cast("double"))
-             .otherwise(F.greatest(cur_vmax, F.col("d.__wmax")))
-             .alias("vmax"),
-            F.coalesce(rc, F.lit(False)).alias("__rc")]
+        # (caught by test_minmax_group_emptied_and_refilled). With
+        # multiple value columns, ANY column's retracted extremum
+        # flags the group (one recompute rebuilds all its aggregates).
+        rc_any = F.lit(False)
+        for i, c in enumerate(cols_):
+            cur_vmin = F.when(F.col("c.cnt") > 0, F.col(f"c.{names[c][1]}"))
+            cur_vmax = F.when(F.col("c.cnt") > 0, F.col(f"c.{names[c][2]}"))
+            rc_any = rc_any | (
+                (cur_vmin.isNotNull() & F.col(f"d.__rmin{i}").isNotNull()
+                 & (F.col(f"d.__rmin{i}") <= cur_vmin))
+                | (cur_vmax.isNotNull() & F.col(f"d.__rmax{i}").isNotNull()
+                   & (F.col(f"d.__rmax{i}") >= cur_vmax))
+                # a retraction against a group the view has no
+                # extremes for (fresh or emptied group) cannot be
+                # patched locally
+                | (cur_vmin.isNull() & F.col(f"d.__rmin{i}").isNotNull()))
+            cols += [
+                F.when(new_cnt <= 0, F.lit(None).cast("double"))
+                 .otherwise(F.least(cur_vmin, F.col(f"d.__wmin{i}")))
+                 .alias(names[c][1]),
+                F.when(new_cnt <= 0, F.lit(None).cast("double"))
+                 .otherwise(F.greatest(cur_vmax, F.col(f"d.__wmax{i}")))
+                 .alias(names[c][2])]
+        cols.append(F.coalesce((new_cnt > 0) & rc_any,
+                               F.lit(False)).alias("__rc"))
     merged = (cur.alias("c")
               .join(delta.alias("d"),
                     F.col(f"c.{group_col}") == F.col("d.__g"),
@@ -297,27 +371,22 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
                 f"{group_col} {dict(merged.dtypes)[group_col]}")
             rc_agg = (state.join(F.broadcast(rc_df), group_col)
                       .groupBy(group_col)
-                      .agg(F.count(F.lit(1)).alias("cnt"),
-                           F.coalesce(F.sum(F.col(sum_col).cast(_DEC)),
-                                      F.lit(0).cast(_DEC)).alias("total"),
-                           F.min(F.col(sum_col).cast("double"))
-                            .alias("vmin"),
-                           F.max(F.col(sum_col).cast("double"))
-                            .alias("vmax")))
+                      .agg(*_snapshot_aggs(cols_, names, True)))
             # groups whose every row died recompute to NO rows: keep
             # them as cnt=0 (the view's standard zero-group debris)
+            rc_sel = [F.col(f"k.{group_col}").alias(group_col),
+                      F.coalesce(F.col("a.cnt"), F.lit(0)).alias("cnt")]
+            for c in cols_:
+                tn, mn, xn = names[c]
+                rc_sel += [F.coalesce(F.col(f"a.{tn}"),
+                                      F.lit(0).cast(_DEC)).alias(tn),
+                           F.col(f"a.{mn}").alias(mn),
+                           F.col(f"a.{xn}").alias(xn)]
             rc_full = (rc_df.alias("k")
                        .join(rc_agg.alias("a"),
                              F.col(f"k.{group_col}")
                              == F.col(f"a.{group_col}"), "left")
-                       .select(
-                           F.col(f"k.{group_col}").alias(group_col),
-                           F.coalesce(F.col("a.cnt"), F.lit(0))
-                            .alias("cnt"),
-                           F.coalesce(F.col("a.total"),
-                                      F.lit(0).cast(_DEC)).alias("total"),
-                           F.col("a.vmin").alias("vmin"),
-                           F.col("a.vmax").alias("vmax")))
+                       .select(*rc_sel))
             merged = (merged.filter(~F.col("__rc")).drop("__rc")
                       .unionByName(rc_full))
         else:
@@ -352,31 +421,27 @@ def _recover_rebootstrap(spark: SparkSession, table_path: str, key: str,
     so the next round resumes O(changes) differential maintenance.
     Cost O(table) + O(live view groups) — the floor for recovering
     from lost history without a second log."""
+    cols_, names = _sum_cols(sum_col)
     cur = read_merged(spark, view_path, group_col)
-    if track_minmax != ("vmin" in cur.columns):
-        raise ValueError(
-            f"view at {view_path} was bootstrapped with "
-            f"track_minmax={'vmin' in cur.columns} — maintain it the "
-            f"same way (a mismatch would silently stale the extremes)")
+    _check_view_shape(cur.columns, cols_, names, track_minmax,
+                      view_path)
     version, meta = _current_manifest(spark, table_path)
     floor = _meta_floor(meta)
     committed = _complete_deltas(spark, table_path, floor=floor)
     state = _read_merged_through(spark, table_path, key, committed,
                                  base_version=version or None)
-    aggs = [F.count(F.lit(1)).alias("cnt"),
-            F.coalesce(F.sum(F.col(sum_col).cast(_DEC)),
-                       F.lit(0).cast(_DEC)).alias("total")]
-    if track_minmax:
-        aggs += [F.min(F.col(sum_col).cast("double")).alias("vmin"),
-                 F.max(F.col(sum_col).cast("double")).alias("vmax")]
     snap = (state.filter(F.col(group_col).isNotNull())
-            .groupBy(group_col).agg(*aggs).localCheckpoint())
+            .groupBy(group_col)
+            .agg(*_snapshot_aggs(cols_, names, track_minmax))
+            .localCheckpoint())
     zero_cols = [F.col(group_col),
-                 F.lit(0).cast("long").alias("cnt"),
-                 F.lit(0).cast(_DEC).alias("total")]
+                 F.lit(0).cast("long").alias("cnt")]
+    for c in cols_:
+        zero_cols.append(F.lit(0).cast(_DEC).alias(names[c][0]))
     if track_minmax:
-        zero_cols += [F.lit(None).cast("double").alias("vmin"),
-                      F.lit(None).cast("double").alias("vmax")]
+        for c in cols_:
+            zero_cols += [F.lit(None).cast("double").alias(names[c][1]),
+                          F.lit(None).cast("double").alias(names[c][2])]
     vanished = (cur.filter(F.col("cnt") > 0)
                 .join(snap, group_col, "left_anti").select(*zero_cols))
     payload = snap.unionByName(vanished)
@@ -402,11 +467,17 @@ def read_grouped_view(spark: SparkSession, view_path: str,
     (r14); it costs nothing at read time and stays exactly consistent
     with the maintained state."""
     v = read_merged(spark, view_path, group_col).filter(F.col("cnt") > 0)
-    cols = [group_col, "cnt",
-            F.col("total").cast("double").alias("total")]
+    tot_cols = [c for c in v.columns
+                if c == "total" or c.startswith("total_")]
+    cols = [group_col, "cnt"]
+    for t in tot_cols:
+        cols.append(F.col(t).cast("double").alias(t))
     if with_avg:
-        cols.append((F.col("total").cast("double")
-                     / F.col("cnt").cast("double")).alias("avg"))
-    if "vmin" in v.columns:
-        cols += ["vmin", "vmax"]
+        for t in tot_cols:
+            an = "avg" if t == "total" else "avg_" + t[len("total_"):]
+            cols.append((F.col(t).cast("double")
+                         / F.col("cnt").cast("double")).alias(an))
+    cols += [c for c in v.columns
+             if c == "vmin" or c == "vmax"
+             or c.startswith("vmin_") or c.startswith("vmax_")]
     return v.select(*cols)

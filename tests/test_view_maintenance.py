@@ -512,3 +512,116 @@ def test_two_views_one_table_independent_offsets(spark, tmp_path):
     assert _view(spark, va) == want_a
     assert sorted((r.p, r.cnt, r.total) for r in
                   read_grouped_view(spark, vb, "p").collect()) == want_b
+
+
+def _mk_table2(spark, tmp_path):
+    path = str(tmp_path / "src2")
+    base = spark.createDataFrame(
+        [Row(k=i, g=i % 3, val=float(i), w=float(i * i)) for i in range(12)])
+    upsert_into_keyed_table(spark, base, path=path, key="k",
+                            updated_at_col=None)
+    return path
+
+
+def _recompute2(spark, path, minmax=False):
+    aggs = [F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("val").cast("decimal(38,6)"))
+             .cast("double").alias("tv"),
+            F.sum(F.col("w").cast("decimal(38,6)"))
+             .cast("double").alias("tw")]
+    if minmax:
+        aggs += [F.min("val").alias("mv"), F.max("val").alias("xv"),
+                 F.min("w").alias("mw"), F.max("w").alias("xw")]
+    return sorted(tuple(r) for r in
+                  read_merged(spark, path, "k").groupBy("g")
+                  .agg(*aggs).collect())
+
+
+def test_multicol_view_matches_recompute(spark, tmp_path):
+    """r14: a LIST sum_col maintains one total per column through one
+    feed read — including a null-skip PARTIAL update touching only
+    one column (the other's ±pre contributions must cancel exactly)."""
+    path = _mk_table2(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col=["val", "w"])
+    assert st.get("bootstrap")
+    # group move (both cols), delete, insert, and a PARTIAL update
+    # carrying only val (w omitted = keep old)
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=1, g=9, val=11.0, w=111.0)]), path=path, key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=2)]),
+                        path=path, key="k")
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=100, g=5, val=100.0, w=1.0)]), path=path, key="k")
+    append_delta(spark,
+                 spark.createDataFrame([Row(k=3, val=30.0)],
+                                       "k bigint, val double"),
+                 path=path, key="k")
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col=["val", "w"])
+    assert st["applied_through"] == 4
+    got = sorted((r.g, r.cnt, r.total_val, r.total_w) for r in
+                 read_grouped_view(spark, vp, "g").collect())
+    assert got == _recompute2(spark, path)
+    # derived averages per column
+    avg = read_grouped_view(spark, vp, "g", with_avg=True)
+    assert {"avg_val", "avg_w"} <= set(avg.columns)
+    for r in avg.collect():
+        assert abs(r.avg_val - r.total_val / r.cnt) < 1e-12
+        assert abs(r.avg_w - r.total_w / r.cnt) < 1e-12
+
+
+def test_multicol_minmax_recompute_any_column(spark, tmp_path):
+    """ANY column's retracted extremum flags the group; the recompute
+    rebuilds every tracked aggregate exactly."""
+    path = _mk_table2(spark, tmp_path)        # val=k, w=k*k, g=k%3
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g",
+                          sum_col=["val", "w"], track_minmax=True)
+    # k=11 holds group 2's max in BOTH columns: recompute fires
+    append_delete_delta(spark, spark.createDataFrame([Row(k=11)]),
+                        path=path, key="k")
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col=["val", "w"], track_minmax=True)
+    assert st["recomputed_groups"] == 1
+    got = sorted((r.g, r.cnt, r.total_val, r.total_w,
+                  r.vmin_val, r.vmax_val, r.vmin_w, r.vmax_w)
+                 for r in read_grouped_view(spark, vp, "g").collect())
+    want = [(g, c, tv, tw, mv, xv, mw, xw) for
+            (g, c, tv, tw, mv, xv, mw, xw) in
+            _recompute2(spark, path, minmax=True)]
+    assert got == want
+    # a pure insert stays differential for every column
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=50, g=2, val=-1.0, w=999.0)]), path=path, key="k")
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col=["val", "w"], track_minmax=True)
+    assert st["recomputed_groups"] == 0
+    got = sorted((r.g, r.cnt, r.total_val, r.total_w,
+                  r.vmin_val, r.vmax_val, r.vmin_w, r.vmax_w)
+                 for r in read_grouped_view(spark, vp, "g").collect())
+    assert got == _recompute2(spark, path, minmax=True)
+
+
+def test_shape_mismatch_guard_multicol(spark, tmp_path):
+    path = _mk_table2(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g",
+                          sum_col=["val", "w"])
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=99, g=1, val=9.0, w=9.0)]), path=path, key="k")
+    with pytest.raises(ValueError, match="different "):
+        maintain_grouped_view(spark, table_path=path, key="k",
+                              view_path=vp, group_col="g",
+                              sum_col="val")
+    with pytest.raises(ValueError, match="different "):
+        maintain_grouped_view(spark, table_path=path, key="k",
+                              view_path=vp, group_col="g",
+                              sum_col=["val"])
