@@ -322,8 +322,17 @@ def cmd_sql(args: argparse.Namespace) -> int:
             return 2
         name, rest = spec.split("=", 1)
         path, key = rest.rsplit(":", 1)
+        version = None
+        if "@" in key:                     # NAME=PATH:KEY@N time travel
+            key, v = key.split("@", 1)
+            try:
+                version = int(v)
+            except ValueError:
+                print(f"--keyed version suffix must be an integer, "
+                      f"got {v!r} in {spec!r}", file=sys.stderr)
+                return 2
         try:
-            register_sql_view(spark, path, key, name)
+            register_sql_view(spark, path, key, name, version=version)
         except FileNotFoundError as exc:
             print(f"cannot register {name!r}: {exc}", file=sys.stderr)
             return 2
@@ -1543,7 +1552,8 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--text", required=True, help="the SQL to run")
     sq.add_argument("--keyed", action="append", metavar="NAME=PATH:KEY",
                     help="register a keyed table's merged state as "
-                         "view NAME (repeatable)")
+                         "view NAME (repeatable; KEY@N time-travels "
+                         "to retained base version N)")
     sq.add_argument("--view", action="append", metavar="NAME=DIR",
                     help="register a parquet directory as view NAME "
                          "(repeatable)")

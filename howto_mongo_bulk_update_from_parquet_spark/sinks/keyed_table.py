@@ -1783,7 +1783,7 @@ def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
 
 
 def register_sql_view(spark: SparkSession, path: str, key: str,
-                      name: str) -> None:
+                      name: str, version: int | None = None) -> None:
     """Expose the table's merged state to `spark.sql` as a temp view
     (r14, verdict item 8 — the migration surface dashboards need: a
     consumer keeps its SQL text and switches only the registration).
@@ -1793,8 +1793,15 @@ def register_sql_view(spark: SparkSession, path: str, key: str,
     re-registers — the same time-travel discipline as every other
     reader, now reachable from pure SQL. Registration costs one
     manifest read; queries over the view plan through the merged
-    read's normal fast-merge/broadcast machinery."""
-    read_merged(spark, path, key).createOrReplaceTempView(name)
+    read's normal fast-merge/broadcast machinery.
+
+    `version=N` registers a retained HISTORICAL committed base
+    instead (time travel from SQL — pending deltas excluded: a
+    historical snapshot is exactly what was committed as that
+    version; keep history with `retain_versions` > 1)."""
+    df = (read_keyed_table(spark, path, version=version)
+          if version is not None else read_merged(spark, path, key))
+    df.createOrReplaceTempView(name)
 
 
 # Pending-delta byte ceiling for the merged-read fast path: below it,

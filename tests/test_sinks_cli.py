@@ -446,3 +446,30 @@ def test_cli_sql_verb(spark, tmp_path, capsys):
     assert "NAME=PATH:KEY" in capsys.readouterr().err
     assert main(["sql", "--keyed", f"x={tmp_path}/nope:k",
                  "--text", "SELECT 1"]) == 2
+
+
+def test_cli_sql_time_travel(spark, tmp_path, capsys):
+    """r14: `sql --keyed NAME=PATH:KEY@N` registers a retained
+    historical base version — time travel from pure SQL."""
+    from pyspark.sql import Row
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        upsert_into_keyed_table)
+
+    t = str(tmp_path / "kt")
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, v=1.0)]), path=t,
+        key="k", updated_at_col=None)
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, v=99.0)]), path=t,
+        key="k", updated_at_col=None)
+    rc = main(["sql", "--keyed", f"old={t}:k@1", "--keyed",
+               f"new={t}:k", "--text",
+               "SELECT o.v AS v_old, n.v AS v_new FROM old o "
+               "JOIN new n ON o.k = n.k"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "1.0" in out and "99.0" in out
+    assert main(["sql", "--keyed", f"x={t}:k@notanint",
+                 "--text", "SELECT 1"]) == 2
