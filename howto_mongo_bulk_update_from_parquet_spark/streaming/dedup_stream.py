@@ -137,7 +137,8 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
                          max_files_per_trigger: int | None = None,
                          index_lsm: bool = False,
                          compact_pending: int | None = None,
-                         processing_time: str | None = None):
+                         processing_time: str | None = None,
+                         lease_ttl_ms: int | None = None):
     """Drain parquet document batches arriving under `source_dir`
     through the incremental-dedup cycle (availableNow trigger: one
     sweep of everything currently available — rerun or schedule for
@@ -172,8 +173,9 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
     # expires by TTL after a kill — which the restart then breaks).
     import hashlib
 
-    from ..sinks.lease import (acquire_writer_lease,
+    from ..sinks.lease import (DEFAULT_TTL_MS, acquire_writer_lease,
                                release_writer_lease, renew_writer_lease)
+    ttl = lease_ttl_ms or DEFAULT_TTL_MS
     lease_owner = "drain-" + hashlib.sha1(
         checkpoint.encode()).hexdigest()[:16]
     stores = [s for s in (index_path, vectors_path) if s]
@@ -184,7 +186,8 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
             # readers and the claim machinery) may PRE-EXIST the table
             # it guards — a drain must hold the lease from its first
             # idle second, not from its first committed epoch
-            acquire_writer_lease(spark, store, owner=lease_owner)
+            acquire_writer_lease(spark, store, owner=lease_owner,
+                                 ttl_ms=ttl)
             held.append(store)
     except BaseException:
         for store in held:
@@ -322,8 +325,28 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
         # across a mid-stream stop/restart). The lease is NOT released
         # here: it guards the live query and expires by TTL after a
         # kill (a same-checkpoint restart breaks its own stale lease
-        # reentrantly, without the wait).
-        return writer.trigger(processingTime=processing_time).start()
+        # reentrantly, without the wait). A daemon thread heartbeats
+        # while the query is ACTIVE, so an IDLE drain (no arrivals →
+        # no epochs → no per-epoch renew) cannot silently outlive its
+        # own TTL and lose the store to a competitor; the thread dies
+        # with the query, leaving the TTL as the kill detector.
+        q = writer.trigger(processingTime=processing_time).start()
+        import threading
+        import time as _t
+
+        def _heartbeat():
+            while q.isActive:
+                _t.sleep(max(ttl / 3000.0, 0.2))
+                if not q.isActive:
+                    return
+                try:
+                    for store in held:
+                        renew_writer_lease(spark, store, lease_owner)
+                except Exception:   # noqa: BLE001 - lease taken over:
+                    return          # next epoch fails the stream loudly
+        threading.Thread(target=_heartbeat, daemon=True,
+                         name="drain-lease-heartbeat").start()
+        return q
     try:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()

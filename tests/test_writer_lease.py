@@ -188,3 +188,47 @@ def test_table_info_surfaces_lease(spark, tmp_path, capsys):
     release_writer_lease(spark, t, "drain-abc")
     assert main(["table-info", "--table", t]) == 0
     assert "writer_lease" not in json.loads(capsys.readouterr().out)
+
+
+def test_idle_continuous_drain_keeps_lease_alive(spark, tmp_path):
+    """r14: an IDLE live drain (no arrivals → no epochs) must not
+    silently outlive its lease TTL — the heartbeat thread keeps it
+    held while the query is active; after a stop, the TTL becomes
+    the kill detector and a foreign drain may break it."""
+    from pyspark.sql import types as T
+
+    from howto_mongo_bulk_update_from_parquet_spark.streaming.dedup_stream import (
+        stream_dedup_parquet)
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    landing = os.path.join(str(tmp_path), "landing")
+    os.makedirs(landing)
+    (spark.createDataFrame([(1, "the quick brown fox jumps tonight")],
+                           schema).coalesce(1)
+     .write.parquet(os.path.join(landing, "b1")))
+    index = os.path.join(str(tmp_path), "index")
+    q = stream_dedup_parquet(
+        spark, os.path.join(landing, "*"), schema=schema,
+        index_path=index,
+        verdicts_dir=os.path.join(str(tmp_path), "verdicts"),
+        checkpoint=os.path.join(str(tmp_path), "ckpt_a"),
+        mode="near", buckets=4, processing_time="1 seconds",
+        lease_ttl_ms=2000)
+    try:
+        # idle well past the 2s TTL: a foreign drain must STILL lose
+        time.sleep(6.0)
+        assert q.isActive
+        with pytest.raises(WriterLeaseHeld):
+            stream_dedup_parquet(
+                spark, os.path.join(landing, "*"), schema=schema,
+                index_path=index,
+                verdicts_dir=os.path.join(str(tmp_path), "verdicts_b"),
+                checkpoint=os.path.join(str(tmp_path), "ckpt_b"),
+                mode="near", buckets=4)
+    finally:
+        q.stop()
+    # dead: the TTL expires and a foreign drain may break the corpse
+    time.sleep(4.0)
+    acquire_writer_lease(spark, index, owner="other")
+    release_writer_lease(spark, index, "other")
