@@ -478,14 +478,25 @@ def cmd_table_info(args: argparse.Namespace) -> int:
                      _manifest_versions(spark, args.table)
                      and int(d.split("_v")[1]) != version))),
     }
-    from .sinks.lease import _holder, _is_expired
+    from .sinks.lease import LEASE_DIR, _holder
     holder, ttl = _holder(spark, args.table)
     if holder is not None:
-        # who owns the exclusive-writer lease and whether it is live —
-        # the thing that decides if claim_debris may be force-cleared
+        # who owns the exclusive-writer lease and how fresh its
+        # heartbeat looks — the thing that decides whether
+        # claim_debris may be force-cleared. READ-ONLY on purpose: an
+        # inspection command must not write probe files into a
+        # production table (and must work on read-only mounts), so
+        # the age is driver-clock based and labeled a HINT — the
+        # authoritative skew-proof check runs inside acquire/recover
+        # (review r14)
+        import time as _time
+        newest, _trunc = hfs.newest_mtime(
+            spark, hfs.join(args.table, LEASE_DIR))
+        age = (int(_time.time() * 1000) - newest
+               if newest is not None else None)
         info["writer_lease"] = {
-            "owner": holder, "ttl_ms": ttl,
-            "live": not _is_expired(spark, args.table, ttl)}
+            "owner": holder, "ttl_ms": ttl, "hb_age_ms": age,
+            "live_hint": (age is not None and age <= ttl)}
     zmap = zm.read_zone_map(spark, base)
     if zmap is not None:
         spans = {}
@@ -565,11 +576,14 @@ def cmd_maintain_view(args: argparse.Namespace) -> int:
     import json as _json
     try:
         sc = [c for c in args.sum_col.split(",") if c]
+        # any comma means LIST semantics (suffixed column names), so a
+        # view bootstrapped with sum_col=['val'] stays maintainable
+        # from the CLI as '--sum-col val,' (review r14)
+        sum_col = sc if ("," in args.sum_col or len(sc) > 1) else sc[0]
         st = maintain_grouped_view(spark, table_path=args.table,
                                    key=args.key, view_path=args.view,
                                    group_col=args.group_col,
-                                   sum_col=(sc[0] if len(sc) == 1
-                                            else sc),
+                                   sum_col=sum_col,
                                    track_minmax=args.minmax,
                                    auto_recover=args.auto_recover)
     except (ChangeHistoryUnavailable, ValueError) as exc:
@@ -1674,7 +1688,9 @@ def main(argv: list[str] | None = None) -> int:
     mv.add_argument("--sum-col", required=True, dest="sum_col",
                     help="value column to SUM (comma-list maintains "
                          "one total — and minmax pair — per column, "
-                         "all through one feed read)")
+                         "all through one feed read; a trailing "
+                         "comma forces one-column LIST naming, "
+                         "total_<col>)")
     mv.add_argument("--minmax", action="store_true",
                     help="also track per-group MIN/MAX (monotone "
                          "tightening is free; a retracted extremum "

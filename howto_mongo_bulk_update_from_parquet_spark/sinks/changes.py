@@ -163,17 +163,20 @@ def read_table_changes(spark: SparkSession, path: str, *,
                 ptypes[c] = t
     if with_preimage:
         committed = _complete_deltas(spark, path, floor=floor)
-        # The enriched form's payload surface must be the TABLE's —
-        # base + every committed delta — not just base + window
-        # deltas: a column that arrived via an earlier unfolded delta
+        # The enriched form's payload surface must span base + every
+        # committed delta UP TO the window — not just the window
+        # deltas: a column that arrived via an EARLIER unfolded delta
         # (schema evolution on the LSM path) is part of every key's
         # pre-state, and a consumer grouping by it (a second view
-        # over the same feed) coalesces post with pre on it. One
-        # footer read per non-window committed delta — bounded by the
-        # fold cadence, no data cost. (Found by
-        # test_two_views_one_table_independent_offsets, r14.)
+        # over the same feed) coalesces post with pre on it. Deltas
+        # ABOVE the window stay excluded: a bounded (after, until]
+        # read must not leak a column the requested versions never
+        # had, and its schema must not change when later deltas land
+        # (review r14). One footer read per admissible non-window
+        # delta — bounded by the fold cadence, no data cost. (Found
+        # by test_two_views_one_table_independent_offsets, r14.)
         for e in committed:
-            if e not in deltas:
+            if e not in deltas and e < versions[0]:
                 edf = spark.read.parquet(
                     hfs.join(path, f"delta_{e:05d}"))
                 for c, t in edf.dtypes:

@@ -110,6 +110,14 @@ def acquire_writer_lease(spark: SparkSession, table_path: str, *,
         if hfs.exists(spark, hfs.join(lp, "owner")):
             holder, holder_ttl = _holder(spark, table_path)
             if holder == owner:
+                if holder_ttl != ttl_ms:
+                    # reentrant re-acquire with a DIFFERENT ttl must
+                    # re-record it: a restart that heartbeats on the
+                    # new (longer) cadence against a stale short
+                    # recorded ttl would read expired between beats
+                    # and lose the store to a competitor (review r14)
+                    hfs.write_text(spark, hfs.join(lp, "owner"),
+                                   f"{owner}\n{ttl_ms}")
                 renew_writer_lease(spark, table_path, owner)
                 return owner
             if not _is_expired(spark, table_path, holder_ttl):

@@ -112,6 +112,28 @@ def _check_view_shape(cur_columns, cols: list[str], names: dict,
             f"with")
 
 
+def _snapshot_state(spark: SparkSession, table_path: str, key: str,
+                    group_col: str, cols_: list[str], names: dict,
+                    track_minmax: bool):
+    """(snapshot aggregate, offset) from ONE consistent (base version,
+    committed deltas) resolution of the source — the shared core of
+    the first bootstrap and the auto-recovery re-bootstrap (one copy:
+    a change to snapshot aggregation or offset derivation cannot
+    diverge the two paths — review r14). The frame is materialized
+    once (localCheckpoint, O(groups) rows — the view itself): the
+    write and the stats count both read it."""
+    version, meta = _current_manifest(spark, table_path)
+    floor = _meta_floor(meta)
+    committed = _complete_deltas(spark, table_path, floor=floor)
+    state = _read_merged_through(spark, table_path, key, committed,
+                                 base_version=version or None)
+    snap = (state.filter(F.col(group_col).isNotNull())
+            .groupBy(group_col)
+            .agg(*_snapshot_aggs(cols_, names, track_minmax))
+            .localCheckpoint())
+    return snap, (committed[-1] if committed else floor)
+
+
 def view_offset(spark: SparkSession, view_path: str) -> int:
     """Last source delta version this view has applied (0 = never)."""
     if not current_base_version(spark, view_path):
@@ -195,17 +217,9 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     (to alert on retention misconfiguration) still gets it."""
     cols_, names = _sum_cols(sum_col)
     if not current_base_version(spark, view_path):
-        version, meta = _current_manifest(spark, table_path)
-        floor = _meta_floor(meta)
-        committed = _complete_deltas(spark, table_path, floor=floor)
-        state = _read_merged_through(spark, table_path, key, committed,
-                                     base_version=version or None)
-        aggs = _snapshot_aggs(cols_, names, track_minmax)
-        # materialize the snapshot once: the write AND the stats count
-        # both read it (O(groups) rows — the view itself)
-        snap = (state.filter(F.col(group_col).isNotNull())
-                .groupBy(group_col).agg(*aggs).localCheckpoint())
-        newest = committed[-1] if committed else floor
+        snap, newest = _snapshot_state(spark, table_path, key,
+                                       group_col, cols_, names,
+                                       track_minmax)
         upsert_into_keyed_table(spark, snap, path=view_path,
                                 key=group_col, updated_at_col=None,
                                 table_props={OFFSET_PROP: str(newest)})
@@ -234,8 +248,8 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
     # polling an idle table must not pay feed construction (whose
     # pre-image plan runs eager per-version span joins) to learn
     # "nothing new"
-    newest_known = max([folded_through(spark, table_path),
-                        *_delta_versions(spark, table_path)] or [0])
+    newest_known = max(folded_through(spark, table_path),
+                       *_delta_versions(spark, table_path), 0)
     if newest_known <= off:
         return {"applied_through": off, "groups_touched": 0,
                 "changes": 0}
@@ -425,15 +439,8 @@ def _recover_rebootstrap(spark: SparkSession, table_path: str, key: str,
     cur = read_merged(spark, view_path, group_col)
     _check_view_shape(cur.columns, cols_, names, track_minmax,
                       view_path)
-    version, meta = _current_manifest(spark, table_path)
-    floor = _meta_floor(meta)
-    committed = _complete_deltas(spark, table_path, floor=floor)
-    state = _read_merged_through(spark, table_path, key, committed,
-                                 base_version=version or None)
-    snap = (state.filter(F.col(group_col).isNotNull())
-            .groupBy(group_col)
-            .agg(*_snapshot_aggs(cols_, names, track_minmax))
-            .localCheckpoint())
+    snap, newest = _snapshot_state(spark, table_path, key, group_col,
+                                   cols_, names, track_minmax)
     zero_cols = [F.col(group_col),
                  F.lit(0).cast("long").alias("cnt")]
     for c in cols_:
@@ -445,7 +452,6 @@ def _recover_rebootstrap(spark: SparkSession, table_path: str, key: str,
     vanished = (cur.filter(F.col("cnt") > 0)
                 .join(snap, group_col, "left_anti").select(*zero_cols))
     payload = snap.unionByName(vanished)
-    newest = committed[-1] if committed else floor
     upsert_into_keyed_table(spark, payload, path=view_path,
                             key=group_col, updated_at_col=None,
                             table_props={OFFSET_PROP: str(newest)})

@@ -331,26 +331,48 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
         # own TTL and lose the store to a competitor; the thread dies
         # with the query, leaving the TTL as the kill detector.
         q = writer.trigger(processingTime=processing_time).start()
-        import threading
-        import time as _t
-
-        def _heartbeat():
-            while q.isActive:
-                _t.sleep(max(ttl / 3000.0, 0.2))
-                if not q.isActive:
-                    return
-                try:
-                    for store in held:
-                        renew_writer_lease(spark, store, lease_owner)
-                except Exception:   # noqa: BLE001 - lease taken over:
-                    return          # next epoch fails the stream loudly
-        threading.Thread(target=_heartbeat, daemon=True,
-                         name="drain-lease-heartbeat").start()
+        _start_lease_heartbeat(spark, q, held, lease_owner, ttl)
         return q
     try:
         q = writer.trigger(availableNow=True).start()
+        # the heartbeat guards THIS form too (review r14): one epoch
+        # over a large backlog can outlast the TTL, and the per-epoch
+        # renew fires only at epoch START — a mid-epoch expiry would
+        # let a competitor break the lease and sweep in-flight staging
+        _start_lease_heartbeat(spark, q, held, lease_owner, ttl)
         q.awaitTermination()
     finally:
         for store in held:
             release_writer_lease(spark, store, lease_owner)
     return None
+
+
+def _start_lease_heartbeat(spark, q, held, lease_owner: str,
+                           ttl: int) -> None:
+    """Daemon thread renewing the drain's store leases while the
+    query is ACTIVE — covers idle stretches (no epochs → no per-epoch
+    renew) and epochs longer than the TTL. Transient renew failures
+    are retried on the next beat (the owner still holds the lease; a
+    one-off FS hiccup must not orphan it — review r14); only a
+    confirmed TAKEOVER (`WriterLeaseHeld`) ends the thread, and the
+    next epoch's renew then fails the stream loudly. The thread dies
+    with the query, leaving the TTL as the kill detector."""
+    import threading
+    import time as _t
+
+    from ..sinks.lease import WriterLeaseHeld, renew_writer_lease
+
+    def _beat():
+        while q.isActive:
+            _t.sleep(max(ttl / 3000.0, 0.2))
+            if not q.isActive:
+                return
+            try:
+                for store in held:
+                    renew_writer_lease(spark, store, lease_owner)
+            except WriterLeaseHeld:
+                return              # taken over: exclusivity is gone
+            except Exception:       # noqa: BLE001 - transient FS error
+                continue            # still the holder — retry next beat
+    threading.Thread(target=_beat, daemon=True,
+                     name="drain-lease-heartbeat").start()

@@ -184,7 +184,8 @@ def test_table_info_surfaces_lease(spark, tmp_path, capsys):
     assert main(["table-info", "--table", t]) == 0
     info = json.loads(capsys.readouterr().out)
     assert info["writer_lease"]["owner"] == "drain-abc"
-    assert info["writer_lease"]["live"] is True
+    assert info["writer_lease"]["live_hint"] is True
+    assert info["writer_lease"]["hb_age_ms"] >= 0
     release_writer_lease(spark, t, "drain-abc")
     assert main(["table-info", "--table", t]) == 0
     assert "writer_lease" not in json.loads(capsys.readouterr().out)
