@@ -170,3 +170,32 @@ def test_cli_changes_batch_and_follow(spark, tmp_path, capsys):
     rc = main(["changes", "--table", path, "--follow"])
     assert rc == 2
     assert "--checkpoint" in capsys.readouterr().err
+
+
+def test_bounded_window_excludes_future_delta_columns(spark, tmp_path):
+    """Review r14: a bounded (after, until] read must not leak a
+    column only a LATER delta introduced — its schema is stable no
+    matter what lands afterwards; the full read still surfaces the
+    evolved column (earlier rows as NULL)."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "t")
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, v=1.0)]), path=path,
+        key="k", updated_at_col=None)
+    append_delta(spark, spark.createDataFrame([Row(k=2, v=2.0)]),
+                 path=path, key="k")
+    before = read_table_changes(spark, path, until=1,
+                                with_preimage=True, key="k")
+    assert "flag" not in before.columns
+    append_delta(spark, spark.createDataFrame([Row(k=3, v=3.0,
+                                                   flag="x")]),
+                 path=path, key="k")
+    bounded = read_table_changes(spark, path, until=1,
+                                 with_preimage=True, key="k")
+    assert bounded.columns == before.columns          # schema stable
+    assert "flag" not in bounded.schema[
+        "_change_pre"].dataType.fieldNames()
+    full = read_table_changes(spark, path, with_preimage=True, key="k")
+    rows = {r["k"]: r for r in full.collect()}
+    assert rows[3]["flag"] == "x" and rows[2]["flag"] is None
