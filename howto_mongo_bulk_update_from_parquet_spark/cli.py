@@ -315,13 +315,19 @@ def cmd_sql(args: argparse.Namespace) -> int:
     (default) or lands as parquet with --out."""
     from .sinks.keyed_table import register_sql_view
     spark = get_spark("sql")
+    keyed_reg: dict[str, tuple[str, str]] = {}
     for spec in args.keyed or []:
-        if "=" not in spec or ":" not in spec.split("=", 1)[1]:
-            print(f"--keyed takes NAME=PATH:KEY, got {spec!r}",
+        # the ':KEY' suffix must be found AFTER any URI scheme colon:
+        # NAME=s3a://bucket/tbl (missing :KEY) would otherwise satisfy
+        # the ':' check and rsplit into path 's3a', key '//bucket/tbl'
+        # (ADVICE r15) — a parsed key containing '/' is never a column
+        name, _, rest = spec.partition("=")
+        path, _, key = rest.rpartition(":")
+        if not name or not path or not key or "/" in key:
+            print(f"--keyed takes NAME=PATH:KEY (KEY may carry a "
+                  f"@N time-travel suffix), got {spec!r}",
                   file=sys.stderr)
             return 2
-        name, rest = spec.split("=", 1)
-        path, key = rest.rsplit(":", 1)
         version = None
         if "@" in key:                     # NAME=PATH:KEY@N time travel
             key, v = key.split("@", 1)
@@ -336,6 +342,8 @@ def cmd_sql(args: argparse.Namespace) -> int:
         except FileNotFoundError as exc:
             print(f"cannot register {name!r}: {exc}", file=sys.stderr)
             return 2
+        if version is None:          # MERGE targets the live head only
+            keyed_reg[name] = (path, key)
     for spec in args.view or []:
         if "=" not in spec:
             print(f"--view takes NAME=DIR, got {spec!r}",
@@ -347,6 +355,19 @@ def cmd_sql(args: argparse.Namespace) -> int:
         except Exception as exc:  # noqa: BLE001 - surface as usage
             print(f"cannot register {name!r}: {exc}", file=sys.stderr)
             return 2
+    if args.text.lstrip()[:5].upper() == "MERGE":
+        # write path (r15): the SAME --keyed registration that powers
+        # reads powers MERGE INTO — a dashboard migrates its upsert
+        # SQL by swapping only the registration flags
+        from .sinks.sql_merge import MergeSyntaxError, sql_merge
+        import json as _json
+        try:
+            out = sql_merge(spark, args.text, tables=keyed_reg)
+        except MergeSyntaxError as exc:
+            print(f"merge error: {exc}", file=sys.stderr)
+            return 2
+        print(_json.dumps(out, sort_keys=True))
+        return 0
     df = spark.sql(args.text)
     if args.explain:
         df.explain("formatted")

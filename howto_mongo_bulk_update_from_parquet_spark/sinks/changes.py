@@ -230,6 +230,28 @@ def read_table_changes(spark: SparkSession, path: str, *,
     return allv.select(*cols, *tail)
 
 
+def register_sql_changes(spark: SparkSession, path: str, name: str, *,
+                         after: int = 0, until: int | None = None,
+                         with_preimage: bool = False,
+                         key: str | None = None) -> None:
+    """Expose the table's change feed to `spark.sql` as a temp view
+    (r15, verdict item 7 — CDC consumers migrate with their
+    dashboards, the same posture as `register_sql_view` for state):
+    each row one committed change in (after, until] with
+    `_change_version` / `_change_op` (and `_change_pre` under
+    `with_preimage`, which needs `key`). The window resolves EAGERLY
+    at registration — the delta-version list is pinned, so arrivals
+    committed after registration are invisible until re-registered,
+    and a BOUNDED (after, until] view keeps a stable schema no
+    matter what an evolved later delta introduces (the r14
+    bounded-window contract, now reachable from SQL). Registration
+    costs the feed's normal metadata listing; queries plan through
+    the same bounded union every Python feed consumer gets."""
+    read_table_changes(spark, path, after=after, until=until,
+                       with_preimage=with_preimage, key=key
+                       ).createOrReplaceTempView(name)
+
+
 def changes_schema(spark: SparkSession, path: str) -> T.StructType:
     """The unified schema a change STREAM must declare up front: the
     table's current columns plus the tombstone marker (streaming file

@@ -241,7 +241,16 @@ def rename_no_clobber(spark: SparkSession, src: str, dst: str) -> bool:
     if fs.exists(p_dst):
         return False
     _, p_src = _fs_path(spark, src)
-    return bool(fs.rename(p_src, p_dst))
+    try:
+        return bool(fs.rename(p_src, p_dst))
+    except Exception:
+        # a SOURCE that vanished mid-call (a concurrent racer renamed
+        # it first) or a DESTINATION that appeared mid-call (a racer
+        # published first — some FS impls throw instead of returning
+        # false) is the same outcome as losing the publish race
+        if not fs.exists(p_src) or fs.exists(p_dst):
+            return False
+        raise
 
 
 def newest_mtime(spark: SparkSession, path: str,

@@ -29,8 +29,21 @@ posture as the table's manifest CAS):
   writer's and may be BROKEN by the next acquirer. 'Now' comes from
   the filesystem's own clock (`probe_now_ms`), so driver clock skew
   cannot shrink the window — same discipline as `_claim_is_stale`.
-  Two breakers racing both delete-then-rename; the rename picks one
-  winner, the loser raises cleanly.
+- BREAKING is displace-verify-commit (r15, closing the r14 verdict's
+  two-breaker race): the breaker renames the lease dir onto a
+  PRIVATE tombstone (atomic, so N racing breakers displace at most
+  one dir each), then re-verifies expiry ON THE TOMBSTONE — renames
+  carry the heartbeat mtimes along, so a LIVE lease installed by a
+  faster breaker between this breaker's expiry check and its rename
+  reads fresh and is renamed straight back; only a verified-dead
+  tombstone is deleted. Exactly one writer holds the lease at every
+  step; a displaced-then-restored live writer at worst observes one
+  failed renew and stops conservatively (it had already let its TTL
+  lapse for a breaker to be examining it at all). `release` uses the
+  same rename-out-verify-commit shape, closing its check-then-delete
+  TOCTOU, and a lease dir with no readable owner file (orphaned
+  heartbeat debris) is breakable by dir-mtime expiry instead of
+  wedging every future acquire.
 
 At 100 TB / a 1000-executor deployment the lease is two metadata
 ops per acquisition and one per heartbeat — nothing scales with
@@ -61,14 +74,14 @@ def _lease_path(table_path: str) -> str:
     return hfs.join(table_path, LEASE_DIR)
 
 
-def _holder(spark: SparkSession, table_path: str
-            ) -> tuple[str | None, int]:
-    """(owner, ttl_ms) recorded in the lease dir; (None, 0) when no
-    readable lease exists."""
-    txt = hfs.read_text(spark, hfs.join(_lease_path(table_path),
-                                        "owner"))
+def _holder_at(spark: SparkSession, lease_dir: str
+               ) -> tuple[str | None, int]:
+    """(owner, ttl_ms) recorded in an arbitrary lease-shaped dir;
+    (None, DEFAULT_TTL_MS) when no readable owner file exists (the
+    dir may still be orphaned-heartbeat debris — judged by mtime)."""
+    txt = hfs.read_text(spark, hfs.join(lease_dir, "owner"))
     if not txt:
-        return None, 0
+        return None, DEFAULT_TTL_MS
     parts = txt.strip().split("\n")
     try:
         ttl = int(parts[1]) if len(parts) > 1 else DEFAULT_TTL_MS
@@ -77,23 +90,62 @@ def _holder(spark: SparkSession, table_path: str
     return parts[0], ttl
 
 
-def _is_expired(spark: SparkSession, table_path: str,
-                ttl_ms: int) -> bool:
-    """Dead-writer check: nothing under the lease dir touched within
-    its TTL, judged by the filesystem's own clock. A truncated
-    listing or an unwritable probe reads as LIVE (never break a
-    lease we cannot prove dead)."""
-    lp = _lease_path(table_path)
-    newest, truncated = hfs.newest_mtime(spark, lp)
+def _holder(spark: SparkSession, table_path: str
+            ) -> tuple[str | None, int]:
+    return _holder_at(spark, _lease_path(table_path))
+
+
+def _is_expired_at(spark: SparkSession, probe_dir: str,
+                   lease_dir: str, ttl_ms: int) -> bool:
+    """Dead-writer check: nothing under `lease_dir` touched within
+    its TTL, judged by the filesystem's own clock (probed next to
+    `probe_dir`). A truncated listing or an unwritable probe reads
+    as LIVE (never break a lease we cannot prove dead)."""
+    newest, truncated = hfs.newest_mtime(spark, lease_dir)
     if newest is None:
         return True                      # vanished
     if truncated:
         return False
     try:
-        now = hfs.probe_now_ms(spark, table_path)
+        now = hfs.probe_now_ms(spark, probe_dir)
     except Exception:
         return False
     return (now - newest) > ttl_ms
+
+
+def _is_expired(spark: SparkSession, table_path: str,
+                ttl_ms: int) -> bool:
+    return _is_expired_at(spark, table_path, _lease_path(table_path),
+                          ttl_ms)
+
+
+def _break_dead_lease(spark: SparkSession, table_path: str) -> None:
+    """Displace-verify-commit (r15): atomically rename the lease dir
+    onto a private tombstone, re-verify expiry ON the tombstone (the
+    rename carries heartbeat mtimes along), and only then delete it.
+    A live lease that slipped in between the caller's expiry check
+    and the rename reads fresh on the tombstone and is renamed
+    straight back, so two breakers racing over one dead lease can
+    never both install — the second breaker displaces the first's
+    LIVE lease, sees it fresh, and restores it. Returns having made
+    progress or not; the caller re-examines either way."""
+    lp = _lease_path(table_path)
+    tomb = hfs.join(table_path.rstrip("/"),
+                    f".broken-lease-{uuid.uuid4().hex[:12]}")
+    if not hfs.rename_no_clobber(spark, lp, tomb):
+        return                       # already displaced — re-examine
+    t_owner, t_ttl = _holder_at(spark, tomb)
+    if t_owner is None:
+        t_ttl = DEFAULT_TTL_MS       # heartbeat debris: dir mtime rules
+    if _is_expired_at(spark, table_path, tomb, t_ttl):
+        hfs.delete(spark, tomb)      # verified dead: commit the break
+        return
+    # We displaced a LIVE lease (installed after our expiry check) —
+    # put it back. If the restore loses (yet another lease already
+    # took the path), drop the tombstone: the displaced writer's next
+    # renew fails loudly and it stops; one writer remains.
+    if not hfs.rename_no_clobber(spark, tomb, lp):
+        hfs.delete(spark, tomb)
 
 
 def acquire_writer_lease(spark: SparkSession, table_path: str, *,
@@ -102,12 +154,14 @@ def acquire_writer_lease(spark: SparkSession, table_path: str, *,
     """Acquire (or reentrantly renew) the store's writer lease for
     `owner`. Returns the owner token to pass to renew/release.
     Raises `WriterLeaseHeld` when a DIFFERENT owner holds a
-    non-expired lease. An expired foreign lease is broken; the
-    delete+rename race between two breakers resolves to one winner.
-    """
+    non-expired lease. An expired foreign lease — or an owner-less
+    debris dir past its TTL — is broken via displace-verify-commit
+    (`_break_dead_lease`), so N breakers racing resolve to exactly
+    one installed writer. After winning the install rename the owner
+    file is re-read as a belt-and-braces post-condition."""
     lp = _lease_path(table_path)
-    for _ in range(3):
-        if hfs.exists(spark, hfs.join(lp, "owner")):
+    for _ in range(4):
+        if hfs.exists(spark, lp):
             holder, holder_ttl = _holder(spark, table_path)
             if holder == owner:
                 if holder_ttl != ttl_ms:
@@ -115,19 +169,40 @@ def acquire_writer_lease(spark: SparkSession, table_path: str, *,
                     # re-record it: a restart that heartbeats on the
                     # new (longer) cadence against a stale short
                     # recorded ttl would read expired between beats
-                    # and lose the store to a competitor (review r14)
-                    hfs.write_text(spark, hfs.join(lp, "owner"),
-                                   f"{owner}\n{ttl_ms}")
+                    # and lose the store to a competitor (review r14).
+                    # Atomic rewrite: a truncate-then-write here lets
+                    # a concurrent _holder read see an EMPTY owner
+                    # file and judge the live lease breakable
+                    # (ADVICE r14).
+                    hfs.write_text_atomic(spark, hfs.join(lp, "owner"),
+                                          f"{owner}\n{ttl_ms}")
                 renew_writer_lease(spark, table_path, owner)
                 return owner
-            if not _is_expired(spark, table_path, holder_ttl):
+            if holder is not None and not _is_expired(
+                    spark, table_path, holder_ttl):
                 raise WriterLeaseHeld(
                     f"{table_path} is leased to writer {holder!r} "
                     f"(heartbeat within {holder_ttl} ms) — a second "
                     f"drain on one store would sweep the live "
                     f"writer's claims; stop it or let the lease "
                     f"expire")
-            hfs.delete(spark, lp)        # dead writer: break it
+            if holder is None and not _is_expired(
+                    spark, table_path, DEFAULT_TTL_MS):
+                # owner-less dir with a fresh mtime: either a lease
+                # mid-install or just-recreated heartbeat debris —
+                # don't break what might be live; it self-heals by
+                # TTL if it really is debris (ADVICE r14: this case
+                # previously wedged every future acquire forever).
+                raise WriterLeaseHeld(
+                    f"{table_path} has a lease dir with no readable "
+                    f"owner and a fresh mtime — mid-install or "
+                    f"heartbeat debris; retry after its TTL "
+                    f"({DEFAULT_TTL_MS} ms)")
+            _break_dead_lease(spark, table_path)
+            # fall through and re-examine: the break may have been
+            # won by a competitor who then installed a live lease
+            if hfs.exists(spark, lp):
+                continue
         parent = table_path.rstrip("/")
         staging = hfs.join(parent,
                            f".stage-lease-{uuid.uuid4().hex[:12]}")
@@ -135,32 +210,70 @@ def acquire_writer_lease(spark: SparkSession, table_path: str, *,
                        f"{owner}\n{ttl_ms}")
         hfs.write_text(spark, hfs.join(staging, "hb"), "0")
         if hfs.rename_no_clobber(spark, staging, lp):
-            return owner
+            post, _ = _holder(spark, table_path)
+            if post == owner:
+                return owner
+            # pathological: displaced between our install and the
+            # re-read (a breaker misjudged us dead) — re-examine
+            continue
         hfs.delete(spark, staging)       # lost the race — re-examine
     raise WriterLeaseHeld(
         f"could not acquire the writer lease on {table_path} after "
-        f"3 attempts (another writer keeps winning the rename)")
+        f"4 attempts (another writer keeps winning the rename)")
 
 
 def renew_writer_lease(spark: SparkSession, table_path: str,
                        owner: str) -> None:
     """Heartbeat: refresh the lease's mtime. Raises if the lease is
     no longer this owner's (expired and taken over — the writer must
-    stop, its exclusivity is gone)."""
+    stop, its exclusivity is gone). The holder-check → hb-write pair
+    is not atomic; a break/release landing in between would make the
+    hb write RECREATE an owner-less `.writer-lease/` dir, so the
+    write is post-checked: if the owner file is gone afterwards, the
+    debris this renew just created is deleted and the takeover is
+    raised (ADVICE r14 — previously that debris wedged every future
+    acquire; it is now also TTL-breakable as a second line)."""
+    lp = _lease_path(table_path)
     holder, _ = _holder(spark, table_path)
     if holder != owner:
         raise WriterLeaseHeld(
             f"lease on {table_path} is now held by {holder!r}, not "
             f"{owner!r} — this writer's lease expired and was taken "
             f"over; stop writing")
-    hfs.write_text(spark, hfs.join(_lease_path(table_path), "hb"),
-                   uuid.uuid4().hex)
+    hfs.write_text(spark, hfs.join(lp, "hb"), uuid.uuid4().hex)
+    post, _ = _holder(spark, table_path)
+    if post != owner:
+        if post is None:
+            hfs.delete(spark, hfs.join(lp, "hb"))
+        raise WriterLeaseHeld(
+            f"lease on {table_path} was broken mid-renew (now held "
+            f"by {post!r}) — stop writing")
 
 
 def release_writer_lease(spark: SparkSession, table_path: str,
                          owner: str) -> None:
     """Drop the lease if still this owner's (idempotent — a lease
-    already broken or re-acquired by another writer is left alone)."""
+    already broken or re-acquired by another writer is left alone).
+    Rename-out-verify-commit (r15): between the holder read and a
+    plain delete, an expired lease can be taken over, and the delete
+    would destroy the NEW owner's lease. Instead the dir is renamed
+    onto a private tombstone, the tombstone's owner re-checked, and
+    a foreign live lease renamed straight back."""
     holder, _ = _holder(spark, table_path)
-    if holder == owner:
-        hfs.delete(spark, _lease_path(table_path))
+    if holder != owner:
+        return
+    lp = _lease_path(table_path)
+    tomb = hfs.join(table_path.rstrip("/"),
+                    f".released-lease-{uuid.uuid4().hex[:12]}")
+    if not hfs.rename_no_clobber(spark, lp, tomb):
+        return                       # already broken/taken — leave it
+    t_owner, _ = _holder_at(spark, tomb)
+    if t_owner == owner:
+        hfs.delete(spark, tomb)
+        return
+    # We displaced a successor's lease (ours expired and was taken
+    # over inside the read→rename window) — restore it; if even the
+    # restore loses, drop the tombstone and let the successor's next
+    # renew fail loudly (one writer remains either way).
+    if not hfs.rename_no_clobber(spark, tomb, lp):
+        hfs.delete(spark, tomb)

@@ -42,6 +42,8 @@ stale (state, offset) pair can never overwrite a newer one
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -148,7 +150,8 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
                           key: str, view_path: str, group_col: str,
                           sum_col: str,
                           track_minmax: bool = False,
-                          auto_recover: bool = False) -> dict:
+                          auto_recover: bool = False,
+                          lease_ttl_ms: int | None = None) -> dict:
     """Apply the source table's changes SINCE the view's recorded
     offset to the (group_col -> cnt, total[, vmin, vmax]) view. One
     atomic view commit per call carrying the new offset. Returns
@@ -214,7 +217,37 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     so the next round resumes pure-differential. Nothing was
     committed on the failed differential attempt, so recovery never
     double-counts. Default False: an operator who wants the error
-    (to alert on retention misconfiguration) still gets it."""
+    (to alert on retention misconfiguration) still gets it.
+
+    WRITER LEASE (r15, verdict item 5): the round is multi-step
+    (feed read → contribution build → view upsert → offset flip);
+    the manifest CAS underneath already guarantees at most one
+    COMMIT per round wins, but the single-maintainer contract was
+    otherwise documented-not-checked. Each call now holds the view
+    store's writer lease for its duration — a second concurrent
+    maintainer of the SAME view fails fast with `WriterLeaseHeld`
+    (clean loser; re-run after the holder finishes) instead of
+    burning a full feed read to lose the CAS. A crashed maintainer's
+    lease self-heals by TTL. O(1) metadata ops per round — nothing
+    scales with data."""
+    from .lease import (DEFAULT_TTL_MS, acquire_writer_lease,
+                        release_writer_lease)
+    lease_owner = f"view-maintainer-{uuid.uuid4().hex[:12]}"
+    acquire_writer_lease(spark, view_path, owner=lease_owner,
+                         ttl_ms=lease_ttl_ms or DEFAULT_TTL_MS)
+    try:
+        return _maintain_round(spark, table_path, key, view_path,
+                               group_col, sum_col, track_minmax,
+                               auto_recover)
+    finally:
+        release_writer_lease(spark, view_path, lease_owner)
+
+
+def _maintain_round(spark: SparkSession, table_path: str, key: str,
+                    view_path: str, group_col: str, sum_col: str,
+                    track_minmax: bool, auto_recover: bool) -> dict:
+    """One lease-held maintenance round (the body of
+    `maintain_grouped_view`)."""
     cols_, names = _sum_cols(sum_col)
     if not current_base_version(spark, view_path):
         snap, newest = _snapshot_state(spark, table_path, key,
@@ -243,6 +276,7 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
     `maintain_grouped_view`); raises `ChangeHistoryUnavailable` when
     the window cannot be served, having committed nothing."""
     off = view_offset(spark, view_path)
+    cols_shape, names_shape = _sum_cols(sum_col)
     # no-op fast path (r14 trim): two metadata listings decide whether
     # anything landed above the offset — a scheduled maintainer
     # polling an idle table must not pay feed construction (whose
@@ -251,6 +285,14 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
     newest_known = max(folded_through(spark, table_path),
                        *_delta_versions(spark, table_path), 0)
     if newest_known <= off:
+        # the shape contract must surface even with zero arrivals
+        # (ADVICE r15): an idle poll with a mismatched
+        # sum_col/track_minmax previously reported success silently.
+        # Schema-only read — resolving the view's columns executes
+        # nothing.
+        _check_view_shape(
+            read_merged(spark, view_path, group_col).columns,
+            cols_shape, names_shape, track_minmax, view_path)
         return {"applied_through": off, "groups_touched": 0,
                 "changes": 0}
     # ONE materialization of the enriched feed window (r14 trim): the

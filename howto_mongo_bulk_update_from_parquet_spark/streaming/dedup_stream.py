@@ -333,22 +333,31 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
         q = writer.trigger(processingTime=processing_time).start()
         _start_lease_heartbeat(spark, q, held, lease_owner, ttl)
         return q
+    hb_thread = hb_stop = None
     try:
         q = writer.trigger(availableNow=True).start()
         # the heartbeat guards THIS form too (review r14): one epoch
         # over a large backlog can outlast the TTL, and the per-epoch
         # renew fires only at epoch START — a mid-epoch expiry would
         # let a competitor break the lease and sweep in-flight staging
-        _start_lease_heartbeat(spark, q, held, lease_owner, ttl)
+        hb_thread, hb_stop = _start_lease_heartbeat(
+            spark, q, held, lease_owner, ttl)
         q.awaitTermination()
     finally:
+        # stop AND JOIN the heartbeat before releasing: a beat racing
+        # the release could otherwise recreate `.writer-lease/hb`
+        # after the delete, leaving owner-less debris that blocks the
+        # next acquire until its TTL lapses (ADVICE r15)
+        if hb_stop is not None:
+            hb_stop.set()
+            hb_thread.join(timeout=10.0)
         for store in held:
             release_writer_lease(spark, store, lease_owner)
     return None
 
 
 def _start_lease_heartbeat(spark, q, held, lease_owner: str,
-                           ttl: int) -> None:
+                           ttl: int):
     """Daemon thread renewing the drain's store leases while the
     query is ACTIVE — covers idle stretches (no epochs → no per-epoch
     renew) and epochs longer than the TTL. Transient renew failures
@@ -356,15 +365,20 @@ def _start_lease_heartbeat(spark, q, held, lease_owner: str,
     one-off FS hiccup must not orphan it — review r14); only a
     confirmed TAKEOVER (`WriterLeaseHeld`) ends the thread, and the
     next epoch's renew then fails the stream loudly. The thread dies
-    with the query, leaving the TTL as the kill detector."""
+    with the query, leaving the TTL as the kill detector. Returns
+    (thread, stop_event) so the availableNow path can stop AND JOIN
+    it before releasing — a beat racing the release would recreate
+    owner-less `.writer-lease/hb` debris (ADVICE r15)."""
     import threading
-    import time as _t
 
     from ..sinks.lease import WriterLeaseHeld, renew_writer_lease
 
+    stop = threading.Event()
+
     def _beat():
-        while q.isActive:
-            _t.sleep(max(ttl / 3000.0, 0.2))
+        while q.isActive and not stop.is_set():
+            if stop.wait(max(ttl / 3000.0, 0.2)):
+                return
             if not q.isActive:
                 return
             try:
@@ -374,5 +388,7 @@ def _start_lease_heartbeat(spark, q, held, lease_owner: str,
                 return              # taken over: exclusivity is gone
             except Exception:       # noqa: BLE001 - transient FS error
                 continue            # still the holder — retry next beat
-    threading.Thread(target=_beat, daemon=True,
-                     name="drain-lease-heartbeat").start()
+    t = threading.Thread(target=_beat, daemon=True,
+                         name="drain-lease-heartbeat")
+    t.start()
+    return t, stop

@@ -444,6 +444,13 @@ def test_cli_sql_verb(spark, tmp_path, capsys):
     # usage errors exit 2, not tracebacks
     assert main(["sql", "--keyed", "bad-spec", "--text", "SELECT 1"]) == 2
     assert "NAME=PATH:KEY" in capsys.readouterr().err
+    # a URI scheme's colon must not satisfy the ':KEY' check: the
+    # old rsplit misparsed NAME=s3a://bucket/tbl into path 's3a',
+    # key '//bucket/tbl' (ADVICE r15) — usage error, not a confusing
+    # registration failure
+    assert main(["sql", "--keyed", "x=s3a://bucket/tbl",
+                 "--text", "SELECT 1"]) == 2
+    assert "NAME=PATH:KEY" in capsys.readouterr().err
     assert main(["sql", "--keyed", f"x={tmp_path}/nope:k",
                  "--text", "SELECT 1"]) == 2
 

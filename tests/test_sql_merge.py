@@ -1,0 +1,202 @@
+"""MERGE INTO-shaped SQL write path (`sinks/sql_merge.py`, r15
+verdict item 6): pure SQL text performs keyed-table upserts with the
+engine's null-skip semantics — partial-payload UPDATE SET subsets,
+cross-alias assignment expressions, INSERT-only / UPDATE-only
+branch filtering, and tombstone DELETE — through the same delta
+append every Python writer uses."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+    read_merged, upsert_into_keyed_table)
+from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+    MergeSyntaxError, parse_merge, sql_merge)
+
+
+def _mk(spark, tmp_path):
+    path = str(tmp_path / "t")
+    upsert_into_keyed_table(
+        spark,
+        spark.createDataFrame([Row(k=i, qty=10 * i, tag=f"t{i}")
+                               for i in range(1, 5)]),
+        path=path, key="k", updated_at_col=None)
+    return path
+
+
+def _state(spark, path):
+    return {r.k: (r.qty, r.tag)
+            for r in read_merged(spark, path, "k").collect()}
+
+
+def test_merge_update_star_insert_star(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    spark.createDataFrame(
+        [Row(k=2, qty=99, tag=None),      # null-skip: tag survives
+         Row(k=9, qty=900, tag="new")]
+    ).createOrReplaceTempView("stage")
+    out = sql_merge(spark, """
+        MERGE INTO t USING stage AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""",
+        tables={"t": (path, "k")})
+    assert out["n_matched"] == 1 and out["n_inserted"] == 1
+    st = _state(spark, path)
+    assert st[2] == (99, "t2")            # qty updated, tag kept
+    assert st[9] == (900, "new")
+    assert st[1] == (10, "t1")
+
+
+def test_merge_partial_set_and_cross_alias_expr(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    spark.createDataFrame([Row(k=3, qty=5, tag="XX"),
+                           Row(k=77, qty=7, tag="nope")]
+                          ).createOrReplaceTempView("stage")
+    # accumulate qty from BOTH sides, touch nothing else, no insert
+    out = sql_merge(spark, """
+        MERGE INTO t AS tgt USING stage AS s ON tgt.k = s.k
+        WHEN MATCHED THEN UPDATE SET qty = tgt.qty + s.qty""",
+        tables={"t": (path, "k")})
+    assert out["n_matched"] == 1 and out["n_inserted"] == 0
+    st = _state(spark, path)
+    assert st[3] == (35, "t3")            # 30 + 5; tag untouched
+    assert 77 not in st                   # update-only: no insert
+
+
+def test_merge_insert_only_and_subquery_source(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    spark.createDataFrame([Row(k=1, qty=1, tag="dup"),
+                           Row(k=50, qty=500, tag="fresh")]
+                          ).createOrReplaceTempView("stage")
+    out = sql_merge(spark, """
+        MERGE INTO t USING (SELECT k, qty, upper(tag) AS tag
+                            FROM stage) s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT *""",
+        tables={"t": (path, "k")})
+    assert out["n_inserted"] == 1
+    st = _state(spark, path)
+    assert st[1] == (10, "t1")            # matched row untouched
+    assert st[50] == (500, "FRESH")       # subquery expr applied
+
+
+def test_merge_delete(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    spark.createDataFrame([Row(k=2), Row(k=4), Row(k=99)]
+                          ).createOrReplaceTempView("victims")
+    out = sql_merge(spark, """
+        MERGE INTO t USING victims v ON t.k = v.k
+        WHEN MATCHED THEN DELETE""",
+        tables={"t": (path, "k")})
+    assert out["n_deleted"] == 2
+    assert set(_state(spark, path)) == {1, 3}
+
+
+def test_merge_partial_update_plus_insert_star(spark, tmp_path):
+    """The combined form: matched rows get a SUBSET update (others
+    preserved by null-skip), unmatched rows land whole — ONE delta."""
+    path = _mk(spark, tmp_path)
+    spark.createDataFrame([Row(k=1, qty=111, tag="ignored"),
+                           Row(k=8, qty=80, tag="t8")]
+                          ).createOrReplaceTempView("stage")
+    out = sql_merge(spark, """
+        MERGE INTO t USING stage s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET qty = s.qty
+        WHEN NOT MATCHED THEN INSERT *""",
+        tables={"t": (path, "k")})
+    assert out["n_matched"] == 1 and out["n_inserted"] == 1
+    st = _state(spark, path)
+    assert st[1] == (111, "t1")           # tag NOT overwritten
+    assert st[8] == (80, "t8")
+
+
+def test_merge_syntax_errors_are_loud(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    spark.createDataFrame([Row(k=1, qty=1, tag="x")]
+                          ).createOrReplaceTempView("stage")
+    tables = {"t": (path, "k")}
+    with pytest.raises(MergeSyntaxError, match="key equality"):
+        sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
+                         "AND t.qty > 0 WHEN MATCHED THEN DELETE",
+                  tables=tables)
+    with pytest.raises(MergeSyntaxError, match="merge key"):
+        sql_merge(spark, "MERGE INTO t USING stage s ON t.qty = s.qty "
+                         "WHEN MATCHED THEN DELETE", tables=tables)
+    with pytest.raises(MergeSyntaxError, match="not a registered"):
+        sql_merge(spark, "MERGE INTO nope USING stage s ON nope.k = s.k "
+                         "WHEN MATCHED THEN DELETE", tables=tables)
+    with pytest.raises(MergeSyntaxError, match="cannot be combined"):
+        sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
+                         "WHEN MATCHED THEN UPDATE SET * "
+                         "WHEN MATCHED THEN DELETE", tables=tables)
+    with pytest.raises(MergeSyntaxError, match="INSERT \\*"):
+        sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
+                         "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
+                  tables=tables)
+    with pytest.raises(MergeSyntaxError, match="unknown column"):
+        sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
+                         "WHEN MATCHED THEN UPDATE SET zz = s.qty",
+                  tables=tables)
+
+
+def test_parse_merge_shapes():
+    spec = parse_merge("""
+        MERGE INTO tbl AS t
+        USING (SELECT 1 AS k, greatest(2, 3) AS v) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = greatest(t.v, s.v), w = s.w
+        WHEN NOT MATCHED THEN INSERT *;
+    """)
+    assert spec["target"] == "tbl" and spec["talias"] == "t"
+    assert "greatest(2, 3)" in spec["source_sql"]
+    assert spec["update"] == [("v", "greatest(t.v, s.v)"),
+                              ("w", "s.w")]
+    assert spec["insert"] is True and spec["delete"] is False
+
+
+def test_cli_sql_merge_verb(spark, tmp_path, capsys):
+    """`sql --keyed NAME=PATH:KEY --text "MERGE INTO NAME ..."`: the
+    registration flag that powers reads powers writes; usage errors
+    exit 2."""
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = _mk(spark, tmp_path)
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame([Row(k=2, qty=22, tag=None),
+                           Row(k=6, qty=60, tag="t6")]
+                          ).write.parquet(stage)
+    rc = main(["sql", "--keyed", f"t={path}:k", "--view",
+               f"stage={stage}", "--text",
+               "MERGE INTO t USING stage s ON t.k = s.k "
+               "WHEN MATCHED THEN UPDATE SET * "
+               "WHEN NOT MATCHED THEN INSERT *"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_matched"] == 1 and out["n_inserted"] == 1
+    st = _state(spark, path)
+    assert st[2] == (22, "t2") and st[6] == (60, "t6")
+    # an unregistered target is a usage error, not a traceback
+    rc = main(["sql", "--view", f"stage={stage}", "--text",
+               "MERGE INTO nope USING stage s ON nope.k = s.k "
+               "WHEN MATCHED THEN DELETE"])
+    assert rc == 2
+    assert "merge error" in capsys.readouterr().err
+
+
+def test_merge_checks_and_constraints_enforced(spark, tmp_path):
+    """The SQL path rides append_delta underneath, so table CHECK
+    constraints fire on MERGE-landed rows too."""
+    path = str(tmp_path / "t")
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, qty=5, tag="a")]),
+        path=path, key="k", updated_at_col=None,
+        checks={"qty_pos": "qty >= 0"})
+    spark.createDataFrame([Row(k=2, qty=-1, tag="bad")]
+                          ).createOrReplaceTempView("stage")
+    with pytest.raises(Exception, match="qty_pos"):
+        sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
+                         "WHEN MATCHED THEN UPDATE SET * "
+                         "WHEN NOT MATCHED THEN INSERT *",
+                  tables={"t": (path, "k")})

@@ -221,16 +221,21 @@ def test_cli_maintain_view(spark, tmp_path, capsys):
 
 
 def test_concurrent_maintainers_never_double_count(spark, tmp_path):
-    """Two maintainers racing over the same change window: the view
-    upsert's manifest CAS lets at most one commit per round; losers
-    get ConcurrentWriteError (never a silent stale re-commit, because
-    maintenance has no internal retry — a re-RUN re-reads the fresh
-    offset). After the dust settles one more call converges the view
-    to the exact recompute — no change applied twice."""
+    """Two maintainers racing over the same change window (r15,
+    verdict item 5): the view store's WRITER LEASE fences the whole
+    multi-step round — the loser fails fast with `WriterLeaseHeld`
+    before paying a feed read (the manifest CAS underneath remains
+    the commit-level backstop: at most one commit per round even if
+    the lease were bypassed). After the dust settles one more call
+    converges the view to the exact recompute — no change applied
+    twice, and the winner's lease is released (no TTL wait for the
+    follow-up round)."""
     import threading
 
     from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
         ConcurrentWriteError)
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.lease import (
+        WriterLeaseHeld)
 
     path = _mk_table(spark, tmp_path)
     vp = str(tmp_path / "view")
@@ -248,6 +253,8 @@ def test_concurrent_maintainers_never_double_count(spark, tmp_path):
                                        view_path=vp, group_col="g",
                                        sum_col="val")
             outcomes.append(("ok", st["applied_through"]))
+        except WriterLeaseHeld:
+            outcomes.append(("lease", None))
         except ConcurrentWriteError:
             outcomes.append(("conflict", None))
 
@@ -257,11 +264,39 @@ def test_concurrent_maintainers_never_double_count(spark, tmp_path):
     for t in threads:
         t.join()
     assert any(o == "ok" for o, _ in outcomes)
-    # convergence: one more (serial) round, then exact equality
+    # convergence: one more (serial) round, then exact equality —
+    # runs immediately because the winner RELEASED its lease
     maintain_grouped_view(spark, table_path=path, key="k",
                           view_path=vp, group_col="g", sum_col="val")
     assert _view(spark, vp) == _recompute(spark, path)
     assert view_offset(spark, vp) == 4
+
+
+def test_maintainer_lease_blocks_second_and_self_heals(spark, tmp_path):
+    """A held maintainer lease (a crashed maintainer that never
+    released) blocks the next round only until its TTL lapses; a
+    live one fails the second maintainer fast and cleanly."""
+    import time
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.lease import (
+        WriterLeaseHeld, acquire_writer_lease)
+
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    # simulate a crashed maintainer: lease held, never released
+    acquire_writer_lease(spark, vp, owner="crashed", ttl_ms=800)
+    append_delta(spark, spark.createDataFrame([Row(k=99, g=1, val=9.0)]),
+                 path=path, key="k")
+    with pytest.raises(WriterLeaseHeld):
+        maintain_grouped_view(spark, table_path=path, key="k",
+                              view_path=vp, group_col="g",
+                              sum_col="val")
+    time.sleep(2.5)          # TTL lapses: the corpse is breakable
+    maintain_grouped_view(spark, table_path=path, key="k",
+                          view_path=vp, group_col="g", sum_col="val")
+    assert _view(spark, vp) == _recompute(spark, path)
 
 
 def _view_mm(spark, vp):
@@ -607,6 +642,27 @@ def test_multicol_minmax_recompute_any_column(spark, tmp_path):
                   r.vmin_val, r.vmax_val, r.vmin_w, r.vmax_w)
                  for r in read_grouped_view(spark, vp, "g").collect())
     assert got == _recompute2(spark, path, minmax=True)
+
+
+def test_shape_mismatch_surfaces_on_idle_table(spark, tmp_path):
+    """ADVICE r15: the no-op fast path (zero arrivals above the
+    offset) must still run the shape guard — an idle poll with a
+    mismatched sum_col/track_minmax previously reported success."""
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
+                          group_col="g", sum_col="val",
+                          track_minmax=True)
+    # NO new arrivals: the differential round takes the no-op path
+    with pytest.raises(ValueError, match="different "):
+        maintain_grouped_view(spark, table_path=path, key="k",
+                              view_path=vp, group_col="g",
+                              sum_col="val")
+    # the matching shape still no-ops cleanly
+    out = maintain_grouped_view(spark, table_path=path, key="k",
+                                view_path=vp, group_col="g",
+                                sum_col="val", track_minmax=True)
+    assert out["changes"] == 0 and out["groups_touched"] == 0
 
 
 def test_shape_mismatch_guard_multicol(spark, tmp_path):

@@ -46,6 +46,112 @@ def test_expired_lease_is_broken(spark, tmp_path):
     release_writer_lease(spark, t, "next")
 
 
+def test_multi_breaker_race_exactly_one_winner(spark, tmp_path):
+    """r15 (r14 verdict item 2): N threads racing to break ONE expired
+    lease must resolve to exactly one installed writer per round —
+    the break is displace-verify-commit, so a breaker that displaces
+    a competitor's freshly-installed LIVE lease sees it fresh on the
+    tombstone and restores it instead of deleting it. The winner's
+    heartbeat is never invalidated, and no tombstone debris leaks."""
+    import threading
+
+    t = str(tmp_path / "store")
+    for rnd in range(3):
+        acquire_writer_lease(spark, t, owner="dead", ttl_ms=400)
+        time.sleep(1.5)                  # let the corpse expire
+        winners, losers, errors = [], [], []
+        barrier = threading.Barrier(6)
+
+        def _race(i):
+            barrier.wait()
+            try:
+                acquire_writer_lease(spark, t, owner=f"w{rnd}-{i}",
+                                     ttl_ms=60_000)
+                winners.append(f"w{rnd}-{i}")
+            except WriterLeaseHeld:
+                losers.append(i)
+            except Exception as exc:  # noqa: BLE001 - fail the round
+                errors.append(exc)
+
+        threads = [threading.Thread(target=_race, args=(i,))
+                   for i in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not errors, errors
+        assert len(winners) == 1, winners
+        assert len(losers) == 5
+        # the winner's exclusivity survived every competitor's break
+        # attempt: its heartbeat still succeeds...
+        renew_writer_lease(spark, t, winners[0])
+        # ...and a fresh foreign acquire still loses to it
+        with pytest.raises(WriterLeaseHeld):
+            acquire_writer_lease(spark, t, owner="late")
+        release_writer_lease(spark, t, winners[0])
+        # no tombstone/staging debris left behind
+        debris = [d for d in os.listdir(t)
+                  if d.startswith((".broken-lease-", ".stage-lease-",
+                                   ".released-lease-"))]
+        assert debris == [], debris
+
+
+def test_break_restores_displaced_live_lease(spark, tmp_path):
+    """The displace-verify step directly: breaking a LIVE lease (a
+    misjudged breaker) renames it back intact — holder, ttl, and
+    heartbeat all survive the round-trip."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.lease import (
+        _break_dead_lease, _holder)
+
+    t = str(tmp_path / "store")
+    os.makedirs(t)
+    acquire_writer_lease(spark, t, owner="live", ttl_ms=60_000)
+    _break_dead_lease(spark, t)          # misjudged: lease is fresh
+    assert _holder(spark, t) == ("live", 60_000)
+    renew_writer_lease(spark, t, "live")
+    release_writer_lease(spark, t, "live")
+
+
+def test_orphan_heartbeat_debris_self_heals(spark, tmp_path):
+    """ADVICE r15: a lease dir holding only `hb` (a heartbeat that
+    raced a release recreated it) must not wedge the store forever.
+    While fresh it reads as possibly-live (conservative); past the
+    default TTL it is breakable debris."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import lease
+
+    t = str(tmp_path / "store")
+    lease_dir = os.path.join(t, ".writer-lease")
+    os.makedirs(lease_dir)
+    with open(os.path.join(lease_dir, "hb"), "w") as fh:
+        fh.write("orphan")
+    # fresh debris: conservative refusal (might be a mid-install dir)
+    with pytest.raises(WriterLeaseHeld, match="no readable owner"):
+        acquire_writer_lease(spark, t, owner="next")
+    # age it past the default TTL: now breakable, store self-heals
+    old = time.time() - (lease.DEFAULT_TTL_MS / 1000.0 + 60)
+    os.utime(os.path.join(lease_dir, "hb"), (old, old))
+    os.utime(lease_dir, (old, old))
+    acquire_writer_lease(spark, t, owner="next")
+    renew_writer_lease(spark, t, "next")
+    release_writer_lease(spark, t, "next")
+
+
+def test_release_after_takeover_leaves_successor_intact(spark, tmp_path):
+    """The release TOCTOU surface: a writer whose lease expired and
+    was taken over must not destroy the successor's lease when it
+    finally calls release — the owner check plus rename-out-verify
+    leaves the successor untouched."""
+    t = str(tmp_path / "store")
+    acquire_writer_lease(spark, t, owner="old", ttl_ms=400)
+    time.sleep(1.5)
+    acquire_writer_lease(spark, t, owner="new")   # takeover
+    release_writer_lease(spark, t, "old")         # must be a no-op
+    renew_writer_lease(spark, t, "new")           # successor intact
+    with pytest.raises(WriterLeaseHeld):
+        acquire_writer_lease(spark, t, owner="third")
+    release_writer_lease(spark, t, "new")
+
+
 def test_release_is_owner_checked_and_idempotent(spark, tmp_path):
     t = str(tmp_path / "store")
     acquire_writer_lease(spark, t, owner="a")
