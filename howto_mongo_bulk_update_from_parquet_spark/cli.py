@@ -313,9 +313,28 @@ def cmd_sql(args: argparse.Namespace) -> int:
     state (snapshot-consistent: resolved once at registration);
     `--view NAME=DIR` a plain parquet directory. The result shows
     (default) or lands as parquet with --out."""
-    from .sinks.keyed_table import register_sql_view
+    from .sinks.keyed_table import register_sql_catalog, register_sql_view
     spark = get_spark("sql")
     keyed_reg: dict[str, tuple[str, str]] = {}
+    if args.keyed_root:
+        # the PREFIX suffix sits after the LAST colon; a URI scheme's
+        # colon (s3a://...) never qualifies because its remainder
+        # carries '/' (same parse discipline as --keyed)
+        root, _, kprefix = args.keyed_root.rpartition(":")
+        if not root or "/" in kprefix:
+            root, kprefix = args.keyed_root, ""
+        try:
+            reg = register_sql_catalog(spark, root, prefix=kprefix)
+        except Exception as exc:  # noqa: BLE001 - surface as usage
+            print(f"cannot register catalog at {root!r}: {exc}",
+                  file=sys.stderr)
+            return 2
+        if not reg:
+            print(f"no keyed tables with recorded merge keys under "
+                  f"{root!r} (pre-r15 tables record one on their "
+                  f"next upsert/compact)", file=sys.stderr)
+            return 2
+        keyed_reg.update(reg)
     for spec in args.keyed or []:
         # the ':KEY' suffix must be found AFTER any URI scheme colon:
         # NAME=s3a://bucket/tbl (missing :KEY) would otherwise satisfy
@@ -1592,6 +1611,11 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--view", action="append", metavar="NAME=DIR",
                     help="register a parquet directory as view NAME "
                          "(repeatable)")
+    sq.add_argument("--keyed-root", metavar="DIR[:PREFIX]",
+                    help="register EVERY keyed table directly under "
+                         "DIR as view [PREFIX]dirname (merge keys "
+                         "from their manifests); the views serve "
+                         "reads and MERGE INTO writes alike")
     sq.add_argument("--limit", type=int, default=20)
     sq.add_argument("--explain", action="store_true")
     sq.add_argument("--out", help="write the result as parquet "

@@ -178,13 +178,27 @@ def merge_spans(dw: DataFrame, k: int, *extra_aggs):
 
 def dup_spans_frame(docs: DataFrame, k: int = K):
     """(doc_id, island) → maximal duplicated span, plus the tokenized
-    frame for downstream per-doc folds. `docs` needs (doc_id, text)."""
+    frame for downstream per-doc folds. `docs` needs (doc_id, text).
+
+    The duplicated-window filter is a COUNT over a hash-partitioned
+    window (`count(*) over (partition by h) > 1`), not the
+    groupBy-count + semi-join form (r15, verdict item 8): the semi
+    join recomputes the gram explosion on its probe side — the
+    single most expensive stage — and shuffles it by h anyway, so
+    the window form does strictly less work (one gram pass + one
+    shuffle vs two passes + two shuffles) with the SAME skew
+    exposure (both co-locate each gram hash on one partition;
+    hyper-duplicated boilerplate spills, never breaks). Measured at
+    the x100 scale fixture, one session, 2 reps each: semi 64–72 s,
+    window 32.4/32.7 s (~2x). md5 stays the gram key: xxhash64 over
+    the token-slice ARRAY measured SLOWER than md5 over the joined
+    string (39 s vs 26 s gram-emit) and the oracle hashes md5 —
+    the dup SET is hash-agnostic, so parity is structural."""
     grams, toks = gram_windows(docs, k)
-    dup = (grams.groupBy("h")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > 1)
-                .select("h"))
-    dw = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    wh = Window.partitionBy("h")
+    dw = (grams.withColumn("n", F.count(F.lit(1)).over(wh))
+               .filter(F.col("n") > 1)
+               .select("doc_id", "pos"))
     spans = merge_spans(dw, k)
     return spans, toks
 

@@ -69,6 +69,9 @@ FORCE_REATTEST: tuple[str, ...] = (
     "q_keyed_table_changes", "q_keyed_sql_scan",
     "q_keyed_view_maintain", "q_keyed_view_minmax",
     "q_keyed_view_avg", "q_keyed_view_recover",
+    # dup_spans.py window-count rewrite (r15 item 8) + its importers
+    "q_dup_spans", "q_dedup_trim", "q_dup_token_ratio",
+    "q_incremental_dup_spans", "q_curate_pipeline",
 )
 
 

@@ -1276,6 +1276,10 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     if not version:
         version = current_base_version(spark, path)   # legacy pointers
     old_floor = _meta_floor(meta)
+    # record the merge key in the manifest (r15): catalog-level SQL
+    # registration (`register_sql_catalog`) discovers tables by it —
+    # a property of the table itself, carried forward by every commit
+    meta["merge_key"] = key
     eff_buckets, eff_range = _resolve_layout(meta, key, buckets,
                                              range_files)
     eff_zorder = _resolve_zorder(meta, key, zorder_col)
@@ -1802,6 +1806,40 @@ def register_sql_view(spark: SparkSession, path: str, key: str,
     df = (read_keyed_table(spark, path, version=version)
           if version is not None else read_merged(spark, path, key))
     df.createOrReplaceTempView(name)
+
+
+def register_sql_catalog(spark: SparkSession, root: str, *,
+                         prefix: str = "",
+                         keys: dict[str, str] | None = None
+                         ) -> dict[str, tuple[str, str]]:
+    """Register EVERY keyed table under `root` (one directory level)
+    as a SQL temp view named `prefix + dirname` (r15 — the
+    catalog-level form of `register_sql_view`: a session migrating a
+    whole warehouse registers once, not per table). Tables are
+    discovered by their committed manifest; the merge key comes from
+    the manifest's `merge_key` property (recorded by every
+    upsert/compact since r15). Pre-r15 tables that never re-committed
+    lack it — pass `keys={dirname: key}` to cover them; a table with
+    neither is SKIPPED (registration must not guess a merge key).
+
+    Returns {view_name: (table_path, key)} — exactly the `tables`
+    mapping `sql_merge` takes, so one call powers the full SQL
+    session: reads through the registered views, writes through
+    MERGE INTO the same names. Cost: one manifest read per table,
+    zero data."""
+    out: dict[str, tuple[str, str]] = {}
+    for child in sorted(hfs.listdir(spark, root)):
+        path = hfs.join(root, child)
+        if not current_base_version(spark, path):
+            continue                     # not a keyed table
+        key = (keys or {}).get(child) or table_meta(
+            spark, path).get("merge_key")
+        if not key:
+            continue                     # pre-r15 manifest, no override
+        name = prefix + child
+        register_sql_view(spark, path, key, name)
+        out[name] = (path, key)
+    return out
 
 
 # Pending-delta byte ceiling for the merged-read fast path: below it,
@@ -2388,6 +2426,7 @@ def compact(spark: SparkSession, path: str, key: str,
     if not version:
         version = current_base_version(spark, path)   # legacy pointers
     old_floor = _meta_floor(meta)
+    meta["merge_key"] = key      # legacy tables gain it on compaction
     fold = _foldable_deltas(spark, path, gc_stale=True, floor=old_floor)
     # fold only the run — deltas beyond an in-flight slot are masked so
     # the new base contains nothing the watermark doesn't cover

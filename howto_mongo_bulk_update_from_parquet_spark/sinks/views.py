@@ -56,6 +56,7 @@ from .keyed_table import (_complete_deltas, _current_manifest,
                           upsert_into_keyed_table)
 
 OFFSET_PROP = "user.feed_offset"
+RECOVER_COUNT_PROP = "user.recover_count"
 _DEC = "decimal(38,6)"
 
 
@@ -494,12 +495,36 @@ def _recover_rebootstrap(spark: SparkSession, table_path: str, key: str,
     vanished = (cur.filter(F.col("cnt") > 0)
                 .join(snap, group_col, "left_anti").select(*zero_cols))
     payload = snap.unionByName(vanished)
+    # recovery CADENCE is an operational signal (r14 verdict watch
+    # item): each recovery is an O(table) re-aggregate, sound but
+    # expensive — a view recovering every round means feed retention
+    # is misconfigured against the maintenance schedule. The counter
+    # rides the view's own atomic commit; repeated recoveries emit a
+    # structured warning instead of silently eating the cost.
+    n_prior = 0
+    try:
+        n_prior = int(table_meta(spark, view_path
+                                 ).get(RECOVER_COUNT_PROP, 0))
+    except (ValueError, TypeError):
+        pass
     upsert_into_keyed_table(spark, payload, path=view_path,
                             key=group_col, updated_at_col=None,
-                            table_props={OFFSET_PROP: str(newest)})
+                            table_props={
+                                OFFSET_PROP: str(newest),
+                                RECOVER_COUNT_PROP: str(n_prior + 1)})
+    if n_prior >= 1:
+        from ..observability import StructuredLog
+        StructuredLog().event(
+            "view_recover_repeated", view=view_path, source=table_path,
+            recover_count=n_prior + 1,
+            hint="feed history is being reclaimed faster than this "
+                 "view is maintained — raise retention (vacuum/fold "
+                 "cadence) or maintain the view more often; each "
+                 "recovery pays an O(table) re-aggregate")
     return {"applied_through": int(newest),
             "groups_touched": int(snap.count()),
-            "changes": -1, "recovered": True}
+            "changes": -1, "recovered": True,
+            "recover_count": n_prior + 1}
 
 
 def read_grouped_view(spark: SparkSession, view_path: str,

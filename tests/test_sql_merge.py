@@ -185,6 +185,61 @@ def test_cli_sql_merge_verb(spark, tmp_path, capsys):
     assert "merge error" in capsys.readouterr().err
 
 
+def test_register_sql_catalog_and_cli_root(spark, tmp_path, capsys):
+    """r15: one call registers every keyed table under a root (merge
+    keys discovered from their manifests) and returns the exact
+    `tables` mapping sql_merge takes — reads and writes through the
+    same names; non-tables and key-less tables are skipped, not
+    guessed."""
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        register_sql_catalog)
+
+    root = tmp_path / "warehouse"
+    root.mkdir()
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, qty=10, tag="a")]),
+        path=str(root / "t1"), key="k", updated_at_col=None)
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(g=7, v=1.5)]),
+        path=str(root / "t2"), key="g", updated_at_col=None)
+    (root / "not_a_table").mkdir()       # skipped, not an error
+    reg = register_sql_catalog(spark, str(root), prefix="wh_")
+    assert reg == {"wh_t1": (str(root / "t1"), "k"),
+                   "wh_t2": (str(root / "t2"), "g")}
+    got = {r.k: r.qty for r in
+           spark.sql("SELECT k, qty FROM wh_t1").collect()}
+    assert got == {1: 10}
+    # the same registration powers a MERGE write
+    spark.createDataFrame([(1, 11, None)], "k long, qty long, tag string"
+                          ).createOrReplaceTempView("stage")
+    sql_merge(spark, "MERGE INTO wh_t1 USING stage s ON wh_t1.k = s.k "
+                     "WHEN MATCHED THEN UPDATE SET *", tables=reg)
+    assert _state(spark, str(root / "t1"))[1] == (11, "a")
+    # CLI form: --keyed-root DIR:PREFIX serves reads and merges
+    rc = main(["sql", "--keyed-root", f"{root}:c_", "--text",
+               "SELECT CAST(SUM(qty) AS BIGINT) AS s FROM c_t1"])
+    assert rc == 0
+    assert "11" in capsys.readouterr().out
+    stage2 = str(tmp_path / "stage2")
+    spark.createDataFrame([Row(k=5, qty=50, tag="t5")]
+                          ).write.parquet(stage2)
+    rc = main(["sql", "--keyed-root", f"{root}:c_", "--view",
+               f"st={stage2}", "--text",
+               "MERGE INTO c_t1 USING st ON c_t1.k = st.k "
+               "WHEN NOT MATCHED THEN INSERT *"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["n_inserted"] == 1
+    assert _state(spark, str(root / "t1"))[5] == (50, "t5")
+    # empty/keyless root is a usage error, not a silent no-op
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert main(["sql", "--keyed-root", str(empty),
+                 "--text", "SELECT 1"]) == 2
+
+
 def test_merge_checks_and_constraints_enforced(spark, tmp_path):
     """The SQL path rides append_delta underneath, so table CHECK
     constraints fire on MERGE-landed rows too."""

@@ -429,6 +429,7 @@ def test_auto_recover_after_history_reclaimed(spark, tmp_path):
                                view_path=vp, group_col="g",
                                sum_col="val", auto_recover=True)
     assert st.get("recovered") and not st.get("bootstrap")
+    assert st["recover_count"] == 1              # cadence counter (r15)
     assert _view(spark, vp) == _recompute(spark, path)
     assert all(g != 2 for g, _, _ in _view(spark, vp))   # vanished
     # the fresh offset resumes O(changes) differential maintenance
@@ -438,6 +439,20 @@ def test_auto_recover_after_history_reclaimed(spark, tmp_path):
                                view_path=vp, group_col="g",
                                sum_col="val")
     assert st["changes"] == 1 and "recovered" not in st
+    assert _view(spark, vp) == _recompute(spark, path)
+    # a SECOND reclaim-then-recover increments the counter — the
+    # operational signal that retention is misconfigured persists in
+    # the view's own manifest (r14 watch item)
+    append_delta(spark, spark.createDataFrame([Row(k=102, g=0, val=1.0)]),
+                 path=path, key="k")
+    compact(spark, path, "k")
+    append_delta(spark, spark.createDataFrame([Row(k=103, g=0, val=2.0)]),
+                 path=path, key="k")
+    compact(spark, path, "k")                    # GCs the unseen window
+    st = maintain_grouped_view(spark, table_path=path, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val", auto_recover=True)
+    assert st.get("recovered") and st["recover_count"] == 2
     assert _view(spark, vp) == _recompute(spark, path)
 
 
