@@ -611,15 +611,31 @@ def cmd_maintain_view(args: argparse.Namespace) -> int:
     cadence: pre-images need unfolded deltas, so maintain BEFORE
     `compact` (the feed errors with guidance otherwise)."""
     from .sinks.changes import ChangeHistoryUnavailable
-    from .sinks.views import maintain_grouped_view
+    from .sinks.views import maintain_grouped_view, stream_maintain_view
     spark = get_spark("maintain-view")
     import json as _json
+    sc = [c for c in args.sum_col.split(",") if c]
+    # any comma means LIST semantics (suffixed column names), so a
+    # view bootstrapped with sum_col=['val'] stays maintainable
+    # from the CLI as '--sum-col val,' (review r14)
+    sum_col = sc if ("," in args.sum_col or len(sc) > 1) else sc[0]
+    if args.follow:
+        if not args.checkpoint:
+            print("--follow needs --checkpoint (the stream's identity "
+                  "across restarts)", file=sys.stderr)
+            return 2
+        q = stream_maintain_view(
+            spark, table_path=args.table, key=args.key,
+            view_path=args.view, group_col=args.group_col,
+            sum_col=sum_col, checkpoint=args.checkpoint,
+            track_minmax=args.minmax, auto_recover=args.auto_recover,
+            processing_time=args.interval)
+        if q is not None:                # continuous: run until killed
+            q.awaitTermination()
+        print(_json.dumps({"followed": True, "view": args.view},
+                          sort_keys=True))
+        return 0
     try:
-        sc = [c for c in args.sum_col.split(",") if c]
-        # any comma means LIST semantics (suffixed column names), so a
-        # view bootstrapped with sum_col=['val'] stays maintainable
-        # from the CLI as '--sum-col val,' (review r14)
-        sum_col = sc if ("," in args.sum_col or len(sc) > 1) else sc[0]
         st = maintain_grouped_view(spark, table_path=args.table,
                                    key=args.key, view_path=args.view,
                                    group_col=args.group_col,
@@ -1746,6 +1762,20 @@ def main(argv: list[str] | None = None) -> int:
                          "view's offset, re-bootstrap from a snapshot "
                          "(one O(table) rebuild, fresh offset) instead "
                          "of erroring")
+    mv.add_argument("--follow", action="store_true",
+                    help="continuous maintenance: the change feed's "
+                         "file stream triggers a maintenance round "
+                         "per arrival (lease-held for the stream's "
+                         "life); without --interval, drains the "
+                         "backlog once and exits")
+    mv.add_argument("--checkpoint",
+                    help="stream checkpoint dir (required with "
+                         "--follow; same checkpoint = same logical "
+                         "maintainer across restarts)")
+    mv.add_argument("--interval",
+                    help="processing-time trigger for --follow (e.g. "
+                         "'5 seconds'); omit for a one-shot "
+                         "availableNow drain")
     mv.set_defaults(fn=cmd_maintain_view)
 
     dl = sub.add_parser(

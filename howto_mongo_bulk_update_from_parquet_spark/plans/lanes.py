@@ -53,6 +53,8 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_view_recover",
     "q_keyed_view_avg",
     "q_keyed_sql_scan",
+    "q_keyed_sql_merge",
+    "q_keyed_sql_changes",
 })
 
 LANES = ("analytics", "cycle", "streaming")

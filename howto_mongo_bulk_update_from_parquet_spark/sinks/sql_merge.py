@@ -23,10 +23,15 @@ Supported grammar (case-insensitive keywords, one statement):
     MERGE INTO <target> [AS] [<t_alias>]
     USING (<any SELECT>) | <view_name> [AS] [<s_alias>]
     ON <a>.<col> = <b>.<col>          -- target side must be the key
-    [ WHEN MATCHED THEN UPDATE SET *
-    | WHEN MATCHED THEN UPDATE SET c = <expr>, ...
-    | WHEN MATCHED THEN DELETE ]
+    [ WHEN MATCHED [AND <cond>] THEN UPDATE SET *
+    | WHEN MATCHED [AND <cond>] THEN UPDATE SET c = <expr>, ...
+    | WHEN MATCHED [AND <cond>] THEN DELETE ]...
     [ WHEN NOT MATCHED THEN INSERT * ]
+
+Multiple WHEN MATCHED clauses evaluate FIRST-MATCH-WINS in statement
+order (ANSI MERGE / Delta Lake semantics); conditions may reference
+both aliases (`AND t.qty < s.qty`); an unconditional matched clause
+must come last (later clauses would be unreachable — refused).
 
 Semantics, mapped to the engine:
 
@@ -45,12 +50,12 @@ Semantics, mapped to the engine:
   keys (`append_delete_delta`), never a base rewrite.
 
 Constraints (loud errors, never silent drift): the ON condition is
-a single key equality; DELETE cannot be combined with UPDATE;
-`INSERT` takes only `*` (the null-skip union makes column-list
-inserts redundant — project the source instead); `SET col = NULL`
-cannot express "overwrite with null" because the engine's merge is
-null-skip BY DESIGN (use `delete` + re-insert, same as the
-reference).
+a single key equality; `INSERT` takes only `*` (the null-skip union
+makes column-list inserts redundant — project the source instead);
+`SET col = NULL` cannot express "overwrite with null" because the
+engine's merge is null-skip BY DESIGN (use `delete` + re-insert,
+same as the reference); a source column the target lacks refuses
+the statement (MERGE never evolves the schema silently).
 
 Scale: one pass — parse (driver-side string work), one left join of
 source against the merged snapshot (fast-merge pruned, broadcast
@@ -88,7 +93,8 @@ _ON_RE = re.compile(
     r"(?P<r>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$")
 
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)"
     r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL)
@@ -126,9 +132,13 @@ def _split_assignments(set_text: str) -> list[tuple[str, str]]:
 
 def parse_merge(text: str) -> dict:
     """Parse the constrained MERGE grammar into
-    {target, talias, source_sql|source_name, salias, on_l/on_lc/
-    on_r/on_rc, update: None|'*'|[(col, expr)...], delete: bool,
-    insert: bool}. Raises `MergeSyntaxError` outside the grammar."""
+    {target, talias, source_sql|source_name, salias, on: (l, lc, r,
+    rc), matched: [(cond|None, ('update', '*'|[(col, expr)...]) |
+    ('delete', None)), ... in statement order], insert: bool}.
+    Raises `MergeSyntaxError` outside the grammar. Standard MERGE
+    clause semantics: matched clauses evaluate FIRST-MATCH-WINS in
+    statement order, so an UNCONDITIONAL matched clause must be the
+    last one (anything after it is unreachable — refused)."""
     m = _MERGE_RE.match(text.strip().rstrip(";"))
     if not m:
         raise MergeSyntaxError(
@@ -147,35 +157,43 @@ def parse_merge(text: str) -> dict:
             "salias": m.group("salias") or m.group("srcname") or "src",
             "on": (on.group("l"), on.group("lc"),
                    on.group("r"), on.group("rc")),
-            "update": None, "delete": False, "insert": False}
+            "matched": [], "insert": False}
     clauses = _WHEN_RE.findall(m.group("clauses"))
     if not clauses:
         raise MergeSyntaxError("no WHEN [NOT] MATCHED clause found")
-    for is_not, action in clauses:
+    for is_not, cond, action in clauses:
         a = action.strip()
         au = a.upper()
+        cond = cond.strip() or None if cond else None
         if is_not:
+            if cond:
+                raise MergeSyntaxError(
+                    "WHEN NOT MATCHED AND <cond> is not supported — "
+                    "filter the source subquery instead")
             if au != "INSERT *":
                 raise MergeSyntaxError(
                     f"WHEN NOT MATCHED supports only INSERT * (got "
                     f"{a!r}); project the source subquery instead of "
                     f"a column-list insert")
             spec["insert"] = True
-        elif au == "DELETE":
-            spec["delete"] = True
+            continue
+        if (spec["matched"] and spec["matched"][-1][0] is None):
+            raise MergeSyntaxError(
+                "a WHEN MATCHED clause after an unconditional one is "
+                "unreachable (clauses evaluate first-match-wins in "
+                "statement order)")
+        if au == "DELETE":
+            spec["matched"].append((cond, ("delete", None)))
         elif au.startswith("UPDATE"):
             set_text = re.sub(r"^UPDATE\s+SET\s+", "", a,
                               flags=re.IGNORECASE | re.DOTALL)
-            spec["update"] = ("*" if set_text.strip() == "*"
-                              else _split_assignments(set_text))
+            sets = ("*" if set_text.strip() == "*"
+                    else _split_assignments(set_text))
+            spec["matched"].append((cond, ("update", sets)))
         else:
             raise MergeSyntaxError(f"unsupported WHEN MATCHED action "
                                    f"{a!r} (UPDATE SET ... or DELETE)")
-    if spec["delete"] and spec["update"] is not None:
-        raise MergeSyntaxError(
-            "WHEN MATCHED THEN DELETE cannot be combined with UPDATE "
-            "in one statement (split into two merges)")
-    if not spec["delete"] and spec["update"] is None and not spec["insert"]:
+    if not spec["matched"] and not spec["insert"]:
         raise MergeSyntaxError("statement performs no action")
     return spec
 
@@ -215,6 +233,22 @@ def sql_merge(spark: SparkSession, text: str, *,
     tgt = read_merged(spark, path, key)
     tgt_fields = {f.name: f.dataType for f in table_schema(spark, path)}
     src_fields = {f.name: f.dataType for f in src.schema.fields}
+    has_star = any(act == "update" and sets == "*"
+                   for _, (act, sets) in spec["matched"])
+    if has_star or spec["insert"]:
+        extra = sorted(c for c in src_fields
+                       if c != s_keycol and c not in tgt_fields)
+        if extra:
+            # silent drop would be the worst outcome: the statement
+            # "succeeds" and the columns never land. Schema evolution
+            # stays an explicit table operation (upsert/append with
+            # merge mode), not a MERGE side effect.
+            raise MergeSyntaxError(
+                f"source column(s) {extra} do not exist on the target "
+                f"table (columns: {sorted(tgt_fields)}) — MERGE does "
+                f"not evolve the schema; project them away or evolve "
+                f"the table first (append_delta/upsert with "
+                f"schema_mode='merge')")
 
     # ONE left join enriches every source row with its current match
     # (NULL target key = not matched). Assignment expressions resolve
@@ -229,58 +263,83 @@ def sql_merge(spark: SparkSession, text: str, *,
                     "left"))
     matched_col = F.col(f"{ta}.{key}").isNotNull()
 
-    counts = joined.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(matched_col.cast("long")).alias("m")).first()
-    n_source, n_matched = int(counts["n"]), int(counts["m"] or 0)
+    # FIRST-MATCH-WINS clause reach: clause i fires on matched rows
+    # whose condition holds (SQL three-valued: NULL = does not fire)
+    # and no earlier clause fired. Conditions may reference both
+    # aliases (e.g. AND t.qty < s.qty).
+    def _cond_col(cond):
+        return (F.coalesce(F.expr(cond), F.lit(False))
+                if cond else F.lit(True))
+    reach, taken = [], F.lit(False)
+    for cond, _ in spec["matched"]:
+        fire = matched_col & _cond_col(cond) & ~taken
+        reach.append(fire)
+        taken = taken | fire
 
-    if spec["delete"]:
-        keys = (joined.filter(matched_col)
+    count_aggs = [F.count(F.lit(1)).alias("n"),
+                  F.sum(matched_col.cast("long")).alias("m")]
+    for i, r in enumerate(reach):
+        count_aggs.append(F.sum(r.cast("long")).alias(f"r{i}"))
+    counts = joined.agg(*count_aggs).first()
+    n_source, n_matched = int(counts["n"]), int(counts["m"] or 0)
+    n_reach = [int(counts[f"r{i}"] or 0) for i in range(len(reach))]
+
+    n_updated = sum(n for n, (_, (act, _s)) in zip(n_reach,
+                                                   spec["matched"])
+                    if act == "update")
+    n_deleted = sum(n for n, (_, (act, _s)) in zip(n_reach,
+                                                   spec["matched"])
+                    if act == "delete")
+    out = {"action": "merge", "n_source": n_source,
+           "n_matched": n_updated, "n_deleted": n_deleted,
+           "n_inserted": (n_source - n_matched) if spec["insert"] else 0}
+
+    # tombstones first, upserts second — the reach predicates are
+    # mutually exclusive, so no key takes both actions (barring
+    # duplicate source keys, which the upsert side's latest-per-key
+    # normalization resolves exactly as the Python writer does)
+    del_fires = [r for r, (_, (act, _s)) in zip(reach, spec["matched"])
+                 if act == "delete"]
+    if del_fires:
+        pred = del_fires[0]
+        for r in del_fires[1:]:
+            pred = pred | r
+        keys = (joined.filter(pred)
                 .select(F.col(f"{sa}.{s_keycol}").alias(key)))
-        v = append_delete_delta(spark, keys, path=path, key=key)
-        out = {"action": "delete", "n_source": n_source,
-               "n_matched": n_matched, "n_deleted": n_matched,
-               "delta_version": v}
-        if spec["insert"]:
-            ins = _branch_rows(joined, matched_col, spec, sa, key,
-                               s_keycol, tgt_fields, src_fields,
-                               matched=False)
-            out["delta_version"] = append_delta(spark, ins, path=path,
-                                                key=key)
-            out["n_inserted"] = n_source - n_matched
-        return out
+        out["delta_version"] = append_delete_delta(spark, keys,
+                                                   path=path, key=key)
 
     branches = []
-    if spec["update"] is not None:
-        branches.append(_branch_rows(joined, matched_col, spec, sa,
-                                     key, s_keycol, tgt_fields,
-                                     src_fields, matched=True))
+    for r, (_, (act, sets)) in zip(reach, spec["matched"]):
+        if act == "update":
+            branches.append(_branch_rows(joined, r, sets, sa, key,
+                                         s_keycol, tgt_fields,
+                                         src_fields))
     if spec["insert"]:
-        branches.append(_branch_rows(joined, matched_col, spec, sa,
+        branches.append(_branch_rows(joined, ~matched_col, "*", sa,
                                      key, s_keycol, tgt_fields,
-                                     src_fields, matched=False))
-    delta_src = branches[0]
-    for b in branches[1:]:
-        delta_src = delta_src.unionByName(b)
-    v = append_delta(spark, delta_src, path=path, key=key)
-    return {"action": "upsert", "n_source": n_source,
-            "n_matched": n_matched if spec["update"] is not None else 0,
-            "n_inserted": (n_source - n_matched) if spec["insert"] else 0,
-            "delta_version": v}
+                                     src_fields))
+    if branches:
+        delta_src = branches[0]
+        for b in branches[1:]:
+            delta_src = delta_src.unionByName(b)
+        out["delta_version"] = append_delta(spark, delta_src,
+                                            path=path, key=key)
+    return out
 
 
-def _branch_rows(joined: DataFrame, matched_col, spec: dict, sa: str,
+def _branch_rows(joined: DataFrame, fire_col, sets, sa: str,
                  key: str, s_keycol: str, tgt_fields: dict,
-                 src_fields: dict, *, matched: bool) -> DataFrame:
+                 src_fields: dict) -> DataFrame:
     """One WHEN branch's contribution to the upsert delta, shaped to
     the TARGET's columns: assigned/inserted columns carry values,
     every other payload column rides as a typed NULL — the engine's
     null-skip merge then preserves the current value for matched
     rows (and stores NULL for genuinely new ones), exactly the
     reference's partial-payload construction."""
-    rows = joined.filter(matched_col if matched else ~matched_col)
-    if matched and spec["update"] != "*":
-        assigned = {c: rhs for c, rhs in spec["update"]}
+    rows = joined.filter(fire_col)
+    if sets != "*":
+        assigned = {c: rhs for c, rhs in sets}
         unknown = [c for c in assigned if c not in tgt_fields]
         if unknown:
             raise MergeSyntaxError(

@@ -152,7 +152,8 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
                           sum_col: str,
                           track_minmax: bool = False,
                           auto_recover: bool = False,
-                          lease_ttl_ms: int | None = None) -> dict:
+                          lease_ttl_ms: int | None = None,
+                          lease_owner: str | None = None) -> dict:
     """Apply the source table's changes SINCE the view's recorded
     offset to the (group_col -> cnt, total[, vmin, vmax]) view. One
     atomic view commit per call carrying the new offset. Returns
@@ -230,18 +231,22 @@ def maintain_grouped_view(spark: SparkSession, *, table_path: str,
     (clean loser; re-run after the holder finishes) instead of
     burning a full feed read to lose the CAS. A crashed maintainer's
     lease self-heals by TTL. O(1) metadata ops per round — nothing
-    scales with data."""
+    scales with data. A caller-provided `lease_owner` (the continuous
+    `stream_maintain_view` form, which holds a checkpoint-derived
+    lease for the stream's whole life) acquires reentrantly and is
+    NOT released here — the owner's lifecycle is the caller's."""
     from .lease import (DEFAULT_TTL_MS, acquire_writer_lease,
                         release_writer_lease)
-    lease_owner = f"view-maintainer-{uuid.uuid4().hex[:12]}"
-    acquire_writer_lease(spark, view_path, owner=lease_owner,
+    owner = lease_owner or f"view-maintainer-{uuid.uuid4().hex[:12]}"
+    acquire_writer_lease(spark, view_path, owner=owner,
                          ttl_ms=lease_ttl_ms or DEFAULT_TTL_MS)
     try:
         return _maintain_round(spark, table_path, key, view_path,
                                group_col, sum_col, track_minmax,
                                auto_recover)
     finally:
-        release_writer_lease(spark, view_path, lease_owner)
+        if lease_owner is None:
+            release_writer_lease(spark, view_path, owner)
 
 
 def _maintain_round(spark: SparkSession, table_path: str, key: str,
@@ -554,3 +559,88 @@ def read_grouped_view(spark: SparkSession, view_path: str,
              if c == "vmin" or c == "vmax"
              or c.startswith("vmin_") or c.startswith("vmax_")]
     return v.select(*cols)
+
+
+def stream_maintain_view(spark: SparkSession, *, table_path: str,
+                         key: str, view_path: str, group_col: str,
+                         sum_col: str, checkpoint: str,
+                         track_minmax: bool = False,
+                         auto_recover: bool = False,
+                         processing_time: str | None = None,
+                         lease_ttl_ms: int | None = None):
+    """CONTINUOUS view maintenance (r15): keep the grouped view in
+    step as arrivals land, without a scheduler. The change feed's
+    file stream (`stream_table_changes`) is used purely as the
+    ARRIVAL SIGNAL — each micro-batch triggers one normal
+    lease-fenced `maintain_grouped_view` round, which reads its OWN
+    consistent window from the view's recorded offset. The batch's
+    rows are never applied directly, so exactly-once needs no
+    sink-side dedup: a batch replayed after a crash re-derives
+    "nothing new" from the offset instead of double-applying (the
+    same offset-fenced idempotence the batch maintainer has), and a
+    signal that arrives while the round it triggered is already
+    covered simply no-ops through the metadata fast path.
+
+    The stream holds the view's writer lease for its WHOLE life
+    (owner derived from the checkpoint path — a kill/restart with
+    the same checkpoint re-acquires reentrantly, the dedup-drain
+    discipline), so a second follow-stream or a concurrent batch
+    maintainer on the same view loses fast and cleanly; inner rounds
+    acquire reentrantly under the same owner. A heartbeat daemon
+    keeps idle stretches alive; `availableNow` (processing_time=None)
+    drains the backlog once, releases the lease, and returns None,
+    while a `processing_time` trigger returns the live query (the
+    caller owns stop; the lease then expires by TTL after a kill).
+
+    At 100 TB: per trigger the source lists O(delta dirs) and the
+    maintenance round does O(changes) work — identical cost to the
+    scheduled form, minus the rescans a polling scheduler would
+    burn on idle tables."""
+    import hashlib
+
+    from .changes import stream_table_changes
+    from .lease import (DEFAULT_TTL_MS, acquire_writer_lease,
+                        release_writer_lease)
+    from ..streaming.dedup_stream import _start_lease_heartbeat
+
+    ttl = lease_ttl_ms or DEFAULT_TTL_MS
+    owner = "view-follow-" + hashlib.sha1(
+        checkpoint.encode()).hexdigest()[:16]
+    acquire_writer_lease(spark, view_path, owner=owner, ttl_ms=ttl)
+
+    def _round(batch_df=None, epoch_id=None):  # noqa: ARG001 - signal
+        maintain_grouped_view(
+            spark, table_path=table_path, key=key, view_path=view_path,
+            group_col=group_col, sum_col=sum_col,
+            track_minmax=track_minmax, auto_recover=auto_recover,
+            lease_ttl_ms=ttl, lease_owner=owner)
+
+    # one direct round first: a stream on a table with no NEW files
+    # fires no batch at all, but the caller still expects the view
+    # bootstrapped (and a pre-existing backlog below the offset needs
+    # no batch to be applied — the round reads the feed itself)
+    try:
+        _round()
+    except Exception:
+        release_writer_lease(spark, view_path, owner)
+        raise
+
+    writer = (stream_table_changes(spark, table_path)
+              .writeStream.foreachBatch(_round)
+              .option("checkpointLocation", checkpoint))
+    if processing_time:
+        q = writer.trigger(processingTime=processing_time).start()
+        _start_lease_heartbeat(spark, q, [view_path], owner, ttl)
+        return q
+    hb_thread = hb_stop = None
+    try:
+        q = writer.trigger(availableNow=True).start()
+        hb_thread, hb_stop = _start_lease_heartbeat(
+            spark, q, [view_path], owner, ttl)
+        q.awaitTermination()
+    finally:
+        if hb_stop is not None:
+            hb_stop.set()
+            hb_thread.join(timeout=10.0)
+        release_writer_lease(spark, view_path, owner)
+    return None

@@ -165,7 +165,11 @@ def test_manifest_commit_atomic_and_retains_previous_base(spark, tmp_path):
     assert "base_v00001" not in names            # beyond retain window
     assert "_CURRENT.v00003" in names            # versioned pointer
     assert not [n for n in names if n.endswith(".tmp")]
-    assert open(os.path.join(path, "_CURRENT.v00003")).read().strip() == "3"
+    # first line = the version; later lines carry manifest metadata
+    # (merge_key since r15, watermark/layout keys when present)
+    manifest = open(os.path.join(path, "_CURRENT.v00003")).read()
+    assert manifest.strip().splitlines()[0] == "3"
+    assert "merge_key=_id" in manifest
     # previous snapshot still time-travel readable
     assert read_keyed_table(spark, path, version=2).count() == 1
 

@@ -125,10 +125,14 @@ def test_merge_syntax_errors_are_loud(spark, tmp_path):
     with pytest.raises(MergeSyntaxError, match="not a registered"):
         sql_merge(spark, "MERGE INTO nope USING stage s ON nope.k = s.k "
                          "WHEN MATCHED THEN DELETE", tables=tables)
-    with pytest.raises(MergeSyntaxError, match="cannot be combined"):
+    with pytest.raises(MergeSyntaxError, match="unreachable"):
         sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
                          "WHEN MATCHED THEN UPDATE SET * "
                          "WHEN MATCHED THEN DELETE", tables=tables)
+    with pytest.raises(MergeSyntaxError, match="NOT MATCHED AND"):
+        sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
+                         "WHEN NOT MATCHED AND s.qty > 0 THEN INSERT *",
+                  tables=tables)
     with pytest.raises(MergeSyntaxError, match="INSERT \\*"):
         sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
                          "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
@@ -137,6 +141,14 @@ def test_merge_syntax_errors_are_loud(spark, tmp_path):
         sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
                          "WHEN MATCHED THEN UPDATE SET zz = s.qty",
                   tables=tables)
+    # a source column the target lacks must be LOUD, not silently
+    # dropped — MERGE does not evolve schemas
+    spark.createDataFrame([Row(k=1, qty=1, tag="x", novel=9)]
+                          ).createOrReplaceTempView("stage_extra")
+    with pytest.raises(MergeSyntaxError, match="does not evolve"):
+        sql_merge(spark, "MERGE INTO t USING stage_extra s ON t.k = s.k "
+                         "WHEN MATCHED THEN UPDATE SET * "
+                         "WHEN NOT MATCHED THEN INSERT *", tables=tables)
 
 
 def test_parse_merge_shapes():
@@ -144,14 +156,44 @@ def test_parse_merge_shapes():
         MERGE INTO tbl AS t
         USING (SELECT 1 AS k, greatest(2, 3) AS v) AS s
         ON t.k = s.k
+        WHEN MATCHED AND s.v < 0 THEN DELETE
         WHEN MATCHED THEN UPDATE SET v = greatest(t.v, s.v), w = s.w
         WHEN NOT MATCHED THEN INSERT *;
     """)
     assert spec["target"] == "tbl" and spec["talias"] == "t"
     assert "greatest(2, 3)" in spec["source_sql"]
-    assert spec["update"] == [("v", "greatest(t.v, s.v)"),
-                              ("w", "s.w")]
-    assert spec["insert"] is True and spec["delete"] is False
+    assert spec["matched"] == [
+        ("s.v < 0", ("delete", None)),
+        (None, ("update", [("v", "greatest(t.v, s.v)"),
+                           ("w", "s.w")]))]
+    assert spec["insert"] is True
+
+
+def test_merge_conditional_clauses_first_match_wins(spark, tmp_path):
+    """WHEN MATCHED AND <cond>: conditional delete + conditional
+    update + unconditional fallback evaluate first-match-wins; NULL
+    conditions fire nothing (three-valued SQL)."""
+    path = _mk(spark, tmp_path)          # k=1..4, qty=10k, tag=tk
+    spark.createDataFrame(
+        [(1, -5, "x"), (2, 100, "y"), (3, None, "z"), (4, 1, "w"),
+         (9, 90, "new")],
+        "k long, qty long, tag string").createOrReplaceTempView("stage")
+    out = sql_merge(spark, """
+        MERGE INTO t USING stage s ON t.k = s.k
+        WHEN MATCHED AND s.qty < 0 THEN DELETE
+        WHEN MATCHED AND s.qty > 50 THEN UPDATE SET qty = s.qty
+        WHEN MATCHED THEN UPDATE SET tag = s.tag
+        WHEN NOT MATCHED THEN INSERT *""",
+        tables={"t": (path, "k")})
+    assert out["n_deleted"] == 1         # k=1 (qty<0)
+    assert out["n_matched"] == 3         # k=2 (>50), k=3+4 (fallback)
+    assert out["n_inserted"] == 1        # k=9
+    st = _state(spark, path)
+    assert 1 not in st                   # deleted
+    assert st[2] == (100, "t2")          # qty updated, tag kept
+    assert st[3] == (30, "z")            # NULL cond -> fallback: tag
+    assert st[4] == (40, "w")            # fallback: tag only
+    assert st[9] == (90, "new")
 
 
 def test_cli_sql_merge_verb(spark, tmp_path, capsys):

@@ -285,15 +285,17 @@ def test_maintainer_lease_blocks_second_and_self_heals(spark, tmp_path):
     vp = str(tmp_path / "view")
     maintain_grouped_view(spark, table_path=path, key="k",
                           view_path=vp, group_col="g", sum_col="val")
-    # simulate a crashed maintainer: lease held, never released
-    acquire_writer_lease(spark, vp, owner="crashed", ttl_ms=800)
     append_delta(spark, spark.createDataFrame([Row(k=99, g=1, val=9.0)]),
                  path=path, key="k")
+    # simulate a crashed maintainer: lease held, never released —
+    # acquired immediately before the blocked call (a loaded suite
+    # can stretch the setup past a short TTL; full-suite flake r15)
+    acquire_writer_lease(spark, vp, owner="crashed", ttl_ms=4000)
     with pytest.raises(WriterLeaseHeld):
         maintain_grouped_view(spark, table_path=path, key="k",
                               view_path=vp, group_col="g",
                               sum_col="val")
-    time.sleep(2.5)          # TTL lapses: the corpse is breakable
+    time.sleep(6.0)          # TTL lapses: the corpse is breakable
     maintain_grouped_view(spark, table_path=path, key="k",
                           view_path=vp, group_col="g", sum_col="val")
     assert _view(spark, vp) == _recompute(spark, path)
@@ -696,3 +698,84 @@ def test_shape_mismatch_guard_multicol(spark, tmp_path):
         maintain_grouped_view(spark, table_path=path, key="k",
                               view_path=vp, group_col="g",
                               sum_col=["val"])
+
+
+def test_stream_maintain_view_available_now(spark, tmp_path):
+    """r15: `stream_maintain_view` (availableNow) bootstraps, drains
+    the backlog, applies later arrivals on a second drain, and holds
+    the view's lease only while running (released on return)."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.views import (
+        stream_maintain_view)
+
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    append_delta(spark, spark.createDataFrame([Row(k=50, g=7, val=5.0)]),
+                 path=path, key="k")
+    assert stream_maintain_view(
+        spark, table_path=path, key="k", view_path=vp, group_col="g",
+        sum_col="val", checkpoint=ckpt) is None
+    assert _view(spark, vp) == _recompute(spark, path)
+    # lease released: a batch maintainer runs immediately
+    append_delta(spark, spark.createDataFrame([Row(k=51, g=8, val=6.0)]),
+                 path=path, key="k")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
+                          group_col="g", sum_col="val")
+    assert _view(spark, vp) == _recompute(spark, path)
+    # second drain with the SAME checkpoint (same logical maintainer)
+    # picks up further arrivals; replayed signals no-op
+    append_delta(spark, spark.createDataFrame([Row(k=52, g=9, val=1.5)]),
+                 path=path, key="k")
+    stream_maintain_view(
+        spark, table_path=path, key="k", view_path=vp, group_col="g",
+        sum_col="val", checkpoint=ckpt)
+    assert _view(spark, vp) == _recompute(spark, path)
+
+
+def test_stream_maintain_view_continuous_and_fencing(spark, tmp_path):
+    """The processing-time form maintains as arrivals land, and its
+    held lease fences a concurrent batch maintainer (clean loser)
+    until the stream stops."""
+    import time
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.lease import (
+        WriterLeaseHeld)
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.views import (
+        stream_maintain_view)
+
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    q = stream_maintain_view(
+        spark, table_path=path, key="k", view_path=vp, group_col="g",
+        sum_col="val", checkpoint=str(tmp_path / "ckpt"),
+        processing_time="1 seconds", lease_ttl_ms=3000)
+    try:
+        t0 = time.time()
+        while view_offset(spark, vp) < 0 and time.time() - t0 < 60:
+            time.sleep(0.5)
+        assert _view(spark, vp) == _recompute(spark, path)  # bootstrap
+        append_delta(spark,
+                     spark.createDataFrame([Row(k=60, g=11, val=2.0)]),
+                     path=path, key="k")
+        t0 = time.time()
+        while view_offset(spark, vp) < 1 and time.time() - t0 < 120:
+            if q.exception() is not None:
+                raise AssertionError(f"stream died: {q.exception()}")
+            time.sleep(0.5)
+        assert view_offset(spark, vp) == 1
+        assert _view(spark, vp) == _recompute(spark, path)
+        # the held lease fences a concurrent batch maintainer
+        with pytest.raises(WriterLeaseHeld):
+            maintain_grouped_view(spark, table_path=path, key="k",
+                                  view_path=vp, group_col="g",
+                                  sum_col="val")
+    finally:
+        q.stop()
+    # after the stop, the TTL expires and batch maintenance resumes
+    import time as _t
+    _t.sleep(4.0)
+    append_delta(spark, spark.createDataFrame([Row(k=61, g=12, val=3.0)]),
+                 path=path, key="k")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
+                          group_col="g", sum_col="val")
+    assert _view(spark, vp) == _recompute(spark, path)
