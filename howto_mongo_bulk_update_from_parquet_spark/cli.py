@@ -311,8 +311,11 @@ def cmd_sql(args: argparse.Namespace) -> int:
     verb: a dashboard keeps its SQL and swaps only the registration
     flags. `--keyed NAME=PATH:KEY` registers a keyed table's merged
     state (snapshot-consistent: resolved once at registration);
-    `--view NAME=DIR` a plain parquet directory. The result shows
-    (default) or lands as parquet with --out."""
+    `--view NAME=DIR` a plain parquet directory; `--keyed-root
+    DIR[:PREFIX]` registers every keyed table under DIR (r15). The
+    result shows (default) or lands as parquet with --out. A MERGE
+    INTO statement routes through the write path (`sinks/sql_merge`)
+    against the same registrations (r15)."""
     from .sinks.keyed_table import register_sql_catalog, register_sql_view
     spark = get_spark("sql")
     keyed_reg: dict[str, tuple[str, str]] = {}
