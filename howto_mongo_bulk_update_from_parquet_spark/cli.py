@@ -499,6 +499,11 @@ def cmd_table_info(args: argparse.Namespace) -> int:
         "table": args.table,
         "version": version,
         "layout": layout,
+        # the manifest-recorded merge key (r15): what
+        # register_sql_catalog discovers tables by; absent on
+        # pre-r15 tables until their next commit
+        **({"merge_key": meta["merge_key"]}
+           if meta.get("merge_key") else {}),
         "base_files": len(files),
         "base_files_carried": len(carried),
         "retained_versions": retained,
@@ -521,6 +526,12 @@ def cmd_table_info(args: argparse.Namespace) -> int:
                      _manifest_versions(spark, args.table)
                      and int(d.split("_v")[1]) != version))),
     }
+    props = {k: v for k, v in meta.items() if k.startswith("user.")}
+    if props:
+        # user table properties (feed offset, recover count, caller
+        # tags) — how an operator sees a maintained view's progress
+        # and recovery cadence at a glance (r15)
+        info["table_props"] = props
     from .sinks.lease import LEASE_DIR, _holder
     holder, ttl = _holder(spark, args.table)
     if holder is not None:

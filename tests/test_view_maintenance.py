@@ -779,3 +779,24 @@ def test_stream_maintain_view_continuous_and_fencing(spark, tmp_path):
     maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
                           group_col="g", sum_col="val")
     assert _view(spark, vp) == _recompute(spark, path)
+
+
+def test_table_info_surfaces_view_props_and_merge_key(spark, tmp_path,
+                                                      capsys):
+    """r15: table-info shows the manifest-recorded merge key and the
+    user.* properties (a maintained view's feed offset at a glance)."""
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = _mk_table(spark, tmp_path)
+    vp = str(tmp_path / "view")
+    maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
+                          group_col="g", sum_col="val")
+    assert main(["table-info", "--table", vp]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["merge_key"] == "g"
+    assert info["table_props"]["user.feed_offset"] == "0"
+    assert main(["table-info", "--table", path]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["merge_key"] == "k" and "table_props" not in info
