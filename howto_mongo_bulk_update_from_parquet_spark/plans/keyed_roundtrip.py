@@ -1212,35 +1212,41 @@ merged AS (
               WHEN s.k IS NOT NULL THEN s.sprice
               ELSE t.price END AS price,
          CASE WHEN t.k IS NOT NULL THEN t.status
-              ELSE 'XX' END AS status
+              ELSE 'XX' END AS status,
+         CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL
+                   AND s.sprice > 400000 THEN 1
+              ELSE 0 END AS del1
   FROM t FULL OUTER JOIN s ON t.k = s.k
 )
 SELECT status, CAST(COUNT(*) AS BIGINT) AS cnt,
        CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total
-FROM merged WHERE k % 1000 <> 0 GROUP BY status
+FROM merged WHERE del1 = 0 AND k % 1000 <> 0 GROUP BY status
 """
 
 
 @register("q_keyed_sql_merge", SQL_MERGE_ORACLE,
-          "pure SQL MERGE INTO against the keyed table: cross-alias "
-          "UPDATE SET expression + INSERT * in one delta, then a "
-          "tombstone DELETE merge — final merged state oracle-exact "
-          "(r15)")
+          "pure SQL MERGE INTO against the keyed table: conditional "
+          "DELETE + cross-alias UPDATE + INSERT * with first-match-"
+          "wins clause ordering, then a tombstone DELETE merge — "
+          "final merged state oracle-exact (r15)")
 def q_keyed_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attestation of `sinks/sql_merge.sql_merge` (r15 verdict item
     6 — the SQL WRITE migration surface): two pure-SQL-text MERGE
-    statements perform (1) a cross-alias accumulating update
-    (`SET price = t.price + s.price` — matched rows only; the
+    statements perform (1) a THREE-CLAUSE merge with ANSI
+    first-match-wins ordering — `WHEN MATCHED AND s.price > 400000
+    THEN DELETE` (conditional tombstones), else a cross-alias
+    accumulating update (`SET price = t.price + s.price` — the
     partial SET leaves `status` untouched, proving null-skip subset
-    semantics under SQL) combined with `INSERT *` for unmatched
-    stage rows, then (2) a tombstone DELETE of a key slice — all
-    through the engine's normal delta appends (reference null-skip
-    semantics: /root/reference/src/func/mongo.py:28-79). The final
-    merged state aggregates oracle-exact, so a wrong branch filter,
-    a SET leaking into unassigned columns, an insert duplicating
-    matched keys, or a DELETE missing the tombstone path all fail
-    the value hash. At 100 TB: one left join of stage against the
-    merged snapshot + one O(stage) delta append per statement —
+    semantics under SQL), plus `INSERT *` for unmatched stage rows —
+    then (2) a tombstone DELETE of a key slice — all through the
+    engine's normal delta appends (reference null-skip semantics:
+    /root/reference/src/func/mongo.py:28-79). The final merged state
+    aggregates oracle-exact, so a wrong clause-reach predicate (a
+    delete-matched row also updated, or vice versa), a SET leaking
+    into unassigned columns, an insert duplicating matched keys, or
+    a DELETE missing the tombstone path all fail the value hash. At
+    100 TB: one left join of stage against the merged snapshot + one
+    tombstone append + one O(stage) delta append per statement —
     driver-side work is string parsing only."""
     import uuid as _uuid
 
@@ -1262,6 +1268,7 @@ def q_keyed_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
      .createOrReplaceTempView(stage))
     sql_merge(spark, f"""
         MERGE INTO tbl AS t USING {stage} AS s ON t.k = s.k
+        WHEN MATCHED AND s.price > 400000 THEN DELETE
         WHEN MATCHED THEN UPDATE SET price = t.price + s.price
         WHEN NOT MATCHED THEN INSERT *""",
         tables={"tbl": (path, "k")})

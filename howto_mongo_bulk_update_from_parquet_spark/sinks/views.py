@@ -629,7 +629,13 @@ def stream_maintain_view(spark: SparkSession, *, table_path: str,
               .writeStream.foreachBatch(_round)
               .option("checkpointLocation", checkpoint))
     if processing_time:
-        q = writer.trigger(processingTime=processing_time).start()
+        try:
+            q = writer.trigger(processingTime=processing_time).start()
+        except Exception:
+            # a start that never produced a query (bad interval,
+            # checkpoint conflict) must not park the lease until TTL
+            release_writer_lease(spark, view_path, owner)
+            raise
         _start_lease_heartbeat(spark, q, [view_path], owner, ttl)
         return q
     hb_thread = hb_stop = None
