@@ -27,11 +27,19 @@ Supported grammar (case-insensitive keywords, one statement):
     | WHEN MATCHED [AND <cond>] THEN UPDATE SET c = <expr>, ...
     | WHEN MATCHED [AND <cond>] THEN DELETE ]...
     [ WHEN NOT MATCHED THEN INSERT * ]
+    [ WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+    | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... ]...
 
 Multiple WHEN MATCHED clauses evaluate FIRST-MATCH-WINS in statement
 order (ANSI MERGE / Delta Lake semantics); conditions may reference
 both aliases (`AND t.qty < s.qty`); an unconditional matched clause
 must come last (later clauses would be unreachable — refused).
+`WHEN NOT MATCHED BY SOURCE` (Delta's full-sync extension) acts on
+TARGET rows the source lacks — delete them (replication sync) or
+update them with target-side expressions (mark stale); this side
+anti-joins the target against the source key set, O(target scan) by
+definition (every row must prove its absence), source side broadcast
+when small. The three clause groups are independent (ANSI).
 
 Semantics, mapped to the engine:
 
@@ -93,7 +101,7 @@ _ON_RE = re.compile(
     r"(?P<r>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$")
 
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
     r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)"
     r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
@@ -157,14 +165,44 @@ def parse_merge(text: str) -> dict:
             "salias": m.group("salias") or m.group("srcname") or "src",
             "on": (on.group("l"), on.group("lc"),
                    on.group("r"), on.group("rc")),
-            "matched": [], "insert": False}
+            "matched": [], "by_source": [], "insert": False}
     clauses = _WHEN_RE.findall(m.group("clauses"))
     if not clauses:
         raise MergeSyntaxError("no WHEN [NOT] MATCHED clause found")
-    for is_not, cond, action in clauses:
+
+    def _parse_action(a, au, where):
+        if au == "DELETE":
+            return ("delete", None)
+        if au.startswith("UPDATE"):
+            set_text = re.sub(r"^UPDATE\s+SET\s+", "", a,
+                              flags=re.IGNORECASE | re.DOTALL)
+            return ("update", "*" if set_text.strip() == "*"
+                    else _split_assignments(set_text))
+        raise MergeSyntaxError(f"unsupported {where} action {a!r} "
+                               f"(UPDATE SET ... or DELETE)")
+
+    for is_not, bysrc, cond, action in clauses:
         a = action.strip()
         au = a.upper()
         cond = cond.strip() or None if cond else None
+        if is_not and bysrc:
+            # NOT MATCHED BY SOURCE: target rows the source lacks
+            if spec["by_source"] and spec["by_source"][-1][0] is None:
+                raise MergeSyntaxError(
+                    "a WHEN NOT MATCHED BY SOURCE clause after an "
+                    "unconditional one is unreachable")
+            act = _parse_action(a, au, "WHEN NOT MATCHED BY SOURCE")
+            if act[1] == "*":
+                raise MergeSyntaxError(
+                    "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET * is "
+                    "meaningless (there is no source row to copy) — "
+                    "assign explicit target-side expressions")
+            spec["by_source"].append((cond, act))
+            continue
+        if bysrc:
+            raise MergeSyntaxError(
+                "WHEN MATCHED BY SOURCE is not a MERGE clause — use "
+                "WHEN MATCHED or WHEN NOT MATCHED BY SOURCE")
         if is_not:
             if cond:
                 raise MergeSyntaxError(
@@ -182,18 +220,10 @@ def parse_merge(text: str) -> dict:
                 "a WHEN MATCHED clause after an unconditional one is "
                 "unreachable (clauses evaluate first-match-wins in "
                 "statement order)")
-        if au == "DELETE":
-            spec["matched"].append((cond, ("delete", None)))
-        elif au.startswith("UPDATE"):
-            set_text = re.sub(r"^UPDATE\s+SET\s+", "", a,
-                              flags=re.IGNORECASE | re.DOTALL)
-            sets = ("*" if set_text.strip() == "*"
-                    else _split_assignments(set_text))
-            spec["matched"].append((cond, ("update", sets)))
-        else:
-            raise MergeSyntaxError(f"unsupported WHEN MATCHED action "
-                                   f"{a!r} (UPDATE SET ... or DELETE)")
-    if not spec["matched"] and not spec["insert"]:
+        spec["matched"].append((cond, _parse_action(a, au,
+                                                    "WHEN MATCHED")))
+    if (not spec["matched"] and not spec["insert"]
+            and not spec["by_source"]):
         raise MergeSyntaxError("statement performs no action")
     return spec
 
@@ -319,6 +349,52 @@ def sql_merge(spark: SparkSession, text: str, *,
         branches.append(_branch_rows(joined, ~matched_col, "*", sa,
                                      key, s_keycol, tgt_fields,
                                      src_fields))
+
+    if spec["by_source"]:
+        # NOT MATCHED BY SOURCE: target rows the source lacks — the
+        # full-sync half of MERGE (Delta's bySource extension). This
+        # side anti-joins the TARGET against the source key set:
+        # O(table scan) by definition (every target row must prove
+        # its absence), with the source side broadcast when small.
+        # Conditions and UPDATE expressions resolve over the target
+        # alias only (there is no source row); first-match-wins
+        # within the by-source group, independent of the matched
+        # group (ANSI treats the clause groups separately).
+        tgt_only = (tgt.alias(ta)
+                    .join(src.alias(sa).select(
+                              F.col(f"{sa}.{s_keycol}").alias(key)),
+                          key, "left_anti"))
+        bs_reach, bs_taken = [], F.lit(False)
+        for cond, _ in spec["by_source"]:
+            fire = _cond_col(cond) & ~bs_taken
+            bs_reach.append(fire)
+            bs_taken = bs_taken | fire
+        bs_aggs = [F.sum(r.cast("long")).alias(f"b{i}")
+                   for i, r in enumerate(bs_reach)]
+        bs_counts = tgt_only.agg(*bs_aggs).first()
+        n_bs = [int(bs_counts[f"b{i}"] or 0)
+                for i in range(len(bs_reach))]
+        out["n_deleted"] += sum(
+            n for n, (_, (act, _s)) in zip(n_bs, spec["by_source"])
+            if act == "delete")
+        out["n_matched"] += sum(
+            n for n, (_, (act, _s)) in zip(n_bs, spec["by_source"])
+            if act == "update")
+        bs_del = [r for r, (_, (act, _s)) in zip(bs_reach,
+                                                 spec["by_source"])
+                  if act == "delete"]
+        if bs_del:
+            pred = bs_del[0]
+            for r in bs_del[1:]:
+                pred = pred | r
+            out["delta_version"] = append_delete_delta(
+                spark, tgt_only.filter(pred).select(key),
+                path=path, key=key)
+        for r, (_, (act, sets)) in zip(bs_reach, spec["by_source"]):
+            if act == "update":
+                branches.append(_target_branch_rows(
+                    tgt_only, r, sets, key, tgt_fields))
+
     if branches:
         delta_src = branches[0]
         for b in branches[1:]:
@@ -326,6 +402,29 @@ def sql_merge(spark: SparkSession, text: str, *,
         out["delta_version"] = append_delta(spark, delta_src,
                                             path=path, key=key)
     return out
+
+
+def _target_branch_rows(tgt_only: DataFrame, fire_col, sets,
+                        key: str, tgt_fields: dict) -> DataFrame:
+    """A NOT MATCHED BY SOURCE update branch's contribution: assigned
+    columns evaluate over the TARGET row (no source exists), every
+    other payload column rides as a typed NULL for the null-skip
+    merge to preserve."""
+    assigned = {c: rhs for c, rhs in sets}
+    unknown = [c for c in assigned if c not in tgt_fields]
+    if unknown:
+        raise MergeSyntaxError(
+            f"UPDATE SET assigns unknown column(s) {unknown} "
+            f"(table columns: {sorted(tgt_fields)})")
+    cols = [F.col(key).cast(tgt_fields[key]).alias(key)]
+    for c, dt in tgt_fields.items():
+        if c == key:
+            continue
+        if c in assigned:
+            cols.append(F.expr(assigned[c]).cast(dt).alias(c))
+        else:
+            cols.append(F.lit(None).cast(dt).alias(c))
+    return tgt_only.filter(fire_col).select(*cols)
 
 
 def _branch_rows(joined: DataFrame, fire_col, sets, sa: str,

@@ -282,6 +282,70 @@ def test_register_sql_catalog_and_cli_root(spark, tmp_path, capsys):
                  "--text", "SELECT 1"]) == 2
 
 
+def test_merge_not_matched_by_source(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE (full-sync): target rows the source
+    lacks are deleted or target-side-updated, first-match-wins within
+    the by-source group, composing with the matched/insert groups in
+    ONE statement."""
+    path = _mk(spark, tmp_path)          # k=1..4, qty=10k, tag=tk
+    spark.createDataFrame([Row(k=2, qty=222, tag="s2"),
+                           Row(k=7, qty=70, tag="t7")]
+                          ).createOrReplaceTempView("snap")
+    # full sync: upsert what the source has, delete stale rows the
+    # source no longer carries — except large ones, which are marked
+    out = sql_merge(spark, """
+        MERGE INTO t USING snap s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.qty >= 30
+             THEN UPDATE SET tag = 'stale'
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        tables={"t": (path, "k")})
+    assert out["n_inserted"] == 1        # k=7
+    # by-source rows are k=1,3,4 (k=2 matched): qty 10,30,40 → 3 and
+    # 4 marked stale (>=30, first clause), 1 falls to the delete
+    st = _state(spark, path)
+    assert 1 not in st                   # deleted (qty 10 < 30)
+    assert st[2] == (222, "s2")          # matched update
+    assert st[3] == (30, "stale") and st[4] == (40, "stale")
+    assert st[7] == (70, "t7")           # inserted
+    assert out["n_deleted"] == 1 and out["n_matched"] == 3
+
+
+def test_merge_by_source_delete_only_full_sync(spark, tmp_path):
+    """The replication-sync shape: source is the full truth; absent
+    rows vanish."""
+    path = _mk(spark, tmp_path)
+    spark.createDataFrame([Row(k=1, qty=1, tag="a"),
+                           Row(k=3, qty=3, tag="c")]
+                          ).createOrReplaceTempView("truth")
+    sql_merge(spark, """
+        MERGE INTO t USING truth s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        tables={"t": (path, "k")})
+    st = _state(spark, path)
+    assert set(st) == {1, 3}
+    assert st[1] == (1, "a") and st[3] == (3, "c")
+
+
+def test_merge_by_source_syntax_guards(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    spark.createDataFrame([Row(k=1, qty=1, tag="x")]
+                          ).createOrReplaceTempView("stage")
+    tables = {"t": (path, "k")}
+    with pytest.raises(MergeSyntaxError, match="no source row"):
+        sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
+                         "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+                  tables=tables)
+    with pytest.raises(MergeSyntaxError, match="unreachable"):
+        sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
+                         "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+                         "WHEN NOT MATCHED BY SOURCE AND t.qty > 0 "
+                         "THEN DELETE", tables=tables)
+
+
 def test_merge_checks_and_constraints_enforced(spark, tmp_path):
     """The SQL path rides append_delta underneath, so table CHECK
     constraints fire on MERGE-landed rows too."""
