@@ -1376,3 +1376,71 @@ def q_keyed_sql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bounded change view leaked future rows: {before} vs "
             f"{after_rows}")
     return out
+
+
+@register("q_keyed_view_follow", VIEW_MAINTAIN_ORACLE,
+          "CONTINUOUS view maintenance (stream_maintain_view, "
+          "availableNow): two checkpointed drains — bootstrap, then "
+          "a 3-delta arrival window — leave the view oracle-exact "
+          "(r15)")
+def q_keyed_view_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `sinks/views.stream_maintain_view` (r15 — the
+    arrival-driven maintainer): the SAME table/delta scenario as
+    q_keyed_view_maintain, but maintenance is driven by the change
+    feed's FILE STREAM instead of scheduled calls. Drain 1 (fresh
+    checkpoint) bootstraps the view; three LSM arrivals land (group
+    move, tombstones, inserts); drain 2 with the SAME checkpoint (the
+    same logical maintainer, lease re-acquired reentrantly) applies
+    the window through the stream's foreachBatch signal. In-query
+    asserts: the offset reached 3 and a follow-up BATCH maintainer
+    round is a pure no-op (the stream left nothing behind and
+    released its lease — a held lease would make that call raise).
+    The final view rows hash against the SAME oracle as the scheduled
+    form, so the two maintenance drivers are provably equivalent. At
+    100 TB the stream lists O(delta dirs) per trigger and each round
+    is O(changes) — identical cost to the scheduled form minus idle
+    rescans."""
+    import tempfile
+
+    from ..sinks.views import (maintain_grouped_view, read_grouped_view,
+                               stream_maintain_view, view_offset)
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("bigint").alias("g"),
+        F.col("o_totalprice").cast("double").alias("val"))
+    tp = tempfile.mkdtemp(prefix="keyed_vf_t_")
+    vp = tempfile.mkdtemp(prefix="keyed_vf_v_")
+    ckpt = tempfile.mkdtemp(prefix="keyed_vf_c_")
+    upsert_into_keyed_table(spark, rows, path=tp, key="k",
+                            updated_at_col=None)
+    stream_maintain_view(spark, table_path=tp, key="k", view_path=vp,
+                         group_col="g", sum_col="val", checkpoint=ckpt)
+    if view_offset(spark, vp) != 0:
+        raise AssertionError("drain 1 should bootstrap at offset 0")
+    append_delta(spark,
+                 rows.filter(F.col("k") % 10 == 0)
+                 .select("k", (F.col("g") + 1000000).alias("g"),
+                         (F.col("val") * 2).alias("val")),
+                 path=tp, key="k")
+    append_delete_delta(
+        spark, rows.filter(F.col("k") % 7 == 0).select("k"),
+        path=tp, key="k")
+    append_delta(spark,
+                 rows.filter(F.col("k") % 13 == 0)
+                 .select((F.col("k") + 20000000).alias("k"), "g", "val"),
+                 path=tp, key="k")
+    stream_maintain_view(spark, table_path=tp, key="k", view_path=vp,
+                         group_col="g", sum_col="val", checkpoint=ckpt)
+    if view_offset(spark, vp) != 3:
+        raise AssertionError(
+            f"drain 2 should reach offset 3, got "
+            f"{view_offset(spark, vp)}")
+    st = maintain_grouped_view(spark, table_path=tp, key="k",
+                               view_path=vp, group_col="g",
+                               sum_col="val")
+    if st["changes"] != 0 or st["groups_touched"] != 0:
+        raise AssertionError(
+            f"batch round after the drain was not a no-op: {st}")
+    return read_grouped_view(spark, vp, "g")
