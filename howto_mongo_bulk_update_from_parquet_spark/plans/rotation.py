@@ -42,7 +42,7 @@ ROWS_ONLY = frozenset({
 # r9): an uncommitted artifact appearing mid-round — or a deploy
 # missing artifacts — must not silently shift the head order away
 # from what the committed repo state mandates.
-ATTESTED_THROUGH = 14
+ATTESTED_THROUGH = 15
 
 # Queries whose IMPLEMENTATION changed this round and therefore must
 # re-attest even though a previous round's driver run was green.
@@ -50,14 +50,17 @@ ATTESTED_THROUGH = 14
 # tests/test_rotation_guard.py derives the queries whose package-
 # internal import closure intersects the round's diff and fails the
 # suite if any is missing here.
-# Round 15 opens with the r14 artifacts committed and the pin bumped
-# to 14; the list grows as the r15 diff touches query closures (the
+# Round 16 opens with the r15 artifacts committed and the pin bumped
+# to 15; the list grows as the r16 diff touches query closures (the
 # guard test derives the mandatory set mechanically and fails the
-# suite if an entry is missing). Planned r15 diff: sinks/lease.py
-# (two-breaker race fix), sinks/views.py (idle shape check +
-# maintainer lease), sinks/changes.py (SQL change-feed registration),
-# keyed_table/sql_surface (MERGE INTO write path), cli.py — the
-# keyed-storage family re-attests again.
+# suite if an entry is missing). Planned r16 diff: sinks/fs.py
+# (rename_no_clobber exception classification — in every keyed
+# query's closure), sinks/lease.py (displace re-check, renew debris
+# cleanup), sinks/sql_merge.py (single-join/single-commit execution,
+# conditional inserts, UPDATE/DELETE statements), sinks/views.py
+# (follow-stream lease release on stop), sinks/keyed_table.py
+# (catalog change-feed registration), cli.py, plans/dup_spans.py
+# (doc) — the keyed-storage family re-attests again.
 FORCE_REATTEST: tuple[str, ...] = (
     # guard-derived: fs.py/keyed_roundtrip.py are in every keyed
     # query's closure; views.py/changes.py in the view/feed queries'
@@ -69,7 +72,8 @@ FORCE_REATTEST: tuple[str, ...] = (
     "q_keyed_table_changes", "q_keyed_sql_scan",
     "q_keyed_view_maintain", "q_keyed_view_minmax",
     "q_keyed_view_avg", "q_keyed_view_recover",
-    # dup_spans.py window-count rewrite (r15 item 8) + its importers
+    "q_keyed_sql_merge", "q_keyed_sql_changes", "q_keyed_view_follow",
+    # dup_spans.py header fix (r15 verdict item 8) + its importers
     "q_dup_spans", "q_dedup_trim", "q_dup_token_ratio",
     "q_incremental_dup_spans", "q_curate_pipeline",
 )
