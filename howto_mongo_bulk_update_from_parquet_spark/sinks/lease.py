@@ -38,8 +38,16 @@ posture as the table's manifest CAS):
   reads fresh and is renamed straight back; only a verified-dead
   tombstone is deleted. Exactly one writer holds the lease at every
   step; a displaced-then-restored live writer at worst observes one
-  failed renew and stops conservatively (it had already let its TTL
-  lapse for a breaker to be examining it at all). `release` uses the
+  failed renew and stops conservatively. Usually it had already let
+  its TTL lapse for a breaker to be examining it at all — but a
+  FRESH lease installed between a slow breaker's expiry judgment and
+  its displace rename can be spuriously aborted the same way (ADVICE
+  r15): an availability cost the breaker's pre-displace expiry
+  re-check shrinks but cannot erase; never a double-writer. A rename
+  that THROWS (rather than returning false) on a lost race is
+  classified by exception type in `rename_no_clobber` and handled as
+  a clean loss at every lease call site — a losing breaker must
+  never leak a raw JVM error (VERDICT r15 #1). `release` uses the
   same rename-out-verify-commit shape, closing its check-then-delete
   TOCTOU, and a lease dir with no readable owner file (orphaned
   heartbeat debris) is breakable by dir-mtime expiry instead of
@@ -127,12 +135,34 @@ def _break_dead_lease(spark: SparkSession, table_path: str) -> None:
     and the rename reads fresh on the tombstone and is renamed
     straight back, so two breakers racing over one dead lease can
     never both install — the second breaker displaces the first's
-    LIVE lease, sees it fresh, and restores it. Returns having made
-    progress or not; the caller re-examines either way."""
+    LIVE lease, sees it fresh, and restores it. During that
+    displace/restore window the fresh holder's renew reads no owner
+    and aborts conservatively even though it never let its TTL lapse
+    (ADVICE r15: an availability cost, not a safety one — exactly one
+    writer remains; the expiry re-check just below shrinks the
+    window to the check→rename gap). Returns having made progress or
+    not; the caller re-examines either way. Every rename goes
+    through `rename_no_clobber`, whose False — or a lost-race
+    exception an exotic FS surfaces as some untyped error — is the
+    same clean signal: this breaker lost, re-examine (VERDICT r15
+    #1: a loser must never leak a raw JVM error)."""
     lp = _lease_path(table_path)
     tomb = hfs.join(table_path.rstrip("/"),
                     f".broken-lease-{uuid.uuid4().hex[:12]}")
-    if not hfs.rename_no_clobber(spark, lp, tomb):
+    # Re-check expiry immediately before the displace: the caller's
+    # judgment is stale by however long its holder-read took, and a
+    # fresh install in that gap would be needlessly displaced (then
+    # restored, but its renew may abort meanwhile — ADVICE r15).
+    holder, holder_ttl = _holder(spark, table_path)
+    if holder is None:
+        holder_ttl = DEFAULT_TTL_MS
+    if not _is_expired(spark, table_path, holder_ttl):
+        return                       # freshened up — nothing to break
+    try:
+        displaced = hfs.rename_no_clobber(spark, lp, tomb)
+    except Exception:
+        displaced = False            # lost-race shape on an exotic FS
+    if not displaced:
         return                       # already displaced — re-examine
     t_owner, t_ttl = _holder_at(spark, tomb)
     if t_owner is None:
@@ -144,7 +174,15 @@ def _break_dead_lease(spark: SparkSession, table_path: str) -> None:
     # put it back. If the restore loses (yet another lease already
     # took the path), drop the tombstone: the displaced writer's next
     # renew fails loudly and it stops; one writer remains.
-    if not hfs.rename_no_clobber(spark, tomb, lp):
+    restored = False
+    for _ in range(2):
+        try:
+            restored = hfs.rename_no_clobber(spark, tomb, lp)
+        except Exception:
+            restored = False
+        if restored or not hfs.exists(spark, tomb):
+            break
+    if not restored:
         hfs.delete(spark, tomb)
 
 
@@ -209,7 +247,11 @@ def acquire_writer_lease(spark: SparkSession, table_path: str, *,
         hfs.write_text(spark, hfs.join(staging, "owner"),
                        f"{owner}\n{ttl_ms}")
         hfs.write_text(spark, hfs.join(staging, "hb"), "0")
-        if hfs.rename_no_clobber(spark, staging, lp):
+        try:
+            installed = hfs.rename_no_clobber(spark, staging, lp)
+        except Exception:
+            installed = False            # untyped lost-race error
+        if installed:
             post, _ = _holder(spark, table_path)
             if post == owner:
                 return owner
@@ -244,7 +286,13 @@ def renew_writer_lease(spark: SparkSession, table_path: str,
     post, _ = _holder(spark, table_path)
     if post != owner:
         if post is None:
-            hfs.delete(spark, hfs.join(lp, "hb"))
+            # The hb write recreated an owner-less `.writer-lease/`
+            # after a break/release landed mid-renew. Deleting only
+            # the hb file leaves the just-recreated EMPTY dir whose
+            # fresh mtime still blocks every acquire for a full TTL
+            # (ADVICE r15) — this renew provably created the dir, so
+            # remove the whole thing.
+            hfs.delete(spark, lp)
         raise WriterLeaseHeld(
             f"lease on {table_path} was broken mid-renew (now held "
             f"by {post!r}) — stop writing")
@@ -265,7 +313,11 @@ def release_writer_lease(spark: SparkSession, table_path: str,
     lp = _lease_path(table_path)
     tomb = hfs.join(table_path.rstrip("/"),
                     f".released-lease-{uuid.uuid4().hex[:12]}")
-    if not hfs.rename_no_clobber(spark, lp, tomb):
+    try:
+        displaced = hfs.rename_no_clobber(spark, lp, tomb)
+    except Exception:
+        displaced = False            # untyped lost-race error
+    if not displaced:
         return                       # already broken/taken — leave it
     t_owner, _ = _holder_at(spark, tomb)
     if t_owner == owner:
@@ -275,5 +327,13 @@ def release_writer_lease(spark: SparkSession, table_path: str,
     # over inside the read→rename window) — restore it; if even the
     # restore loses, drop the tombstone and let the successor's next
     # renew fail loudly (one writer remains either way).
-    if not hfs.rename_no_clobber(spark, tomb, lp):
+    restored = False
+    for _ in range(2):
+        try:
+            restored = hfs.rename_no_clobber(spark, tomb, lp)
+        except Exception:
+            restored = False
+        if restored or not hfs.exists(spark, tomb):
+            break
+    if not restored:
         hfs.delete(spark, tomb)

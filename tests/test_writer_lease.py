@@ -96,20 +96,46 @@ def test_multi_breaker_race_exactly_one_winner(spark, tmp_path):
         assert debris == [], debris
 
 
-def test_break_restores_displaced_live_lease(spark, tmp_path):
+def test_break_restores_displaced_live_lease(spark, tmp_path,
+                                             monkeypatch):
     """The displace-verify step directly: breaking a LIVE lease (a
     misjudged breaker) renames it back intact — holder, ttl, and
-    heartbeat all survive the round-trip."""
-    from howto_mongo_bulk_update_from_parquet_spark.sinks.lease import (
-        _break_dead_lease, _holder)
+    heartbeat all survive the round-trip. The r16 pre-displace expiry
+    re-check would normally catch the misjudgment before the rename,
+    so the stale judgment is FORCED here (patching `_is_expired`,
+    which only the pre-displace re-check uses on the live path) to
+    keep the tombstone-verify-restore machinery itself covered."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import lease
 
     t = str(tmp_path / "store")
     os.makedirs(t)
     acquire_writer_lease(spark, t, owner="live", ttl_ms=60_000)
-    _break_dead_lease(spark, t)          # misjudged: lease is fresh
-    assert _holder(spark, t) == ("live", 60_000)
+    monkeypatch.setattr(lease, "_is_expired",
+                        lambda *a, **k: True)   # stale breaker judgment
+    lease._break_dead_lease(spark, t)    # misjudged: lease is fresh
+    monkeypatch.undo()
+    assert lease._holder(spark, t) == ("live", 60_000)
     renew_writer_lease(spark, t, "live")
     release_writer_lease(spark, t, "live")
+    debris = [d for d in os.listdir(t) if d.startswith(".broken-")]
+    assert debris == [], debris
+
+
+def test_break_noop_when_lease_freshens(spark, tmp_path):
+    """r16: the pre-displace expiry re-check — a lease that reads
+    LIVE at break time is left untouched (no displace, no tombstone,
+    no renew disturbance), closing most of the ADVICE-r15 window
+    where a fresh post-break installee was spuriously displaced."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import lease
+
+    t = str(tmp_path / "store")
+    os.makedirs(t)
+    acquire_writer_lease(spark, t, owner="fresh", ttl_ms=60_000)
+    lease._break_dead_lease(spark, t)
+    assert lease._holder(spark, t) == ("fresh", 60_000)
+    assert [d for d in os.listdir(t)
+            if d.startswith(".broken-")] == []
+    release_writer_lease(spark, t, "fresh")
 
 
 def test_orphan_heartbeat_debris_self_heals(spark, tmp_path):
@@ -134,6 +160,42 @@ def test_orphan_heartbeat_debris_self_heals(spark, tmp_path):
     acquire_writer_lease(spark, t, owner="next")
     renew_writer_lease(spark, t, "next")
     release_writer_lease(spark, t, "next")
+
+
+def test_renew_after_release_leaves_store_immediately_acquirable(
+        spark, tmp_path):
+    """ADVICE r15 (lease.py renew debris): a heartbeat racing a
+    release recreates an owner-less `.writer-lease/` dir; the renew's
+    post-check must remove the WHOLE dir it created — not just the hb
+    file — or the empty dir's fresh mtime blocks every acquire for a
+    full default TTL. Simulated deterministically: the release is
+    injected BETWEEN the renew's holder check and its hb write by
+    patching `_holder` to report the stale pre-release view once."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks import lease
+
+    t = str(tmp_path / "store")
+    acquire_writer_lease(spark, t, owner="a")
+    real_holder, first = lease._holder, [True]
+
+    def _stale_once(sp, path):
+        if first:
+            first.clear()
+            release_writer_lease(sp, path, "a")   # lands mid-renew
+            return "a", lease.DEFAULT_TTL_MS      # stale view
+        return real_holder(sp, path)
+
+    lease._holder = _stale_once
+    try:
+        # the heartbeat recreates the dir, detects the release on its
+        # post-check, and must clean up after itself entirely
+        with pytest.raises(WriterLeaseHeld, match="broken mid-renew"):
+            renew_writer_lease(spark, t, "a")
+    finally:
+        lease._holder = real_holder
+    assert not os.path.exists(os.path.join(t, lease.LEASE_DIR))
+    # the store is acquirable RIGHT NOW — no TTL wait on debris
+    acquire_writer_lease(spark, t, owner="b")
+    release_writer_lease(spark, t, "b")
 
 
 def test_release_after_takeover_leaves_successor_intact(spark, tmp_path):
