@@ -313,9 +313,10 @@ def cmd_sql(args: argparse.Namespace) -> int:
     state (snapshot-consistent: resolved once at registration);
     `--view NAME=DIR` a plain parquet directory; `--keyed-root
     DIR[:PREFIX]` registers every keyed table under DIR (r15). The
-    result shows (default) or lands as parquet with --out. A MERGE
-    INTO statement routes through the write path (`sinks/sql_merge`)
-    against the same registrations (r15)."""
+    result shows (default) or lands as parquet with --out. A write
+    statement (MERGE INTO r15; UPDATE / DELETE FROM r16) routes
+    through the write path (`sinks/sql_merge`) against the same
+    registrations."""
     from .sinks.keyed_table import register_sql_catalog, register_sql_view
     spark = get_spark("sql")
     keyed_reg: dict[str, tuple[str, str]] = {}
@@ -377,16 +378,28 @@ def cmd_sql(args: argparse.Namespace) -> int:
         except Exception as exc:  # noqa: BLE001 - surface as usage
             print(f"cannot register {name!r}: {exc}", file=sys.stderr)
             return 2
-    if args.text.lstrip()[:5].upper() == "MERGE":
-        # write path (r15): the SAME --keyed registration that powers
-        # reads powers MERGE INTO — a dashboard migrates its upsert
-        # SQL by swapping only the registration flags
-        from .sinks.sql_merge import MergeSyntaxError, sql_merge
+    from .sinks.sql_merge import (MergeSyntaxError, sql_write,
+                                  write_statement_kind)
+    if write_statement_kind(args.text):
+        # write path (r15; UPDATE/DELETE r16): the SAME --keyed
+        # registration that powers reads powers the write statements —
+        # a dashboard migrates its upsert SQL by swapping only the
+        # registration flags. The dispatch is word-boundary-safe and
+        # sees through leading -- comments (ADVICE r15: the old
+        # text[:5] == 'MERGE' prefix test was neither).
         import json as _json
+        if args.out or args.explain:
+            # silently ignoring them would misreport what happened:
+            # a write statement returns a result JSON, not a frame
+            print("--out/--explain apply to read statements only "
+                  "(a write statement prints its result counts as "
+                  "JSON)", file=sys.stderr)
+            return 2
         try:
-            out = sql_merge(spark, args.text, tables=keyed_reg)
+            out = sql_write(spark, args.text, tables=keyed_reg)
         except MergeSyntaxError as exc:
-            print(f"merge error: {exc}", file=sys.stderr)
+            print(f"{write_statement_kind(args.text)} error: {exc}",
+                  file=sys.stderr)
             return 2
         print(_json.dumps(out, sort_keys=True))
         return 0

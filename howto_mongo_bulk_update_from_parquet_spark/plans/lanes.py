@@ -54,6 +54,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_view_avg",
     "q_keyed_sql_scan",
     "q_keyed_sql_merge",
+    "q_keyed_sql_update_delete",
     "q_keyed_sql_changes",
     "q_keyed_view_follow",
 })

@@ -2794,6 +2794,49 @@ def append_delete_delta(spark: SparkSession, keys: DataFrame, *,
     return _append_delta_claiming(spark, src, path, key=key)
 
 
+def append_merge_delta(spark: SparkSession, rows: DataFrame, *,
+                       path: str, key: str) -> int:
+    """One MERGE statement's ENTIRE effect — upsert rows and
+    tombstone rows (`__deleted` = true) mixed in one frame — as ONE
+    delta commit (r16, closing ADVICE r15's multi-commit finding:
+    deletes, updates and inserts land atomically; readers and
+    change-feed consumers never observe a half-applied statement).
+    Tombstone rows ride with typed-NULL payload columns; `__deleted`
+    false/absent rows are plain null-skip upserts — every downstream
+    consumer (`_apply_tombstones`, the change feed's op typing)
+    branches on the marker's truthiness, so the mixed shape needs no
+    new read paths.
+
+    Normalization is the upsert path's latest-per-key with the
+    tombstone marker as the FIRST tie-breaker: a statement whose
+    source carries duplicate keys that reach both a DELETE and an
+    UPDATE clause resolves deterministically to the delete (ANSI
+    MERGE would refuse the duplicate outright; the engine keeps the
+    Python writer's normalize-don't-refuse posture). CHECK
+    constraints are enforced on the UPSERT rows only — SQL deletes
+    are not subject to CHECK — and the schema mode gate is the same
+    as `append_delta`."""
+    src = rows.filter(F.col(key).isNotNull())
+    has_tomb = _TOMBSTONE in src.columns
+    order_cols = ([_TOMBSTONE] if has_tomb else []) + \
+        [c for c in src.columns if c not in (key, _TOMBSTONE)]
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc_nulls_last() for c in order_cols])
+    src = (src.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1).drop("__rn"))
+    meta = table_meta(spark, path)
+    chk = _resolve_checks(meta, None)
+    if chk:
+        live = (src.filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
+                .drop(_TOMBSTONE) if has_tomb else src)
+        _enforce_checks(live, chk, "merge delta",
+                        table_fields=table_schema(spark, path))
+    _enforce_schema_mode(spark, path, src.columns,
+                         _resolve_schema_mode(meta, None),
+                         "merge delta")
+    return _append_delta_claiming(spark, src, path, key=key)
+
+
 def table_schema(spark: SparkSession, path: str):
     """The table's current declared schema (StructType) — committed
     base first, else the newest pending delta, else the legacy root

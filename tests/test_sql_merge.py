@@ -129,10 +129,6 @@ def test_merge_syntax_errors_are_loud(spark, tmp_path):
         sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
                          "WHEN MATCHED THEN UPDATE SET * "
                          "WHEN MATCHED THEN DELETE", tables=tables)
-    with pytest.raises(MergeSyntaxError, match="NOT MATCHED AND"):
-        sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
-                         "WHEN NOT MATCHED AND s.qty > 0 THEN INSERT *",
-                  tables=tables)
     with pytest.raises(MergeSyntaxError, match="INSERT \\*"):
         sql_merge(spark, "MERGE INTO t USING stage s ON t.k = s.k "
                          "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
@@ -166,7 +162,16 @@ def test_parse_merge_shapes():
         ("s.v < 0", ("delete", None)),
         (None, ("update", [("v", "greatest(t.v, s.v)"),
                            ("w", "s.w")]))]
-    assert spec["insert"] is True
+    assert spec["insert"] == [None]
+    spec2 = parse_merge(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN NOT MATCHED AND s.v > 0 THEN INSERT * "
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert spec2["insert"] == ["s.v > 0", None]
+    with pytest.raises(MergeSyntaxError, match="unreachable"):
+        parse_merge("MERGE INTO t USING s ON t.k = s.k "
+                    "WHEN NOT MATCHED THEN INSERT * "
+                    "WHEN NOT MATCHED AND s.v > 0 THEN INSERT *")
 
 
 def test_merge_conditional_clauses_first_match_wins(spark, tmp_path):
@@ -361,3 +366,197 @@ def test_merge_checks_and_constraints_enforced(spark, tmp_path):
                          "WHEN MATCHED THEN UPDATE SET * "
                          "WHEN NOT MATCHED THEN INSERT *",
                   tables={"t": (path, "k")})
+
+
+def _delta_dirs(path):
+    import os
+    return sorted(d for d in os.listdir(path) if d.startswith("delta_"))
+
+
+def test_merge_conditional_insert(spark, tmp_path):
+    """r16 (verdict item 4): WHEN NOT MATCHED AND <cond> THEN INSERT *
+    — first-match-wins within the not-matched group, non-vacuous (one
+    unmatched row passes the condition, one is filtered out)."""
+    path = _mk(spark, tmp_path)          # k=1..4
+    spark.createDataFrame(
+        [(2, 222, "upd"), (8, 80, "big"), (9, -9, "neg")],
+        "k long, qty long, tag string").createOrReplaceTempView("stage")
+    out = sql_merge(spark, """
+        MERGE INTO t USING stage s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET qty = s.qty
+        WHEN NOT MATCHED AND s.qty > 0 THEN INSERT *""",
+        tables={"t": (path, "k")})
+    assert out["n_matched"] == 1 and out["n_inserted"] == 1
+    st = _state(spark, path)
+    assert st[2] == (222, "t2")
+    assert st[8] == (80, "big")
+    assert 9 not in st                   # filtered by the condition
+
+
+def test_merge_conditional_insert_mixed_with_conditional_matched(
+        spark, tmp_path):
+    """The shape the r15 workaround (filter the source subquery)
+    could NOT express: one statement mixing a conditional MATCHED
+    clause and a conditional NOT MATCHED clause over the same
+    source."""
+    path = _mk(spark, tmp_path)
+    spark.createDataFrame(
+        [(1, 100, "a"), (2, -2, "b"), (8, 80, "c"), (9, -9, "d")],
+        "k long, qty long, tag string").createOrReplaceTempView("stage")
+    out = sql_merge(spark, """
+        MERGE INTO t USING stage s ON t.k = s.k
+        WHEN MATCHED AND s.qty > 0 THEN UPDATE SET qty = s.qty
+        WHEN NOT MATCHED AND s.qty > 0 THEN INSERT *""",
+        tables={"t": (path, "k")})
+    assert out["n_matched"] == 1         # k=1 only (k=2 negative)
+    assert out["n_inserted"] == 1        # k=8 only (k=9 negative)
+    st = _state(spark, path)
+    assert st[1] == (100, "t1") and st[2] == (20, "t2")
+    assert st[8] == (80, "c") and 9 not in st
+
+
+def test_merge_single_commit_atomic(spark, tmp_path):
+    """r16 (ADVICE r15): a mixed-clause MERGE — matched delete +
+    matched update + insert + by-source delete — lands as EXACTLY ONE
+    delta commit; no reader can observe a half-applied statement."""
+    path = _mk(spark, tmp_path)          # k=1..4
+    before = _delta_dirs(path)
+    spark.createDataFrame(
+        [(1, -1, "x"), (2, 200, "y"), (8, 80, "t8")],
+        "k long, qty long, tag string").createOrReplaceTempView("stage")
+    out = sql_merge(spark, """
+        MERGE INTO t USING stage s ON t.k = s.k
+        WHEN MATCHED AND s.qty < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET qty = s.qty
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        tables={"t": (path, "k")})
+    after = _delta_dirs(path)
+    assert len(after) == len(before) + 1, (before, after)
+    assert out["n_deleted"] == 3         # k=1 (matched) + k=3,4 (bysrc)
+    assert out["n_matched"] == 1 and out["n_inserted"] == 1
+    st = _state(spark, path)
+    assert set(st) == {2, 8}
+    assert st[2] == (200, "t2") and st[8] == (80, "t8")
+    assert out["delta_version"] == int(after[-1].split("_")[1])
+
+
+def test_merge_delete_key_dtype_cast(spark, tmp_path):
+    """ADVICE r15 (medium): a matched-DELETE whose source key dtype
+    differs from the table's (int source vs long table key) must land
+    a correctly-typed tombstone — every subsequent read_merged stays
+    readable."""
+    path = _mk(spark, tmp_path)          # k is long
+    spark.createDataFrame([(2,), (99,)], "k int"
+                          ).createOrReplaceTempView("victims_int")
+    out = sql_merge(spark, """
+        MERGE INTO t USING victims_int v ON t.k = v.k
+        WHEN MATCHED THEN DELETE""", tables={"t": (path, "k")})
+    assert out["n_deleted"] == 1
+    st = _state(spark, path)             # read_merged must not break
+    assert set(st) == {1, 3, 4}
+
+
+def test_sql_delete_statement(spark, tmp_path):
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_delete, sql_write)
+
+    path = _mk(spark, tmp_path)          # k=1..4, qty=10k
+    out = sql_write(spark, "DELETE FROM t WHERE qty >= 30",
+                    tables={"t": (path, "k")})
+    assert out == {"action": "delete", "n_deleted": 2,
+                   "delta_version": out["delta_version"]}
+    assert set(_state(spark, path)) == {1, 2}
+    # alias-qualified predicate + no-WHERE full delete
+    out = sql_delete(spark, "DELETE FROM t AS x WHERE x.tag = 't1'",
+                     tables={"t": (path, "k")})
+    assert out["n_deleted"] == 1
+    out = sql_delete(spark, "DELETE FROM t", tables={"t": (path, "k")})
+    assert out["n_deleted"] == 1
+    assert _state(spark, path) == {}
+    with pytest.raises(MergeSyntaxError, match="not a registered"):
+        sql_delete(spark, "DELETE FROM nope WHERE 1=1", tables={})
+
+
+def test_sql_update_statement(spark, tmp_path):
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_update, sql_write)
+
+    path = _mk(spark, tmp_path)          # k=1..4, qty=10k, tag=tk
+    out = sql_write(spark,
+                    "UPDATE t SET qty = qty + 1 WHERE qty >= 30",
+                    tables={"t": (path, "k")})
+    assert out["action"] == "update" and out["n_updated"] == 2
+    st = _state(spark, path)
+    assert st[3] == (31, "t3") and st[4] == (41, "t4")
+    assert st[1] == (10, "t1")           # untouched below the WHERE
+    # alias-qualified refs + multi-assignment + no WHERE (all rows)
+    out = sql_update(spark,
+                     "UPDATE t AS x SET qty = x.qty * 2, tag = "
+                     "concat(x.tag, '!')", tables={"t": (path, "k")})
+    assert out["n_updated"] == 4
+    assert _state(spark, path)[1] == (20, "t1!")
+    # null-skip BY DESIGN: SET to NULL preserves the current value
+    sql_update(spark, "UPDATE t SET tag = NULL WHERE k = 1",
+               tables={"t": (path, "k")})
+    assert _state(spark, path)[1] == (20, "t1!")
+    with pytest.raises(MergeSyntaxError, match="unknown column"):
+        sql_update(spark, "UPDATE t SET nope = 1",
+                   tables={"t": (path, "k")})
+    with pytest.raises(MergeSyntaxError, match="merge key"):
+        sql_update(spark, "UPDATE t SET k = k + 1",
+                   tables={"t": (path, "k")})
+
+
+def test_write_statement_kind_dispatch():
+    """ADVICE r15 (low): word-boundary + leading-comment-aware
+    dispatch — `SELECT merge_col` is a read; a comment-prefixed MERGE
+    is a write."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        write_statement_kind)
+
+    assert write_statement_kind("MERGE INTO t USING s ...") == "merge"
+    assert write_statement_kind(
+        "-- sync nightly\n-- second note\n  merge into t ...") == "merge"
+    assert write_statement_kind("UPDATE t SET a = 1") == "update"
+    assert write_statement_kind("  delete from t") == "delete"
+    assert write_statement_kind("SELECT merge_col FROM t") is None
+    assert write_statement_kind("SELECT * FROM merged") is None
+    assert write_statement_kind("SELECT 'MERGE INTO x'") is None
+    assert write_statement_kind("WITH d AS (SELECT 1) SELECT * FROM d"
+                                ) is None
+
+
+def test_cli_write_statement_flags_and_comments(spark, tmp_path, capsys):
+    """CLI: --out/--explain with a write statement is a loud usage
+    error (exit 2), not silently ignored; a comment-prefixed MERGE
+    still routes to the write path; UPDATE/DELETE verbs work."""
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = _mk(spark, tmp_path)
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame([Row(k=6, qty=60, tag="t6")]
+                          ).write.parquet(stage)
+    rc = main(["sql", "--keyed", f"t={path}:k", "--view",
+               f"stage={stage}", "--out", str(tmp_path / "o"),
+               "--text", "MERGE INTO t USING stage s ON t.k = s.k "
+               "WHEN NOT MATCHED THEN INSERT *"])
+    assert rc == 2
+    assert "read statements only" in capsys.readouterr().err
+    rc = main(["sql", "--keyed", f"t={path}:k", "--view",
+               f"stage={stage}", "--text",
+               "-- nightly sync\nMERGE INTO t USING stage s ON "
+               "t.k = s.k WHEN NOT MATCHED THEN INSERT *"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["n_inserted"] == 1
+    rc = main(["sql", "--keyed", f"t={path}:k", "--text",
+               "DELETE FROM t WHERE qty >= 60"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["n_deleted"] == 1
+    rc = main(["sql", "--keyed", f"t={path}:k", "--text",
+               "UPDATE t SET qty = qty + 5 WHERE k = 1"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["n_updated"] == 1
+    assert _state(spark, path)[1] == (15, "t1")
