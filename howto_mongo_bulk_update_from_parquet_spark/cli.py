@@ -320,6 +320,11 @@ def cmd_sql(args: argparse.Namespace) -> int:
     from .sinks.keyed_table import register_sql_catalog, register_sql_view
     spark = get_spark("sql")
     keyed_reg: dict[str, tuple[str, str]] = {}
+    if args.changes_prefix and not args.keyed_root:
+        print("--changes-prefix registers change feeds for a "
+              "--keyed-root sweep; pass --keyed-root (single tables: "
+              "the changes verb)", file=sys.stderr)
+        return 2
     if args.keyed_root:
         # the PREFIX suffix sits after the LAST colon; a URI scheme's
         # colon (s3a://...) never qualifies because its remainder
@@ -328,7 +333,9 @@ def cmd_sql(args: argparse.Namespace) -> int:
         if not root or "/" in kprefix:
             root, kprefix = args.keyed_root, ""
         try:
-            reg = register_sql_catalog(spark, root, prefix=kprefix)
+            reg = register_sql_catalog(
+                spark, root, prefix=kprefix,
+                changes_prefix=args.changes_prefix)
         except Exception as exc:  # noqa: BLE001 - surface as usage
             print(f"cannot register catalog at {root!r}: {exc}",
                   file=sys.stderr)
@@ -1659,6 +1666,10 @@ def main(argv: list[str] | None = None) -> int:
                          "DIR as view [PREFIX]dirname (merge keys "
                          "from their manifests); the views serve "
                          "reads and MERGE INTO writes alike")
+    sq.add_argument("--changes-prefix", metavar="PREFIX",
+                    help="with --keyed-root: ALSO register each "
+                         "discovered table's change feed as view "
+                         "PREFIXdirname (state + CDC in one sweep)")
     sq.add_argument("--limit", type=int, default=20)
     sq.add_argument("--explain", action="store_true")
     sq.add_argument("--out", help="write the result as parquet "

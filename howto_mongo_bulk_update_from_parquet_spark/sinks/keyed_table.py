@@ -1810,7 +1810,8 @@ def register_sql_view(spark: SparkSession, path: str, key: str,
 
 def register_sql_catalog(spark: SparkSession, root: str, *,
                          prefix: str = "",
-                         keys: dict[str, str] | None = None
+                         keys: dict[str, str] | None = None,
+                         changes_prefix: str | None = None
                          ) -> dict[str, tuple[str, str]]:
     """Register EVERY keyed table under `root` (one directory level)
     as a SQL temp view named `prefix + dirname` (r15 — the
@@ -1822,11 +1823,23 @@ def register_sql_catalog(spark: SparkSession, root: str, *,
     lack it — pass `keys={dirname: key}` to cover them; a table with
     neither is SKIPPED (registration must not guess a merge key).
 
+    `changes_prefix` (r16, verdict item 7) additionally registers
+    each discovered table's CHANGE FEED as `changes_prefix +
+    dirname` (`register_sql_changes`, the full pending window) — one
+    call exposes both state AND CDC for the whole root, so an audit
+    session joins `wh_t` against `cdc_t` without per-table plumbing.
+    The feed views inherit the same eager snapshot discipline:
+    deltas committed after registration are invisible until
+    re-registered.
+
     Returns {view_name: (table_path, key)} — exactly the `tables`
     mapping `sql_merge` takes, so one call powers the full SQL
     session: reads through the registered views, writes through
-    MERGE INTO the same names. Cost: one manifest read per table,
-    zero data."""
+    MERGE INTO the same names. Cost: one manifest read per table
+    (plus the feed's delta listing under `changes_prefix`), zero
+    data."""
+    from .changes import register_sql_changes
+
     out: dict[str, tuple[str, str]] = {}
     for child in sorted(hfs.listdir(spark, root)):
         path = hfs.join(root, child)
@@ -1838,6 +1851,9 @@ def register_sql_catalog(spark: SparkSession, root: str, *,
             continue                     # pre-r15 manifest, no override
         name = prefix + child
         register_sql_view(spark, path, key, name)
+        if changes_prefix is not None:
+            register_sql_changes(spark, path, changes_prefix + child,
+                                 key=key)
         out[name] = (path, key)
     return out
 

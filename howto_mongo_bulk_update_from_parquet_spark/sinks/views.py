@@ -589,8 +589,10 @@ def stream_maintain_view(spark: SparkSession, *, table_path: str,
     acquire reentrantly under the same owner. A heartbeat daemon
     keeps idle stretches alive; `availableNow` (processing_time=None)
     drains the backlog once, releases the lease, and returns None,
-    while a `processing_time` trigger returns the live query (the
-    caller owns stop; the lease then expires by TTL after a kill).
+    while a `processing_time` trigger returns the live query — the
+    caller owns stop, and a CLEAN stop releases the lease immediately
+    through a termination listener (r16, verdict item 6); only a
+    killed driver leaves the lease to expire by TTL.
 
     At 100 TB: per trigger the source lists O(delta dirs) and the
     maintenance round does O(changes) work — identical cost to the
@@ -601,7 +603,8 @@ def stream_maintain_view(spark: SparkSession, *, table_path: str,
     from .changes import stream_table_changes
     from .lease import (DEFAULT_TTL_MS, acquire_writer_lease,
                         release_writer_lease)
-    from ..streaming.dedup_stream import _start_lease_heartbeat
+    from ..streaming.dedup_stream import (_release_leases_on_termination,
+                                          _start_lease_heartbeat)
 
     ttl = lease_ttl_ms or DEFAULT_TTL_MS
     owner = "view-follow-" + hashlib.sha1(
@@ -636,7 +639,14 @@ def stream_maintain_view(spark: SparkSession, *, table_path: str,
             # checkpoint conflict) must not park the lease until TTL
             release_writer_lease(spark, view_path, owner)
             raise
-        _start_lease_heartbeat(spark, q, [view_path], owner, ttl)
+        hb_t, hb_s = _start_lease_heartbeat(spark, q, [view_path],
+                                            owner, ttl)
+        # a clean q.stop() releases the lease immediately (r16,
+        # verdict item 6) — the store is acquirable the moment the
+        # stream ends, not a TTL later; a killed driver still falls
+        # back to TTL expiry
+        _release_leases_on_termination(spark, q, [view_path], owner,
+                                       hb_t, hb_s)
         return q
     hb_thread = hb_stop = None
     try:

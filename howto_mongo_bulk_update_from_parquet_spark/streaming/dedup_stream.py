@@ -322,16 +322,23 @@ def stream_dedup_parquet(spark: SparkSession, source_dir: str, *,
         # cadence as files land; the caller owns the query lifecycle
         # (stop/awaitTermination) — the checkpoint makes a kill at ANY
         # point resumable with replay-idempotent epochs (test-pinned
-        # across a mid-stream stop/restart). The lease is NOT released
-        # here: it guards the live query and expires by TTL after a
-        # kill (a same-checkpoint restart breaks its own stale lease
-        # reentrantly, without the wait). A daemon thread heartbeats
+        # across a mid-stream stop/restart). A clean stop RELEASES the
+        # lease immediately (termination listener, r16); only a killed
+        # driver leaves it to expire by TTL (a same-checkpoint restart
+        # breaks its own stale lease reentrantly, without the wait).
+        # A daemon thread heartbeats
         # while the query is ACTIVE, so an IDLE drain (no arrivals →
         # no epochs → no per-epoch renew) cannot silently outlive its
         # own TTL and lose the store to a competitor; the thread dies
         # with the query, leaving the TTL as the kill detector.
         q = writer.trigger(processingTime=processing_time).start()
-        _start_lease_heartbeat(spark, q, held, lease_owner, ttl)
+        hb_t, hb_s = _start_lease_heartbeat(spark, q, held,
+                                            lease_owner, ttl)
+        # a clean q.stop() releases the leases immediately via the
+        # termination listener; the TTL remains the detector only for
+        # a killed driver (r16, verdict item 6)
+        _release_leases_on_termination(spark, q, held, lease_owner,
+                                       hb_t, hb_s)
         return q
     hb_thread = hb_stop = None
     try:
@@ -392,3 +399,73 @@ def _start_lease_heartbeat(spark, q, held, lease_owner: str,
                          name="drain-lease-heartbeat")
     t.start()
     return t, stop
+
+
+def _release_leases_on_termination(spark, q, held, lease_owner: str,
+                                   hb_thread, hb_stop):
+    """Release the stores' leases the moment the query TERMINATES —
+    clean `q.stop()` or crash — instead of parking them for up to a
+    full TTL (r16, verdict item 6: a cleanly-stopped follow-stream's
+    store must be immediately acquirable). A `StreamingQueryListener`
+    keyed to this query's id fires once on termination: it stops AND
+    JOINS the heartbeat first (a beat racing the release would
+    recreate owner-less `.writer-lease/hb` debris — the ADVICE r15
+    hazard the availableNow path already closes inline), releases
+    each store, and deregisters itself. `release_writer_lease` is
+    owner-checked and idempotent, so a lease already broken/taken
+    while the query was dying is left alone. If the query terminated
+    BEFORE the listener registered (a lost race on a very short
+    life), the post-registration isActive check fires the same path
+    inline — the TTL stays as the last-resort detector only for a
+    killed DRIVER, which no listener survives anyway."""
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from ..sinks.lease import release_writer_lease
+
+    qid = str(q.id)
+    fired = threading.Event()
+
+    def _release():
+        if fired.is_set():
+            return
+        fired.set()
+        hb_stop.set()
+        hb_thread.join(timeout=10.0)
+        for store in held:
+            try:
+                release_writer_lease(spark, store, lease_owner)
+            except Exception:   # noqa: BLE001 - best-effort: TTL backs up
+                pass
+
+    class _ReleaseOnStop(StreamingQueryListener):
+        def onQueryStarted(self, event):    # noqa: D102
+            pass
+
+        def onQueryProgress(self, event):   # noqa: D102
+            pass
+
+        def onQueryIdle(self, event):       # noqa: D102
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: D102
+            if str(event.id) != qid:
+                return
+            try:
+                _release()
+            finally:
+                try:
+                    spark.streams.removeListener(self)
+                except Exception:  # noqa: BLE001 - bus already down
+                    pass
+
+    listener = _ReleaseOnStop()
+    spark.streams.addListener(listener)
+    if not q.isActive:                  # terminated before we registered
+        _release()
+        try:
+            spark.streams.removeListener(listener)
+        except Exception:  # noqa: BLE001
+            pass
+    return listener

@@ -560,3 +560,54 @@ def test_cli_write_statement_flags_and_comments(spark, tmp_path, capsys):
     assert rc == 0
     assert json.loads(capsys.readouterr().out)["n_updated"] == 1
     assert _state(spark, path)[1] == (15, "t1")
+
+
+def test_register_sql_catalog_changes_prefix(spark, tmp_path, capsys):
+    """r16 (verdict item 7): one register_sql_catalog call with
+    `changes_prefix` exposes state AND the change feed for every
+    table under the root — an audit session joins wh_t against cdc_t
+    with zero per-table plumbing. Two tables, distinct keys; the
+    feed shows the post-base delta traffic (upsert + tombstone ops)."""
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        append_delete_delta, append_delta, register_sql_catalog)
+
+    root = tmp_path / "wh"
+    root.mkdir()
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(k=1, qty=10, tag="a"),
+                                      Row(k=2, qty=20, tag="b")]),
+        path=str(root / "t1"), key="k", updated_at_col=None)
+    upsert_into_keyed_table(
+        spark, spark.createDataFrame([Row(g=7, v=1.5)]),
+        path=str(root / "t2"), key="g", updated_at_col=None)
+    append_delta(spark, spark.createDataFrame(
+        [(1, 11, None)], "k long, qty long, tag string"),
+        path=str(root / "t1"), key="k")
+    append_delete_delta(spark, spark.createDataFrame([Row(k=2)]),
+                        path=str(root / "t1"), key="k")
+    append_delta(spark, spark.createDataFrame([Row(g=8, v=2.5)]),
+                 path=str(root / "t2"), key="g")
+    reg = register_sql_catalog(spark, str(root), prefix="wh_",
+                               changes_prefix="cdc_")
+    assert set(reg) == {"wh_t1", "wh_t2"}
+    ops = {(r.op, r.k) for r in spark.sql(
+        "SELECT _change_op AS op, k FROM cdc_t1").collect()}
+    assert ops == {("U", 1), ("D", 2)}
+    assert [r.g for r in spark.sql(
+        "SELECT g FROM cdc_t2").collect()] == [8]
+    # state views registered by the same sweep agree with the feed
+    assert {r.k for r in spark.sql("SELECT k FROM wh_t1").collect()} \
+        == {1}
+    # CLI: --keyed-root + --changes-prefix in one invocation
+    rc = main(["sql", "--keyed-root", f"{root}:c_", "--changes-prefix",
+               "f_", "--text",
+               "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f_t1"])
+    assert rc == 0
+    assert "2" in capsys.readouterr().out
+    # --changes-prefix without --keyed-root is a loud usage error
+    assert main(["sql", "--changes-prefix", "f_", "--text",
+                 "SELECT 1"]) == 2
+    assert "--keyed-root" in capsys.readouterr().err

@@ -745,10 +745,12 @@ def test_stream_maintain_view_continuous_and_fencing(spark, tmp_path):
 
     path = _mk_table(spark, tmp_path)
     vp = str(tmp_path / "view")
+    # a LONG ttl: post-stop acquirability below can then only be
+    # explained by the r16 termination-listener release, not expiry
     q = stream_maintain_view(
         spark, table_path=path, key="k", view_path=vp, group_col="g",
         sum_col="val", checkpoint=str(tmp_path / "ckpt"),
-        processing_time="1 seconds", lease_ttl_ms=3000)
+        processing_time="1 seconds", lease_ttl_ms=60_000)
     try:
         t0 = time.time()
         while view_offset(spark, vp) < 0 and time.time() - t0 < 60:
@@ -771,13 +773,23 @@ def test_stream_maintain_view_continuous_and_fencing(spark, tmp_path):
                                   sum_col="val")
     finally:
         q.stop()
-    # after the stop, the TTL expires and batch maintenance resumes
-    import time as _t
-    _t.sleep(4.0)
+    # r16 (verdict item 6): a CLEAN stop releases the lease
+    # IMMEDIATELY via the termination listener — the 60s TTL above
+    # rules out expiry as the explanation. The listener fires on the
+    # streams bus asynchronously, so poll briefly, far under the TTL.
     append_delta(spark, spark.createDataFrame([Row(k=61, g=12, val=3.0)]),
                  path=path, key="k")
-    maintain_grouped_view(spark, table_path=path, key="k", view_path=vp,
-                          group_col="g", sum_col="val")
+    t0 = time.time()
+    while True:
+        try:
+            maintain_grouped_view(spark, table_path=path, key="k",
+                                  view_path=vp, group_col="g",
+                                  sum_col="val")
+            break
+        except WriterLeaseHeld:
+            assert time.time() - t0 < 20, \
+                "lease not released on clean stop (would wait full TTL)"
+            time.sleep(0.5)
     assert _view(spark, vp) == _recompute(spark, path)
 
 
