@@ -1468,11 +1468,18 @@ merged AS (
               ELSE 0 END AS skipped
   FROM t FULL OUTER JOIN s ON t.k = s.k
 ),
+inserted AS (
+  SELECT k, price, status FROM merged WHERE skipped = 0
+  UNION ALL
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         'IN' AS status
+  FROM orders WHERE o_orderkey % 6 = 3
+),
 updated AS (
   SELECT k,
          CASE WHEN status = 'F' THEN price * 2 ELSE price END AS price,
          status
-  FROM merged WHERE skipped = 0
+  FROM inserted
 )
 SELECT status, CAST(COUNT(*) AS BIGINT) AS cnt,
        CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total
@@ -1482,9 +1489,9 @@ FROM updated WHERE price <= 500000 GROUP BY status
 
 @register("q_keyed_sql_update_delete", SQL_UPDATE_DELETE_ORACLE,
           "pure-SQL write statements r16: MERGE with a CONDITIONAL "
-          "INSERT clause, then plain UPDATE ... WHERE and DELETE "
-          "FROM ... WHERE through the write dispatcher — final "
-          "merged state oracle-exact")
+          "INSERT clause, INSERT INTO ... SELECT, then plain UPDATE "
+          "... WHERE and DELETE FROM ... WHERE through the write "
+          "dispatcher — final merged state oracle-exact")
 def q_keyed_sql_update_delete(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Attestation of the r16 SQL write surface (verdict items 4+5):
@@ -1530,6 +1537,14 @@ def q_keyed_sql_update_delete(spark: SparkSession,
              THEN UPDATE SET price = t.price + s.price
         WHEN NOT MATCHED AND s.price <= 200000 THEN INSERT *""",
         tables=tables)
+    ins = f"ins_{_uuid.uuid4().hex[:8]}"
+    (orders.filter(F.col("o_orderkey") % 6 == 3)
+     .select(F.col("o_orderkey").alias("k"),
+             F.col("o_totalprice").cast("double").alias("price"),
+             F.lit("IN").alias("status"))
+     .createOrReplaceTempView(ins))
+    sql_write(spark, f"INSERT INTO tbl SELECT k, price, status "
+                     f"FROM {ins}", tables=tables)
     sql_write(spark, "UPDATE tbl SET price = price * 2 "
                      "WHERE status = 'F'", tables=tables)
     sql_write(spark, "DELETE FROM tbl WHERE price > 500000",

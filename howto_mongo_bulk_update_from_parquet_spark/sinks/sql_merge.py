@@ -37,6 +37,8 @@ Supported grammar (case-insensitive keywords, one statement):
 
     UPDATE <target> [AS] [<alias>] SET c = <expr>, ... [WHERE <pred>]
     DELETE FROM <target> [AS] [<alias>] [WHERE <pred>]
+    INSERT INTO <target> [(c, ...)] SELECT ... | VALUES (...), ...
+    TRUNCATE TABLE <target>
 
 Multiple WHEN MATCHED clauses evaluate FIRST-MATCH-WINS in statement
 order (ANSI MERGE / Delta Lake semantics); conditions may reference
@@ -547,7 +549,7 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 _WRITE_KIND_RE = re.compile(
-    _LEADING_COMMENTS + r"(?P<kw>MERGE|UPDATE|DELETE)\b",
+    _LEADING_COMMENTS + r"(?P<kw>MERGE|UPDATE|DELETE|INSERT|TRUNCATE)\b",
     re.IGNORECASE)
 
 
@@ -655,7 +657,8 @@ def sql_update(spark: SparkSession, text: str, *,
 def sql_write(spark: SparkSession, text: str, *,
               tables: dict[str, tuple[str, str]]) -> dict:
     """Execute any supported SQL WRITE statement (MERGE INTO /
-    UPDATE / DELETE FROM) against the registered keyed tables —
+    UPDATE / DELETE FROM / INSERT INTO / TRUNCATE TABLE) against
+    the registered keyed tables —
     the single entry point the CLI's sql verb dispatches through
     after `write_statement_kind`."""
     kind = write_statement_kind(text)
@@ -665,6 +668,93 @@ def sql_write(spark: SparkSession, text: str, *,
         return sql_update(spark, text, tables=tables)
     if kind == "delete":
         return sql_delete(spark, text, tables=tables)
+    if kind == "insert":
+        return sql_insert(spark, text, tables=tables)
+    if kind == "truncate":
+        return sql_truncate(spark, text, tables=tables)
     raise MergeSyntaxError(
         "not a supported write statement (MERGE INTO / UPDATE / "
-        "DELETE FROM)")
+        "DELETE FROM / INSERT INTO / TRUNCATE TABLE)")
+
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>[A-Za-z_][\w.]*)"
+    r"\s*(?:\((?P<cols>[^)]*)\))?"
+    r"\s*(?P<body>SELECT\b.+|VALUES\s*\(.+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<target>[A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def sql_insert(spark: SparkSession, text: str, *,
+               tables: dict[str, tuple[str, str]]) -> dict:
+    """`INSERT INTO t [(c, ...)] SELECT ...` / `... VALUES (...), ...`
+    against a keyed table. A keyed table cannot hold duplicate keys,
+    so INSERT lands as the engine's normal upsert delta: a row whose
+    key already exists UPDATES it (null-skip on omitted columns) —
+    the document-store posture of the reference's pipeline, stated
+    here rather than hidden (ANSI would duplicate; the engine
+    normalizes). Column mapping is POSITIONAL (ANSI): onto the
+    explicit column list when given, else onto the table's full
+    column order (arity must match exactly — a shorter SELECT without
+    a column list is refused, never silently right-padded). Columns
+    the statement omits ride as typed NULLs (= preserved on existing
+    keys, NULL on new ones); the merge key must be covered — an
+    insert that cannot name its keys is refused (null keys would be
+    silently dropped by normalization). Returns
+    {action, n_inserted, delta_version}."""
+    m = _INSERT_RE.match(_strip_leading_comments(text))
+    if not m:
+        raise MergeSyntaxError(
+            "statement is not of the form INSERT INTO <t> [(cols)] "
+            "SELECT ... | VALUES (...), ...")
+    path, key = _resolve_target(m.group("target"), tables, "INSERT")
+    schema = table_schema(spark, path)
+    tgt_fields = {f.name: f.dataType for f in schema}
+    df = spark.sql(m.group("body"))
+    if m.group("cols") is not None:
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        unknown = [c for c in cols if c not in tgt_fields]
+        if unknown:
+            raise MergeSyntaxError(
+                f"INSERT column list names unknown column(s) "
+                f"{unknown} (table columns: {sorted(tgt_fields)})")
+    else:
+        cols = [f.name for f in schema]
+    if len(df.columns) != len(cols):
+        raise MergeSyntaxError(
+            f"INSERT provides {len(df.columns)} value column(s) for "
+            f"{len(cols)} target column(s) ({cols}) — arity must "
+            f"match exactly (no silent padding)")
+    if key not in cols:
+        raise MergeSyntaxError(
+            f"INSERT does not cover the merge key {key!r} — keyless "
+            f"rows would be silently dropped; include it in the "
+            f"column list")
+    sel = [F.col(df.columns[i]).cast(tgt_fields[c]).alias(c)
+           for i, c in enumerate(cols)]
+    sel += [F.lit(None).cast(dt).alias(c)
+            for c, dt in tgt_fields.items() if c not in cols]
+    proj = df.select(*sel)
+    proj, get_counts = _counted(spark, path, proj,
+                                [F.count(F.lit(1)).alias("n")])
+    v = append_merge_delta(spark, proj, path=path, key=key)
+    return {"action": "insert", "n_inserted": int(get_counts()["n"]),
+            "delta_version": v}
+
+
+def sql_truncate(spark: SparkSession, text: str, *,
+                 tables: dict[str, tuple[str, str]]) -> dict:
+    """`TRUNCATE TABLE t`: tombstone every current key — one
+    O(live keys) delta append, no base rewrite, history preserved
+    for time travel (`compact` reclaims physically). Equivalent to
+    `DELETE FROM t` and routed the same way."""
+    m = _TRUNCATE_RE.match(_strip_leading_comments(text))
+    if not m:
+        raise MergeSyntaxError(
+            "statement is not of the form TRUNCATE TABLE <t>")
+    out = sql_delete(spark, f"DELETE FROM {m.group('target')}",
+                     tables=tables)
+    return {**out, "action": "truncate"}

@@ -611,3 +611,57 @@ def test_register_sql_catalog_changes_prefix(spark, tmp_path, capsys):
     assert main(["sql", "--changes-prefix", "f_", "--text",
                  "SELECT 1"]) == 2
     assert "--keyed-root" in capsys.readouterr().err
+
+
+def test_sql_insert_statement(spark, tmp_path):
+    """r16: INSERT INTO — positional mapping, column-list subsets
+    (omitted columns ride as typed NULLs = null-skip), VALUES and
+    SELECT bodies, and the documented keyed-table posture: an
+    existing key is upserted, never duplicated."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_insert, sql_write)
+
+    path = _mk(spark, tmp_path)          # k=1..4, qty=10k, tag=tk
+    out = sql_write(spark,
+                    "INSERT INTO t VALUES (8, 80, 't8'), (9, 90, 't9')",
+                    tables={"t": (path, "k")})
+    assert out["action"] == "insert" and out["n_inserted"] == 2
+    st = _state(spark, path)
+    assert st[8] == (80, "t8") and st[9] == (90, "t9")
+    # column-list subset: tag omitted -> NULL on the new key,
+    # preserved (null-skip) on the existing key
+    sql_insert(spark, "INSERT INTO t (k, qty) VALUES (2, 222), (11, 110)",
+               tables={"t": (path, "k")})
+    st = _state(spark, path)
+    assert st[2] == (222, "t2")          # upserted, tag preserved
+    assert st[11] == (110, None)
+    # SELECT body
+    spark.createDataFrame([Row(k=12, qty=120, tag="t12")]
+                          ).createOrReplaceTempView("feed")
+    sql_insert(spark, "INSERT INTO t SELECT k, qty, tag FROM feed",
+               tables={"t": (path, "k")})
+    assert _state(spark, path)[12] == (120, "t12")
+    # loud refusals: arity mismatch, unknown column, missing key
+    with pytest.raises(MergeSyntaxError, match="arity"):
+        sql_insert(spark, "INSERT INTO t VALUES (1, 2)",
+                   tables={"t": (path, "k")})
+    with pytest.raises(MergeSyntaxError, match="unknown column"):
+        sql_insert(spark, "INSERT INTO t (k, nope) VALUES (1, 2)",
+                   tables={"t": (path, "k")})
+    with pytest.raises(MergeSyntaxError, match="merge key"):
+        sql_insert(spark, "INSERT INTO t (qty, tag) VALUES (1, 'x')",
+                   tables={"t": (path, "k")})
+
+
+def test_sql_truncate_statement(spark, tmp_path):
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_write)
+
+    path = _mk(spark, tmp_path)
+    out = sql_write(spark, "TRUNCATE TABLE t", tables={"t": (path, "k")})
+    assert out["action"] == "truncate" and out["n_deleted"] == 4
+    assert _state(spark, path) == {}
+    # history is preserved: tombstones, not a wipe — re-insert works
+    out = sql_write(spark, "INSERT INTO t VALUES (1, 10, 'a')",
+                    tables={"t": (path, "k")})
+    assert _state(spark, path) == {1: (10, "a")}
