@@ -641,6 +641,54 @@ def _sink_upsert_factory(spark, data_dir: str, scratch: str,
     return run
 
 
+SQL_MERGE_SLOT = "sql_merge_statement"
+
+
+def _sql_merge_factory(spark, data_dir: str, scratch: str):
+    """One timed 3-clause MERGE statement (conditional DELETE +
+    cross-alias UPDATE + INSERT *) against a prebuilt keyed base of
+    the xK orders — the r16 single-join single-commit execution
+    (sinks/sql_merge.py): the source batch is ~2% of the xK orders
+    (scaling WITH the table, the honest CDC shape), so the slot
+    should track the sink_upsert slots' O(source + snapshot-probe)
+    growth and stay within a small constant of them (same delta
+    append underneath, plus the left join and the observe-carried
+    counts) — never with the number of clauses. Repeats accumulate
+    pending deltas, so within a factor the FIRST rep is the clean
+    reading (the harness records the min)."""
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        upsert_into_keyed_table)
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_merge)
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+
+    path = os.path.join(scratch, "kt_sqlmerge")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, data_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    upsert_into_keyed_table(spark, orders, path=path, key="k",
+                            updated_at_col=None)
+    # fixed-size source batch: half hits (updates/deletes), half new
+    batch = orders.filter(F.col("k") % 100 == 7).unionByName(
+        orders.filter(F.col("k") % 100 == 13)
+        .withColumn("k", -F.col("k")))
+    batch.createOrReplaceTempView("sqlmerge_stage")
+
+    def run():
+        sql_merge(spark, """
+            MERGE INTO t USING sqlmerge_stage s ON t.k = s.k
+            WHEN MATCHED AND s.price > 400000 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET price = t.price + s.price
+            WHEN NOT MATCHED AND s.price <= 200000 THEN INSERT *""",
+            tables={"t": (path, "k")})
+    return run
+
+
 def _spark():
     from pyspark.sql import SparkSession
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -730,7 +778,7 @@ def main() -> None:
         + MERGED_SLOTS + ZONEMAP_PLAN_SLOTS
         + BLOOM_SLOTS
         + [DEDUP_STREAM_SLOT, VEC_TUNED_SLOT, AUTOSIZE_SLOT,
-           VIEW_SLOT]))
+           VIEW_SLOT, SQL_MERGE_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -765,7 +813,8 @@ def main() -> None:
                      and n not in ZONEMAP_PLAN_SLOTS
                      and n not in BLOOM_SLOTS
                      and n not in (DEDUP_STREAM_SLOT, VEC_TUNED_SLOT,
-                                   AUTOSIZE_SLOT, VIEW_SLOT)), None)
+                                   AUTOSIZE_SLOT, VIEW_SLOT,
+                                   SQL_MERGE_SLOT)), None)
         if warm:
             queries[warm](spark, out_dir).write.format("noop") \
                 .mode("overwrite").save()
@@ -806,6 +855,9 @@ def main() -> None:
                 thunk = _bloom_scan_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
                     k, indexed=(q == "scan_bloom"))
+            elif q == SQL_MERGE_SLOT:
+                thunk = _sql_merge_factory(
+                    spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"))
             elif q == AUTOSIZE_SLOT:
                 thunk = _autosize_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"),
