@@ -314,8 +314,9 @@ def cmd_sql(args: argparse.Namespace) -> int:
     `--view NAME=DIR` a plain parquet directory; `--keyed-root
     DIR[:PREFIX]` registers every keyed table under DIR (r15). The
     result shows (default) or lands as parquet with --out. A write
-    statement (MERGE INTO r15; UPDATE / DELETE FROM r16) routes
-    through the write path (`sinks/sql_merge`) against the same
+    statement (MERGE INTO r15; UPDATE / DELETE FROM / INSERT INTO /
+    TRUNCATE / COPY INTO / OPTIMIZE / VACUUM r16) routes through the
+    write path (`sinks/sql_merge`) against the same
     registrations."""
     from .sinks.keyed_table import register_sql_catalog, register_sql_view
     spark = get_spark("sql")

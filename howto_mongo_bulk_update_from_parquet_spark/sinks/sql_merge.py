@@ -1,7 +1,9 @@
 """SQL write path for the keyed table: MERGE INTO (r15, verdict
-item 6; single-join single-commit execution r16), plus plain
+item 6; single-join single-commit execution r16), plain
 UPDATE / DELETE statements (r16, verdict item 5 — the single-table
-writes dashboards issue far more often than MERGE).
+writes dashboards issue far more often than MERGE), INSERT INTO /
+TRUNCATE TABLE, bulk COPY INTO file loads, and the OPTIMIZE /
+VACUUM maintenance verbs (r16).
 
 `register_sql_view` (r14) made the keyed table READABLE from pure
 SQL; a dashboard migrating its WRITES still had to drop to the
@@ -39,6 +41,10 @@ Supported grammar (case-insensitive keywords, one statement):
     DELETE FROM <target> [AS] [<alias>] [WHERE <pred>]
     INSERT INTO <target> [(c, ...)] SELECT ... | VALUES (...), ...
     TRUNCATE TABLE <target>
+    COPY INTO <target> FROM '<path>' [FILEFORMAT = <fmt>]
+        [FORMAT_OPTIONS(k = 'v', ...)]
+    OPTIMIZE <target> [ZORDER BY (<col>)]
+    VACUUM <target> [RETAIN <n> HOURS]
 
 Multiple WHEN MATCHED clauses evaluate FIRST-MATCH-WINS in statement
 order (ANSI MERGE / Delta Lake semantics); conditions may reference
@@ -549,12 +555,14 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 _WRITE_KIND_RE = re.compile(
-    _LEADING_COMMENTS + r"(?P<kw>MERGE|UPDATE|DELETE|INSERT|TRUNCATE)\b",
+    _LEADING_COMMENTS + r"(?P<kw>MERGE|UPDATE|DELETE|INSERT|TRUNCATE"
+    r"|COPY|OPTIMIZE|VACUUM)\b",
     re.IGNORECASE)
 
 
 def write_statement_kind(text: str) -> str | None:
-    """'merge' | 'update' | 'delete' when `text` is a write
+    """'merge' | 'update' | 'delete' | 'insert' | 'truncate' |
+    'copy' | 'optimize' | 'vacuum' when `text` is a write/maintenance
     statement this module executes, None for anything else (a read —
     route to spark.sql). Word-boundary match after optional leading
     `--` line comments, so `SELECT merge_col FROM t` and
@@ -672,9 +680,16 @@ def sql_write(spark: SparkSession, text: str, *,
         return sql_insert(spark, text, tables=tables)
     if kind == "truncate":
         return sql_truncate(spark, text, tables=tables)
+    if kind == "copy":
+        return sql_copy(spark, text, tables=tables)
+    if kind == "optimize":
+        return sql_optimize(spark, text, tables=tables)
+    if kind == "vacuum":
+        return sql_vacuum(spark, text, tables=tables)
     raise MergeSyntaxError(
         "not a supported write statement (MERGE INTO / UPDATE / "
-        "DELETE FROM / INSERT INTO / TRUNCATE TABLE)")
+        "DELETE FROM / INSERT INTO / TRUNCATE TABLE / COPY INTO / "
+        "OPTIMIZE / VACUUM)")
 
 
 _INSERT_RE = re.compile(
@@ -758,3 +773,150 @@ def sql_truncate(spark: SparkSession, text: str, *,
     out = sql_delete(spark, f"DELETE FROM {m.group('target')}",
                      tables=tables)
     return {**out, "action": "truncate"}
+
+
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+(?P<target>[A-Za-z_][\w.]*)"
+    r"\s+FROM\s+'(?P<src>[^']+)'"
+    r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>[A-Za-z]+))?"
+    r"(?:\s+FORMAT_OPTIONS\s*\(\s*(?P<opts>[^)]*)\s*\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_COPY_OPT_RE = re.compile(r"([A-Za-z_]\w*)\s*=\s*'([^']*)'")
+
+_COPY_FORMATS = {"parquet", "csv", "json", "orc"}
+
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<target>[A-Za-z_][\w.]*)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcol>[A-Za-z_]\w*)\s*\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE)
+
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<target>[A-Za-z_][\w.]*)"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS?)?"
+    r"\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def sql_copy(spark: SparkSession, text: str, *,
+             tables: dict[str, tuple[str, str]]) -> dict:
+    """`COPY INTO t FROM '<path>' [FILEFORMAT = PARQUET|CSV|JSON|ORC]
+    [FORMAT_OPTIONS(k = 'v', ...)]` — bulk file load into a keyed
+    table: the SQL spelling of the reference's entire pipeline (read
+    a parquet directory, upsert it keyed — reference
+    `src/pipeline.py` end to end). Files are read with the named
+    format (default PARQUET; FORMAT_OPTIONS pass through to the
+    reader, e.g. `header = 'true', delimiter = '|'` for CSV) and
+    aligned to the table schema BY NAME — files carry their own
+    column names, so positional mapping (the INSERT posture) would
+    be a silent-corruption trap. The merge key must be present; a
+    source column the table lacks refuses the statement (COPY never
+    evolves the schema silently — same discipline as MERGE); table
+    columns the files omit ride as typed NULLs (null-skip: preserved
+    on existing keys). Lands as ONE upsert delta through
+    `append_merge_delta`; re-running the same COPY is IDEMPOTENT on
+    state (same keys re-merge to the same rows) — the engine's keyed
+    normalization stands in for Delta COPY INTO's file-dedup ledger,
+    and is stated here rather than hidden. Returns
+    {action, n_loaded, delta_version}.
+
+    At 100 TB: the load is one distributed scan of the source files
+    (no driver-side listing loop — `spark.read.load` plans the file
+    index) plus the delta append; O(source rows), never O(table)."""
+    m = _COPY_RE.match(_strip_leading_comments(text))
+    if not m:
+        raise MergeSyntaxError(
+            "statement is not of the form COPY INTO <t> FROM "
+            "'<path>' [FILEFORMAT = <fmt>] [FORMAT_OPTIONS(k = 'v', "
+            "...)]")
+    path, key = _resolve_target(m.group("target"), tables, "COPY")
+    fmt = (m.group("fmt") or "parquet").lower()
+    if fmt not in _COPY_FORMATS:
+        raise MergeSyntaxError(
+            f"COPY INTO FILEFORMAT must be one of "
+            f"{sorted(_COPY_FORMATS)}, got {fmt!r}")
+    opts = dict(_COPY_OPT_RE.findall(m.group("opts") or ""))
+    schema = table_schema(spark, path)
+    tgt_fields = {f.name: f.dataType for f in schema}
+    try:
+        df = spark.read.options(**opts).format(fmt).load(m.group("src"))
+    except Exception as exc:  # noqa: BLE001 - surface as statement error
+        raise MergeSyntaxError(
+            f"COPY INTO cannot read {m.group('src')!r} as {fmt}: "
+            f"{exc}") from exc
+    unknown = [c for c in df.columns if c not in tgt_fields]
+    if unknown:
+        raise MergeSyntaxError(
+            f"COPY INTO source carries column(s) {unknown} the table "
+            f"lacks (table columns: {sorted(tgt_fields)}) — COPY "
+            f"never evolves the schema silently; project the files "
+            f"first or evolve via append_delta")
+    if key not in df.columns:
+        raise MergeSyntaxError(
+            f"COPY INTO source does not cover the merge key {key!r} "
+            f"— keyless rows would be silently dropped")
+    sel = [F.col(c).cast(tgt_fields[c]).alias(c) for c in df.columns]
+    sel += [F.lit(None).cast(dt).alias(c)
+            for c, dt in tgt_fields.items() if c not in df.columns]
+    proj = df.select(*sel)
+    proj, get_counts = _counted(spark, path, proj,
+                                [F.count(F.lit(1)).alias("n")])
+    v = append_merge_delta(spark, proj, path=path, key=key)
+    return {"action": "copy", "n_loaded": int(get_counts()["n"]),
+            "delta_version": v}
+
+
+def sql_optimize(spark: SparkSession, text: str, *,
+                 tables: dict[str, tuple[str, str]]) -> dict:
+    """`OPTIMIZE t [ZORDER BY (col)]` — fold the table's base +
+    committed deltas into one new versioned base (Delta Lake's
+    maintenance verb, routed to the engine's `compact`: one write +
+    atomic manifest flip, tombstones purged physically, zone maps
+    refreshed; ZORDER BY re-clusters on the named column). Returns
+    {action, base_version, folded_through, zorder} WITHOUT counting
+    the table — OPTIMIZE on 100 TB must not pay an extra O(table)
+    count job for a report line."""
+    from .keyed_table import (compact, current_base_version,
+                              folded_through)
+    m = _OPTIMIZE_RE.match(_strip_leading_comments(text))
+    if not m:
+        raise MergeSyntaxError(
+            "statement is not of the form OPTIMIZE <t> [ZORDER BY "
+            "(<col>)]")
+    path, key = _resolve_target(m.group("target"), tables, "OPTIMIZE")
+    zcol = m.group("zcol")
+    if zcol is not None and zcol not in {
+            f.name for f in table_schema(spark, path)}:
+        raise MergeSyntaxError(
+            f"OPTIMIZE ZORDER BY names unknown column {zcol!r}")
+    compact(spark, path, key, zorder_col=zcol)
+    return {"action": "optimize",
+            "base_version": current_base_version(spark, path),
+            "folded_through": folded_through(spark, path),
+            "zorder": zcol}
+
+
+def sql_vacuum(spark: SparkSession, text: str, *,
+               tables: dict[str, tuple[str, str]]) -> dict:
+    """`VACUUM t [RETAIN <n> HOURS]` — age-based reclamation of
+    folded delta files (the engine's `vacuum`): only deltas at or
+    below the committed `folded_through` watermark, untouched past
+    the retention window, are removed — invisible to every reader on
+    the current manifest. Default retention 24 hours (the engine's;
+    Delta's 7-day default trades more stale-reader slack for more
+    disk — pass RETAIN explicitly to match it). Returns
+    {action, removed_versions, n_removed}."""
+    from .keyed_table import vacuum
+    m = _VACUUM_RE.match(_strip_leading_comments(text))
+    if not m:
+        raise MergeSyntaxError(
+            "statement is not of the form VACUUM <t> [RETAIN <n> "
+            "HOURS]")
+    path, key = _resolve_target(m.group("target"), tables, "VACUUM")
+    hours = float(m.group("hours")) if m.group("hours") else 24.0
+    removed = vacuum(spark, path,
+                     older_than_ms=int(hours * 3600 * 1000))
+    return {"action": "vacuum", "removed_versions": removed,
+            "n_removed": len(removed)}

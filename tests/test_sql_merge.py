@@ -665,3 +665,111 @@ def test_sql_truncate_statement(spark, tmp_path):
     out = sql_write(spark, "INSERT INTO t VALUES (1, 10, 'a')",
                     tables={"t": (path, "k")})
     assert _state(spark, path) == {1: (10, "a")}
+
+
+def test_sql_copy_into_statement(spark, tmp_path):
+    """r16: COPY INTO — bulk file load aligned BY NAME (files carry
+    column names; positional would be a corruption trap), default
+    parquet, CSV via FILEFORMAT + FORMAT_OPTIONS, omitted table
+    columns ride as typed NULLs, existing keys upsert (null-skip),
+    re-running the same COPY is idempotent on state."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_copy, sql_write)
+
+    path = _mk(spark, tmp_path)          # k=1..4, qty=10k, tag=tk
+    src = str(tmp_path / "load")
+    # columns deliberately NOT in table order: name-aligned load
+    spark.createDataFrame([Row(tag="c7", k=7, qty=70),
+                           Row(tag=None, k=2, qty=222)]
+                          ).write.parquet(src)
+    out = sql_write(spark, f"COPY INTO t FROM '{src}'",
+                    tables={"t": (path, "k")})
+    assert out["action"] == "copy" and out["n_loaded"] == 2
+    st = _state(spark, path)
+    assert st[7] == (70, "c7")
+    assert st[2] == (222, "t2")          # upserted; null tag skipped
+    # idempotent on state
+    v1 = out["delta_version"]
+    out2 = sql_write(spark, f"COPY INTO t FROM '{src}'",
+                     tables={"t": (path, "k")})
+    assert out2["delta_version"] > v1 and _state(spark, path) == st
+    # CSV with FORMAT_OPTIONS; subset of columns -> typed NULLs
+    csv = tmp_path / "feed.csv"
+    csv.write_text("k|qty\n20|200\n21|210\n")
+    out = sql_copy(spark, f"""COPY INTO t FROM '{csv}'
+        FILEFORMAT = CSV
+        FORMAT_OPTIONS(header = 'true', delimiter = '|')""",
+        tables={"t": (path, "k")})
+    assert out["n_loaded"] == 2
+    st = _state(spark, path)
+    assert st[20] == (200, None) and st[21] == (210, None)
+    # loud refusals: unknown source column, missing key, bad format
+    extra = str(tmp_path / "extra")
+    spark.createDataFrame([Row(k=1, qty=1, woops=2)]
+                          ).write.parquet(extra)
+    with pytest.raises(MergeSyntaxError, match="woops"):
+        sql_copy(spark, f"COPY INTO t FROM '{extra}'",
+                 tables={"t": (path, "k")})
+    nokey = str(tmp_path / "nokey")
+    spark.createDataFrame([Row(qty=1, tag="x")]).write.parquet(nokey)
+    with pytest.raises(MergeSyntaxError, match="merge key"):
+        sql_copy(spark, f"COPY INTO t FROM '{nokey}'",
+                 tables={"t": (path, "k")})
+    with pytest.raises(MergeSyntaxError, match="FILEFORMAT"):
+        sql_copy(spark, f"COPY INTO t FROM '{src}' FILEFORMAT = AVRO",
+                 tables={"t": (path, "k")})
+    with pytest.raises(MergeSyntaxError, match="cannot read"):
+        sql_copy(spark, f"COPY INTO t FROM '{tmp_path}/absent'",
+                 tables={"t": (path, "k")})
+
+
+def test_sql_optimize_vacuum_statements(spark, tmp_path):
+    """r16: OPTIMIZE folds deltas into a new base (state unchanged,
+    folded_through advances, ZORDER BY re-clusters); VACUUM RETAIN 0
+    HOURS reclaims the folded delta files immediately; both refuse
+    malformed text loudly."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        folded_through)
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_optimize, sql_vacuum, sql_write)
+
+    path = _mk(spark, tmp_path)
+    sql_write(spark, "UPDATE t SET qty = qty + 1 WHERE k <= 2",
+              tables={"t": (path, "k")})
+    before = _state(spark, path)
+    assert folded_through(spark, path) == 0
+    out = sql_write(spark, "OPTIMIZE t", tables={"t": (path, "k")})
+    assert out["action"] == "optimize" and out["zorder"] is None
+    assert out["folded_through"] >= 1
+    assert _state(spark, path) == before          # state preserved
+    # zorder form parses and names a real column
+    sql_write(spark, "INSERT INTO t VALUES (30, 300, 'z')",
+              tables={"t": (path, "k")})
+    out = sql_optimize(spark, "OPTIMIZE t ZORDER BY (qty)",
+                       tables={"t": (path, "k")})
+    assert out["zorder"] == "qty"
+    with pytest.raises(MergeSyntaxError, match="unknown column"):
+        sql_optimize(spark, "OPTIMIZE t ZORDER BY (nope)",
+                     tables={"t": (path, "k")})
+    # vacuum: nothing young enough at RETAIN 24 (default), everything
+    # folded reclaims at RETAIN 0 HOURS
+    out = sql_write(spark, "VACUUM t", tables={"t": (path, "k")})
+    assert out["action"] == "vacuum" and out["n_removed"] == 0
+    out = sql_vacuum(spark, "VACUUM t RETAIN 0 HOURS",
+                     tables={"t": (path, "k")})
+    assert out["n_removed"] >= 1
+    assert _state(spark, path)[30] == (300, "z")  # readers unaffected
+    with pytest.raises(MergeSyntaxError, match="not of the form"):
+        sql_vacuum(spark, "VACUUM t RETAIN x HOURS",
+                   tables={"t": (path, "k")})
+
+
+def test_write_statement_kind_covers_maintenance_verbs():
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        write_statement_kind)
+
+    assert write_statement_kind("COPY INTO t FROM '/x'") == "copy"
+    assert write_statement_kind("-- load\nOPTIMIZE t") == "optimize"
+    assert write_statement_kind("vacuum t retain 1 hour") == "vacuum"
+    assert write_statement_kind("SELECT copy_flag FROM t") is None
+    assert write_statement_kind("SELECT * FROM optimize_log") is None
