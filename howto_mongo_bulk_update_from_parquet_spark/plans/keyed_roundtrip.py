@@ -1553,3 +1553,98 @@ def q_keyed_sql_update_delete(spark: SparkSession,
             .groupBy("status")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
                  F.sum(dec("price", 38, 6)).cast("double").alias("total")))
+
+
+SQL_COPY_LIFECYCLE_ORACLE = """
+WITH seed AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+c1 AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 2 AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+a1 AS (
+  SELECT COALESCE(c1.k, seed.k) AS k,
+         COALESCE(c1.price, seed.price) AS price,
+         seed.status AS status
+  FROM seed FULL OUTER JOIN c1 ON seed.k = c1.k
+),
+c2 AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) / 2 AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+a2 AS (
+  SELECT COALESCE(c2.k, a1.k) AS k,
+         COALESCE(c2.price, a1.price) AS price,
+         a1.status AS status
+  FROM a1 FULL OUTER JOIN c2 ON a1.k = c2.k
+)
+SELECT COALESCE(status, 'NEW') AS status,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM a2 GROUP BY COALESCE(status, 'NEW')
+"""
+
+
+@register("q_keyed_sql_copy_lifecycle", SQL_COPY_LIFECYCLE_ORACLE,
+          "r16 SQL maintenance surface: COPY INTO bulk loads (parquet "
+          "name-aligned, CSV with FORMAT_OPTIONS), OPTIMIZE fold, "
+          "VACUUM RETAIN 0 reclamation — final merged state "
+          "oracle-exact")
+def q_keyed_sql_copy_lifecycle(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Attestation of the r16 COPY INTO / OPTIMIZE / VACUUM
+    statements as one table lifecycle, all through `sql_write` (the
+    CLI dispatcher's entry point): (1) seed a keyed table from
+    orders; (2) `COPY INTO` a parquet directory whose columns are
+    deliberately name-misordered and OMIT `status` — name alignment
+    plus null-skip (existing keys keep their status, new keys read
+    back NULL) are both load-bearing for the oracle hash; (3)
+    `OPTIMIZE tbl` folds base + deltas into a new base (state must
+    be invariant); (4) `COPY INTO ... FILEFORMAT = CSV
+    FORMAT_OPTIONS(header = 'true')` loads a header CSV — string
+    columns cast to the table dtypes (Java shortest-roundtrip double
+    formatting makes the write/read exact); (5) `VACUUM tbl RETAIN 0
+    HOURS` reclaims the folded delta files — a vacuum that removed a
+    LIVE file would break the final read. COPY is the SQL spelling
+    of the reference's whole pipeline (read parquet, upsert keyed —
+    reference src/pipeline.py end to end). At 100 TB: each COPY is
+    one distributed source scan + one O(source rows) delta append;
+    OPTIMIZE is one write + manifest flip; VACUUM is metadata-only.
+    """
+    from ..sinks.sql_merge import sql_write
+
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    seed = (orders.filter(F.col("o_orderkey") % 3 == 0)
+            .select(F.col("o_orderkey").alias("k"),
+                    price.alias("price"),
+                    F.col("o_orderstatus").alias("status")))
+    path = tempfile.mkdtemp(prefix="keyed_sqlcopy_")
+    upsert_into_keyed_table(spark, seed, path=path, key="k",
+                            updated_at_col=None)
+    stage = tempfile.mkdtemp(prefix="copy_src_")
+    src1 = f"{stage}/evens"
+    (orders.filter(F.col("o_orderkey") % 2 == 0)
+     .select((price * 2).alias("price"),        # misordered, no status
+             F.col("o_orderkey").alias("k"))
+     .write.parquet(src1))
+    tables = {"tbl": (path, "k")}
+    sql_write(spark, f"COPY INTO tbl FROM '{src1}'", tables=tables)
+    sql_write(spark, "OPTIMIZE tbl", tables=tables)
+    src2 = f"{stage}/fives"
+    (orders.filter(F.col("o_orderkey") % 5 == 0)
+     .select(F.col("o_orderkey").alias("k"),
+             (price / 2).alias("price"))
+     .write.option("header", "true").csv(src2))
+    sql_write(spark, f"""COPY INTO tbl FROM '{src2}'
+        FILEFORMAT = CSV FORMAT_OPTIONS(header = 'true')""",
+        tables=tables)
+    sql_write(spark, "VACUUM tbl RETAIN 0 HOURS", tables=tables)
+    return (read_merged(spark, path, "k")
+            .groupBy(F.coalesce(F.col("status"), F.lit("NEW"))
+                     .alias("status"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                 F.sum(dec("price", 38, 6)).cast("double").alias("total")))
