@@ -1648,3 +1648,82 @@ def q_keyed_sql_copy_lifecycle(spark: SparkSession,
                      .alias("status"))
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
                  F.sum(dec("price", 38, 6)).cast("double").alias("total")))
+
+
+SQL_RESTORE_ORACLE = """
+WITH seed AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+ins AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) / 2 AS price,
+         'NEW' AS status
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+final AS (
+  SELECT COALESCE(ins.k, seed.k) AS k,
+         COALESCE(ins.price, seed.price) AS price,
+         COALESCE(ins.status, seed.status) AS status
+  FROM seed FULL OUTER JOIN ins ON seed.k = ins.k
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM final GROUP BY status
+"""
+
+
+@register("q_keyed_sql_restore", SQL_RESTORE_ORACLE,
+          "r16 RESTORE TABLE: metadata-only rollback (carry-by-"
+          "reference base, zero bytes moved) erases a full upsert "
+          "round; post-restore INSERT proves the table keeps "
+          "rolling — final state oracle-exact")
+def q_keyed_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation of `RESTORE TABLE ... TO VERSION AS OF n` (r16):
+    seed a keyed table (version 1), run a SECOND full upsert round
+    that rewrites half the rows' price AND status (version 2), then
+    `RESTORE TABLE tbl TO VERSION AS OF 1` — a METADATA-ONLY commit
+    (the new base carries version 1's files by `_CARRIED.json`
+    reference; zero data bytes move, constant in table size — Delta
+    Lake's RESTORE is the same manifest trick). The oracle sees ONLY
+    the seed + the post-restore INSERT: any residue of the erased
+    round — a price doubled, a status overwritten, a key the round
+    added — fails the value hash, as would a restore that broke the
+    table for later writes. Restore must be a base flip, not a delta:
+    the engine's null-skip merge cannot overwrite a newer non-null
+    with the snapshot's NULL. At 100 TB: O(files) driver metadata +
+    one manifest flip; the post-restore read plans through the
+    carried refs in one hop."""
+    from ..sinks.sql_merge import sql_write
+
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    seed = (orders.filter(F.col("o_orderkey") % 3 == 0)
+            .select(F.col("o_orderkey").alias("k"),
+                    price.alias("price"),
+                    F.col("o_orderstatus").alias("status")))
+    path = tempfile.mkdtemp(prefix="keyed_sqlrestore_")
+    upsert_into_keyed_table(spark, seed, path=path, key="k",
+                            updated_at_col=None, retain_versions=3)
+    round2 = (orders.filter(F.col("o_orderkey") % 2 == 0)
+              .select(F.col("o_orderkey").alias("k"),
+                      (price * 2).alias("price"),
+                      F.lit("EV").alias("status")))
+    upsert_into_keyed_table(spark, round2, path=path, key="k",
+                            updated_at_col=None, retain_versions=3)
+    tables = {"tbl": (path, "k")}
+    sql_write(spark, "RESTORE TABLE tbl TO VERSION AS OF 1",
+              tables=tables)
+    import uuid as _uuid
+    ins = f"ins_{_uuid.uuid4().hex[:8]}"
+    (orders.filter(F.col("o_orderkey") % 7 == 0)
+     .select(F.col("o_orderkey").alias("k"),
+             (price / 2).alias("price"),
+             F.lit("NEW").alias("status"))
+     .createOrReplaceTempView(ins))
+    sql_write(spark, f"INSERT INTO tbl SELECT k, price, status "
+                     f"FROM {ins}", tables=tables)
+    return (read_merged(spark, path, "k")
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                 F.sum(dec("price", 38, 6)).cast("double").alias("total")))

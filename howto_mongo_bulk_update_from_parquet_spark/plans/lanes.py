@@ -56,6 +56,7 @@ CYCLE_QUERIES = frozenset({
     "q_keyed_sql_merge",
     "q_keyed_sql_update_delete",
     "q_keyed_sql_copy_lifecycle",
+    "q_keyed_sql_restore",
     "q_keyed_sql_changes",
     "q_keyed_view_follow",
 })

@@ -2799,6 +2799,88 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
     return result
 
 
+def restore_table(spark: SparkSession, path: str, key: str,
+                  version: int, retain_versions: int = 2) -> dict:
+    """Roll the table back to a retained historical base `version` —
+    Delta Lake's RESTORE, as a METADATA-ONLY commit: the new base
+    version carries EVERY data file of the snapshot by reference
+    (`_CARRIED.json`, the same one-hop sidecar pruned folds use) and
+    the manifest flip makes it current — zero bytes moved, O(files)
+    driver metadata, constant in table size. A restore could NOT be
+    a delta append: the engine's merge is null-skip by design, so a
+    column that was NULL at the snapshot but non-null now would keep
+    the newer value — only a base flip expresses full overwrite.
+
+    Pending deltas above the folded-through watermark are superseded
+    (they describe arrivals the restore erases): the contiguous
+    complete run is marked folded; an IN-FLIGHT incomplete slot
+    refuses the restore loudly (committing around it would let the
+    straggler's rows re-apply ON TOP of the snapshot when it
+    completes — silent corruption of the restored state). The
+    snapshot's zone map and bloom index ride verbatim (the files are
+    the same files); bucket-layout metadata is DROPPED — the
+    bucketed read path resolves a per-version catalog ident the
+    carried base does not own — while range/z-order hints stay (they
+    describe the carried files accurately). History keeps rolling
+    forward: the restore is itself a new version, so a restore can
+    be undone by another restore (`retain_versions` permitting).
+
+    Returns {restored_to, new_version, files_carried,
+    deltas_superseded}."""
+    import json
+
+    cur_version, committed_meta = _current_manifest(spark, path)
+    meta = dict(committed_meta)
+    if not cur_version:
+        cur_version = current_base_version(spark, path)
+    snapdir = _base_dir(path, version)
+    if not hfs.exists(spark, hfs.join(snapdir, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"version {version} of {path} does not exist or was "
+            f"retired (write with retain_versions > 1 to keep "
+            f"history)")
+    old_floor = _meta_floor(meta)
+    fold = _foldable_deltas(spark, path, gc_stale=True, floor=old_floor)
+    pending = [v for v in _delta_versions(spark, path) if v > old_floor]
+    stranded = sorted(set(pending) - set(fold))
+    if stranded:
+        raise ConcurrentWriteError(
+            f"delta slot(s) {stranded} of {path} are claimed by a "
+            f"live appender — a restore committed now would let those "
+            f"rows re-apply on top of the snapshot; retry once they "
+            f"commit (or their claims go stale)")
+    # flatten: base_file_map resolves the snapshot's own carried refs
+    # to their ORIGINAL owner dirs, so the restore's refs stay one hop
+    fmap = base_file_map(spark, path, version)
+    root = path.rstrip("/")
+    refs = sorted(p[len(root) + 1:] for p in fmap.values())
+    new_version = _next_base_version(spark, path, cur_version)
+    dst = _claim_base_slot(spark, path, new_version)
+    hfs.write_text(spark, hfs.join(dst, _CARRIED),
+                   json.dumps({"version": 1, "refs": refs},
+                              separators=(",", ":")))
+    zmap = zm.read_zone_map(spark, snapdir)
+    if zmap is not None:
+        zm.write_zone_map(spark, dst, zmap)
+    idx = bloom.read_bloom_index(spark, snapdir)
+    if idx is not None:
+        bloom.write_bloom_index(spark, dst, idx)
+    # completion marker LAST: an incomplete restore slot is dead-
+    # writer debris to the claim fence, never a readable base
+    hfs.write_text(spark, hfs.join(dst, "_SUCCESS"), "")
+    meta["merge_key"] = key
+    meta.pop("bucket_key", None)
+    meta.pop("buckets", None)
+    if fold:
+        meta["folded_through"] = str(fold[-1])
+    _commit_version(spark, path, new_version, retain_versions,
+                    meta=meta)
+    _gc_folded_deltas(spark, path, old_floor)
+    return {"restored_to": version, "new_version": new_version,
+            "files_carried": len(refs),
+            "deltas_superseded": len(fold)}
+
+
 def append_delete_delta(spark: SparkSession, keys: DataFrame, *,
                         path: str, key: str) -> int:
     """LSM delete: append a TOMBSTONE delta instead of rewriting the

@@ -45,6 +45,7 @@ Supported grammar (case-insensitive keywords, one statement):
         [FORMAT_OPTIONS(k = 'v', ...)]
     OPTIMIZE <target> [ZORDER BY (<col>)]
     VACUUM <target> [RETAIN <n> HOURS]
+    RESTORE TABLE <target> TO VERSION AS OF <n>
 
 Multiple WHEN MATCHED clauses evaluate FIRST-MATCH-WINS in statement
 order (ANSI MERGE / Delta Lake semantics); conditions may reference
@@ -556,7 +557,7 @@ _DELETE_RE = re.compile(
 
 _WRITE_KIND_RE = re.compile(
     _LEADING_COMMENTS + r"(?P<kw>MERGE|UPDATE|DELETE|INSERT|TRUNCATE"
-    r"|COPY|OPTIMIZE|VACUUM)\b",
+    r"|COPY|OPTIMIZE|VACUUM|RESTORE)\b",
     re.IGNORECASE)
 
 
@@ -686,10 +687,12 @@ def sql_write(spark: SparkSession, text: str, *,
         return sql_optimize(spark, text, tables=tables)
     if kind == "vacuum":
         return sql_vacuum(spark, text, tables=tables)
+    if kind == "restore":
+        return sql_restore(spark, text, tables=tables)
     raise MergeSyntaxError(
         "not a supported write statement (MERGE INTO / UPDATE / "
         "DELETE FROM / INSERT INTO / TRUNCATE TABLE / COPY INTO / "
-        "OPTIMIZE / VACUUM)")
+        "OPTIMIZE / VACUUM / RESTORE TABLE)")
 
 
 _INSERT_RE = re.compile(
@@ -920,3 +923,38 @@ def sql_vacuum(spark: SparkSession, text: str, *,
                      older_than_ms=int(hours * 3600 * 1000))
     return {"action": "vacuum", "removed_versions": removed,
             "n_removed": len(removed)}
+
+
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<target>[A-Za-z_][\w.]*)"
+    r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def sql_restore(spark: SparkSession, text: str, *,
+                tables: dict[str, tuple[str, str]]) -> dict:
+    """`RESTORE TABLE t TO VERSION AS OF n` — Delta Lake's rollback
+    verb, routed to the engine's `restore_table`: a METADATA-ONLY
+    commit that carries the retained historical base's files by
+    reference and flips the manifest (zero bytes moved — constant in
+    table size; Delta's RESTORE is the same metadata trick). Full
+    overwrite semantics — a column NULL at the snapshot comes back
+    NULL — which no delta append could express under the null-skip
+    merge. Refuses while a delta appender is in flight. The restore
+    is itself a new version: another RESTORE undoes it. Returns
+    {action, restored_to, new_version, files_carried,
+    deltas_superseded}."""
+    from .keyed_table import restore_table
+    m = _RESTORE_RE.match(_strip_leading_comments(text))
+    if not m:
+        raise MergeSyntaxError(
+            "statement is not of the form RESTORE TABLE <t> TO "
+            "VERSION AS OF <n>")
+    path, key = _resolve_target(m.group("target"), tables, "RESTORE")
+    try:
+        out = restore_table(spark, path, key,
+                            version=int(m.group("version")))
+    except FileNotFoundError as exc:
+        raise MergeSyntaxError(str(exc)) from exc
+    return {"action": "restore", **out}
