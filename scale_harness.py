@@ -689,6 +689,50 @@ def _sql_merge_factory(spark, data_dir: str, scratch: str):
     return run
 
 
+SQL_RESTORE_SLOT = "sql_restore_statement"
+
+
+def _sql_restore_factory(spark, data_dir: str, scratch: str):
+    """One timed `RESTORE TABLE ... TO VERSION AS OF 1` against a
+    2-version keyed table of the xK orders (version 2 rewrote half
+    the rows) — the r16 metadata-only rollback. The restore carries
+    version 1's files by `_CARRIED.json` reference and flips the
+    manifest: O(files) driver metadata, ZERO data bytes moved — the
+    slot's reading should be FLAT across x1→x100 while the
+    sink_upsert slots (which write the data the restore merely
+    re-points at) grow linearly; a slope near the sinks' would mean
+    the carry degenerated into a copy. Each rep commits a fresh
+    restore version on top (version 1 stays retained as the carried
+    owner), so repeats are honest re-runs, not no-ops."""
+    from pyspark.sql import functions as F
+
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        upsert_into_keyed_table)
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_restore)
+    from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import (
+        load_table)
+
+    path = os.path.join(scratch, "kt_sqlrestore")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, data_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    upsert_into_keyed_table(spark, orders, path=path, key="k",
+                            updated_at_col=None, retain_versions=3)
+    upsert_into_keyed_table(
+        spark,
+        orders.filter(F.col("k") % 2 == 0)
+        .withColumn("price", F.col("price") * 2),
+        path=path, key="k", updated_at_col=None, retain_versions=3)
+
+    def run():
+        sql_restore(spark, "RESTORE TABLE t TO VERSION AS OF 1",
+                    tables={"t": (path, "k")})
+    return run
+
+
 def _spark():
     from pyspark.sql import SparkSession
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -778,7 +822,7 @@ def main() -> None:
         + MERGED_SLOTS + ZONEMAP_PLAN_SLOTS
         + BLOOM_SLOTS
         + [DEDUP_STREAM_SLOT, VEC_TUNED_SLOT, AUTOSIZE_SLOT,
-           VIEW_SLOT, SQL_MERGE_SLOT]))
+           VIEW_SLOT, SQL_MERGE_SLOT, SQL_RESTORE_SLOT]))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = [q for q in args.queries.split(",") if q]
@@ -814,7 +858,8 @@ def main() -> None:
                      and n not in BLOOM_SLOTS
                      and n not in (DEDUP_STREAM_SLOT, VEC_TUNED_SLOT,
                                    AUTOSIZE_SLOT, VIEW_SLOT,
-                                   SQL_MERGE_SLOT)), None)
+                                   SQL_MERGE_SLOT,
+                                   SQL_RESTORE_SLOT)), None)
         if warm:
             queries[warm](spark, out_dir).write.format("noop") \
                 .mode("overwrite").save()
@@ -857,6 +902,9 @@ def main() -> None:
                     k, indexed=(q == "scan_bloom"))
             elif q == SQL_MERGE_SLOT:
                 thunk = _sql_merge_factory(
+                    spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"))
+            elif q == SQL_RESTORE_SLOT:
+                thunk = _sql_restore_factory(
                     spark, out_dir, os.path.join(OUT_ROOT, f"scratch_x{k}"))
             elif q == AUTOSIZE_SLOT:
                 thunk = _autosize_factory(
