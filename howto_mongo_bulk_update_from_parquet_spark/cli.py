@@ -1008,6 +1008,26 @@ def cmd_vacuum(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_restore(args: argparse.Namespace) -> int:
+    """Roll the keyed table back to a retained historical base
+    version — the CLI form of `RESTORE TABLE … TO VERSION AS OF n`
+    (sinks/keyed_table.py::restore_table): a METADATA-ONLY commit
+    that carries the snapshot's files by reference and flips the
+    manifest; refuses while a delta appender is in flight."""
+    import json as _json
+
+    from .sinks.keyed_table import ConcurrentWriteError, restore_table
+    spark = get_spark("restore")
+    try:
+        out = restore_table(spark, args.table, args.key,
+                            version=args.version)
+    except (FileNotFoundError, ConcurrentWriteError) as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    print(_json.dumps({"action": "restore", **out}, sort_keys=True))
+    return 0
+
+
 def cmd_dedup_incremental(args: argparse.Namespace) -> int:
     """Cross-batch dedup arrival step, productized (r10 verdict #2):
     probe one arriving document batch against the PERSISTED dedup
@@ -2015,6 +2035,17 @@ def main(argv: list[str] | None = None) -> int:
     va.add_argument("--older-than-hours", type=float, default=24.0,
                     help="only deltas untouched this long are removed")
     va.set_defaults(fn=cmd_vacuum)
+
+    rs = sub.add_parser(
+        "restore", help="roll a keyed table back to a retained "
+                        "historical base version (metadata-only: the "
+                        "new version carries the snapshot's files by "
+                        "reference — zero bytes moved)")
+    rs.add_argument("--table", required=True, help="keyed table path")
+    rs.add_argument("--key", required=True, help="merge key column")
+    rs.add_argument("--version", required=True, type=int,
+                    help="retained base version to restore to")
+    rs.set_defaults(fn=cmd_restore)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -112,3 +112,19 @@ def test_sql_restore_statement(spark, tmp_path):
         sql_restore(spark, "RESTORE TABLE t TO VERSION AS OF 99",
                     tables={"t": (path, "k")})
     assert current_base_version(spark, path) >= 3
+
+
+def test_cli_restore_verb(spark, tmp_path, capsys):
+    import json
+
+    from howto_mongo_bulk_update_from_parquet_spark.cli import main
+
+    path = _seed(spark, tmp_path)
+    assert main(["restore", "--table", path, "--key", "k",
+                 "--version", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["action"] == "restore" and out["restored_to"] == 1
+    assert _state(spark, path) == {1: (10, None), 2: (20, "b")}
+    assert main(["restore", "--table", path, "--key", "k",
+                 "--version", "55"]) == 2
+    assert "retired" in capsys.readouterr().err
