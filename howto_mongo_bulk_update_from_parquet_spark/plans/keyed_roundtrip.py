@@ -1595,10 +1595,11 @@ FROM a2 GROUP BY COALESCE(status, 'NEW')
           "oracle-exact")
 def q_keyed_sql_copy_lifecycle(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    """Attestation of the r16 COPY INTO / OPTIMIZE / VACUUM
-    statements as one table lifecycle, all through `sql_write` (the
-    CLI dispatcher's entry point): (1) seed a keyed table from
-    orders; (2) `COPY INTO` a parquet directory whose columns are
+    """Attestation of the r16 CREATE TABLE AS SELECT / COPY INTO /
+    OPTIMIZE / VACUUM statements as one table lifecycle, all through
+    `sql_write` (the CLI dispatcher's entry point): (1) the table is
+    BORN from pure SQL — a keyed CTAS whose registration the later
+    statements reuse; (2) `COPY INTO` a parquet directory whose columns are
     deliberately name-misordered and OMIT `status` — name alignment
     plus null-skip (existing keys keep their status, new keys read
     back NULL) are both load-bearing for the oracle hash; (3)
@@ -1616,22 +1617,29 @@ def q_keyed_sql_copy_lifecycle(spark: SparkSession,
     """
     from ..sinks.sql_merge import sql_write
 
+    import uuid as _uuid
+
     orders = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("double")
-    seed = (orders.filter(F.col("o_orderkey") % 3 == 0)
-            .select(F.col("o_orderkey").alias("k"),
-                    price.alias("price"),
-                    F.col("o_orderstatus").alias("status")))
-    path = tempfile.mkdtemp(prefix="keyed_sqlcopy_")
-    upsert_into_keyed_table(spark, seed, path=path, key="k",
-                            updated_at_col=None)
+    seedv = f"seed_{_uuid.uuid4().hex[:8]}"
+    (orders.filter(F.col("o_orderkey") % 3 == 0)
+     .select(F.col("o_orderkey").alias("k"),
+             price.alias("price"),
+             F.col("o_orderstatus").alias("status"))
+     .createOrReplaceTempView(seedv))
     stage = tempfile.mkdtemp(prefix="copy_src_")
+    path = f"{stage}/tbl"
+    tables: dict[str, tuple[str, str]] = {}
+    # keyed CTAS (r16): version 1 born from pure SQL — the statement
+    # registers 'tbl' in the live mapping the later statements use
+    sql_write(spark, f"CREATE TABLE tbl KEY (k) LOCATION '{path}' "
+                     f"AS SELECT k, price, status FROM {seedv}",
+              tables=tables)
     src1 = f"{stage}/evens"
     (orders.filter(F.col("o_orderkey") % 2 == 0)
      .select((price * 2).alias("price"),        # misordered, no status
              F.col("o_orderkey").alias("k"))
      .write.parquet(src1))
-    tables = {"tbl": (path, "k")}
     sql_write(spark, f"COPY INTO tbl FROM '{src1}'", tables=tables)
     sql_write(spark, "OPTIMIZE tbl", tables=tables)
     src2 = f"{stage}/fives"

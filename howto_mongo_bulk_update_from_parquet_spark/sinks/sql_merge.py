@@ -46,6 +46,7 @@ Supported grammar (case-insensitive keywords, one statement):
     OPTIMIZE <target> [ZORDER BY (<col>)]
     VACUUM <target> [RETAIN <n> HOURS]
     RESTORE TABLE <target> TO VERSION AS OF <n>
+    CREATE TABLE <name> KEY (<col>) LOCATION '<path>' AS SELECT ...
 
 Multiple WHEN MATCHED clauses evaluate FIRST-MATCH-WINS in statement
 order (ANSI MERGE / Delta Lake semantics); conditions may reference
@@ -557,7 +558,7 @@ _DELETE_RE = re.compile(
 
 _WRITE_KIND_RE = re.compile(
     _LEADING_COMMENTS + r"(?P<kw>MERGE|UPDATE|DELETE|INSERT|TRUNCATE"
-    r"|COPY|OPTIMIZE|VACUUM|RESTORE)\b",
+    r"|COPY|OPTIMIZE|VACUUM|RESTORE|CREATE)\b",
     re.IGNORECASE)
 
 
@@ -569,9 +570,19 @@ def write_statement_kind(text: str) -> str | None:
     `--` line comments, so `SELECT merge_col FROM t` and
     `/* note */ SELECT ...` are NOT misrouted (ADVICE r15: the old
     CLI prefix test `text[:5] == 'MERGE'` was not boundary-safe and
-    missed comment-prefixed statements)."""
+    missed comment-prefixed statements). CREATE routes here ONLY in
+    its keyed-CTAS form (`CREATE TABLE n KEY (k) …`) — plain
+    `CREATE [OR REPLACE] [TEMP] VIEW` and native catalog CTAS stay
+    spark.sql's."""
     m = _WRITE_KIND_RE.match(text)
-    return m.group("kw").lower() if m else None
+    if not m:
+        return None
+    kw = m.group("kw").lower()
+    if kw == "create":
+        return "create" if re.match(
+            r"\s*CREATE\s+TABLE\s+[A-Za-z_]\w*\s+KEY\s*\(",
+            _strip_leading_comments(text), re.IGNORECASE) else None
+    return kw
 
 
 def _resolve_target(spec_target: str, tables: dict, what: str):
@@ -689,10 +700,13 @@ def sql_write(spark: SparkSession, text: str, *,
         return sql_vacuum(spark, text, tables=tables)
     if kind == "restore":
         return sql_restore(spark, text, tables=tables)
+    if kind == "create":
+        return sql_create(spark, text, tables=tables)
     raise MergeSyntaxError(
         "not a supported write statement (MERGE INTO / UPDATE / "
         "DELETE FROM / INSERT INTO / TRUNCATE TABLE / COPY INTO / "
-        "OPTIMIZE / VACUUM / RESTORE TABLE)")
+        "OPTIMIZE / VACUUM / RESTORE TABLE / CREATE TABLE ... AS "
+        "SELECT)")
 
 
 _INSERT_RE = re.compile(
@@ -958,3 +972,65 @@ def sql_restore(spark: SparkSession, text: str, *,
     except FileNotFoundError as exc:
         raise MergeSyntaxError(str(exc)) from exc
     return {"action": "restore", **out}
+
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)"
+    r"\s+KEY\s*\(\s*(?P<key>[A-Za-z_]\w*)\s*\)"
+    r"\s+LOCATION\s+'(?P<loc>[^']+)'"
+    r"\s+AS\s+(?P<body>SELECT\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def sql_create(spark: SparkSession, text: str, *,
+               tables: dict[str, tuple[str, str]]) -> dict:
+    """`CREATE TABLE <name> KEY (<col>) LOCATION '<path>' AS
+    <SELECT …>` — CTAS into a NEW keyed table: the last piece a
+    pure-SQL user needs (every other statement targets a table that
+    already exists; until r16 creating one required the Python API
+    or the CLI upsert verb). The SELECT runs through spark.sql over
+    whatever views are registered, lands as the table's version-1
+    base through the engine's normal upsert write (duplicate keys
+    normalize latest-wins like every keyed write), and the new table
+    is REGISTERED in the live `tables` mapping AND as a temp view —
+    subsequent statements in the same session target it by name.
+    The KEY clause is the engine's one non-ANSI requirement (a keyed
+    table cannot exist without its merge key; Delta spells the same
+    necessity as table properties). LOCATION must not already hold a
+    keyed table — CREATE never silently overwrites (errorifexists
+    posture; drop the directory or use the write verbs to evolve).
+    Returns {action, table, path, key, version} without an O(table)
+    count job."""
+    from .keyed_table import current_base_version
+    m = _CREATE_RE.match(_strip_leading_comments(text))
+    if not m:
+        raise MergeSyntaxError(
+            "statement is not of the form CREATE TABLE <name> KEY "
+            "(<col>) LOCATION '<path>' AS SELECT ...")
+    name, key, loc = m.group("name"), m.group("key"), m.group("loc")
+    if name in tables:
+        raise MergeSyntaxError(
+            f"table {name!r} is already registered (at "
+            f"{tables[name][0]!r}) — CREATE never overwrites")
+    try:
+        if current_base_version(spark, loc):
+            raise MergeSyntaxError(
+                f"LOCATION {loc!r} already holds a keyed table — "
+                f"CREATE never overwrites; target it with the write "
+                f"statements instead")
+    except MergeSyntaxError:
+        raise
+    except Exception:  # noqa: BLE001 - absent/unreadable dir: creatable
+        pass
+    df = spark.sql(m.group("body"))
+    if key not in df.columns:
+        raise MergeSyntaxError(
+            f"CREATE TABLE KEY names {key!r} but the SELECT produces "
+            f"columns {df.columns} — the merge key must be selected")
+    from .keyed_table import register_sql_view, upsert_into_keyed_table
+    upsert_into_keyed_table(spark, df, path=loc, key=key,
+                            updated_at_col=None)
+    tables[name] = (loc, key)
+    register_sql_view(spark, loc, key, name)
+    return {"action": "create", "table": name, "path": loc,
+            "key": key, "version": current_base_version(spark, loc)}

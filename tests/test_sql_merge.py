@@ -773,3 +773,49 @@ def test_write_statement_kind_covers_maintenance_verbs():
     assert write_statement_kind("vacuum t retain 1 hour") == "vacuum"
     assert write_statement_kind("SELECT copy_flag FROM t") is None
     assert write_statement_kind("SELECT * FROM optimize_log") is None
+
+
+def test_sql_create_table_as_select(spark, tmp_path):
+    """r16: keyed CTAS — creates the table at LOCATION, registers it
+    in the live tables mapping (subsequent statements target it by
+    name) and as a temp view; refuses overwrites and a SELECT that
+    drops the key; plain CREATE VIEW stays spark.sql's."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_create, sql_write, write_statement_kind)
+
+    assert write_statement_kind(
+        "CREATE TABLE t KEY (k) LOCATION '/x' AS SELECT 1") == "create"
+    assert write_statement_kind(
+        "CREATE OR REPLACE TEMP VIEW v AS SELECT 1") is None
+    assert write_statement_kind(
+        "CREATE TABLE cat.t AS SELECT 1") is None
+
+    spark.createDataFrame([Row(k=i, qty=i * 10) for i in range(1, 4)]
+                          ).createOrReplaceTempView("ctas_src")
+    loc = str(tmp_path / "ctas")
+    tables = {}
+    out = sql_write(spark,
+                    f"CREATE TABLE nt KEY (k) LOCATION '{loc}' "
+                    f"AS SELECT k, qty FROM ctas_src",
+                    tables=tables)
+    assert out["action"] == "create" and out["version"] == 1
+    assert tables == {"nt": (loc, "k")}
+    # registered: reads by name, and the NEXT statement targets it
+    assert spark.sql("SELECT count(*) AS n FROM nt").first().n == 3
+    sql_write(spark, "UPDATE nt SET qty = qty + 1 WHERE k = 1",
+              tables=tables)
+    assert {r.k: r.qty for r in read_merged(spark, loc, "k").collect()
+            } == {1: 11, 2: 20, 3: 30}
+    # refusals: re-create same name, same location, key not selected
+    with pytest.raises(MergeSyntaxError, match="already registered"):
+        sql_create(spark, f"CREATE TABLE nt KEY (k) LOCATION "
+                          f"'{loc}2' AS SELECT k FROM ctas_src",
+                   tables=tables)
+    with pytest.raises(MergeSyntaxError, match="already holds"):
+        sql_create(spark, f"CREATE TABLE other KEY (k) LOCATION "
+                          f"'{loc}' AS SELECT k FROM ctas_src",
+                   tables=tables)
+    with pytest.raises(MergeSyntaxError, match="must be selected"):
+        sql_create(spark, f"CREATE TABLE o2 KEY (nope) LOCATION "
+                          f"'{loc}3' AS SELECT k FROM ctas_src",
+                   tables=tables)
