@@ -1012,16 +1012,21 @@ def sql_create(spark: SparkSession, text: str, *,
         raise MergeSyntaxError(
             f"table {name!r} is already registered (at "
             f"{tables[name][0]!r}) — CREATE never overwrites")
+    from . import fs as hfs
     try:
-        if current_base_version(spark, loc):
-            raise MergeSyntaxError(
-                f"LOCATION {loc!r} already holds a keyed table — "
-                f"CREATE never overwrites; target it with the write "
-                f"statements instead")
-    except MergeSyntaxError:
-        raise
+        occupied = (current_base_version(spark, loc) > 0
+                    or bool(hfs.exists(spark, loc)
+                            and hfs.listdir(spark, loc)))
     except Exception:  # noqa: BLE001 - absent/unreadable dir: creatable
-        pass
+        occupied = False
+    if occupied:
+        # a versioned table OR any non-empty directory (a legacy
+        # plain-parquet root would silently merge into the "new"
+        # table through the upsert's legacy support)
+        raise MergeSyntaxError(
+            f"LOCATION {loc!r} is not empty — CREATE never "
+            f"overwrites; target an existing keyed table with the "
+            f"write statements instead")
     df = spark.sql(m.group("body"))
     if key not in df.columns:
         raise MergeSyntaxError(

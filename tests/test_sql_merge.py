@@ -811,7 +811,7 @@ def test_sql_create_table_as_select(spark, tmp_path):
         sql_create(spark, f"CREATE TABLE nt KEY (k) LOCATION "
                           f"'{loc}2' AS SELECT k FROM ctas_src",
                    tables=tables)
-    with pytest.raises(MergeSyntaxError, match="already holds"):
+    with pytest.raises(MergeSyntaxError, match="not empty"):
         sql_create(spark, f"CREATE TABLE other KEY (k) LOCATION "
                           f"'{loc}' AS SELECT k FROM ctas_src",
                    tables=tables)
@@ -819,3 +819,20 @@ def test_sql_create_table_as_select(spark, tmp_path):
         sql_create(spark, f"CREATE TABLE o2 KEY (nope) LOCATION "
                           f"'{loc}3' AS SELECT k FROM ctas_src",
                    tables=tables)
+
+
+def test_sql_create_refuses_legacy_parquet_dir(spark, tmp_path):
+    """CREATE over a plain-parquet directory must refuse — the
+    upsert's legacy-root support would otherwise silently merge the
+    CTAS rows with the pre-existing files."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_create)
+
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame([Row(k=1, qty=1)]).write.parquet(legacy)
+    spark.createDataFrame([Row(k=2, qty=2)]
+                          ).createOrReplaceTempView("ctas_src2")
+    with pytest.raises(MergeSyntaxError, match="not empty"):
+        sql_create(spark, f"CREATE TABLE lg KEY (k) LOCATION "
+                          f"'{legacy}' AS SELECT k, qty FROM ctas_src2",
+                   tables={})
