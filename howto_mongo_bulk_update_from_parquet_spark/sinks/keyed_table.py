@@ -2856,18 +2856,25 @@ def restore_table(spark: SparkSession, path: str, key: str,
     refs = sorted(p[len(root) + 1:] for p in fmap.values())
     new_version = _next_base_version(spark, path, cur_version)
     dst = _claim_base_slot(spark, path, new_version)
-    hfs.write_text(spark, hfs.join(dst, _CARRIED),
-                   json.dumps({"version": 1, "refs": refs},
-                              separators=(",", ":")))
     zmap = zm.read_zone_map(spark, snapdir)
-    if zmap is not None:
-        zm.write_zone_map(spark, dst, zmap)
     idx = bloom.read_bloom_index(spark, snapdir)
-    if idx is not None:
-        bloom.write_bloom_index(spark, dst, idx)
-    # completion marker LAST: an incomplete restore slot is dead-
-    # writer debris to the claim fence, never a readable base
-    hfs.write_text(spark, hfs.join(dst, "_SUCCESS"), "")
+
+    def _write_slot(staging: str) -> None:
+        # sidecars land in a writer-PRIVATE staging dir and the slot
+        # is taken by ONE exclusive rename (_staged_claimed_write) —
+        # overwriting write_text calls straight into the slot would
+        # let two racing restores interleave their sidecars in one
+        # directory (the pre-r13 base-write hole, closed the same way)
+        hfs.write_text(spark, hfs.join(staging, _CARRIED),
+                       json.dumps({"version": 1, "refs": refs},
+                                  separators=(",", ":")))
+        if zmap is not None:
+            zm.write_zone_map(spark, staging, zmap)
+        if idx is not None:
+            bloom.write_bloom_index(spark, staging, idx)
+        hfs.write_text(spark, hfs.join(staging, "_SUCCESS"), "")
+
+    _staged_claimed_write(spark, dst, _write_slot)
     meta["merge_key"] = key
     meta.pop("bucket_key", None)
     meta.pop("buckets", None)

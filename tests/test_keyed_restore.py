@@ -128,3 +128,34 @@ def test_cli_restore_verb(spark, tmp_path, capsys):
     assert main(["restore", "--table", path, "--key", "k",
                  "--version", "55"]) == 2
     assert "retired" in capsys.readouterr().err
+
+
+def test_concurrent_restores_serialize_cleanly(spark, tmp_path):
+    """Two+ simultaneous restores: the slot rename + manifest CAS
+    serialize them — every loser gets a clean ConcurrentWriteError,
+    winners commit DISTINCT versions, and the final state is exactly
+    the snapshot (no interleaved sidecars — the pre-r13 shared-slot
+    hole, closed for restore by _staged_claimed_write)."""
+    from threading import Thread
+
+    path = _seed(spark, tmp_path)
+    oks, errs, bad = [], [], []
+
+    def go():
+        try:
+            oks.append(restore_table(spark, path, "k", version=1))
+        except ConcurrentWriteError as exc:
+            errs.append(exc)
+        except Exception as exc:  # noqa: BLE001 - anything else fails
+            bad.append(exc)
+
+    threads = [Thread(target=go) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not bad, f"non-clean loser error(s): {bad!r}"
+    assert oks and len(oks) + len(errs) == 4
+    vs = [o["new_version"] for o in oks]
+    assert len(set(vs)) == len(vs)          # serialized, distinct slots
+    assert _state(spark, path) == {1: (10, None), 2: (20, "b")}
