@@ -904,10 +904,19 @@ def sql_optimize(spark: SparkSession, text: str, *,
             "(<col>)]")
     path, key = _resolve_target(m.group("target"), tables, "OPTIMIZE")
     zcol = m.group("zcol")
-    if zcol is not None and zcol not in {
-            f.name for f in table_schema(spark, path)}:
-        raise MergeSyntaxError(
-            f"OPTIMIZE ZORDER BY names unknown column {zcol!r}")
+    if zcol is not None:
+        if zcol not in {f.name for f in table_schema(spark, path)}:
+            raise MergeSyntaxError(
+                f"OPTIMIZE ZORDER BY names unknown column {zcol!r}")
+        if table_meta(spark, path).get("range_key") != key:
+            # z-order clusters a RANGE base's files; on a plain/hash
+            # table the engine would silently key-sort instead — and
+            # a result claiming "zorder: <col>" would be a lie
+            raise MergeSyntaxError(
+                f"OPTIMIZE ZORDER BY requires a range-layout table "
+                f"(this one records no range layout on {key!r}) — "
+                f"lay it out first: compact --range-files N "
+                f"--zorder-col {zcol}")
     compact(spark, path, key, zorder_col=zcol)
     return {"action": "optimize",
             "base_version": current_base_version(spark, path),

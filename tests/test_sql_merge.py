@@ -742,23 +742,34 @@ def test_sql_optimize_vacuum_statements(spark, tmp_path):
     assert out["action"] == "optimize" and out["zorder"] is None
     assert out["folded_through"] >= 1
     assert _state(spark, path) == before          # state preserved
-    # zorder form parses and names a real column
+    # zorder refuses on a plain table (silent key-sort would make the
+    # reported "zorder" a lie), works once the range layout exists
     sql_write(spark, "INSERT INTO t VALUES (30, 300, 'z')",
               tables={"t": (path, "k")})
+    with pytest.raises(MergeSyntaxError, match="range-layout"):
+        sql_optimize(spark, "OPTIMIZE t ZORDER BY (qty)",
+                     tables={"t": (path, "k")})
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        compact)
+    compact(spark, path, "k", range_files=2, stats_cols=["qty"])
     out = sql_optimize(spark, "OPTIMIZE t ZORDER BY (qty)",
                        tables={"t": (path, "k")})
     assert out["zorder"] == "qty"
     with pytest.raises(MergeSyntaxError, match="unknown column"):
         sql_optimize(spark, "OPTIMIZE t ZORDER BY (nope)",
                      tables={"t": (path, "k")})
-    # vacuum: nothing young enough at RETAIN 24 (default), everything
-    # folded reclaims at RETAIN 0 HOURS
+    # vacuum: a freshly folded delta (no later commit has GC'd it) —
+    # nothing young enough at RETAIN 24 (default), reclaimed at
+    # RETAIN 0 HOURS
+    sql_write(spark, "UPDATE t SET qty = qty + 1 WHERE k = 30",
+              tables={"t": (path, "k")})
+    sql_write(spark, "OPTIMIZE t", tables={"t": (path, "k")})
     out = sql_write(spark, "VACUUM t", tables={"t": (path, "k")})
     assert out["action"] == "vacuum" and out["n_removed"] == 0
     out = sql_vacuum(spark, "VACUUM t RETAIN 0 HOURS",
                      tables={"t": (path, "k")})
     assert out["n_removed"] >= 1
-    assert _state(spark, path)[30] == (300, "z")  # readers unaffected
+    assert _state(spark, path)[30] == (301, "z")  # readers unaffected
     with pytest.raises(MergeSyntaxError, match="not of the form"):
         sql_vacuum(spark, "VACUUM t RETAIN x HOURS",
                    tables={"t": (path, "k")})
