@@ -403,9 +403,13 @@ def cmd_sql(args: argparse.Namespace) -> int:
                   "(a write statement prints its result counts as "
                   "JSON)", file=sys.stderr)
             return 2
+        from .sinks.keyed_table import ConcurrentWriteError
         try:
             out = sql_write(spark, args.text, tables=keyed_reg)
-        except MergeSyntaxError as exc:
+        except (MergeSyntaxError, ConcurrentWriteError) as exc:
+            # ConcurrentWriteError: a clean loss (racing writer /
+            # in-flight appender refusing a RESTORE) — retryable,
+            # reported as a usage-style error, never a traceback
             print(f"{write_statement_kind(args.text)} error: {exc}",
                   file=sys.stderr)
             return 2
