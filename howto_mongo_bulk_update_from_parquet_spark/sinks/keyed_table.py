@@ -1280,6 +1280,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     # registration (`register_sql_catalog`) discovers tables by it —
     # a property of the table itself, carried forward by every commit
     meta["merge_key"] = key
+    # this base is new content — it is not the restored snapshot
+    meta.pop("restored_from", None)
     eff_buckets, eff_range = _resolve_layout(meta, key, buckets,
                                              range_files)
     eff_zorder = _resolve_zorder(meta, key, zorder_col)
@@ -2443,6 +2445,7 @@ def compact(spark: SparkSession, path: str, key: str,
         version = current_base_version(spark, path)   # legacy pointers
     old_floor = _meta_floor(meta)
     meta["merge_key"] = key      # legacy tables gain it on compaction
+    meta.pop("restored_from", None)   # folded base = new content
     fold = _foldable_deltas(spark, path, gc_stale=True, floor=old_floor)
     # fold only the run — deltas beyond an in-flight slot are masked so
     # the new base contains nothing the watermark doesn't cover
@@ -2573,6 +2576,7 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
     files_carried / deltas_folded / new_version / pruned."""
     version, committed_meta = _current_manifest(spark, path)
     meta = dict(committed_meta)
+    meta.pop("restored_from", None)   # pruned fold = new content
     if not version:
         version = current_base_version(spark, path)
     zmap = zm.read_zone_map(spark, _base_dir(path, version)) \
@@ -2730,6 +2734,7 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
     ``return_counts``."""
     version, committed_meta = _current_manifest(spark, path)
     meta = dict(committed_meta)
+    meta.pop("restored_from", None)   # rewritten base = new content
     if not version:
         version = current_base_version(spark, path)   # legacy pointers
     old_floor = _meta_floor(meta)
@@ -2878,6 +2883,10 @@ def restore_table(spark: SparkSession, path: str, key: str,
     meta["merge_key"] = key
     meta.pop("bucket_key", None)
     meta.pop("buckets", None)
+    # provenance: table-info shows where this version's content came
+    # from; a later non-restore commit drops the marker (its content
+    # is no longer the snapshot's)
+    meta["restored_from"] = str(version)
     if fold:
         meta["folded_through"] = str(fold[-1])
     _commit_version(spark, path, new_version, retain_versions,

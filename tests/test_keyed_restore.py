@@ -159,3 +159,18 @@ def test_concurrent_restores_serialize_cleanly(spark, tmp_path):
     vs = [o["new_version"] for o in oks]
     assert len(set(vs)) == len(vs)          # serialized, distinct slots
     assert _state(spark, path) == {1: (10, None), 2: (20, "b")}
+
+
+def test_restore_provenance_marker(spark, tmp_path):
+    """`restored_from` rides the restore commit (table-info lineage)
+    and is DROPPED by the next base-rewriting commit — a compacted or
+    re-upserted base is new content, not the snapshot."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        table_meta)
+
+    path = _seed(spark, tmp_path)
+    assert "restored_from" not in table_meta(spark, path)
+    restore_table(spark, path, "k", version=1)
+    assert table_meta(spark, path)["restored_from"] == "1"
+    compact(spark, path, "k")
+    assert "restored_from" not in table_meta(spark, path)
