@@ -144,15 +144,20 @@ _WHEN_RE = re.compile(
 
 
 def _split_assignments(set_text: str) -> list[tuple[str, str]]:
-    """Split `a = expr, b = expr` on TOP-LEVEL commas (expressions
-    may carry commas inside parens: `SET v = greatest(a, b)`)."""
-    parts, depth, cur = [], 0, []
+    """Split `a = expr, b = expr` on TOP-LEVEL commas — outside
+    parens (`SET v = greatest(a, b)`) AND outside single-quoted
+    literals (`SET tag = 'a,b'`; a paren inside a literal must not
+    skew the depth either: `SET tag = '(', qty = 2`)."""
+    parts, depth, cur, inq = [], 0, [], False
     for ch in set_text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not inq:
             parts.append("".join(cur))
             cur = []
         else:
@@ -171,6 +176,26 @@ def _split_assignments(set_text: str) -> list[tuple[str, str]]:
             col = col.split(".", 1)[1]
         out.append((col, rhs.strip()))
     return out
+
+
+def _bind(thunk, what: str):
+    """Run a plan-binding step (filter/select over statement-supplied
+    expression text), surfacing parse/analysis failures as statement
+    errors. Spark 4's Column API defers expression PARSING to first
+    plan use, so the guard must sit at binding, not at `F.expr`: a
+    quoted literal containing clause keywords (` WHERE `, `, `) can
+    split the regex-scoped clause mid-literal — the mangled halves
+    then fail the parser here, and that failure should read as a
+    loud statement refusal, never a bare JVM traceback."""
+    from pyspark.errors import AnalysisException, ParseException
+    try:
+        return thunk()
+    except (ParseException, AnalysisException) as exc:
+        first = str(exc).splitlines()[0] if str(exc) else repr(exc)
+        raise MergeSyntaxError(
+            f"cannot parse/resolve {what}: {first} (a quoted "
+            f"literal containing clause keywords can split the "
+            f"clause — check quote placement)") from exc
 
 
 # Leading SQL line comments before the statement keyword (the CLI
@@ -613,7 +638,9 @@ def sql_delete(spark: SparkSession, text: str, *,
     alias = m.group("alias") or m.group("target")
     victims = read_merged(spark, path, key).alias(alias)
     if m.group("where"):
-        victims = victims.filter(F.expr(m.group("where")))
+        w = m.group("where")
+        victims = _bind(lambda: victims.filter(F.expr(w)),
+                        "DELETE WHERE")
     # merged rows are unique per key, so count(*) = deleted keys; the
     # count rides the tombstone write (no checks run on deletes, so
     # the Observation is safe unconditionally — see _counted)
@@ -659,14 +686,16 @@ def sql_update(spark: SparkSession, text: str, *,
         assigned[col] = rhs
     rows = read_merged(spark, path, key).alias(alias)
     if m.group("where"):
-        rows = rows.filter(F.expr(m.group("where")))
+        w = m.group("where")
+        rows = _bind(lambda: rows.filter(F.expr(w)), "UPDATE WHERE")
     cols = [F.col(key).cast(tgt_fields[key]).alias(key)]
     for c, dt in tgt_fields.items():
         if c == key:
             continue
-        cols.append((F.expr(assigned[c]).cast(dt) if c in assigned
+        cols.append((F.expr(assigned[c]).cast(dt)
+                     if c in assigned
                      else F.lit(None).cast(dt)).alias(c))
-    proj = rows.select(*cols)
+    proj = _bind(lambda: rows.select(*cols), "UPDATE SET")
     proj, get_counts = _counted(spark, path, proj,
                                 [F.count(F.lit(1)).alias("n")])
     v = append_merge_delta(spark, proj, path=path, key=key)

@@ -847,3 +847,31 @@ def test_sql_create_refuses_legacy_parquet_dir(spark, tmp_path):
         sql_create(spark, f"CREATE TABLE lg KEY (k) LOCATION "
                           f"'{legacy}' AS SELECT k, qty FROM ctas_src2",
                    tables={})
+
+
+def test_update_delete_adversarial_literals(spark, tmp_path):
+    """Keywords and separators INSIDE string literals: top-level
+    splitting is quote-aware (commas/parens in literals), and a
+    literal that DOES defeat the clause regex (` WHERE ` inside a
+    SET string) fails LOUDLY as a statement error — never a silent
+    mis-update, never a bare JVM traceback."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.sql_merge import (
+        sql_update)
+
+    path = _mk(spark, tmp_path)          # k=1..4, qty=10k, tag=tk
+    # comma inside a literal: one assignment, not two
+    sql_update(spark, "UPDATE t SET tag = 'a,b' WHERE k = 1",
+               tables={"t": (path, "k")})
+    assert _state(spark, path)[1] == (10, "a,b")
+    # paren inside a literal must not skew the comma depth
+    sql_update(spark, "UPDATE t SET tag = '(', qty = qty + 1 "
+                      "WHERE k = 2",
+               tables={"t": (path, "k")})
+    assert _state(spark, path)[2] == (21, "(")
+    # ' WHERE ' inside the literal splits the regex clause — the
+    # mangled halves must refuse loudly as a MergeSyntaxError
+    before = _state(spark, path)
+    with pytest.raises(MergeSyntaxError, match="cannot parse"):
+        sql_update(spark, "UPDATE t SET tag = 'x WHERE y'",
+                   tables={"t": (path, "k")})
+    assert _state(spark, path) == before            # zero trace
