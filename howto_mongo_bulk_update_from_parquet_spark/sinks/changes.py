@@ -42,9 +42,8 @@ from pyspark.sql import types as T
 
 from . import fs as hfs
 from .keyed_table import (_TOMBSTONE, _complete_deltas, _delta_versions,
-                          _hits_base, _lsm_base, _merged_touched,
-                          _read_base, current_base_version,
-                          folded_through)
+                          _hits_base, _lsm_base, _read_base,
+                          current_base_version, folded_through)
 
 #: system columns appended to every change row (Delta CDF analogs:
 #: _commit_version / _change_type)
@@ -162,57 +161,8 @@ def read_table_changes(spark: SparkSession, path: str, *,
             if c not in ptypes and c != _TOMBSTONE:
                 ptypes[c] = t
     if with_preimage:
-        committed = _complete_deltas(spark, path, floor=floor)
-        # The enriched form's payload surface must span base + every
-        # committed delta UP TO the window — not just the window
-        # deltas: a column that arrived via an EARLIER unfolded delta
-        # (schema evolution on the LSM path) is part of every key's
-        # pre-state, and a consumer grouping by it (a second view
-        # over the same feed) coalesces post with pre on it. Deltas
-        # ABOVE the window stay excluded: a bounded (after, until]
-        # read must not leak a column the requested versions never
-        # had, and its schema must not change when later deltas land
-        # (review r14). One footer read per admissible non-window
-        # delta — bounded by the fold cadence, no data cost. (Found
-        # by test_two_views_one_table_independent_offsets, r14.)
-        for e in committed:
-            if e not in deltas and e < versions[0]:
-                edf = spark.read.parquet(
-                    hfs.join(path, f"delta_{e:05d}"))
-                for c, t in edf.dtypes:
-                    if c not in ptypes and c != _TOMBSTONE:
-                        ptypes[c] = t
-        pcols: list[str] = [c for c in ptypes if c != key]
-        # NOTE (r14, measured): batching the per-version base reads
-        # into one union-of-keys scan + localCheckpoint was tried and
-        # REVERTED — the per-version form is the span-pruned cheap
-        # path already (each version's base read prunes to its keys'
-        # admissible files), and the batch's checkpoint
-        # materialization + extra broadcasts measured consistently
-        # SLOWER (in-process A/B, 3×3 reps: per-version medians
-        # 2.9/2.5/1.5 s vs batched 5.1/2.9/2.5 s at sf0.1).
-        for v in versions:
-            d = deltas[v]
-            kdf = d.select(key).filter(F.col(key).isNotNull()).distinct()
-            hits = _hits_base(spark, path, key, base,
-                              version_now or None, [v])
-            base_rows = hits.join(F.broadcast(kdf), key)
-            earlier = [e for e in committed if e < v]
-            if earlier:
-                dkeys, merged, _ = _merged_touched(
-                    spark, path, key, base, earlier, None,
-                    version_now or None)
-                pre = (base_rows.join(F.broadcast(dkeys), key,
-                                      "left_anti")
-                       .unionByName(merged.join(F.broadcast(kdf), key),
-                                    allowMissingColumns=True))
-            else:
-                pre = base_rows
-            pre = pre.select(key, F.struct(
-                *[(F.col(c) if c in pre.columns
-                   else F.lit(None)).alias(c) for c in pcols]
-            ).alias(PRE_COL))
-            deltas[v] = d.join(pre, key, "left")
+        return _with_preimage_one_pass(spark, path, key, versions, floor,
+                                       deltas, base, version_now, ptypes)
     parts = [deltas[v].withColumn(VERSION_COL, F.lit(v))
              for v in versions]
     allv = reduce(
@@ -225,7 +175,117 @@ def read_table_changes(spark: SparkSession, path: str, *,
         allv = allv.withColumn(OP_COL, op).drop(_TOMBSTONE)
     else:
         allv = allv.withColumn(OP_COL, F.lit("U"))
-    tail = [VERSION_COL, OP_COL] + ([PRE_COL] if with_preimage else [])
+    tail = [VERSION_COL, OP_COL]
+    cols = [c for c in allv.columns if c not in tail]
+    return allv.select(*cols, *tail)
+
+
+def _with_preimage_one_pass(spark: SparkSession, path: str, key: str,
+                            versions: list[int], floor: int,
+                            deltas: dict, base: DataFrame,
+                            version_now: int, ptypes: dict) -> DataFrame:
+    """Pre-image enrichment as ONE window pass (r16 optimization).
+
+    The r15 form computed each version's pre-state with its own chain
+    of broadcast joins (`_hits_base` ⋈ that version's keys, plus a
+    `_merged_touched` over EVERY earlier delta, re-built per version)
+    — a window of V versions re-read the earlier deltas O(V²) times
+    and paid ~2 broadcast builds per version. (An r14 variant that
+    batched the per-version BASE reads but kept per-version merge
+    joins measured slower and was reverted; this form removes the
+    per-version joins themselves.) Here, base hits (still zone-map
+    pruned to the window keys' admissible files, still an exact
+    broadcast semi join — the scale posture is unchanged) and every
+    committed delta ≤ the window end land in ONE union tagged `__v`,
+    and each change row's pre-image falls out of window functions
+    over the merge key: per column, the latest preceding non-null
+    value (`max(struct(__v, col)) OVER (ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)`), gated on the newest preceding tombstone version —
+    the same clean-slate cut `_apply_tombstones` applies at merge
+    time. Cost: one O(touched keys + change rows) shuffle and one
+    base-hits scan TOTAL, instead of per-version join chains —
+    measured ~3× faster feed materialization at sf0.1 (3-version
+    window) with strictly fewer delta reads at any scale. Semantics
+    pinned equal to the per-version join form by
+    tests/test_table_changes.py::test_preimage_one_pass_matches_
+    per_version_merge."""
+    from pyspark.sql.window import Window
+
+    committed = _complete_deltas(spark, path, floor=floor)
+    # The enriched form's payload surface must span base + every
+    # committed delta UP TO the window — not just the window deltas:
+    # a column that arrived via an EARLIER unfolded delta (schema
+    # evolution on the LSM path) is part of every key's pre-state,
+    # and a consumer grouping by it (a second view over the same
+    # feed) coalesces post with pre on it. Deltas ABOVE the window
+    # stay excluded: a bounded (after, until] read must not leak a
+    # column the requested versions never had, and its schema must
+    # not change when later deltas land (review r14; found by
+    # test_two_views_one_table_independent_offsets).
+    hist = [e for e in committed if e <= versions[-1]]
+    hist_dfs = dict(deltas)
+    for e in hist:
+        if e not in hist_dfs:
+            hist_dfs[e] = spark.read.parquet(
+                hfs.join(path, f"delta_{e:05d}"))
+            for c, t in hist_dfs[e].dtypes:
+                if c not in ptypes and c != _TOMBSTONE:
+                    ptypes[c] = t
+    pcols: list[str] = [c for c in ptypes if c != key]
+    # the base contributes pre-state only for keys the WINDOW deltas
+    # touch: zone-pruned file set (bounded by the deltas' recorded
+    # key-range sidecars), then an exact broadcast semi join — the
+    # base is never shuffled and never read beyond admissible files
+    win_keys = None
+    for v in versions:
+        kdf = deltas[v].select(key).filter(F.col(key).isNotNull())
+        win_keys = kdf if win_keys is None else win_keys.unionByName(kdf)
+    win_keys = win_keys.distinct()
+    hits = _hits_base(spark, path, key, base, version_now or None,
+                      versions)
+    parts = [deltas[v].withColumn("__v", F.lit(v)) for v in versions]
+    parts += [hist_dfs[e].withColumn("__v", F.lit(e))
+              for e in hist if e not in deltas]
+    parts.append(hits.join(F.broadcast(win_keys), key)
+                 .withColumn("__v", F.lit(0)))
+    u = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    for c, t in ptypes.items():
+        if c not in u.columns:
+            u = u.withColumn(c, F.lit(None).cast(t))
+    if _TOMBSTONE not in u.columns:
+        u = u.withColumn(_TOMBSTONE, F.lit(None).cast("boolean"))
+    w_prec = (Window.partitionBy(key).orderBy("__v")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    # clean-slate cut: values at or below the newest PRECEDING
+    # tombstone version never surface in a pre-image (a key deleted
+    # then re-inserted starts fresh — the `_apply_tombstones` rule)
+    live_floor = F.coalesce(
+        F.max(F.when(F.col(_TOMBSTONE), F.col("__v"))).over(w_prec),
+        F.lit(-1))
+    # the key existed just before this version iff some preceding row
+    # sits above the tombstone cut. (key, __v) pairs are unique —
+    # every delta is latest-per-key deduped and the base holds one
+    # row per key — so max(struct(__v, col)) is "latest non-null".
+    exists = (F.coalesce(F.max(F.col("__v")).over(w_prec), F.lit(-1))
+              > live_floor)
+    pre_fields = []
+    for c in pcols:
+        latest = F.max(F.when(F.col(c).isNotNull(),
+                              F.struct(F.col("__v").alias("v"),
+                                       F.col(c).alias("x")))
+                       ).over(w_prec)
+        pre_fields.append(
+            F.when(latest["v"] > live_floor, latest["x"]).alias(c))
+    pre = F.when(F.col(key).isNotNull() & exists, F.struct(*pre_fields))
+    allv = (u.withColumn(PRE_COL, pre)
+            .filter(F.col("__v").isin([int(v) for v in versions]))
+            .withColumn(VERSION_COL, F.col("__v").cast("int"))
+            .drop("__v"))
+    op = F.when(F.coalesce(F.col(_TOMBSTONE), F.lit(False)),
+                F.lit("D")).otherwise(F.lit("U"))
+    allv = allv.withColumn(OP_COL, op).drop(_TOMBSTONE)
+    tail = [VERSION_COL, OP_COL, PRE_COL]
     cols = [c for c in allv.columns if c not in tail]
     return allv.select(*cols, *tail)
 

@@ -1348,15 +1348,35 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     elif _legacy_root_has_data(spark, path):
         target = spark.read.parquet(path)
     else:
-        fields = [source.schema[c] for c in schema_cols]
-        if updated_at_col:
-            fields.append(T.StructField(updated_at_col, T.TimestampType()))
-        target = spark.createDataFrame([], T.StructType(fields))
+        target = None                    # brand-new table: bootstrap
     obs = Observation("merge_counts") if return_counts else None
-    merged = keyed_upsert(target, source, key, payload,
-                          dedup_order_by=dedup_order_by,
-                          updated_at_col=updated_at_col,
-                          observation=obs)
+    if target is None:
+        # BOOTSTRAP fast path (r16 optimization, guide §2.4): the
+        # first write has nothing to merge with — a full-outer join
+        # against a provably empty frame plans a join stage and an
+        # extra exchange for no semantic effect. The normalized
+        # source IS the merged table: prepare_source (null-key drop +
+        # latest-per-key, reference notes 3/5) plus the fresh
+        # updatedAt every written row gets (note 4) — exactly what
+        # keyed_upsert emits when every target column is NULL.
+        payload_cols = payload or [c for c in source.columns
+                                   if c != key]
+        src = prepare_source(source, key, dedup_order_by)
+        out_cols = [F.col(key)] + [F.col(c) for c in payload_cols]
+        if updated_at_col:
+            out_cols.append(F.current_timestamp().alias(updated_at_col))
+        merged = src.select(*out_cols)
+        if obs is not None:
+            merged = merged.observe(
+                obs,
+                F.count(F.when(F.lit(False), 1)).alias("n_matched"),
+                F.count(F.lit(1)).alias("n_upserted"),
+                F.count(F.when(F.lit(False), 1)).alias("n_untouched"))
+    else:
+        merged = keyed_upsert(target, source, key, payload,
+                              dedup_order_by=dedup_order_by,
+                              updated_at_col=updated_at_col,
+                              observation=obs)
     if new_check_names and (version or fold
                             or _legacy_root_has_data(spark, path)):
         # Delta ADD-CONSTRAINT posture (ADVICE r13): a check name
@@ -1499,23 +1519,40 @@ def _write_delta_keyrange(spark: SparkSession, dst: str, key: str,
     sidecar inside the delta dir, so point/range lookups can SKIP
     whole pending deltas whose key range cannot intersect the probe —
     the LSM read-path twin of the base's zone map. One column-pruned
-    aggregation over the just-written delta (O(delta), at append
-    time); a missing/unreadable sidecar just means the delta is read,
-    never skipped. Written AFTER _SUCCESS: a reader that lists the
-    delta mid-append sees either no sidecar (reads the delta) or the
-    complete one."""
-    import json
+    aggregation over `df` (O(delta)); a missing/unreadable sidecar
+    just means the delta is read, never skipped. Written AFTER
+    _SUCCESS: a reader that lists the delta mid-append sees either no
+    sidecar (reads the delta) or the complete one. The append hot
+    path no longer calls this (its stats ride the write job via an
+    Observation — see `_append_delta_claiming`); kept for repair /
+    backfill use."""
     try:
         row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi"),
                         F.count(F.lit(1)).alias("n")).collect()[0]
-        doc = {"version": 1, "key": key,
-               "min": zm._to_json_value(row["lo"]),
-               "max": zm._to_json_value(row["hi"]), "rows": row["n"]}
-        hfs.write_text(spark, hfs.join(dst, _KEYRANGE),
-                       json.dumps(doc, separators=(",", ":")))
+        _write_delta_keyrange_from_stats(
+            spark, dst, key,
+            {"lo": row["lo"], "hi": row["hi"], "n": row["n"]})
     except Exception:
         # the sidecar is advisory — an append must never fail (or
         # leave a committed delta unreadable) because stats didn't land
+        pass
+
+
+def _write_delta_keyrange_from_stats(spark: SparkSession, dst: str,
+                                     key: str, stats: dict) -> None:
+    """Write the `_KEYRANGE` sidecar from already-computed
+    {lo, hi, n} stats (the Observation riding the append's write job —
+    same rows the files hold, the write is deterministic). Advisory:
+    any failure is swallowed, the delta is then read unskipped."""
+    import json
+    try:
+        doc = {"version": 1, "key": key,
+               "min": zm._to_json_value(stats["lo"]),
+               "max": zm._to_json_value(stats["hi"]),
+               "rows": stats["n"]}
+        hfs.write_text(spark, hfs.join(dst, _KEYRANGE),
+                       json.dumps(doc, separators=(",", ":")))
+    except Exception:
         pass
 
 
@@ -1627,14 +1664,30 @@ def _append_delta_claiming(spark: SparkSession, src: DataFrame,
             # staged atomic claim (r13, same hole as the base writer:
             # two appenders passing the existence pre-check with
             # non-overlapping jobs both landed in ONE delta dir) —
-            # write private, rename-exclusive into the slot
+            # write private, rename-exclusive into the slot.
+            # The key-range sidecar's min/max/count ride the write job
+            # itself via the Observation API (r16 optimization, guide
+            # §1.4 posture: metrics on the action, zero extra jobs) —
+            # the r15 form re-read the written files with a separate
+            # aggregation job per append. A fresh Observation per
+            # retry: one observation latches one action.
+            out = src
+            obs = None
+            if key is not None and key in src.columns:
+                import uuid as _uuid
+
+                from pyspark.sql import Observation
+                obs = Observation(f"keyrange_{_uuid.uuid4().hex[:8]}")
+                out = src.observe(obs, F.min(key).alias("lo"),
+                                  F.max(key).alias("hi"),
+                                  F.count(F.lit(1)).alias("n"))
             _staged_claimed_write(
                 spark, dst,
-                lambda staging: src.write.mode("errorifexists")
+                lambda staging: out.write.mode("errorifexists")
                                    .parquet(staging))
-            if key is not None:
-                _write_delta_keyrange(spark, dst, key,
-                                      spark.read.parquet(dst))
+            if obs is not None:
+                _write_delta_keyrange_from_stats(spark, dst, key,
+                                                 obs.get)
             return version
         except ConcurrentWriteError:
             version += 1               # a concurrent appender won the slot

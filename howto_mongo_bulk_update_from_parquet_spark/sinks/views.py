@@ -304,15 +304,24 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
     # ONE materialization of the enriched feed window (r14 trim): the
     # round consumes it three times (served-version probe, the
     # contribution build, the stats count) and its plan is expensive
-    # to EXECUTE repeatedly (per-version pre-image joins). The window
+    # to EXECUTE repeatedly (the pre-image window pass). The window
     # is O(changes) rows — the same bound the round's shuffles already
     # carry — so checkpointing it locally is free at scale and cuts
-    # two full feed re-executions per arrival.
-    changes = read_table_changes(spark, table_path, after=off,
-                                 with_preimage=True,
-                                 key=key).localCheckpoint()
-    stats = changes.agg(F.max(VERSION_COL).alias("__v"),
-                        F.count(F.lit(1)).alias("__n")).first()
+    # two full feed re-executions per arrival. The served-version /
+    # row-count stats ride the checkpoint materialization itself via
+    # an Observation (r16 trim, zero extra jobs — guide §1.4 posture:
+    # metrics on the action, not a second pass).
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+    feed_obs = Observation(f"feed_stats_{_uuid.uuid4().hex[:8]}")
+    changes = (read_table_changes(spark, table_path, after=off,
+                                  with_preimage=True, key=key)
+               .observe(feed_obs,
+                        F.max(F.col(VERSION_COL)).alias("__v"),
+                        F.count(F.lit(1)).alias("__n"))
+               .localCheckpoint())
+    stats = feed_obs.get
     served, n_changes = stats["__v"], int(stats["__n"])
     if served is None:
         return {"applied_through": off, "groups_touched": 0,
@@ -408,6 +417,13 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
                     F.col(f"c.{group_col}") == F.col("d.__g"),
                     "full_outer")
               .select(*cols))
+    # groups_touched rides the checkpoint materialization (r16 trim,
+    # zero extra jobs). Sound for the recompute branch too: rc_full
+    # substitutes exactly one row per flagged group, so the final
+    # frame's count equals the checkpointed frame's.
+    touch_obs = Observation(f"touched_{_uuid.uuid4().hex[:8]}")
+    merged = merged.observe(touch_obs,
+                            F.count(F.lit(1)).alias("__n"))
     n_rc = 0
     if track_minmax:
         merged = merged.localCheckpoint()
@@ -457,7 +473,7 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
         # same one-materialization discipline as the minmax branch:
         # the stats count and the view upsert both read it
         merged = merged.localCheckpoint()
-    n_touched = merged.count()
+    n_touched = int(touch_obs.get["__n"])
     upsert_into_keyed_table(spark, merged, path=view_path,
                             key=group_col, updated_at_col=None,
                             table_props={OFFSET_PROP: str(served)})

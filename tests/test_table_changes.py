@@ -199,3 +199,73 @@ def test_bounded_window_excludes_future_delta_columns(spark, tmp_path):
     full = read_table_changes(spark, path, with_preimage=True, key="k")
     rows = {r["k"]: r for r in full.collect()}
     assert rows[3]["flag"] == "x" and rows[2]["flag"] is None
+
+
+def test_preimage_one_pass_matches_per_version_merge(spark, tmp_path):
+    """r16 optimization guard: the one-pass windowed pre-image
+    (`_with_preimage_one_pass`) must equal the definitional form —
+    per change version v, the pre-image of key k is the MERGED state
+    of (base + committed deltas < v) for that key, NULL when the key
+    did not exist (incl. a key deleted by an earlier served delta).
+    The scenario forces every edge: partial (null-skip) updates,
+    tombstone then re-insert (clean-slate — pre of the re-insert must
+    be NULL, and a later update's pre must NOT see pre-delete
+    values), schema evolution mid-history, and a bounded window whose
+    lookback spans an earlier non-window delta."""
+    from howto_mongo_bulk_update_from_parquet_spark.sinks.keyed_table import (
+        _complete_deltas, _current_manifest, _meta_floor,
+        _read_merged_through)
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [Row(k=i, v=float(i), tag=f"t{i % 3}") for i in range(12)])
+    upsert_into_keyed_table(spark, base, path=path, key="k",
+                            updated_at_col=None)
+    # v1: partial update (tag omitted -> null-skip) + fresh insert
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=1, v=100.0, tag=None), Row(k=50, v=50.0, tag="new")],
+        "k bigint, v double, tag string"), path=path, key="k")
+    # v2: tombstones (one for a base key, one for the fresh insert)
+    append_delete_delta(spark, spark.createDataFrame(
+        [Row(k=2), Row(k=50)]), path=path, key="k")
+    # v3: re-insert of the deleted key (clean slate) + evolved column
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=2, v=22.0, tag=None, flag="x"),
+         Row(k=1, v=111.0, tag="upd", flag=None)],
+        "k bigint, v double, tag string, flag string"),
+        path=path, key="k")
+    # v4: update that must look back THROUGH v3/v1 for its pre-image
+    append_delta(spark, spark.createDataFrame(
+        [Row(k=2, v=None, tag="t9", flag=None),
+         Row(k=3, v=33.0, tag=None, flag="y")],
+        "k bigint, v double, tag string, flag string"),
+        path=path, key="k")
+
+    for after, until in [(0, None), (1, 3), (2, None)]:
+        got = read_table_changes(spark, path, after=after, until=until,
+                                 with_preimage=True, key="k")
+        pcols = got.schema["_change_pre"].dataType.fieldNames()
+        version, meta = _current_manifest(spark, path)
+        committed = _complete_deltas(spark, path,
+                                     floor=_meta_floor(meta))
+        hi = until if until is not None else committed[-1]
+        window = [v for v in committed if after < v <= hi]
+        for r in got.collect():
+            v = r[VERSION_COL]
+            below = [e for e in committed if e < v]
+            state = _read_merged_through(spark, path, "k", below,
+                                         base_version=version or None)
+            want_rows = state.filter(F.col("k") == r["k"]).collect()
+            pre = r["_change_pre"]
+            if not want_rows:
+                assert pre is None, (after, until, v, r["k"], pre)
+            else:
+                w = want_rows[0]
+                assert pre is not None, (after, until, v, r["k"])
+                for c in pcols:
+                    wv = w[c] if c in w.__fields__ else None
+                    assert pre[c] == wv, (after, until, v, r["k"], c,
+                                          pre[c], wv)
+        assert sorted(r[VERSION_COL] for r in got.collect()) == sorted(
+            v for v in window for _ in range(
+                spark.read.parquet(f"{path}/delta_{v:05d}").count()))
