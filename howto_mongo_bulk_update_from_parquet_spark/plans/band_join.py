@@ -107,11 +107,12 @@ def q_band_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Market-basket co-occurrence (A-priori level 2): part pairs bought in
 # the same order, support-thresholded. The pair space explodes per
 # BASKET, not per table — a basket of s items yields s·(s−1)/2 pairs,
-# so the self-join is keyed on l_orderkey and its fan-out is bounded
-# by basket size (~7 here); the support HAVING prunes the long tail
-# before the result materializes. At 100 TB the one watch-item is a
-# pathological mega-basket, which is the same hot-key story as any
-# skewed join (salt or cap basket size upstream).
+# generated array-locally from the basket's sorted part set (r16; was
+# an l_orderkey-keyed self-join — same bounded fan-out, one fewer
+# shuffle); the support filter prunes the long tail before the result
+# materializes. At 100 TB the one watch-item is a pathological
+# mega-basket, which is the same hot-key story as any skewed
+# aggregation (salt or cap basket size upstream).
 # ---------------------------------------------------------------------------
 
 COOCCUR_ORACLE = """
@@ -129,16 +130,33 @@ HAVING COUNT(*) >= 3
 """
 
 
+def _basket_pairs(parts_col: str):
+    """All ordered pairs (a < b) from one basket's SORTED distinct
+    part array, as an array<struct<part_a,part_b>> — the s·(s−1)/2
+    fan-out happens array-locally in codegen, so the per-basket pair
+    expansion needs NO self-join: one shuffle on the basket key (with
+    map-side collect_set), one on the pair (r16; the self-join form
+    planned the distinct subtree twice and shuffled items twice —
+    guide §2.4). Sortedness makes position order = value order, so
+    slicing past the current element yields exactly the a < b pairs."""
+    arr = F.col(parts_col)
+    return F.flatten(F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), F.size(arr)),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")))))
+
+
 @register("q_cooccur_pairs", COOCCUR_ORACLE,
-          "market-basket co-occurrence: basket-keyed self-join (fan-"
-          "out bounded by basket size), support >= 3; A-priori L2")
+          "market-basket co-occurrence: basket-local pair expansion "
+          "(fan-out bounded by basket size, no self-join), "
+          "support >= 3; A-priori L2")
 def q_cooccur_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    return (a.join(b, "l_orderkey")
-            .filter(F.col("part_a") < F.col("part_b"))
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    return (baskets.select(F.explode(_basket_pairs("ps")).alias("pr"))
+            .select("pr.part_a", "pr.part_b")
             .groupBy("part_a", "part_b")
             .agg(F.count(F.lit(1)).alias("support"))
             .filter(F.col("support") >= 3))
@@ -426,15 +444,17 @@ FROM rules
           "directions from one pair row")
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct() \
-        .localCheckpoint(eager=False)  # feeds baskets, supports, pairs
-    n_baskets = items.select("l_orderkey").distinct().count()
-    item_supp = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("supp"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pair_supp = (a.join(b, "l_orderkey")
-                 .filter(F.col("part_a") < F.col("part_b"))
+    # one shuffle builds the per-basket sorted part sets; baskets,
+    # supports and pairs all derive from it (r16: replaces the
+    # distinct + self-join form — see _basket_pairs)
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+               .localCheckpoint(eager=False))
+    n_baskets = baskets.count()
+    item_supp = (baskets.select(F.explode("ps").alias("l_partkey"))
+                 .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp")))
+    pair_supp = (baskets.select(F.explode(_basket_pairs("ps")).alias("pr"))
+                 .select("pr.part_a", "pr.part_b")
                  .groupBy("part_a", "part_b")
                  .agg(F.count(F.lit(1)).alias("supp_ab"))
                  .filter(F.col("supp_ab") >= 3))
@@ -444,17 +464,20 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("supp").alias("supp_b"))
     joined = (pair_supp.join(F.broadcast(sa), "part_a")
               .join(F.broadcast(sb), "part_b"))
-    fwd = joined.select(
-        F.col("part_a").alias("antecedent"),
-        F.col("part_b").alias("consequent"),
-        "supp_ab", F.col("supp_a").alias("s_ante"),
-        F.col("supp_b").alias("s_cons"))
-    rev = joined.select(
-        F.col("part_b").alias("antecedent"),
-        F.col("part_a").alias("consequent"),
-        "supp_ab", F.col("supp_b").alias("s_ante"),
-        F.col("supp_a").alias("s_cons"))
-    rules = fwd.unionAll(rev)
+    # both rule directions from ONE pair row (r16: the fwd/rev
+    # union planned the whole pair-join subtree twice — 24 Exchanges
+    # in the before-plan; an inline 2-struct array keeps it one pass)
+    rules = joined.select(F.inline(F.array(
+        F.struct(F.col("part_a").alias("antecedent"),
+                 F.col("part_b").alias("consequent"),
+                 F.col("supp_ab"),
+                 F.col("supp_a").alias("s_ante"),
+                 F.col("supp_b").alias("s_cons")),
+        F.struct(F.col("part_b").alias("antecedent"),
+                 F.col("part_a").alias("consequent"),
+                 F.col("supp_ab"),
+                 F.col("supp_b").alias("s_ante"),
+                 F.col("supp_a").alias("s_cons")))))
     return rules.select(
         "antecedent", "consequent", "supp_ab",
         F.round(F.col("supp_ab").cast("double") / F.col("s_ante"), 6)

@@ -312,6 +312,11 @@ def q_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ap")[0].alias("lo_a"), F.col("ap")[1].alias("lo_b"),
         F.col("ap")[2].alias("hi_a"), F.col("ap")[3].alias("hi_b"),
         (F.col("n") < _WINSOR_SMALL_N).alias("small"))
+    # nb/below are n_groups-row frames consumed by several downstream
+    # jobs — without the checkpoint every consumer re-executes the GK
+    # sketch / anchor scan (the r16 before-plan shows the percentile
+    # subtree planned 4×; guide §3.3)
+    nb = nb.localCheckpoint(eager=False)
     j = li.join(F.broadcast(nb), "l_returnflag")
 
     # pass 2: strict-below counts anchor the brackets' global ranks
@@ -320,27 +325,31 @@ def q_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((v < F.col("lo_a")) & ~F.col("small"), 1)
                .otherwise(0)).alias("n_lt_lo"),
         F.sum(F.when((v < F.col("hi_a")) & ~F.col("small"), 1)
-               .otherwise(0)).alias("n_lt_hi"))
+               .otherwise(0)).alias("n_lt_hi")).localCheckpoint(eager=False)
 
-    # pass 3: rank only bracket rows; global rank = local rank + anchor.
-    # The value at the target rank is the exact order statistic —
-    # deterministic even under ties, because equal values are
-    # interchangeable at a rank boundary.
-    wv = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-
-    def cut_value(target_rank, lo_col, hi_col, anchor, alias):
-        nbr = j.filter(F.col("small") | ((v >= F.col(lo_col))
-                                         & (v <= F.col(hi_col))))
-        return (nbr.withColumn("lrn", F.row_number().over(wv))
-                .join(F.broadcast(below), "l_returnflag")
-                .filter(F.col("lrn") + F.col(anchor) == target_rank)
-                .groupBy("l_returnflag")
-                .agg(F.min("l_extendedprice").alias(alias)))
-
-    lo_v = cut_value(F.col("cut") + 1, "lo_a", "lo_b", "n_lt_lo", "lo_cut")
-    hi_v = cut_value(F.col("n") - F.col("cut"), "hi_a", "hi_b", "n_lt_hi",
-                     "hi_cut")
-    bounds = lo_v.join(hi_v, "l_returnflag")
+    # pass 3 (r16: ONE ranking job for both cuts, was one window job
+    # per cut): rank the union of both brackets once, with per-cut
+    # CONDITIONAL running-sum ranks — sum(is_lo) over rows ≤ current
+    # equals row_number among lo-bracket rows alone, so global rank =
+    # conditional rank + strict-below anchor, exactly as before. The
+    # value at the target rank stays deterministic under ties (equal
+    # values are interchangeable at a rank boundary). One Sort+Window
+    # and one bracket scan replace two (guide §2.4: operations keyed
+    # the same way share one exchange).
+    is_lo = F.col("small") | ((v >= F.col("lo_a")) & (v <= F.col("lo_b")))
+    is_hi = F.col("small") | ((v >= F.col("hi_a")) & (v <= F.col("hi_b")))
+    w_run = (Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = (j.filter(is_lo | is_hi)
+              .withColumn("lrn_lo", F.sum(is_lo.cast("long")).over(w_run))
+              .withColumn("lrn_hi", F.sum(is_hi.cast("long")).over(w_run))
+              .join(F.broadcast(below), "l_returnflag"))
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(is_lo & (F.col("lrn_lo") + F.col("n_lt_lo")
+                              == F.col("cut") + 1), v)).alias("lo_cut"),
+        F.min(F.when(is_hi & (F.col("lrn_hi") + F.col("n_lt_hi")
+                              == F.col("n") - F.col("cut")), v))
+         .alias("hi_cut"))
 
     # pass 4: broadcast the per-group bounds, filter, aggregate
     return (li.join(F.broadcast(bounds), "l_returnflag")
@@ -511,15 +520,23 @@ GROUP BY l.l_returnflag
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.percentiles import exact_grouped_percentile
     li = load_table(spark, sf_dir, "lineitem")
+    # n_groups-row results consumed by several downstream jobs: the
+    # MAD machinery scans its source ~3× and the final aggregate joins
+    # both — without the checkpoint each of those re-executes the full
+    # median bracket pipeline (the r16 before-plan shows the duplicated
+    # subtree), turning 2 medians into ~7 (guide §3.3: materialize a
+    # reused intermediate to truncate the plan)
     med = exact_grouped_percentile(
         li.select("l_returnflag", "l_extendedprice"),
-        "l_returnflag", "l_extendedprice", [0.5], out_cols=["med"])
+        "l_returnflag", "l_extendedprice", [0.5],
+        out_cols=["med"]).localCheckpoint(eager=False)
     with_med = li.join(F.broadcast(med), "l_returnflag")
     dev_src = with_med.select(
         "l_returnflag",
         F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"))
     mad = exact_grouped_percentile(dev_src, "l_returnflag", "adev",
-                                   [0.5], out_cols=["mad"])
+                                   [0.5], out_cols=["mad"]) \
+        .localCheckpoint(eager=False)
     dev = F.abs(F.col("l_extendedprice") - F.col("med"))
     return (with_med.join(F.broadcast(mad), "l_returnflag")
             .groupBy("l_returnflag")
