@@ -224,10 +224,17 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = tk.select(
         "doc_id",
         F.explode(F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"])))
-         .alias("b"))
+         .alias("b")).localCheckpoint(eager=False)
+    # the bigram stream feeds the c12 count AND the scoring join —
+    # checkpoint cuts the scan+split+explode to one execution (r16;
+    # the before-plan ran it 3×). c1 derives from c12 (count of
+    # bigrams starting with w1 = Σ c12 over that prefix — exact), so
+    # the unigram pass runs over the vocabulary-sized counts, not the
+    # full stream.
     c12 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = (bg.select(F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"))
-          .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    c1 = (c12.groupBy(F.split_part(F.col("b"), F.lit(" "), F.lit(1))
+               .alias("w1"))
+          .agg(F.sum("c12").alias("c1")))
     term = (F.round(F.log2(F.col("c12").cast("double") / F.col("c1")), 9)
             .cast("decimal(20,9)"))
     joined = (bg.join(c12, "b")
