@@ -76,6 +76,24 @@ FORCE_REATTEST: tuple[str, ...] = (
     # dup_spans.py header fix (r15 verdict item 8) + its importers
     "q_dup_spans", "q_dedup_trim", "q_dup_token_ratio",
     "q_incremental_dup_spans", "q_curate_pipeline",
+    # r16 OPTIMIZATION diff (guard-derived): plans/quality.py
+    # (mad/winsorize checkpoint+fused window), plans/band_join.py
+    # (basket-local pairs), plans/text_stats.py (bigram stream),
+    # operators/bloom.py (blocked layout), streaming/stateful.py
+    # (numpy kernels) — every query in those files' import closures
+    "q_assoc_rules", "q_band_join_binned", "q_bigram_lm_score",
+    "q_bloom_semi_join", "q_bucketed_colocated_join",
+    "q_constraint_audit", "q_cooccur_pairs", "q_distribution_drift",
+    "q_doc_entropy", "q_dpp_partition_pruned_join",
+    "q_exact_quartiles", "q_fk_orphans", "q_geo_neighbors",
+    "q_gini_by_group", "q_histogram", "q_kwic_context",
+    "q_mad_outliers", "q_markov_transitions", "q_mutual_information",
+    "q_nest_roundtrip", "q_outlier_trim", "q_pii_scrub",
+    "q_profile_columns", "q_repetition_ratio", "q_skew_salted_agg",
+    "q_skew_salted_join", "q_source_overlap", "q_stream_first_seen",
+    "q_stream_first_seen_ttl", "q_stream_threshold_alarm",
+    "q_tfidf_top_terms", "q_token_entropy", "q_user_paths",
+    "q_weighted_median", "q_window_range_frame", "q_winsorize_bounds",
 )
 
 
@@ -128,7 +146,16 @@ def expected_head(names: list[str], oracle_names: set[str] | dict,
                   head_size: int = HEAD_SIZE) -> list[str]:
     """The head prefix the policy above mandates, given the catalog
     (`names`, registration order), which queries carry oracles, and
-    the per-query last-green map from the committed artifacts."""
+    the per-query last-green map from the committed artifacts.
+
+    OVERFLOW (r16): when never-attested + forced exceed `head_size`
+    (a round whose diff touches broad module closures), the head is
+    the deterministic truncation — never-attested first, then forced
+    in listed order — and NO LRA fill runs. Forced entries cut by
+    the truncation stay in FORCE_REATTEST and take head slots next
+    round; the local selfcheck (SELFCHECK_FULL.json) still covers
+    every query every round, so the deferral affects which rows the
+    DRIVER artifact carries, not what gets verified."""
     eligible = [n for n in names if n in oracle_names and n not in ROWS_ONLY]
     never = [n for n in eligible if n not in last_green]
     head: list[str] = list(dict.fromkeys(
