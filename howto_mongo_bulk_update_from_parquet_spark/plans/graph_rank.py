@@ -100,11 +100,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = nodes.select("node", F.round(F.lit(1.0) / n_nodes, 9).alias("pr"))
     base = (1.0 - DAMPING) / n_nodes
     for _ in range(N_ITER):
-        contrib = (edges.join(pr, edges.src == pr.node)
-                   .join(outdeg, "src")
-                   .select(F.col("dst").alias("node"),
-                           F.round(F.col("pr") / F.col("deg"), 9)
-                            .cast("decimal(20,9)").alias("c")))
+        # one broadcast join per iteration, not two (r16): the
+        # per-source emission rate pr/deg is a |sources|-row frame —
+        # join rank to outdeg first (tiny ⋈ tiny), broadcast the
+        # result onto the cached edge list. Same per-edge value, one
+        # fewer join stage per round.
+        rate = (outdeg.join(pr, outdeg.src == pr.node)
+                .select("src", F.round(F.col("pr") / F.col("deg"), 9)
+                        .cast("decimal(20,9)").alias("c")))
+        contrib = (edges.join(F.broadcast(rate), "src")
+                   .select(F.col("dst").alias("node"), "c"))
         acc = contrib.groupBy("node").agg(F.sum("c").alias("acc"))
         pr = (nodes.join(acc, "node", "left")
               .select("node",

@@ -94,6 +94,8 @@ FORCE_REATTEST: tuple[str, ...] = (
     "q_stream_first_seen_ttl", "q_stream_threshold_alarm",
     "q_tfidf_top_terms", "q_token_entropy", "q_user_paths",
     "q_weighted_median", "q_window_range_frame", "q_winsorize_bounds",
+    # plans/graph_rank.py (pagerank per-iteration join fusion)
+    "q_pagerank", "q_shortest_paths", "q_triangle_count",
 )
 
 
