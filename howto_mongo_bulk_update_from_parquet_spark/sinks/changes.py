@@ -43,7 +43,8 @@ from pyspark.sql import types as T
 from . import fs as hfs
 from .keyed_table import (_TOMBSTONE, _complete_deltas, _delta_versions,
                           _hits_base, _lsm_base, _read_base,
-                          current_base_version, folded_through)
+                          _read_delta_dir, current_base_version,
+                          folded_through)
 
 #: system columns appended to every change row (Delta CDF analogs:
 #: _commit_version / _change_type)
@@ -144,8 +145,7 @@ def read_table_changes(spark: SparkSession, path: str, *,
                 "struct<" + ",".join(
                     f"{c}:{dict(base.dtypes)[c]}" for c in pcols) + ">"))
         return out
-    deltas = {v: spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
-              for v in versions}
+    deltas = {v: _read_delta_dir(spark, path, v) for v in versions}
     version_now = current_base_version(spark, path)
     base = (_read_base(spark, path, version_now) if version_now
             else _lsm_base(spark, path))
@@ -226,8 +226,7 @@ def _with_preimage_one_pass(spark: SparkSession, path: str, key: str,
     hist_dfs = dict(deltas)
     for e in hist:
         if e not in hist_dfs:
-            hist_dfs[e] = spark.read.parquet(
-                hfs.join(path, f"delta_{e:05d}"))
+            hist_dfs[e] = _read_delta_dir(spark, path, e)
             for c, t in hist_dfs[e].dtypes:
                 if c not in ptypes and c != _TOMBSTONE:
                     ptypes[c] = t

@@ -265,6 +265,54 @@ def base_file_map(spark: SparkSession, path: str,
     return out
 
 
+_PQ_SCHEMA_MEMO: dict[tuple, T.StructType] = {}
+
+
+def _read_committed_parquet(spark: SparkSession, paths: list[str],
+                            merge_schema: bool = False) -> DataFrame:
+    """`spark.read.parquet` over COMMITTED, immutable storage — a
+    `base_v*`/`delta_*` directory, or an explicit data-file list drawn
+    from one — with the inferred schema memoized per session. A
+    statement pipeline re-resolves the same snapshot once per
+    statement, and each plain read re-runs footer schema inference (a
+    small `parquet at` job + driver listing every time): the memo
+    makes every read after the first supply the schema explicitly,
+    which skips the inference job outright (guide §1.2: per-job fixed
+    costs are the cycle lane's dominant term at small per-commit data
+    sizes; at 100 TB the same memo removes repeated remote footer
+    fetches).
+
+    Soundness: the commit protocol never mutates a committed dir in
+    place (claims rename fully-written staged dirs in; GC / vacuum /
+    restore delete whole dirs), and data-file names are job-UUID
+    unique — so a memo entry could only lie if a dir were deleted and
+    re-created with different files at the same path, which the
+    fingerprint (the dir's own current listing) detects and treats as
+    a fresh first read. Explicit file lists are their own fingerprint.
+    Results are never cached — only the schema, which is derived
+    metadata of immutable files."""
+    if len(paths) == 1 and not paths[0].endswith(".parquet"):
+        fp = tuple(sorted(hfs.listdir(spark, paths[0])))
+    else:
+        fp = ()
+    key = (tuple(paths), fp, merge_schema)
+    schema = _PQ_SCHEMA_MEMO.get(key)
+    reader = spark.read
+    if schema is not None:
+        return reader.schema(schema).parquet(*paths)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*paths)
+    _PQ_SCHEMA_MEMO[key] = df.schema
+    return df
+
+
+def _read_delta_dir(spark: SparkSession, path: str, v: int) -> DataFrame:
+    """Read one committed delta directory through the schema memo."""
+    return _read_committed_parquet(spark,
+                                   [hfs.join(path, f"delta_{v:05d}")])
+
+
 def _read_base(spark: SparkSession, path: str, version: int) -> DataFrame:
     """Read a base version's data, resolving carry-by-reference when
     present. Self-contained bases (no sidecar) keep today's plain
@@ -276,10 +324,10 @@ def _read_base(spark: SparkSession, path: str, version: int) -> DataFrame:
     refs = _carried_refs(spark, path, version)
     base = _base_dir(path, version)
     if not refs:
-        return spark.read.parquet(base)
+        return _read_committed_parquet(spark, [base])
     own = [hfs.join(base, f) for f in _base_data_files(spark, base)]
     paths = own + [hfs.join(path, r) for r in refs]
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _read_committed_parquet(spark, paths, merge_schema=True)
 
 
 def _base_dir(path: str, version: int) -> str:
@@ -765,7 +813,7 @@ def _read_base_bucketed(spark: SparkSession, path: str, version: int,
     name = _bucket_table_ident(path, version)
     base = _base_dir(path, version)
     if not spark.catalog.tableExists(name):
-        ddl = spark.read.parquet(base)._jdf.schema().toDDL()
+        ddl = _read_committed_parquet(spark, [base])._jdf.schema().toDDL()
         spark.sql(
             f"CREATE TABLE {name} ({ddl}) USING PARQUET "
             f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
@@ -1406,7 +1454,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                                 eff_bloom=eff_bloom)
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
-    result = spark.read.parquet(_base_dir(path, new_version))
+    result = _read_committed_parquet(
+        spark, [_base_dir(path, new_version)])
     if return_counts:
         return result, obs.get
     return result
@@ -1814,7 +1863,7 @@ def read_pending_deltas(spark: SparkSession,
     deltas = _complete_deltas(spark, path, floor=_meta_floor(meta))
     if not deltas:
         return None
-    parts = [spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
+    parts = [_read_delta_dir(spark, path, v)
              for v in deltas]
     out = parts[0]
     for p in parts[1:]:
@@ -1980,8 +2029,8 @@ def _hits_base(spark: SparkSession, path: str, key: str,
         return base
     if not touched:
         return spark.createDataFrame([], base.schema)
-    return (spark.read.option("mergeSchema", "true")
-            .parquet(*[fmap[f] for f in sorted(touched)]))
+    return _read_committed_parquet(
+        spark, [fmap[f] for f in sorted(touched)], merge_schema=True)
 
 
 def _merged_fast(spark: SparkSession, path: str, key: str,
@@ -2026,7 +2075,7 @@ def _merged_touched(spark: SparkSession, path: str, key: str,
     untouched branch."""
     parts = []
     for v in deltas:
-        d = spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
+        d = _read_delta_dir(spark, path, v)
         if predicate is not None:
             d = d.filter(predicate)
         parts.append(d.withColumn("__v", F.lit(v)))
@@ -2109,7 +2158,7 @@ def _read_merged_through(spark: SparkSession, path: str, key: str,
             base = base.filter(predicate)
         parts.append(base.withColumn("__v", F.lit(0)))
     for v in deltas:
-        d = spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
+        d = _read_delta_dir(spark, path, v)
         if predicate is not None:
             d = d.filter(predicate)
         parts.append(d.withColumn("__v", F.lit(v)))
@@ -2263,8 +2312,8 @@ def lookup_keyed_table(spark: SparkSession, path: str, key: str, *,
         # mergeSchema: a carried base can mix schema generations across
         # files (see _read_base); kept is small, so the footer cost is
         # bounded by the prune itself
-        base_df = (spark.read.option("mergeSchema", "true")
-                   .parquet(*[fmap[f] for f in kept]))
+        base_df = _read_committed_parquet(
+            spark, [fmap[f] for f in kept], merge_schema=True)
     else:
         # every file pruned — the probe keys can still live in deltas
         base_df = spark.createDataFrame(
@@ -2319,8 +2368,8 @@ def lookup_join_keyed_table(spark: SparkSession, path: str, key: str,
                                     version=version, meta=meta)
     fmap = base_file_map(spark, path, version)
     if kept:
-        base_df = (spark.read.option("mergeSchema", "true")
-                   .parquet(*[fmap[f] for f in kept]))
+        base_df = _read_committed_parquet(
+            spark, [fmap[f] for f in kept], merge_schema=True)
     else:
         base_df = spark.createDataFrame(
             [], _read_base(spark, path, version).schema)
@@ -2430,8 +2479,8 @@ def scan_keyed_table(spark: SparkSession, path: str, *,
             bloom_used.append(col)
     kept_names = sorted(kept)
     if kept_names:
-        df = (spark.read.option("mergeSchema", "true")
-              .parquet(*[fmap[f] for f in kept_names]))
+        df = _read_committed_parquet(
+            spark, [fmap[f] for f in kept_names], merge_schema=True)
     else:
         df = spark.createDataFrame(
             [], _read_base(spark, path, version).schema)
@@ -2528,7 +2577,8 @@ def compact(spark: SparkSession, path: str, key: str,
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     hfs.delete(spark, hfs.join(path, _LEGACY_BASE))
-    return spark.read.parquet(_base_dir(path, new_version))
+    return _read_committed_parquet(
+        spark, [_base_dir(path, new_version)])
 
 
 def _touched_base_files(spark: SparkSession, path: str, key: str,
@@ -2560,7 +2610,7 @@ def _touched_base_files(spark: SparkSession, path: str, key: str,
             spans.append((e["file"], str(lo), str(hi)))
     if not spans:
         return touched
-    parts = [spark.read.parquet(hfs.join(path, f"delta_{v:05d}"))
+    parts = [_read_delta_dir(spark, path, v)
              .select(key) for v in fold]
     keys = parts[0]
     for p in parts[1:]:
@@ -2654,8 +2704,8 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
                                   all_files)
     untouched = [f for f in all_files if f not in touched]
     if touched:
-        base_df = (spark.read.option("mergeSchema", "true")
-                   .parquet(*[fmap[f] for f in sorted(touched)]))
+        base_df = _read_committed_parquet(
+            spark, [fmap[f] for f in sorted(touched)], merge_schema=True)
     else:
         # pure-insert fold: every delta key lands outside every span
         base_df = spark.createDataFrame(
@@ -2846,7 +2896,8 @@ def delete_from_keyed_table(spark: SparkSession, keys: DataFrame, *,
     # root layout's files, which `target` may still lazily scan
     n_before = target.count() if return_counts else None
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
-    result = spark.read.parquet(_base_dir(path, new_version))
+    result = _read_committed_parquet(
+        spark, [_base_dir(path, new_version)])
     n_deleted = (n_before - result.count()) if return_counts else None
     # freshly-folded delta files are kept for one more commit (pure GC
     # under the watermark; in-flight pre-fold readers finish their
@@ -3014,8 +3065,7 @@ def table_schema(spark: SparkSession, path: str):
         return _read_base(spark, path, version).schema
     deltas = _delta_versions(spark, path)
     if deltas:
-        return spark.read.parquet(
-            hfs.join(path, f"delta_{deltas[-1]:05d}")).schema
+        return _read_delta_dir(spark, path, deltas[-1]).schema
     if _legacy_root_has_data(spark, path):
         return spark.read.parquet(path).schema
     return None
