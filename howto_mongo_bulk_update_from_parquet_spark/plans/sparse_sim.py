@@ -85,9 +85,13 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .localCheckpoint(eager=False))
 
     dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    # norms feeds BOTH sides of the final join (na and nb): cut the
+    # lineage so the O(docs) aggregate plans and executes once, not
+    # twice (r16 trim, same discipline as `w` above)
     norms = (w.groupBy("doc_id")
              .agg(F.sqrt(F.sum(dec(F.col("idf") * F.col("idf")))
-                         .cast("double")).alias("nrm")))
+                         .cast("double")).alias("nrm"))
+             .localCheckpoint(eager=False))
 
     a = w.select(F.col("doc_id").alias("id_a"), "shingle",
                  F.col("idf").alias("ia"))

@@ -52,11 +52,18 @@ def _positions(col: F.Column, m_bits: int, n_hashes: int) -> F.Column:
                      for i in range(n_hashes)])
 
 
+def auto_m_bits(n_max: int) -> int:
+    """Bitset size for the fullest file's value count: ~14 bits per
+    value, rounded up to a power of two, floored at 2^16."""
+    return max(M_BITS, 1 << (14 * int(n_max)).bit_length())
+
+
 def collect_bloom_index(spark: SparkSession, base_dir: str,
                         cols: list[str],
                         paths: list[str] | None = None,
                         m_bits: int | None = None,
-                        n_hashes: int = N_HASHES) -> DataFrame | None:
+                        n_hashes: int = N_HASHES,
+                        n_max: int | None = None) -> DataFrame | None:
     """Per-file sparse bloom bitsets for `cols` over the parquet files
     of `base_dir` (or the explicit `paths` subset — the pruned fold
     stats only its rewritten files). One job per call: explode k
@@ -71,15 +78,22 @@ def collect_bloom_index(spark: SparkSession, base_dir: str,
     values in 64 Kib the fp rate is ~26%, measured: 24 of 80 files
     passed a probe that belonged to 1). The sizing count is one
     cheap grouped-count job; the per-file cost lands in the sidecar's
-    recorded params, so mixed sizings across folds stay probe-safe."""
+    recorded params, so mixed sizings across folds stay probe-safe.
+
+    `n_max` (the fullest file's row count) skips the sizing job when
+    the caller already knows it — the write path collects the zone
+    map immediately before this and its per-file `rows` entries are
+    the exact same per-file counts (r16 trim: one fewer job per
+    bloom-indexed base write; identical m_bits by construction)."""
     df = spark.read.parquet(*(paths if paths else [base_dir]))
     usable = [c for c in cols if c in df.columns]
     if not usable:
         return None
     if m_bits is None:
-        n_max = (df.groupBy(F.col("_metadata.file_path"))
-                 .count().agg(F.max("count")).first()[0]) or 1
-        m_bits = max(M_BITS, 1 << (14 * int(n_max)).bit_length())
+        if n_max is None:
+            n_max = (df.groupBy(F.col("_metadata.file_path"))
+                     .count().agg(F.max("count")).first()[0]) or 1
+        m_bits = auto_m_bits(n_max or 1)
     dtypes = dict(df.dtypes)
     parts = []
     for c in usable:

