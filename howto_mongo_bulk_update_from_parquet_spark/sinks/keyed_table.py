@@ -589,14 +589,21 @@ def _write_claiming_base(spark: SparkSession, df: DataFrame, path: str,
         lambda staging: df.write.mode("errorifexists").parquet(staging))
 
 
-def _staged_claimed_write(spark: SparkSession, dst: str, write_to) -> None:
+def _staged_claimed_write(spark: SparkSession, dst: str, write_to,
+                          validate=None) -> None:
     """Run `write_to(staging)` against a fresh private staging dir,
     then atomically rename it onto `dst`; a False rename (slot taken
     since the claim check) raises ConcurrentWriteError. Staging is
     deleted on every non-renamed outcome; a process killed mid-write
     leaks one `.stage-*` dir, swept by `recover_dead_claims` and
     ignored by every reader (dot-prefixed, outside the base_v/delta_
-    name space)."""
+    name space).
+
+    `validate` (optional) runs AFTER the write and BEFORE the rename:
+    a raise there discards the staging dir and nothing becomes
+    visible — the hook check-constraint enforcement rides now that
+    its violation scan is an Observation on the write job itself
+    (r16: one batch pass instead of two, no separate probe job)."""
     import uuid
     root = dst.rstrip("/")
     parent, name = root.rsplit("/", 1)
@@ -604,6 +611,8 @@ def _staged_claimed_write(spark: SparkSession, dst: str, write_to) -> None:
     renamed = False
     try:
         write_to(staging)
+        if validate is not None:
+            validate()
         renamed = hfs.rename_no_clobber(spark, staging, dst)
         if not renamed:
             raise ConcurrentWriteError(
@@ -1100,6 +1109,75 @@ def _enforce_checks(df: DataFrame, checks: dict[str, str],
             f"row {r['__row'].asDict()}")
 
 
+def _observed_checks(df: DataFrame, checks: dict[str, str], what: str,
+                     table_fields: "T.StructType | None" = None,
+                     live_if: Column | None = None):
+    """CHECK enforcement that RIDES the write job (r16, guide §1.4):
+    ``(df', validate)`` — attach ``df'`` where ``df`` entered the
+    write plan and call ``validate()`` after the write action but
+    BEFORE the commit point (the staged rename for deltas, the
+    manifest publish for bases). The violation count and one example
+    row are Observation aggregates computed during the write itself,
+    so a checked batch costs ONE pass instead of two (the old
+    pre-write probe re-executed the batch's dedup window) and zero
+    extra jobs. A violating batch is still refused with nothing
+    visible: staged dirs are discarded, unpublished bases are orphan
+    debris no reader resolves (and the caller deletes them).
+
+    Same SQL CHECK semantics as `_enforce_checks` (NULL passes;
+    missing columns ride as typed NULLs). `live_if` exempts rows
+    where it is false (tombstone rows of a merge delta carry no
+    payload to check); those rows keep flowing to the write
+    unchanged. Falls back to a post-write `_enforce_checks` probe
+    when an example-row column is un-orderable (map types cannot sit
+    in the max() struct) — correctness identical, one extra job on
+    that rare shape only."""
+    if not checks:
+        return df, None
+    import functools
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+    pad = []
+    if table_fields is not None:
+        pad = [F.lit(None).cast(f.dataType).alias(f.name)
+               for f in table_fields if f.name not in df.columns]
+    out_cols = list(df.columns)
+    work = df.select("*", *pad) if pad else df
+    row_cols = [c for c in work.columns if c != _TOMBSTONE]
+    if any("map<" in t for c, t in work.dtypes if c in row_cols):
+        probe_src = work
+        if live_if is not None:
+            probe_src = work.filter(live_if).drop(_TOMBSTONE)
+        return df, (lambda: _enforce_checks(probe_src, checks, what))
+    conds = {name: F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+             for name, expr in checks.items()}
+    bad = ~functools.reduce(lambda a, b: a & b, conds.values())
+    if live_if is not None:
+        bad = live_if & bad
+    ex = F.struct(*[F.col(c) for c in row_cols],
+                  *[c_.alias(f"__ok_{n}") for n, c_ in conds.items()])
+    obs = Observation(f"checks_{_uuid.uuid4().hex[:8]}")
+    work = work.observe(obs,
+                        F.count(F.when(bad, 1)).alias("__n_bad"),
+                        F.max(F.when(bad, ex)).alias("__ex"))
+    out = work.select(*out_cols)
+
+    def validate() -> None:
+        got = obs.get
+        if not int(got["__n_bad"] or 0):
+            return
+        r = got["__ex"]
+        broken = sorted(n for n in conds if not r[f"__ok_{n}"])
+        row = {k: v for k, v in r.asDict().items()
+               if not k.startswith("__ok_")}
+        raise ConstraintViolation(
+            f"{what} violates CHECK constraint(s) {broken}: example "
+            f"row {row}")
+
+    return out, validate
+
+
 def _resolve_bloom(meta: dict[str, str], key: str,
                    bloom_cols: list[str] | None) -> list[str]:
     """Effective bloom-index columns for a RANGE base — the same
@@ -1364,10 +1442,18 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                 meta[k] = str(v)
     inherited_checks = _resolve_checks(meta, None)
     eff_checks = _resolve_checks(meta, checks)
-    _enforce_checks(prepare_source(source, key, dedup_order_by),
-                    eff_checks, "upsert source",
-                    table_fields=(table_schema(spark, path)
-                                  if eff_checks else None))
+    chk_validate = None
+    if eff_checks:
+        # checks ride the merge/write job (r16, guide §1.4): prepare
+        # once, attach the violation observation, and let every
+        # downstream branch consume the SAME prepared frame — the old
+        # pre-write probe was its own job that re-executed the batch
+        # dedup window. Re-preparing the prepared frame downstream is
+        # near-free (same key partitioning, one exchange).
+        # Validation runs before the manifest publish (below).
+        source, chk_validate = _observed_checks(
+            prepare_source(source, key, dedup_order_by), eff_checks,
+            "upsert source", table_fields=table_schema(spark, path))
     new_check_names = sorted(n for n in eff_checks
                              if inherited_checks.get(n) != eff_checks[n])
     eff_schema_mode = _resolve_schema_mode(meta, schema_mode)
@@ -1427,18 +1513,23 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                               dedup_order_by=dedup_order_by,
                               updated_at_col=updated_at_col,
                               observation=obs)
+    chk2_validate = None
     if new_check_names and (version or fold
                             or _legacy_root_has_data(spark, path)):
         # Delta ADD-CONSTRAINT posture (ADVICE r13): a check name
         # introduced on a table with existing rows validates HISTORY,
-        # not just the batch — scan the post-merge state (existing ∪
+        # not just the batch — the post-merge state (existing ∪
         # batch after null-skip resolution, exactly what will commit)
-        # for the new names before anything writes. Inherited checks
-        # stay batch-only: their history was validated by the writes
-        # (or the introduction scan) that created it.
-        _enforce_checks(merged,
-                        {n: eff_checks[n] for n in new_check_names},
-                        "existing table state (new CHECK)")
+        # is scanned for the new names. Inherited checks stay
+        # batch-only: their history was validated by the writes (or
+        # the introduction scan) that created it. The scan rides the
+        # base write (r16) and validates before the manifest publish
+        # — this also removes the old pre-write probe that was the
+        # first action through the merge_counts observation and could
+        # latch it from a partial (limit-1) scan.
+        merged, chk2_validate = _observed_checks(
+            merged, {n: eff_checks[n] for n in new_check_names},
+            "existing table state (new CHECK)")
     # bucketed writes split files by bucket id, range writes by key
     # range — an n_files repartition would only fight the layout
     out = merged.repartition(n_files) \
@@ -1454,6 +1545,19 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
                                 eff_zorder=eff_zorder,
                                 eff_target=eff_target,
                                 eff_bloom=eff_bloom)
+    # pre-publish constraint validation (observations latched by the
+    # base write above): a violation discards the unpublished base —
+    # no manifest points at it, so no reader ever resolves it — and
+    # raises exactly as the old pre-write probe did. Batch checks
+    # report before new-check history scans (same precedence as the
+    # old probe order).
+    for _validate in (chk_validate, chk2_validate):
+        if _validate is not None:
+            try:
+                _validate()
+            except ConstraintViolation:
+                hfs.delete(spark, _base_dir(path, new_version))
+                raise
     _commit_version(spark, path, new_version, retain_versions, meta=meta)
     _gc_folded_deltas(spark, path, old_floor)
     result = _read_committed_parquet(
@@ -1678,7 +1782,8 @@ def _delta_may_match(spark: SparkSession, path: str, v: int, key: str,
 def _append_delta_claiming(spark: SparkSession, src: DataFrame,
                            path: str, max_retries: int = 64,
                            floor: int | None = None,
-                           key: str | None = None) -> int:
+                           key: str | None = None,
+                           checks_spec: tuple | None = None) -> int:
     """Write `src` as the next `delta_{N}` directory, CLAIMING the
     version: two concurrent appenders (a CLI tombstone racing a
     streaming changefeed batch, or a scheduled compact) can list the
@@ -1723,19 +1828,30 @@ def _append_delta_claiming(spark: SparkSession, src: DataFrame,
             # aggregation job per append. A fresh Observation per
             # retry: one observation latches one action.
             out = src
+            validate = None
+            if checks_spec is not None:
+                # CHECK enforcement rides the same write (fresh
+                # observation per retry, same rule as keyrange): a
+                # violating batch is refused before the rename, so
+                # no delta — not even a partial one — ever lands
+                chk, what, tf, live_if = checks_spec
+                out, validate = _observed_checks(out, chk, what,
+                                                 table_fields=tf,
+                                                 live_if=live_if)
             obs = None
             if key is not None and key in src.columns:
                 import uuid as _uuid
 
                 from pyspark.sql import Observation
                 obs = Observation(f"keyrange_{_uuid.uuid4().hex[:8]}")
-                out = src.observe(obs, F.min(key).alias("lo"),
+                out = out.observe(obs, F.min(key).alias("lo"),
                                   F.max(key).alias("hi"),
                                   F.count(F.lit(1)).alias("n"))
             _staged_claimed_write(
                 spark, dst,
                 lambda staging: out.write.mode("errorifexists")
-                                   .parquet(staging))
+                                   .parquet(staging),
+                validate=validate)
             if obs is not None:
                 _write_delta_keyrange_from_stats(spark, dst, key,
                                                  obs.get)
@@ -1777,13 +1893,15 @@ def append_delta(spark: SparkSession, source: DataFrame, *, path: str,
     src = prepare_source(source, key, dedup_order_by)
     meta = table_meta(spark, path)
     chk = _resolve_checks(meta, None)
-    _enforce_checks(src, chk, "delta append",
-                    table_fields=(table_schema(spark, path)
-                                  if chk else None))
     _enforce_schema_mode(spark, path, src.columns,
                          _resolve_schema_mode(meta, None),
                          "delta append")
-    return _append_delta_claiming(spark, src, path, key=key)
+    # checks ride the delta write job itself (one batch pass, no
+    # probe job — r16); the claiming writer validates pre-rename
+    spec = (chk, "delta append",
+            table_schema(spark, path), None) if chk else None
+    return _append_delta_claiming(spark, src, path, key=key,
+                                  checks_spec=spec)
 
 
 def _lsm_base(spark: SparkSession, path: str) -> DataFrame | None:
@@ -3048,15 +3166,18 @@ def append_merge_delta(spark: SparkSession, rows: DataFrame, *,
            .filter(F.col("__rn") == 1).drop("__rn"))
     meta = table_meta(spark, path)
     chk = _resolve_checks(meta, None)
-    if chk:
-        live = (src.filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
-                .drop(_TOMBSTONE) if has_tomb else src)
-        _enforce_checks(live, chk, "merge delta",
-                        table_fields=table_schema(spark, path))
     _enforce_schema_mode(spark, path, src.columns,
                          _resolve_schema_mode(meta, None),
                          "merge delta")
-    return _append_delta_claiming(spark, src, path, key=key)
+    # checks ride the delta write (r16) — tombstone rows exempt via
+    # live_if (SQL deletes are not subject to CHECK)
+    spec = None
+    if chk:
+        live_if = (~F.coalesce(F.col(_TOMBSTONE), F.lit(False))
+                   if has_tomb else None)
+        spec = (chk, "merge delta", table_schema(spark, path), live_if)
+    return _append_delta_claiming(spark, src, path, key=key,
+                                  checks_spec=spec)
 
 
 def table_schema(spark: SparkSession, path: str):

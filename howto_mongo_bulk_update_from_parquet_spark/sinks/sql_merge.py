@@ -112,9 +112,9 @@ import re
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .keyed_table import (_TOMBSTONE, _resolve_checks,
-                          append_delete_delta, append_merge_delta,
-                          read_merged, table_meta, table_schema)
+from .keyed_table import (_TOMBSTONE, append_delete_delta,
+                          append_merge_delta, read_merged, table_meta,
+                          table_schema)
 
 
 class MergeSyntaxError(ValueError):
@@ -554,16 +554,14 @@ def sql_merge(spark: SparkSession, text: str, *,
 
 def _counted(spark: SparkSession, path: str, df: DataFrame, aggs):
     """(df', get) — count aggregates that ride the write action at
-    ZERO extra jobs via the Observation API. A CHECK-constrained
-    table is the exception: its pre-commit validation probe
-    (`_enforce_checks`, a limit(1) collect) would be the FIRST action
-    through the observe node and could latch metrics from a
-    short-circuited partial scan, so with checks present `get` runs
-    one explicit agg job instead (constraint tables already pay a
-    validation pass; call `get` only AFTER the write so the agg
-    reuses nothing half-built)."""
-    if _resolve_checks(table_meta(spark, path), None):
-        return df, (lambda: df.agg(*aggs).first().asDict())
+    ZERO extra jobs via the Observation API. CHECK-constrained tables
+    used to fall back to an explicit agg job here because their
+    pre-commit validation probe (`_enforce_checks`, a limit(1)
+    collect) was the FIRST action through the observe node and could
+    latch metrics from a short-circuited partial scan; r16 moved the
+    validation INTO the write job (`keyed_table._observed_checks`),
+    so the write is now the first action for every table and the
+    observation path is always safe."""
     obs = Observation()
     return df.observe(obs, *aggs), (lambda: obs.get)
 

@@ -210,3 +210,34 @@ def test_cli_delete_where_predicate(spark, tmp_path, capsys):
                "--where", "bucket:8:8", "--tombstone"])
     assert rc == 0
     assert read_merged(spark, path, "_id").count() == 160
+
+
+def test_in_write_enforcement_leaves_no_debris(spark, tmp_path):
+    """r16: the violation scan rides the write job and refuses before
+    the commit point — a violating delta leaves neither a delta dir
+    nor a .stage-* staging dir; a violating rewrite on an existing
+    table leaves the manifest on the old version and deletes the
+    unpublished base."""
+    path = _mk(spark, tmp_path)
+    v0 = current_base_version(spark, path)
+    with pytest.raises(ConstraintViolation, match="pos_val"):
+        append_delta(spark,
+                     spark.createDataFrame([Row(k=9, val=-5.0, tag="x")]),
+                     path=path, key="k")
+    children = hfs.listdir(spark, path)
+    assert not any(c.startswith("delta_") for c in children)
+    assert not any(c.startswith(".stage-") for c in children)
+    with pytest.raises(ConstraintViolation, match="pos_val"):
+        upsert_into_keyed_table(
+            spark,
+            spark.createDataFrame([Row(k=9, val=-5.0, tag="x")]),
+            path=path, key="k", updated_at_col=None)
+    assert current_base_version(spark, path) == v0
+    children = hfs.listdir(spark, path)
+    assert not any(c == f"base_v{v0 + 1:05d}" for c in children)
+    assert not any(c.startswith(".stage-") for c in children)
+    # the table still works after both refusals
+    append_delta(spark,
+                 spark.createDataFrame([Row(k=9, val=5.0, tag="x")]),
+                 path=path, key="k")
+    assert read_merged(spark, path, "k").count() == 6
