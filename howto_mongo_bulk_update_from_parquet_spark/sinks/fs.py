@@ -155,7 +155,32 @@ def copy_many(spark: SparkSession, srcs: list[str], dst_dir: str) -> None:
 def dir_size(spark: SparkSession, path: str) -> int:
     """Total bytes under `path` (0 for a missing path) — one
     getContentSummary RPC, the cheap cardinality probe behind the
-    merged-read fast-path guard."""
+    merged-read fast-path guard. Local paths walk the tree with
+    os.scandir (the same fast-path contract as `listdir`: every
+    merged read pays this probe per pending delta, so the ~5 py4j
+    round trips apiece are pure overhead on `file:` schemes)."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        total = 0
+        try:
+            stack = [lp]
+            while stack:
+                d = stack.pop()
+                with os.scandir(d) as it:
+                    for e in it:
+                        if e.is_dir(follow_symlinks=False):
+                            stack.append(e.path)
+                        elif not (e.name.startswith(".")
+                                  and e.name.endswith(".crc")):
+                            # ChecksumFileSystem hides its own .crc
+                            # sidecars from the JVM summary; mirror it
+                            total += e.stat(follow_symlinks=False).st_size
+        except FileNotFoundError:
+            return 0
+        except OSError:
+            pass                        # fall through to the JVM path
+        else:
+            return total
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
         return 0

@@ -313,6 +313,72 @@ def _read_delta_dir(spark: SparkSession, path: str, v: int) -> DataFrame:
                                    [hfs.join(path, f"delta_{v:05d}")])
 
 
+def _union_delta_schema(
+        schemas: list[T.StructType]) -> "T.StructType | None":
+    """The column order and types an iterative
+    `unionByName(allowMissingColumns=True)` chain over frames with
+    these schemas would produce (first-seen column order, later-only
+    columns appended), or None when any column's type differs across
+    deltas — the chain's implicit numeric coercion cannot be
+    expressed by a single-relation read, so callers fall back."""
+    order: list[str] = []
+    types: dict[str, T.DataType] = {}
+    for s in schemas:
+        for f in s.fields:
+            if f.name not in types:
+                types[f.name] = f.dataType
+                order.append(f.name)
+            elif types[f.name] != f.dataType:
+                return None
+    return T.StructType(
+        [T.StructField(n, types[n], True) for n in order])
+
+
+def _read_deltas_tagged(spark: SparkSession, path: str,
+                        deltas: list[int],
+                        predicate: Column | None = None) -> DataFrame:
+    """Every requested delta directory as ONE parquet relation, each
+    row tagged with its delta version `__v` (derived from the file
+    path — a data file's immediate parent IS its delta dir). The
+    replaced shape — one `spark.read` + `.withColumn` + `unionByName`
+    per delta — cost a reader/file-index round trip and an analysis
+    pass per delta per statement (guide §2.4 posture applied to plan
+    construction; at 100 TB the same collapse reads one multi-dir
+    file index instead of N). Column order/types reproduce the union
+    chain exactly (`_union_delta_schema`); per-column type divergence
+    across deltas falls back to the chain, whose implicit cast is the
+    contract. Missing columns read as typed NULLs either way (parquet
+    by-name resolution == allowMissingColumns)."""
+    assert deltas, "caller guarantees a non-empty delta list"
+    dirs = [hfs.join(path, f"delta_{v:05d}") for v in deltas]
+    if len(deltas) == 1:
+        d = _read_committed_parquet(spark, [dirs[0]])
+        if predicate is not None:
+            d = d.filter(predicate)
+        return d.withColumn("__v", F.lit(deltas[0]))
+    merged = _union_delta_schema(
+        [_read_committed_parquet(spark, [d]).schema for d in dirs])
+    if merged is None:                   # cross-delta type divergence
+        parts = []
+        for v, d in zip(deltas, dirs):
+            p = _read_committed_parquet(spark, [d])
+            if predicate is not None:
+                p = p.filter(predicate)
+            parts.append(p.withColumn("__v", F.lit(v)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+    df = (spark.read.schema(merged).parquet(*dirs)
+          .withColumn("__v", F.element_at(
+              F.regexp_extract_all(F.col("_metadata.file_path"),
+                                   F.lit(r"delta_(\d{5})/"), F.lit(1)),
+              -1).cast("int")))
+    if predicate is not None:
+        df = df.filter(predicate)
+    return df
+
+
 def _read_base(spark: SparkSession, path: str, version: int) -> DataFrame:
     """Read a base version's data, resolving carry-by-reference when
     present. Self-contained bases (no sidecar) keep today's plain
@@ -1983,12 +2049,7 @@ def read_pending_deltas(spark: SparkSession,
     deltas = _complete_deltas(spark, path, floor=_meta_floor(meta))
     if not deltas:
         return None
-    parts = [_read_delta_dir(spark, path, v)
-             for v in deltas]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    return _read_deltas_tagged(spark, path, deltas).drop("__v")
 
 
 def read_merged(spark: SparkSession, path: str, key: str) -> DataFrame:
@@ -2193,15 +2254,7 @@ def _merged_touched(spark: SparkSession, path: str, key: str,
     `predicate` (key-only) if any; the delta-aware stats scan uses
     this branch directly, pairing it with its own zone-map-pruned
     untouched branch."""
-    parts = []
-    for v in deltas:
-        d = _read_delta_dir(spark, path, v)
-        if predicate is not None:
-            d = d.filter(predicate)
-        parts.append(d.withColumn("__v", F.lit(v)))
-    dl = parts[0]
-    for p in parts[1:]:
-        dl = dl.unionByName(p, allowMissingColumns=True)
+    dl = _read_deltas_tagged(spark, path, deltas, predicate)
     dkeys = dl.select(key).filter(F.col(key).isNotNull()).distinct()
     # the HITS branch only needs rows a delta could touch — on a
     # range-layout base it reads just the zone-map-admissible files
@@ -2277,11 +2330,8 @@ def _read_merged_through(spark: SparkSession, path: str, key: str,
         if predicate is not None:
             base = base.filter(predicate)
         parts.append(base.withColumn("__v", F.lit(0)))
-    for v in deltas:
-        d = _read_delta_dir(spark, path, v)
-        if predicate is not None:
-            d = d.filter(predicate)
-        parts.append(d.withColumn("__v", F.lit(v)))
+    if deltas:
+        parts.append(_read_deltas_tagged(spark, path, deltas, predicate))
     if not parts:
         raise FileNotFoundError(f"no base or deltas under {path}")
     allv = parts[0]
@@ -2730,11 +2780,7 @@ def _touched_base_files(spark: SparkSession, path: str, key: str,
             spans.append((e["file"], str(lo), str(hi)))
     if not spans:
         return touched
-    parts = [_read_delta_dir(spark, path, v)
-             .select(key) for v in fold]
-    keys = parts[0]
-    for p in parts[1:]:
-        keys = keys.unionByName(p)
+    keys = _read_deltas_tagged(spark, path, fold).select(key)
     keys = keys.filter(F.col(key).isNotNull()).distinct()
     dtype = table_key_dtype(spark, path, key)
     spans_df = spark.createDataFrame(
