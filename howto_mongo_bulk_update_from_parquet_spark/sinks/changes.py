@@ -43,8 +43,8 @@ from pyspark.sql import types as T
 from . import fs as hfs
 from .keyed_table import (_TOMBSTONE, _complete_deltas, _delta_versions,
                           _hits_base, _lsm_base, _read_base,
-                          _read_delta_dir, _read_deltas_tagged,
-                          current_base_version, folded_through)
+                          _read_delta_dir, current_base_version,
+                          folded_through)
 
 #: system columns appended to every change row (Delta CDF analogs:
 #: _commit_version / _change_type)
@@ -163,8 +163,10 @@ def read_table_changes(spark: SparkSession, path: str, *,
     if with_preimage:
         return _with_preimage_one_pass(spark, path, key, versions, floor,
                                        deltas, base, version_now, ptypes)
-    allv = (_read_deltas_tagged(spark, path, versions)
-            .withColumnRenamed("__v", VERSION_COL))
+    parts = [deltas[v].withColumn(VERSION_COL, F.lit(v))
+             for v in versions]
+    allv = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
     for c, t in ptypes.items():
         if c not in allv.columns:
             allv = allv.withColumn(c, F.lit(None).cast(t))
@@ -233,36 +235,23 @@ def _with_preimage_one_pass(spark: SparkSession, path: str, key: str,
     # touch: zone-pruned file set (bounded by the deltas' recorded
     # key-range sidecars), then an exact broadcast semi join — the
     # base is never shuffled and never read beyond admissible files
-    # ONE relation over every contributing delta (r16, same collapse
-    # as keyed_table._read_deltas_tagged): the old shape paid a
-    # reader + union analysis per version per feed build. The window
-    # key set is the same relation filtered to the window versions.
-    dl = _read_deltas_tagged(spark, path, hist)
-    win_keys = (dl.filter(F.col("__v").isin([int(v) for v in versions]))
-                .select(key).filter(F.col(key).isNotNull()).distinct())
+    win_keys = None
+    for v in versions:
+        kdf = deltas[v].select(key).filter(F.col(key).isNotNull())
+        win_keys = kdf if win_keys is None else win_keys.unionByName(kdf)
+    win_keys = win_keys.distinct()
     hits = _hits_base(spark, path, key, base, version_now or None,
                       versions)
-    parts = [dl,
-             hits.join(F.broadcast(win_keys), key)
-                 .withColumn("__v", F.lit(0))]
+    parts = [deltas[v].withColumn("__v", F.lit(v)) for v in versions]
+    parts += [hist_dfs[e].withColumn("__v", F.lit(e))
+              for e in hist if e not in deltas]
+    parts.append(hits.join(F.broadcast(win_keys), key)
+                 .withColumn("__v", F.lit(0)))
     u = reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
     for c, t in ptypes.items():
         if c not in u.columns:
             u = u.withColumn(c, F.lit(None).cast(t))
-    # pin the payload column order of the replaced per-part union
-    # (window deltas first-seen, then older history, then base) — the
-    # single-relation read surfaces columns in delta-NUMBER order,
-    # which differs under schema evolution and the feed's column
-    # order is consumer-visible
-    order = []
-    for cs in ([deltas[v].columns for v in versions]
-               + [hist_dfs[e].columns for e in hist if e not in deltas]
-               + [base.columns]):
-        for c in cs:
-            if c not in order and c in u.columns:
-                order.append(c)
-    u = u.select(*order, *[c for c in u.columns if c not in order])
     if _TOMBSTONE not in u.columns:
         u = u.withColumn(_TOMBSTONE, F.lit(None).cast("boolean"))
     w_prec = (Window.partitionBy(key).orderBy("__v")
