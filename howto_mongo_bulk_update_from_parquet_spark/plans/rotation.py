@@ -96,6 +96,9 @@ FORCE_REATTEST: tuple[str, ...] = (
     "q_weighted_median", "q_window_range_frame", "q_winsorize_bounds",
     # plans/graph_rank.py (pagerank per-iteration join fusion)
     "q_pagerank", "q_shortest_paths", "q_triangle_count",
+    # r16 optimization session 4: plans/sparse_sim.py (norms planned
+    # once) — both queries in its closure
+    "q_sparse_cosine_pairs", "q_bm25_topk",
 )
 
 
