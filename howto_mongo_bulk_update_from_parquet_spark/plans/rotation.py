@@ -42,7 +42,7 @@ ROWS_ONLY = frozenset({
 # r9): an uncommitted artifact appearing mid-round — or a deploy
 # missing artifacts — must not silently shift the head order away
 # from what the committed repo state mandates.
-ATTESTED_THROUGH = 15
+ATTESTED_THROUGH = 16
 
 # Queries whose IMPLEMENTATION changed this round and therefore must
 # re-attest even though a previous round's driver run was green.
@@ -50,55 +50,25 @@ ATTESTED_THROUGH = 15
 # tests/test_rotation_guard.py derives the queries whose package-
 # internal import closure intersects the round's diff and fails the
 # suite if any is missing here.
-# Round 16 opens with the r15 artifacts committed and the pin bumped
-# to 15; the list grows as the r16 diff touches query closures (the
-# guard test derives the mandatory set mechanically and fails the
-# suite if an entry is missing). Planned r16 diff: sinks/fs.py
-# (rename_no_clobber exception classification — in every keyed
-# query's closure), sinks/lease.py (displace re-check, renew debris
-# cleanup), sinks/sql_merge.py (single-join/single-commit execution,
-# conditional inserts, UPDATE/DELETE statements), sinks/views.py
-# (follow-stream lease release on stop), sinks/keyed_table.py
-# (catalog change-feed registration), cli.py, plans/dup_spans.py
-# (doc) — the keyed-storage family re-attests again.
+# Round 17 (optimization round 2/2) opens with the r16 artifacts
+# committed and the pin bumped to 16; the list grows as the r17 diff
+# touches query closures (the guard test derives the mandatory set
+# mechanically and fails the suite if an entry is missing).
 FORCE_REATTEST: tuple[str, ...] = (
-    # guard-derived: fs.py/keyed_roundtrip.py are in every keyed
-    # query's closure; views.py/changes.py in the view/feed queries'
-    "q_keyed_lsm_roundtrip", "q_keyed_merged_read",
-    "q_keyed_pruned_compact", "q_keyed_zonemap_lookup",
-    "q_keyed_zonemap_scan", "q_keyed_zorder_scan",
-    "q_keyed_lookup_join", "q_keyed_autosize", "q_keyed_bloom_scan",
-    "q_keyed_constraints", "q_keyed_schema_strict",
-    "q_keyed_table_changes", "q_keyed_sql_scan",
-    "q_keyed_view_maintain", "q_keyed_view_minmax",
-    "q_keyed_view_avg", "q_keyed_view_recover",
-    "q_keyed_sql_merge", "q_keyed_sql_changes", "q_keyed_view_follow",
-    # dup_spans.py header fix (r15 verdict item 8) + its importers
-    "q_dup_spans", "q_dedup_trim", "q_dup_token_ratio",
-    "q_incremental_dup_spans", "q_curate_pipeline",
-    # r16 OPTIMIZATION diff (guard-derived): plans/quality.py
-    # (mad/winsorize checkpoint+fused window), plans/band_join.py
-    # (basket-local pairs), plans/text_stats.py (bigram stream),
-    # operators/bloom.py (blocked layout), streaming/stateful.py
-    # (numpy kernels) — every query in those files' import closures
-    "q_assoc_rules", "q_band_join_binned", "q_bigram_lm_score",
-    "q_bloom_semi_join", "q_bucketed_colocated_join",
-    "q_constraint_audit", "q_cooccur_pairs", "q_distribution_drift",
-    "q_doc_entropy", "q_dpp_partition_pruned_join",
-    "q_exact_quartiles", "q_fk_orphans", "q_geo_neighbors",
-    "q_gini_by_group", "q_histogram", "q_kwic_context",
-    "q_mad_outliers", "q_markov_transitions", "q_mutual_information",
-    "q_nest_roundtrip", "q_outlier_trim", "q_pii_scrub",
+    # r16 overflow carry-over: these r16-changed queries were cut from
+    # the 50-slot head by the deterministic truncation (never-attested
+    # first) and must still re-attest (policy: cut forced entries stay
+    # listed until a committed artifact shows them green).
     "q_profile_columns", "q_repetition_ratio", "q_skew_salted_agg",
     "q_skew_salted_join", "q_source_overlap", "q_stream_first_seen",
     "q_stream_first_seen_ttl", "q_stream_threshold_alarm",
     "q_tfidf_top_terms", "q_token_entropy", "q_user_paths",
     "q_weighted_median", "q_window_range_frame", "q_winsorize_bounds",
-    # plans/graph_rank.py (pagerank per-iteration join fusion)
     "q_pagerank", "q_shortest_paths", "q_triangle_count",
-    # r16 optimization session 4: plans/sparse_sim.py (norms planned
-    # once) — both queries in its closure
     "q_sparse_cosine_pairs", "q_bm25_topk",
+    # r17 OPTIMIZATION diff entries are appended below as the round
+    # touches query closures (tests/test_rotation_guard.py derives the
+    # mandatory set mechanically and fails the suite on omissions).
 )
 
 
