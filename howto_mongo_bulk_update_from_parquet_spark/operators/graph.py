@@ -114,12 +114,22 @@ def _components_loop_stats(pairs: DataFrame, id_a: str, id_b: str,
                        .select("node", "old_label",
                                F.least("mid", F.coalesce("hl", "mid"))
                                 .alias("mid")))
+        # the changed-count rides the round's checkpoint
+        # materialization via an Observation (r17, guide §1.4): one
+        # job per round instead of two (the r16 form paid a separate
+        # count() against the checkpointed frame)
+        import uuid as _uuid
+
+        from pyspark.sql import Observation
+        obs = Observation(f"cc_changed_{_uuid.uuid4().hex[:8]}")
         new_labels = (stepped
                       .select("node", F.col("mid").alias("label"),
                               (F.col("old_label") > F.col("mid"))
                               .alias("__chg"))
+                      .observe(obs, F.sum(F.col("__chg").cast("long"))
+                               .alias("__n"))
                       .localCheckpoint(eager=True))
-        changed = new_labels.filter(F.col("__chg")).count()
+        changed = int(obs.get["__n"] or 0)
         labels = new_labels.drop("__chg")
         if changed == 0:
             break

@@ -69,6 +69,26 @@ FORCE_REATTEST: tuple[str, ...] = (
     # r17 OPTIMIZATION diff entries are appended below as the round
     # touches query closures (tests/test_rotation_guard.py derives the
     # mandatory set mechanically and fails the suite on omissions).
+    # sinks/keyed_table.py (write-time schema-memo seed, memo cap,
+    # NULL-pass check reporting) is in every keyed query's closure;
+    # sinks/views.py (inline-fused contributions, stats ride the
+    # write, rc_full materialization) in the view queries';
+    # operators/graph.py (changed-count rides the checkpoint) in the
+    # dedup/cluster queries'.
+    "q_correlation_matrix", "q_dedup_clusters", "q_dedup_keep_one",
+    "q_doc_packing", "q_event_funnel", "q_incremental_rollup",
+    "q_keyed_autosize", "q_keyed_bloom_scan", "q_keyed_constraints",
+    "q_keyed_lookup_join", "q_keyed_lsm_roundtrip",
+    "q_keyed_merged_read", "q_keyed_pruned_compact",
+    "q_keyed_schema_strict", "q_keyed_sql_changes",
+    "q_keyed_sql_copy_lifecycle", "q_keyed_sql_merge",
+    "q_keyed_sql_restore", "q_keyed_sql_scan",
+    "q_keyed_sql_update_delete", "q_keyed_table_changes",
+    "q_keyed_view_avg", "q_keyed_view_follow", "q_keyed_view_maintain",
+    "q_keyed_view_minmax", "q_keyed_view_recover",
+    "q_keyed_zonemap_lookup", "q_keyed_zonemap_scan",
+    "q_keyed_zorder_scan", "q_lsh_verified_pairs", "q_regression_ols",
+    "q_retention_cohorts", "q_training_pipeline",
 )
 
 

@@ -266,6 +266,50 @@ def base_file_map(spark: SparkSession, path: str,
 
 
 _PQ_SCHEMA_MEMO: dict[tuple, T.StructType] = {}
+# bound the memo (ADVICE r16): long-lived sessions on churning tables
+# would otherwise accumulate one permanent entry per (pruned file
+# subset | dir version) forever. Simple FIFO eviction — entries are
+# tiny and re-derivable, so evicting a live one only costs one
+# re-inference.
+_PQ_SCHEMA_MEMO_CAP = 4096
+
+
+def _memo_put(key: tuple, schema: T.StructType) -> None:
+    if len(_PQ_SCHEMA_MEMO) >= _PQ_SCHEMA_MEMO_CAP:
+        _PQ_SCHEMA_MEMO.pop(next(iter(_PQ_SCHEMA_MEMO)))
+    _PQ_SCHEMA_MEMO[key] = schema
+
+
+#: atomic Spark types whose parquet write→footer-inference roundtrip
+#: reproduces the written dataType exactly (inference only forces
+#: top-level nullability); nested/char/exotic types skip write-time
+#: memo seeding and pay the normal first-read inference instead.
+_SEEDABLE_ATOMIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                    T.FloatType, T.DoubleType, T.StringType,
+                    T.BooleanType, T.DateType, T.TimestampType,
+                    T.TimestampNTZType, T.BinaryType, T.DecimalType)
+
+
+def _seed_schema_memo(spark: SparkSession, dirpath: str,
+                      schema: T.StructType) -> None:
+    """Pre-populate the committed-dir schema memo for a directory THIS
+    session just wrote (r17, guide §1.2): the writer already knows the
+    schema, so the next reader's footer-inference job (one `parquet
+    at` job + a driver listing per new delta per statement) is pure
+    overhead. Spark file-source relations force every top-level field
+    nullable, so the seeded entry is the written schema with
+    nullability widened — exact for the atomic types above (probe-
+    verified write→read roundtrip); anything else (nested, char/
+    varchar) skips seeding. The fingerprint is the dir's post-commit
+    listing, taken AFTER all sidecars land, so it matches what readers
+    list."""
+    if any(not isinstance(f.dataType, _SEEDABLE_ATOMIC)
+           for f in schema.fields):
+        return
+    fp = tuple(sorted(hfs.listdir(spark, dirpath)))
+    _memo_put(((dirpath,), fp, False), T.StructType(
+        [T.StructField(f.name, f.dataType, True)
+         for f in schema.fields]))
 
 
 def _read_committed_parquet(spark: SparkSession, paths: list[str],
@@ -303,7 +347,7 @@ def _read_committed_parquet(spark: SparkSession, paths: list[str],
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*paths)
-    _PQ_SCHEMA_MEMO[key] = df.schema
+    _memo_put(key, df.schema)
     return df
 
 
@@ -1169,7 +1213,7 @@ def _enforce_checks(df: DataFrame, checks: dict[str, str],
              .limit(1).collect())
     if probe:
         r = probe[0]
-        broken = sorted(n for n in conds if not r[f"__ok_{n}"])
+        broken = sorted(n for n in conds if r[f"__ok_{n}"] is False)
         raise ConstraintViolation(
             f"{what} violates CHECK constraint(s) {broken}: example "
             f"row {r['__row'].asDict()}")
@@ -1234,7 +1278,10 @@ def _observed_checks(df: DataFrame, checks: dict[str, str], what: str,
         if not int(got["__n_bad"] or 0):
             return
         r = got["__ex"]
-        broken = sorted(n for n in conds if not r[f"__ok_{n}"])
+        # `is False`, not `not ...`: a check that evaluated NULL on
+        # the example row PASSES (SQL semantics) and must not be
+        # named as broken (ADVICE r16)
+        broken = sorted(n for n in conds if r[f"__ok_{n}"] is False)
         row = {k: v for k, v in r.asDict().items()
                if not k.startswith("__ok_")}
         raise ConstraintViolation(
@@ -1921,6 +1968,10 @@ def _append_delta_claiming(spark: SparkSession, src: DataFrame,
             if obs is not None:
                 _write_delta_keyrange_from_stats(spark, dst, key,
                                                  obs.get)
+            # the writer knows the delta's schema — seed the memo so
+            # the next statement's merged read skips footer inference
+            # (r17; sidecars above are already in the fingerprint)
+            _seed_schema_memo(spark, dst, out.schema)
             return version
         except ConcurrentWriteError:
             version += 1               # a concurrent appender won the slot

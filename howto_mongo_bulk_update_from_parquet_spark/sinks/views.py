@@ -125,16 +125,25 @@ def _snapshot_state(spark: SparkSession, table_path: str, key: str,
     diverge the two paths — review r14). The frame is materialized
     once (localCheckpoint, O(groups) rows — the view itself): the
     write and the stats count both read it."""
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
     version, meta = _current_manifest(spark, table_path)
     floor = _meta_floor(meta)
     committed = _complete_deltas(spark, table_path, floor=floor)
     state = _read_merged_through(spark, table_path, key, committed,
                                  base_version=version or None)
+    # the group count rides the checkpoint materialization itself
+    # (r17 trim, guide §1.4): the bootstrap/recover stats used to pay
+    # a separate count() job against the checkpointed frame
+    obs = Observation(f"snap_groups_{_uuid.uuid4().hex[:8]}")
     snap = (state.filter(F.col(group_col).isNotNull())
             .groupBy(group_col)
             .agg(*_snapshot_aggs(cols_, names, track_minmax))
+            .observe(obs, F.count(F.lit(1)).alias("__n"))
             .localCheckpoint())
-    return snap, (committed[-1] if committed else floor)
+    return snap, (committed[-1] if committed else floor), \
+        int(obs.get["__n"])
 
 
 def view_offset(spark: SparkSession, view_path: str) -> int:
@@ -256,14 +265,14 @@ def _maintain_round(spark: SparkSession, table_path: str, key: str,
     `maintain_grouped_view`)."""
     cols_, names = _sum_cols(sum_col)
     if not current_base_version(spark, view_path):
-        snap, newest = _snapshot_state(spark, table_path, key,
-                                       group_col, cols_, names,
-                                       track_minmax)
+        snap, newest, n_groups = _snapshot_state(spark, table_path, key,
+                                                 group_col, cols_, names,
+                                                 track_minmax)
         upsert_into_keyed_table(spark, snap, path=view_path,
                                 key=group_col, updated_at_col=None,
                                 table_props={OFFSET_PROP: str(newest)})
         return {"applied_through": int(newest),
-                "groups_touched": int(snap.count()),
+                "groups_touched": n_groups,
                 "changes": -1, "bootstrap": True}
     try:
         return _apply_differential(spark, table_path, key, view_path,
@@ -301,16 +310,19 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
             cols_shape, names_shape, track_minmax, view_path)
         return {"applied_through": off, "groups_touched": 0,
                 "changes": 0}
-    # ONE materialization of the enriched feed window (r14 trim): the
-    # round consumes it three times (served-version probe, the
-    # contribution build, the stats count) and its plan is expensive
-    # to EXECUTE repeatedly (the pre-image window pass). The window
-    # is O(changes) rows — the same bound the round's shuffles already
-    # carry — so checkpointing it locally is free at scale and cuts
-    # two full feed re-executions per arrival. The served-version /
-    # row-count stats ride the checkpoint materialization itself via
-    # an Observation (r16 trim, zero extra jobs — guide §1.4 posture:
-    # metrics on the action, not a second pass).
+    # ONE execution of the enriched feed window (r14 trim, tightened
+    # r17): the feed's plan is expensive to EXECUTE repeatedly (the
+    # pre-image window pass), so the round must consume it once. The
+    # r16 form localCheckpointed the feed (its own job) because the
+    # add/retract halves read it twice; r17 fuses both halves into a
+    # single `inline()` pass — each change row emits its +post and
+    # -pre contribution rows in ONE projection — so the feed executes
+    # exactly once, INSIDE the contribution checkpoint job below, and
+    # the feed-stats/served-version Observation rides that same job
+    # (guide §1.4/§2.3: one fewer job and one fewer materialization
+    # per maintenance round; contribution multiset identical to the
+    # old union by construction — each half keeps its own validity
+    # flag).
     import uuid as _uuid
 
     from pyspark.sql import Observation
@@ -319,20 +331,16 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
                                   with_preimage=True, key=key)
                .observe(feed_obs,
                         F.max(F.col(VERSION_COL)).alias("__v"),
-                        F.count(F.lit(1)).alias("__n"))
-               .localCheckpoint())
-    stats = feed_obs.get
-    served, n_changes = stats["__v"], int(stats["__n"])
-    if served is None:
-        return {"applied_through": off, "groups_touched": 0,
-                "changes": 0}
+                        F.count(F.lit(1)).alias("__n")))
     cols_, names = _sum_cols(sum_col)
     # null-skip post-image, then the differential contributions —
     # every value column rides this ONE pass (per-column __t/__v/__r
     # channels, indexed to keep generated names collision-free)
     post_g = F.coalesce(F.col(group_col), F.col(f"{PRE_COL}.{group_col}"))
-    add_sel = [post_g.alias("__g"), F.lit(1).cast("long").alias("__c")]
-    ret_sel = [F.col(f"{PRE_COL}.{group_col}").alias("__g"),
+    add_sel = [(F.col(OP_COL) == "U").alias("__keep"),
+               post_g.alias("__g"), F.lit(1).cast("long").alias("__c")]
+    ret_sel = [F.col(PRE_COL).isNotNull().alias("__keep"),
+               F.col(f"{PRE_COL}.{group_col}").alias("__g"),
                F.lit(-1).cast("long").alias("__c")]
     for i, c in enumerate(cols_):
         post_v = F.coalesce(F.col(c), F.col(f"{PRE_COL}.{c}"))
@@ -345,8 +353,8 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
                                  F.lit(0).cast(_DEC))).alias(f"__t{i}"),
                     F.lit(None).cast("double").alias(f"__v{i}"),
                     pre_v.cast("double").alias(f"__r{i}")]
-    add = changes.filter(F.col(OP_COL) == "U").select(*add_sel)
-    retract = changes.filter(F.col(PRE_COL).isNotNull()).select(*ret_sel)
+    contrib = changes.select(
+        F.inline(F.array(F.struct(*add_sel), F.struct(*ret_sel))))
     # localCheckpoint: the contribution frame is O(touched groups) and
     # feeds BOTH the semi join and the full outer below — materializing
     # it cuts the shared lineage (self-join ambiguity) and computes the
@@ -358,10 +366,15 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
                        F.max(f"__v{i}").alias(f"__wmax{i}"),
                        F.min(f"__r{i}").alias(f"__rmin{i}"),
                        F.max(f"__r{i}").alias(f"__rmax{i}")]
-    delta = (add.unionByName(retract)
-             .filter(F.col("__g").isNotNull())
+    delta = (contrib
+             .filter(F.col("__keep") & F.col("__g").isNotNull())
              .groupBy("__g").agg(*delta_aggs)
              .localCheckpoint())
+    stats = feed_obs.get
+    served, n_changes = stats["__v"], int(stats["__n"])
+    if served is None:
+        return {"applied_through": off, "groups_touched": 0,
+                "changes": 0}
     cur = read_merged(spark, view_path, group_col)
     _check_view_shape(cur.columns, cols_, names, track_minmax,
                       view_path)
@@ -417,10 +430,12 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
                     F.col(f"c.{group_col}") == F.col("d.__g"),
                     "full_outer")
               .select(*cols))
-    # groups_touched rides the checkpoint materialization (r16 trim,
-    # zero extra jobs). Sound for the recompute branch too: rc_full
-    # substitutes exactly one row per flagged group, so the final
-    # frame's count equals the checkpointed frame's.
+    # groups_touched rides an existing action at zero extra jobs (r16
+    # trim): the minmax branch's checkpoint below, or — non-minmax —
+    # the view upsert's write job itself (r17). Sound for the
+    # recompute branch too: rc_full substitutes exactly one row per
+    # flagged group, so the final frame's count equals the observed
+    # frame's.
     touch_obs = Observation(f"touched_{_uuid.uuid4().hex[:8]}")
     merged = merged.observe(touch_obs,
                             F.count(F.lit(1)).alias("__n"))
@@ -464,21 +479,31 @@ def _apply_differential(spark: SparkSession, table_path: str, key: str,
                        .join(rc_agg.alias("a"),
                              F.col(f"k.{group_col}")
                              == F.col(f"a.{group_col}"), "left")
-                       .select(*rc_sel))
+                       .select(*rc_sel)
+                       # materialize the recompute result (O(flagged
+                       # groups) rows) so the offset-consistent
+                       # state-merge subtree executes exactly ONCE
+                       # (r17, guide §3.3/§5): left in the lineage it
+                       # re-executed inside every broadcast build of
+                       # the view upsert's write plan — the census
+                       # showed 4 × ~2.4 s jobs each re-running the
+                       # source merge for one 300-row frame
+                       .localCheckpoint())
             merged = (merged.filter(~F.col("__rc")).drop("__rc")
                       .unionByName(rc_full))
         else:
             merged = merged.drop("__rc")
-    else:
-        # same one-materialization discipline as the minmax branch:
-        # the stats count and the view upsert both read it
-        merged = merged.localCheckpoint()
-    n_touched = int(touch_obs.get["__n"])
+    # non-minmax rounds no longer checkpoint `merged` (r17, guide
+    # §1.4): it is consumed exactly once — by the view upsert's write
+    # job — so the touch Observation latches there at zero extra jobs,
+    # where the r16 form paid a localCheckpoint job purely to host the
+    # stats. (The minmax branch keeps its checkpoint: rc_keys are
+    # collected from it before the write.)
     upsert_into_keyed_table(spark, merged, path=view_path,
                             key=group_col, updated_at_col=None,
                             table_props={OFFSET_PROP: str(served)})
     out = {"applied_through": int(served),
-           "groups_touched": int(n_touched),
+           "groups_touched": int(touch_obs.get["__n"]),
            "changes": n_changes}
     if track_minmax:
         out["recomputed_groups"] = n_rc
@@ -503,8 +528,9 @@ def _recover_rebootstrap(spark: SparkSession, table_path: str, key: str,
     cur = read_merged(spark, view_path, group_col)
     _check_view_shape(cur.columns, cols_, names, track_minmax,
                       view_path)
-    snap, newest = _snapshot_state(spark, table_path, key, group_col,
-                                   cols_, names, track_minmax)
+    snap, newest, n_groups = _snapshot_state(spark, table_path, key,
+                                             group_col, cols_, names,
+                                             track_minmax)
     zero_cols = [F.col(group_col),
                  F.lit(0).cast("long").alias("cnt")]
     for c in cols_:
@@ -543,7 +569,7 @@ def _recover_rebootstrap(spark: SparkSession, table_path: str, key: str,
                  "cadence) or maintain the view more often; each "
                  "recovery pays an O(table) re-aggregate")
     return {"applied_through": int(newest),
-            "groups_touched": int(snap.count()),
+            "groups_touched": n_groups,
             "changes": -1, "recovered": True,
             "recover_count": n_prior + 1}
 
