@@ -58,7 +58,8 @@ def keyed_upsert(target: DataFrame, source: DataFrame, key: str,
                  payload: list[str] | None = None, *,
                  dedup_order_by: list[str] | None = None,
                  updated_at_col: str | None = "updatedAt",
-                 observation=None) -> DataFrame:
+                 observation=None,
+                 source_prepared: bool = False) -> DataFrame:
     """MERGE `source` into `target` on `key` with the reference's
     null-skip upsert semantics. Returns the post-merge target.
 
@@ -66,9 +67,15 @@ def keyed_upsert(target: DataFrame, source: DataFrame, key: str,
         SELECT coalesce(s.key, t.key) AS key,
                coalesce(s.c, t.c) AS c, ...   -- per payload column
         FROM target t FULL OUTER JOIN source s ON t.key = s.key
+
+    `source_prepared=True` asserts the caller already ran
+    `prepare_source` on `source` (r17, guide §2.4): CHECK-constrained
+    writes prepare once to host the violation Observation, and
+    re-preparing planned the dedup window twice.
     """
     payload = payload or [c for c in source.columns if c != key]
-    src = prepare_source(source, key, dedup_order_by)
+    src = source if source_prepared \
+        else prepare_source(source, key, dedup_order_by)
 
     # Columns only in the target (e.g. a pre-existing updatedAt) pass through.
     target_only = [c for c in target.columns if c != key and c not in payload]

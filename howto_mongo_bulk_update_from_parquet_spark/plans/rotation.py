@@ -89,6 +89,12 @@ FORCE_REATTEST: tuple[str, ...] = (
     "q_keyed_zonemap_lookup", "q_keyed_zonemap_scan",
     "q_keyed_zorder_scan", "q_lsh_verified_pairs", "q_regression_ols",
     "q_retention_cohorts", "q_training_pipeline",
+    # operators/merge.py (source_prepared flag — the CHECK-constrained
+    # upsert no longer plans the dedup window twice) is in the merge/
+    # ingest queries' closure
+    "q_constraint_audit", "q_csv_ingest", "q_fixedwidth_ingest",
+    "q_generate", "q_jsonl_ingest", "q_merge_upsert",
+    "q_merge_upsert_delete", "q_schema_evolution_read", "q_xml_ingest",
 )
 
 

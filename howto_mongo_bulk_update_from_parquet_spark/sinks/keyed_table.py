@@ -1556,17 +1556,20 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
     inherited_checks = _resolve_checks(meta, None)
     eff_checks = _resolve_checks(meta, checks)
     chk_validate = None
+    source_prepared = False
     if eff_checks:
         # checks ride the merge/write job (r16, guide §1.4): prepare
         # once, attach the violation observation, and let every
         # downstream branch consume the SAME prepared frame — the old
         # pre-write probe was its own job that re-executed the batch
-        # dedup window. Re-preparing the prepared frame downstream is
-        # near-free (same key partitioning, one exchange).
+        # dedup window. `source_prepared` tells the downstream merge
+        # not to plan the dedup window a second time (r17, VERDICT
+        # r16 item 7).
         # Validation runs before the manifest publish (below).
         source, chk_validate = _observed_checks(
             prepare_source(source, key, dedup_order_by), eff_checks,
             "upsert source", table_fields=table_schema(spark, path))
+        source_prepared = True
     new_check_names = sorted(n for n in eff_checks
                              if inherited_checks.get(n) != eff_checks[n])
     eff_schema_mode = _resolve_schema_mode(meta, schema_mode)
@@ -1610,7 +1613,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
         # keyed_upsert emits when every target column is NULL.
         payload_cols = payload or [c for c in source.columns
                                    if c != key]
-        src = prepare_source(source, key, dedup_order_by)
+        src = source if source_prepared \
+            else prepare_source(source, key, dedup_order_by)
         out_cols = [F.col(key)] + [F.col(c) for c in payload_cols]
         if updated_at_col:
             out_cols.append(F.current_timestamp().alias(updated_at_col))
@@ -1625,7 +1629,8 @@ def upsert_into_keyed_table(spark: SparkSession, source: DataFrame, *,
         merged = keyed_upsert(target, source, key, payload,
                               dedup_order_by=dedup_order_by,
                               updated_at_col=updated_at_col,
-                              observation=obs)
+                              observation=obs,
+                              source_prepared=source_prepared)
     chk2_validate = None
     if new_check_names and (version or fold
                             or _legacy_root_has_data(spark, path)):
