@@ -585,9 +585,15 @@ def q_keyed_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ).first()
     mid = (b.kmin + b.kmax) // 2
     k3 = target.filter(F.col("k") > mid).agg(F.min("k")).first()[0]
+    # ONE probe-uid lookup job for all three keys (r17, guide §1.4 —
+    # the per-key first() loop paid three scans of the source for
+    # three 1-row answers); same probes, same scans, same result
+    uid_by_k = {r["k"]: r["uid"] for r in
+                target.filter(F.col("k").isin([b.kmin, b.kmax, k3]))
+                .select("k", "uid").collect()}
     parts = []
     for pk in (b.kmin, b.kmax, k3):
-        probe = target.filter(F.col("k") == pk).select("uid").first()[0]
+        probe = uid_by_k[pk]
         out, st = scan_keyed_table(spark, path,
                                    where={"uid": (probe, probe)},
                                    with_stats=True)

@@ -139,7 +139,21 @@ def read_bloom_index(spark: SparkSession,
     d = hfs.join(base_dir, BLOOM_SIDECAR)
     if not hfs.exists(spark, d):
         return None
-    return spark.read.parquet(d)
+    # the sidecar is committed with its base and never mutated — read
+    # it through the committed-dir schema memo so repeated probes skip
+    # per-read footer inference (r17, guide §1.2; late import: this
+    # module is imported by keyed_table)
+    from .keyed_table import _read_committed_parquet
+    return _read_committed_parquet(spark, [d])
+
+
+# (dtype, max n_hashes) per (base_dir, col) — the sidecar is immutable
+# per base version (it commits, time-travels, and GCs with its base),
+# so the meta aggregate is derived metadata of immutable files: one
+# job on first probe, memo hits afterwards (r17 — a point-probe loop
+# paid the meta job per probe). Bounded like the schema memo.
+_BLOOM_META_MEMO: dict[tuple[str, str], tuple | None] = {}
+_BLOOM_META_CAP = 4096
 
 
 def bloom_index_cols(spark: SparkSession, base_dir: str) -> set[str]:
@@ -162,19 +176,30 @@ def bloom_kept_files(spark: SparkSession, base_dir: str, col: str,
     if idx is None:
         return None
     mine = idx.filter(F.col("col") == col)
-    meta = mine.agg(F.collect_set("dtype").alias("dt"),
-                    F.max("n_hashes").alias("maxk")).first()
-    if not meta["dt"] or meta["maxk"] is None:
+    mkey = (base_dir, col)
+    cached = _BLOOM_META_MEMO.get(mkey, ())
+    if cached == ():
+        meta = mine.agg(F.collect_set("dtype").alias("dt"),
+                        F.max("n_hashes").alias("maxk")).first()
+        if (not meta["dt"] or meta["maxk"] is None
+                or len(meta["dt"]) > 1):
+            # absent column or dtype drift across folds: bloom prune
+            # unusable for this (base, col) — memoized too
+            cached = None
+        else:
+            cached = (meta["dt"][0], int(meta["maxk"]))
+        if len(_BLOOM_META_MEMO) >= _BLOOM_META_CAP:
+            _BLOOM_META_MEMO.pop(next(iter(_BLOOM_META_MEMO)))
+        _BLOOM_META_MEMO[mkey] = cached
+    if cached is None:
         return None
-    if len(meta["dt"]) > 1:
-        return None                      # dtype drifted across folds
-    probe = F.lit(value).cast(meta["dt"][0])
+    probe = F.lit(value).cast(cached[0])
     # params are PER ROW (a pruned fold can carry entries built under
     # older sizing next to freshly-stats'd ones): every conjunct
     # beyond a row's own n_hashes is vacuously true — testing fewer
     # positions than built only admits extra files, never drops one
     conjuncts = []
-    for i in range(int(meta["maxk"])):
+    for i in range(cached[1]):
         p = F.pmod(F.xxhash64(probe, F.lit(i)), F.col("m_bits"))
         bit = (F.coalesce(
                    F.element_at(F.col("words"), (p / 64).cast("long")),
