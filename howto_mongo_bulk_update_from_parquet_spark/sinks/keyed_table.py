@@ -1424,6 +1424,11 @@ def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
                     meta.pop("bloom_cols", None)
             else:
                 meta.pop("bloom_cols", None)
+            # all sidecars are in the dir now — seed the schema memo
+            # so the post-commit result read (and every later reader)
+            # skips footer inference of the base this session just
+            # wrote (r17, guide §1.2)
+            _seed_schema_memo(spark, _base_dir(path, version), df.schema)
             return meta
     meta.pop("range_files", None)
     meta.pop("range_key", None)
@@ -1431,6 +1436,10 @@ def _write_base_and_meta(spark: SparkSession, df: DataFrame, path: str,
     meta.pop("zorder_col", None)
     meta.pop("target_file_bytes", None)
     meta.pop("bloom_cols", None)
+    if not eff_buckets:
+        # plain (non-bucketed, non-range) base: dir is complete — seed
+        # the memo for the post-commit result read (r17)
+        _seed_schema_memo(spark, _base_dir(path, version), df.schema)
     return meta
 
 
