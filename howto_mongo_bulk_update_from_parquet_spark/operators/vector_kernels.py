@@ -103,6 +103,27 @@ def _stack(col: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def widen_for_kernel(df: DataFrame) -> DataFrame:
+    """Give a Python-kernel input the session's parallelism when its
+    scan cannot provide it (guide §2.5: one huge unsplittable input —
+    e.g. a single-row-group parquet file — caps the whole map stage at
+    one task, and the matmul kernels inherit that single core).
+    Scale-adaptive, not a local constant: only repartitions when the
+    frame's planned partition count is under half the session's
+    defaultParallelism — a production multi-file scan already arrives
+    wide and skips the exchange entirely. The round-robin repartition
+    moves O(rows × dim) vector bytes once; kernel outputs are per-row
+    independent, so results are identical under any partitioning."""
+    try:
+        cur = df.rdd.getNumPartitions()
+        width = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    if cur * 2 <= width:
+        return df.repartition(width)
+    return df
+
+
 ASSIGN_SCHEMA = T.StructType([
     T.StructField("vec_id", T.LongType()),
     T.StructField("cid", T.LongType()),
@@ -147,7 +168,8 @@ def assign_exact(vecs: DataFrame, centroids: list[tuple[int, list[float]]],
             yield pd.DataFrame(out)
 
     schema = ASSIGN_VEC_SCHEMA if carry_vec else ASSIGN_SCHEMA
-    return vecs.select(id_col, vec_col).mapInPandas(kernel, schema)
+    return widen_for_kernel(
+        vecs.select(id_col, vec_col)).mapInPandas(kernel, schema)
 
 
 def score_centroids(vecs: DataFrame, centroids: list[tuple[int, list[float]]],
@@ -184,7 +206,8 @@ def score_centroids(vecs: DataFrame, centroids: list[tuple[int, list[float]]],
                 "sim": sim.ravel(),
             })
 
-    return vecs.select(id_col, vec_col).mapInPandas(kernel, schema)
+    return widen_for_kernel(
+        vecs.select(id_col, vec_col)).mapInPandas(kernel, schema)
 
 
 def pq_encode(vecs: DataFrame, codebook: list[tuple[int, list[float]]],
@@ -231,7 +254,8 @@ def pq_encode(vecs: DataFrame, codebook: list[tuple[int, list[float]]],
             out["recon_err"] = total / 1e12
             yield pd.DataFrame(out)
 
-    return vecs.select(id_col, vec_col).mapInPandas(kernel, schema)
+    return widen_for_kernel(
+        vecs.select(id_col, vec_col)).mapInPandas(kernel, schema)
 
 
 def pq_adc_search(vecs: DataFrame, codebook: list[tuple[int, list[float]]],

@@ -29,9 +29,15 @@ K = 8
 
 
 def _cells(df: DataFrame, id_col: str, out_val: str) -> DataFrame:
-    """(id, pos, value-as-double) cells of an embedding column."""
-    return (df.select(F.col(id_col),
-                      F.posexplode("embedding").alias("pos", "v"))
+    """(id, pos, value-as-double) cells of an embedding column. The
+    explode + downstream partial aggregation inherit the SCAN's
+    parallelism, which a single-row-group fixture file caps at one
+    task — widen first (scale-adaptive no-op on multi-file layouts,
+    guide §2.5)."""
+    from ..operators.vector_kernels import widen_for_kernel
+    return (widen_for_kernel(df.select(F.col(id_col), "embedding"))
+            .select(F.col(id_col),
+                    F.posexplode("embedding").alias("pos", "v"))
             .select(id_col, "pos", F.col("v").cast("double").alias(out_val)))
 
 

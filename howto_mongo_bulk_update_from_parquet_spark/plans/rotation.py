@@ -95,6 +95,20 @@ FORCE_REATTEST: tuple[str, ...] = (
     "q_constraint_audit", "q_csv_ingest", "q_fixedwidth_ingest",
     "q_generate", "q_jsonl_ingest", "q_merge_upsert",
     "q_merge_upsert_delete", "q_schema_evolution_read", "q_xml_ingest",
+    # operators/vector_kernels.py (scale-adaptive kernel-input
+    # widening) + plans/kmeans.py are in the vector/sampling queries'
+    # closure
+    "q_ann_ivf_assign", "q_ann_ivf_search", "q_arrow_batch_norms",
+    "q_arrow_grouped_stats", "q_cluster_balanced_sample",
+    "q_contrastive_negatives", "q_corpus_card", "q_decontaminate",
+    "q_embedding_neardup", "q_event_sliding", "q_grouped_map_median",
+    "q_incremental_vec_dedup", "q_kmeans_iter", "q_knn_bruteforce",
+    "q_label_centroids", "q_mixture_sample", "q_null_funcs",
+    "q_phrase_decontaminate", "q_pq_encode", "q_pq_search",
+    "q_quota_allocation", "q_rhp_lsh_buckets", "q_rhp_lsh_pairs",
+    "q_semdedup", "q_shard_assign", "q_sq_int8_quantize",
+    "q_udaf_grouped_agg", "q_udtf_bigrams", "q_vector_lsh_verified",
+    "q_weighted_sample",
 )
 
 
