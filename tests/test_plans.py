@@ -150,8 +150,12 @@ def test_q15_scalar_max_has_no_window(spark):
 
 def test_pq_adc_search_plan_is_shuffle_free(spark):
     """PQ-ADC: encode + LUT scan are two chained mapInPandas passes
-    with the codebook/LUTs riding the task closure — no Exchange
-    anywhere between the parquet scan and the ADC output."""
+    with the codebook/LUTs riding the task closure — no KEYED
+    Exchange anywhere between the parquet scan and the ADC output. A
+    narrow (single-task) scan gains at most ONE round-robin
+    repartition below the encode pass (r17 `widen_for_kernel`, guide
+    §2.5); both Python passes then share its width with no further
+    exchange between them."""
     from howto_mongo_bulk_update_from_parquet_spark.operators.vector_kernels import pq_adc_search
     from howto_mongo_bulk_update_from_parquet_spark.plans.kmeans import seed_centroids
     from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
@@ -159,7 +163,9 @@ def test_pq_adc_search_plan_is_shuffle_free(spark):
     cb = seed_centroids(e, 16)
     out = pq_adc_search(e, cb, 4, queries=[cb[0], cb[1]])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1          # the widening only
     assert plan.count("MapInPandas") == 2      # encode pass + ADC pass
 
 
@@ -266,16 +272,36 @@ def test_catalog_wide_no_global_windows_cartesians_or_row_udfs(spark):
 
 
 def test_assign_kernel_plan_is_shuffle_free(spark):
-    """The Arrow assignment kernel must not introduce an Exchange —
-    centroids ride the task closure, the pass is map-only."""
+    """The Arrow assignment kernel introduces no KEYED Exchange —
+    centroids ride the task closure, the pass is map-only. A narrow
+    (single-task) scan gains at most ONE round-robin repartition
+    below the kernel (r17 `widen_for_kernel`: the unsplittable-input
+    fix of guide §2.5); hash/range partitioning would mean a join or
+    aggregation snuck in and must still fail here."""
     from howto_mongo_bulk_update_from_parquet_spark.operators.vector_kernels import assign_exact
     from howto_mongo_bulk_update_from_parquet_spark.plans.kmeans import seed_centroids
     from howto_mongo_bulk_update_from_parquet_spark.sources.parquet import load_table
     e = load_table(spark, SF, "embeddings")
     out = assign_exact(e, seed_centroids(e))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1          # the widening only
     assert "MapInPandas" in plan
+
+
+def test_widen_for_kernel_is_a_noop_on_wide_inputs(spark):
+    """The kernel-input widening is scale-adaptive: an input that
+    already carries the session's parallelism must NOT gain an
+    exchange (a production multi-file scan arrives wide)."""
+    from howto_mongo_bulk_update_from_parquet_spark.operators.vector_kernels import widen_for_kernel
+    width = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, width)
+    assert widen_for_kernel(wide) is wide
+    narrow = spark.range(0, 1000, 1, 1)
+    out = widen_for_kernel(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == width
 
 
 def test_band_join_is_equi_join_not_nested_loop(spark):
